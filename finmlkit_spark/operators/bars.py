@@ -1,0 +1,209 @@
+"""Bar sampling + bar aggregation operators (SURVEY.md §2.3-2.4).
+
+Behavior parity with the reference's bar indexers (``finmlkit/bar/logic.py``)
+and bar aggregations (``finmlkit/bar/base.py:306-612``), re-expressed as
+Spark projections + groupBy aggregations:
+
+- bar assignment = a pure projection adding ``bar_close_ns`` / ``bar_id``
+  (scales linearly, no shuffle);
+- bar build = one hash aggregation over (symbol, bar id) — one shuffle,
+  map-side partial aggregation for free.
+
+Exact reset semantics for volume/CUSUM bars are sequential state machines
+-> ``functions.sequential`` (grouped Arrow UDFs per symbol). The
+cumsum-floor forms here match the reference's carry-over semantics for
+dollar bars (``logic.py:147``) and are the documented approximation for
+volume bars (``logic.py:113`` resets to zero).
+
+Bar timestamp convention: close time (``base.py:150,190``); a bar covers
+trades with ts in (prev_close, close] — start-exclusive, end-inclusive
+(``base.py:363-377``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(by: str | None = "symbol"):
+    w = Window.partitionBy(by) if by else Window.partitionBy(F.lit(1))
+    return w.orderBy("ts_ns", "trade_id")
+
+
+def _wrn(df: DataFrame, by: str | None) -> DataFrame:
+    """Stable intra-stream row number used to make first/last deterministic."""
+    return df.withColumn("rn", F.row_number().over(_w(by)))
+
+
+def with_time_bar(df: DataFrame, interval_ns: int = 60_000_000_000) -> DataFrame:
+    """Fixed wall-clock grid aligned to the interval multiple
+    (``logic.py:12-51``): bar close = end of the containing interval.
+    Pure projection — no shuffle, no state; the 100 TB-safe sampler.
+    """
+    return df.withColumn(
+        "bar_close_ns",
+        ((F.floor(F.col("ts_ns") / F.lit(interval_ns)) + 1) * F.lit(interval_ns)).cast("long"),
+    )
+
+
+def with_tick_bar(df: DataFrame, n: int = 100, by: str | None = "symbol") -> DataFrame:
+    """Close a bar every N trades (``logic.py:54-84``):
+    bar_id = (row_number-1) div N over the ordered stream.
+    """
+    df = _wrn(df, by)
+    return df.withColumn("bar_id", F.floor((F.col("rn") - 1) / F.lit(n)).cast("long"))
+
+
+def with_dollar_bar(df: DataFrame, threshold: float, by: str | None = "symbol") -> DataFrame:
+    """Dollar bars with carry-over semantics (``logic.py:118-149``):
+    the reference subtracts the threshold on close, keeping the remainder,
+    which is exactly floor(cumsum(price*qty)/thr).
+    """
+    w = _w(by).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col("price") * F.col("qty")).over(w)
+    return df.withColumn("bar_id", F.floor(cum / F.lit(float(threshold))).cast("long"))
+
+
+def with_volume_bar_approx(df: DataFrame, threshold: float, by: str | None = "symbol") -> DataFrame:
+    """Volume bars, carry-over approximation of the reference's
+    reset-to-zero semantics (``logic.py:87-115``). Exact variant:
+    ``functions.sequential.volume_bars_exact``.
+    """
+    w = _w(by).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col("qty")).over(w)
+    return df.withColumn("bar_id", F.floor(cum / F.lit(float(threshold))).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def bar_ohlcv(df: DataFrame, key: str = "bar_close_ns", by: str | None = None) -> DataFrame:
+    """OHLCV aggregation (``base.py:306-407``).
+
+    open/close are min_by/max_by on a stable row number, so the result is
+    deterministic under shuffle; vwap = Σ(p·q)/Σq; median_trade_size is
+    the exact interpolated median (the reference sorts per bar).
+    Emits only non-empty bars; see ``fill_empty_bars`` for the
+    calendar-filled variant (``base.py:352-361`` fills with last close).
+    """
+    if "rn" not in df.columns:
+        df = _wrn(df, by)
+    keys = ([by] if by else []) + [key]
+    return df.groupBy(*keys).agg(
+        F.min_by("price", "rn").alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", "rn").alias("close"),
+        F.sum("qty").alias("volume"),
+        (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("vwap"),
+        F.count("*").alias("trades"),
+        F.median("qty").alias("median_trade_size"),
+        F.min("ts_ns").alias("first_ts_ns"),
+        F.max("ts_ns").alias("last_ts_ns"),
+    )
+
+
+def fill_empty_bars(bars: DataFrame, interval_ns: int, key: str = "bar_close_ns") -> DataFrame:
+    """Re-create empty bars on the wall-clock grid, filling OHLC with the
+    previous close and zero volume (``base.py:352-361``).
+
+    Generates the calendar with ``sequence()`` from min to max close —
+    distributed explode, no driver loop.
+    """
+    bounds = bars.agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(interval_ns))).alias(key)
+    )
+    joined = cal.join(bars, key, "left")
+    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+    prev_close = F.last("close", ignorenulls=True).over(w)
+    return joined.select(
+        key,
+        F.coalesce("open", prev_close).alias("open"),
+        F.coalesce("high", prev_close).alias("high"),
+        F.coalesce("low", prev_close).alias("low"),
+        F.coalesce("close", prev_close).alias("close"),
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        F.col("vwap"),
+        F.coalesce("trades", F.lit(0)).alias("trades"),
+        "median_trade_size",
+    )
+
+
+def bar_directional_features(df: DataFrame, key: str = "bar_close_ns", by: str | None = None) -> DataFrame:
+    """Directional flow features (``base.py:409-546``).
+
+    Conditional aggregations for buy/sell tick/volume/dollar splits;
+    spread = |Δprice| on side flips averaged per bar; path extrema of the
+    running signed imbalances via an intra-bar cumulative window followed
+    by min/max in the same groupBy (one shuffle total).
+
+    Requires columns: ts_ns, trade_id, price, qty, side.
+    """
+    if "rn" not in df.columns:
+        df = _wrn(df, by)
+    w = _w(by)
+    wb = (
+        Window.partitionBy(*([by] if by else []), key)
+        .orderBy("ts_ns", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_buy = (F.col("side") == 1).cast("double")
+    is_sell = (F.col("side") == -1).cast("double")
+    flip = (F.col("side") != F.lag("side").over(w)).cast("double")
+    spread = F.abs(F.col("price") - F.lag("price").over(w))
+
+    df = (
+        df.withColumn("_flip_spread", F.when(flip == 1.0, spread))
+        .withColumn("_cum_ticks", F.sum(F.col("side").cast("double")).over(wb))
+        .withColumn("_cum_vol", F.sum(F.col("side") * F.col("qty")).over(wb))
+        .withColumn("_cum_dollar", F.sum(F.col("side") * F.col("qty") * F.col("price")).over(wb))
+    )
+    keys = ([by] if by else []) + [key]
+    return df.groupBy(*keys).agg(
+        F.sum(is_buy).cast("long").alias("ticks_buy"),
+        F.sum(is_sell).cast("long").alias("ticks_sell"),
+        F.sum(is_buy * F.col("qty")).alias("volume_buy"),
+        F.sum(is_sell * F.col("qty")).alias("volume_sell"),
+        F.sum(is_buy * F.col("qty") * F.col("price")).alias("dollars_buy"),
+        F.sum(is_sell * F.col("qty") * F.col("price")).alias("dollars_sell"),
+        F.avg("_flip_spread").alias("mean_spread"),
+        F.max("_flip_spread").alias("max_spread"),
+        F.min("_cum_ticks").alias("cum_ticks_min"),
+        F.max("_cum_ticks").alias("cum_ticks_max"),
+        F.min("_cum_vol").alias("cum_volume_min"),
+        F.max("_cum_vol").alias("cum_volume_max"),
+        F.min("_cum_dollar").alias("cum_dollars_min"),
+        F.max("_cum_dollar").alias("cum_dollars_max"),
+    )
+
+
+def bar_trade_size_features(
+    df: DataFrame,
+    typical_size: float,
+    block_mult: float = 10.0,
+    key: str = "bar_close_ns",
+    by: str | None = None,
+) -> DataFrame:
+    """Trade-size distribution features (``base.py:549-612``).
+
+    mean_size_rel = log1p(mean qty / θ), size_95_rel = log1p(p95 / θ),
+    pct_block = Σ qty·[qty > block_mult·θ] / Σ qty,
+    size_gini = 1 − Σ (qtyᵢ/Σqty)² computed as Σqty² / (Σqty)² — a single
+    pass instead of the reference's two-pass normalized loop.
+    """
+    theta = float(typical_size)
+    thr = block_mult * theta
+    keys = ([by] if by else []) + [key]
+    return df.groupBy(*keys).agg(
+        F.log1p(F.avg("qty") / F.lit(theta)).alias("mean_size_rel"),
+        F.log1p(F.percentile("qty", F.lit(0.95)) / F.lit(theta)).alias("size_95_rel"),
+        (
+            F.sum(F.when(F.col("qty") > thr, F.col("qty")).otherwise(0.0)) / F.sum("qty")
+        ).alias("pct_block"),
+        (F.lit(1.0) - F.sum(F.col("qty") * F.col("qty")) / (F.sum("qty") * F.sum("qty"))).alias(
+            "size_gini"
+        ),
+    )

@@ -1,0 +1,149 @@
+"""Trades preprocessing operators (SURVEY.md §2.2).
+
+Parity targets (reference, behavior only — implementation is Spark-native):
+- timestamp normalize/unit-inference/resolution: ``data_model.py:346-418,370-388``
+- sort + dedup + integrity/gap checks: ``data_model.py:254-324``
+- split-trade merge: ``bar/utils.py:263-329``
+- tick-rule trade side: ``bar/utils.py:10-46``
+- tick-size (GCD) inference: ``bar/utils.py:49-81``
+
+All operators are narrow projections or single-shuffle window/agg ops and
+take an optional ``by`` (symbol) column so they parallelize across
+symbols at scale; the global-stream form (by=None) uses a single ordered
+window, which is fine for per-symbol slices but should not be used on an
+unpartitioned 100 TB stream.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+def _w(by: str | None):
+    w = Window.partitionBy(by) if by else Window.partitionBy(F.lit(1))
+    return w.orderBy("ts_ns", "trade_id")
+
+
+def infer_time_unit(df: DataFrame, col: str = "ts_ns") -> str:
+    """Magnitude heuristic over max(ts) (reference ``data_model.py:399-418``).
+
+    One scalar agg to the driver — the only collect in the pipeline.
+    """
+    mx = df.agg(F.max(col).alias("m")).collect()[0]["m"]
+    if mx is None:
+        return "ns"
+    if mx > 1e17:
+        return "ns"
+    if mx > 1e14:
+        return "us"
+    if mx > 1e11:
+        return "ms"
+    return "s"
+
+
+def normalize_timestamps(df: DataFrame, col: str = "ts_ns", unit: str | None = None) -> DataFrame:
+    """Any epoch unit -> int64 nanoseconds (``data_model.py:346-368``)."""
+    unit = unit or infer_time_unit(df, col)
+    return df.withColumn(col, (F.col(col) * F.lit(NS_PER[unit])).cast("long"))
+
+
+def round_resolution(df: DataFrame, col: str = "ts_ns", resolution: str = "ms") -> DataFrame:
+    """Floor ts to ms/us resolution (``data_model.py:370-388``)."""
+    k = NS_PER[resolution]
+    return df.withColumn(col, (F.col(col) - (F.col(col) % F.lit(k))).cast("long"))
+
+
+def sort_trades(df: DataFrame, by: str | None = "symbol") -> DataFrame:
+    """Chronological order, trade_id tiebreak (``bar/utils.py:239-260``).
+
+    At scale: range-partition by time within symbol so downstream
+    per-partition ops see locally sorted data.
+    """
+    cols = ([by] if by else []) + ["ts_ns", "trade_id"]
+    return df.orderBy(*cols)
+
+
+def dedup_trades(df: DataFrame, key: str = "trade_id") -> DataFrame:
+    """Drop duplicate trade ids, keep first (``data_model.py:308-313``)."""
+    return df.dropDuplicates([key])
+
+
+def integrity_report(df: DataFrame, by: str | None = "symbol", max_gap_ns: int = 60_000_000_000) -> DataFrame:
+    """Id-gap + time-gap report per symbol (``data_model.py:254-292``).
+
+    Returns one row per symbol: n_rows, n_id_gaps, missing_ids,
+    missing_pct, n_time_gaps (> max_gap_ns), max_time_gap_ns.
+    """
+    w = _w(by)
+    g = df.select(
+        *( [by] if by else [] ),
+        "ts_ns",
+        "trade_id",
+        (F.col("trade_id") - F.lag("trade_id").over(w)).alias("id_diff"),
+        (F.col("ts_ns") - F.lag("ts_ns").over(w)).alias("ts_diff"),
+    )
+    keys = [by] if by else []
+    return g.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("id_diff") > 1, 1).otherwise(0)).cast("long").alias("n_id_gaps"),
+        F.sum(F.when(F.col("id_diff") > 1, F.col("id_diff") - 1).otherwise(0)).cast("long").alias("missing_ids"),
+        F.sum(F.when(F.col("ts_diff") > max_gap_ns, 1).otherwise(0)).cast("long").alias("n_time_gaps"),
+        F.max("ts_diff").alias("max_time_gap_ns"),
+    )
+
+
+def merge_split_trades(df: DataFrame, use_side: bool = False) -> DataFrame:
+    """Collapse rows with equal (ts, price[, side]) summing qty
+    (``bar/utils.py:263-329``).
+
+    The reference only merges *adjacent* rows, but its input is ts-sorted
+    so equal keys are always adjacent — a plain groupBy is equivalent and
+    shuffle-parallel. trade_id keeps the min (first) id.
+    """
+    keys = ["symbol", "ts_ns", "price"] + (["side"] if use_side else [])
+    return df.groupBy(*keys).agg(
+        F.min("trade_id").alias("trade_id"),
+        F.sum("qty").alias("qty"),
+    )
+
+
+def with_trade_side(df: DataFrame, by: str | None = "symbol") -> DataFrame:
+    """Tick rule: sign(Δprice), carry previous side when Δ=0
+    (``bar/utils.py:10-46``); first trade defaults to +1.
+    """
+    w = _w(by)
+    raw = F.signum(F.col("price") - F.lag("price").over(w))
+    carried = F.last(F.when(raw != 0, raw), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("side", F.coalesce(carried, F.lit(1.0)).cast("int"))
+
+
+def infer_tick_size(df: DataFrame, sample: int = 10_000) -> float:
+    """Tick = GCD of unique price diffs over a head sample
+    (``bar/utils.py:49-81``). Scalar config value -> driver side.
+    """
+    rows = df.select("price").limit(sample).collect()
+    prices = sorted({r["price"] for r in rows})
+    if len(prices) < 2:
+        return 0.01
+    # quantize to 1e-9 to GCD in integer space
+    diffs = [round((b - a) * 1e9) for a, b in zip(prices, prices[1:]) if b > a]
+    g = 0
+    for d in diffs:
+        g = math.gcd(g, d)
+    return g / 1e9 if g else 0.01
+
+
+def time_slice(df: DataFrame, start_ns: int | None, end_ns: int | None) -> DataFrame:
+    """View-range filter (``data_model.py:212-243``) — pushed-down predicate."""
+    if start_ns is not None:
+        df = df.where(F.col("ts_ns") >= start_ns)
+    if end_ns is not None:
+        df = df.where(F.col("ts_ns") <= end_ns)
+    return df

@@ -1,0 +1,116 @@
+"""Trade sources: canonical trades schema + adapters.
+
+Canonical trades table (parity with the reference's ``TradesData``
+contract, reference ``finmlkit/bar/data_model.py:121-192``):
+
+    ts_ns    long    -- int64 nanoseconds UTC (authoritative time key;
+                        Spark TimestampType is only µs so the long is king)
+    trade_id long    -- monotonically increasing source trade id
+    price    double
+    qty      double  -- trade amount (reference stores float32; we compute
+                        in float64 and downcast only at the storage edge)
+    symbol   string  -- partition key for all grouped/sequential operators
+
+At 100 TB the table is written partitioned by (symbol, year_month) so
+partition pruning + parquet min/max stats replace the reference's HDF5
+monthly-key pruning (``data_model.py:579-594``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRADES_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_ns", T.LongType(), False),
+        T.StructField("trade_id", T.LongType(), False),
+        T.StructField("price", T.DoubleType(), False),
+        T.StructField("qty", T.DoubleType(), False),
+        T.StructField("symbol", T.StringType(), True),
+    ]
+)
+
+#: Binance monthly dump schema (reference ``scripts/binance2h5.py:144-193``).
+BINANCE_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("price", T.DoubleType(), False),
+        T.StructField("qty", T.DoubleType(), False),
+        T.StructField("quote_qty", T.DoubleType(), True),
+        T.StructField("time", T.LongType(), False),
+        T.StructField("is_buyer_maker", T.BooleanType(), True),
+    ]
+)
+
+
+def read_binance_csv(spark: SparkSession, path: str, symbol: str = "UNKNOWN") -> DataFrame:
+    """Binance trade-dump CSV -> canonical trades.
+
+    ``time`` is epoch *milliseconds* in the dumps; side convention:
+    ``is_buyer_maker=True`` means the aggressor was a seller.
+    Header rows are tolerated (the reference sniffs them; we filter the
+    non-numeric first row instead).
+    """
+    raw = spark.read.csv(path, schema=BINANCE_CSV_SCHEMA, header=False, comment="i")
+    return raw.select(
+        (F.col("time") * F.lit(1_000_000)).alias("ts_ns"),
+        F.col("id").alias("trade_id"),
+        "price",
+        "qty",
+        F.lit(symbol).alias("symbol"),
+        F.when(F.col("is_buyer_maker"), F.lit(-1)).otherwise(F.lit(1)).cast("int").alias("side"),
+    )
+
+
+def read_trades_parquet(spark: SparkSession, path: str, start_ns: int | None = None, end_ns: int | None = None) -> DataFrame:
+    """Partition-pruned, predicate-pushed trades scan.
+
+    Equivalent of the reference's pruned HDF5 read
+    (``data_model.py:596-772``): Catalyst pushes the ts_ns range to the
+    parquet row-group stats for free.
+    """
+    df = spark.read.schema(TRADES_SCHEMA).parquet(path)
+    if start_ns is not None:
+        df = df.where(F.col("ts_ns") >= F.lit(start_ns))
+    if end_ns is not None:
+        df = df.where(F.col("ts_ns") <= F.lit(end_ns))
+    return df
+
+
+def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) -> DataFrame:
+    """Adapt the driver's synthetic ``events`` table into canonical trades.
+
+    price = value, qty = 1 + (event_id % 5) (deterministic, so the DuckDB
+    oracle can reproduce it), symbol = single global stream 'EVT' or the
+    user_id when ``by_user`` (for partition-parallel operator tests).
+
+    The parquet stores TIMESTAMP(NANOS); Spark reads it as long ns via
+    the legacy nanosAsLong conf, then we floor to µs to match both the
+    oracle's TIMESTAMP precision and the reference's resolution rounding
+    (``data_model.py:370-388``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sym = F.col("user_id").cast("string") if by_user else F.lit("EVT")
+    return ev.select(
+        (F.col("ts") - F.col("ts") % F.lit(1000)).alias("ts_ns"),
+        F.col("event_id").alias("trade_id"),
+        F.col("value").alias("price"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("qty"),
+        sym.alias("symbol"),
+    )
+
+
+#: DuckDB CTE mirroring events_to_trades for oracle SQL (single stream).
+EVENTS_TRADES_CTE = """
+trades AS (
+  SELECT epoch_us(ts) * 1000 AS ts_ns,
+         event_id AS trade_id,
+         value AS price,
+         CAST(1 + (event_id % 5) AS DOUBLE) AS qty,
+         'EVT' AS symbol
+  FROM events
+)
+"""

@@ -1,0 +1,5 @@
+from ._registry import QUERIES, ORACLES
+
+from . import bars_suite  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,77 @@
+"""Hand-computed golden tests for bar aggregation (mirrors the
+reference's ``tests/bars/test_comp_ohlcv.py`` strategy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from finmlkit_spark.operators import bars as B
+from finmlkit_spark.operators import preprocess as P
+
+SEC = 1_000_000_000
+
+
+def _trades(spark, rows):
+    return spark.createDataFrame(
+        [{"ts_ns": t * SEC, "trade_id": i, "price": p, "qty": q, "symbol": "S"} for i, (t, p, q) in enumerate(rows)]
+    )
+
+
+def test_ohlcv_golden(spark):
+    # two 60s bars: trades at 10,30,50 then 70,90
+    df = _trades(spark, [(10, 100.0, 1.0), (30, 110.0, 2.0), (50, 90.0, 1.0), (70, 95.0, 4.0), (90, 105.0, 1.0)])
+    df = B.with_time_bar(df, 60 * SEC)
+    out = {r["bar_close_ns"]: r.asDict() for r in B.bar_ohlcv(df).collect()}
+    b1 = out[60 * SEC]
+    assert (b1["open"], b1["high"], b1["low"], b1["close"]) == (100.0, 110.0, 90.0, 90.0)
+    assert b1["volume"] == 4.0
+    assert b1["vwap"] == pytest.approx((100 + 220 + 90) / 4.0)
+    assert b1["trades"] == 3
+    assert b1["median_trade_size"] == 1.0
+    b2 = out[120 * SEC]
+    assert (b2["open"], b2["close"], b2["volume"], b2["trades"]) == (95.0, 105.0, 5.0, 2)
+
+
+def test_single_trade_bar(spark):
+    df = B.with_time_bar(_trades(spark, [(5, 42.0, 3.0)]), 60 * SEC)
+    r = B.bar_ohlcv(df).collect()[0]
+    assert r["open"] == r["high"] == r["low"] == r["close"] == 42.0
+    assert r["vwap"] == 42.0 and r["volume"] == 3.0
+
+
+def test_fill_empty_bars(spark):
+    # trades only in minute 1 and minute 4 -> minutes 2,3 filled with prev close
+    df = _trades(spark, [(10, 100.0, 1.0), (200, 120.0, 1.0)])
+    bars = B.bar_ohlcv(B.with_time_bar(df, 60 * SEC))
+    filled = {r["bar_close_ns"] // (60 * SEC): r.asDict() for r in B.fill_empty_bars(bars, 60 * SEC).collect()}
+    assert sorted(filled) == [1, 2, 3, 4]
+    assert filled[2]["close"] == 100.0 and filled[2]["volume"] == 0.0
+    assert filled[3]["open"] == 100.0
+    assert filled[4]["close"] == 120.0
+
+
+def test_tick_rule_side(spark):
+    df = _trades(spark, [(1, 100.0, 1.0), (2, 101.0, 1.0), (3, 101.0, 1.0), (4, 99.0, 1.0), (5, 99.0, 1.0)])
+    sides = [r["side"] for r in P.with_trade_side(df, by="symbol").orderBy("ts_ns").collect()]
+    # first defaults +1; up=+1; flat carries +1; down=-1; flat carries -1
+    assert sides == [1, 1, 1, -1, -1]
+
+
+def test_tick_bar_ids(spark):
+    df = _trades(spark, [(i, 100.0, 1.0) for i in range(7)])
+    ids = [r["bar_id"] for r in B.with_tick_bar(df, 3, by="symbol").orderBy("ts_ns").collect()]
+    assert ids == [0, 0, 0, 1, 1, 1, 2]
+
+
+def test_dollar_bar_carryover(spark):
+    # thr=100: cum dollars 50,150,250 -> floor(0.5)=0, floor(1.5)=1, floor(2.5)=2
+    df = _trades(spark, [(1, 50.0, 1.0), (2, 50.0, 2.0), (3, 50.0, 2.0)])
+    ids = [r["bar_id"] for r in B.with_dollar_bar(df, 100.0, by="symbol").orderBy("ts_ns").collect()]
+    assert ids == [0, 1, 2]
+
+
+def test_merge_split_trades(spark):
+    df = _trades(spark, [(1, 100.0, 1.0), (1, 100.0, 2.0), (2, 100.0, 1.0)])
+    out = P.merge_split_trades(df).orderBy("ts_ns").collect()
+    assert len(out) == 2
+    assert out[0]["qty"] == 3.0 and out[0]["trade_id"] == 0
