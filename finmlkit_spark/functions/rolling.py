@@ -1,0 +1,290 @@
+"""Rolling / window transform library (SURVEY.md §2.5) — the Catalyst tier.
+
+Every function here emits pure Column expressions over a caller-supplied
+ordered ``WindowSpec`` (partition by symbol at scale; the window frame
+stays bounded so state never exceeds the frame). NaN-warmup parity with
+the reference: transforms emit NULL until the window is full, guarded by
+``count(*)`` over the frame (reference writes ``out[:w] = NaN``, e.g.
+``core/utils.py:78-80``).
+
+Sequential recurrences (EWMA family, Wilder smoothing, ADX, CUSUM) are
+NOT here — see ``functions.sequential``.
+
+Reference kernels these mirror (behavior, not code):
+``finmlkit/feature/core/{momentum,ma,volatility,reversion,volume,
+correlation,trend,time,utils}.py`` and the pandas transforms in
+``finmlkit/feature/transforms.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+
+def _frame(w, n: int):
+    return w.rowsBetween(-(n - 1), 0)
+
+
+def _full(w, n: int, expr: Column) -> Column:
+    """NULL until the rows-frame holds n rows (reference warmup NaNs)."""
+    return F.when(F.count(F.lit(1)).over(_frame(w, n)) == n, expr)
+
+
+# --- momentum (core/momentum.py) -------------------------------------------
+
+def lag(col, p: int, w) -> Column:
+    return F.lag(col, p).over(w)
+
+
+def ret(col, p: int, w, log: bool = True) -> Column:
+    """Return(p): x/x[t-p]-1 or ln ratio (transforms.py:120)."""
+    base = F.lag(col, p).over(w)
+    return F.log(F.col(col) / base) if log else F.col(col) / base - 1
+
+
+def roc(col, p: int, w) -> Column:
+    """100·(x−x[t−p])/x[t−p] (core/momentum.py:6-22)."""
+    base = F.lag(col, p).over(w)
+    return (F.col(col) - base) / base * 100.0
+
+
+def pct_change(col, p: int, w) -> Column:
+    """(x−x[t−p])/x[t−p], NULL if base ≤ 0 (core/utils.py:110-124)."""
+    base = F.lag(col, p).over(w)
+    return F.when(base > 0, (F.col(col) - base) / base)
+
+
+def stoch_k(close, high, low, n: int, w) -> Column:
+    """100·(c−min low)/(max high−min low) (core/momentum.py:68-112)."""
+    lo = F.min(low).over(_frame(w, n))
+    hi = F.max(high).over(_frame(w, n))
+    return _full(w, n, F.when(hi != lo, 100.0 * (F.col(close) - lo) / (hi - lo)))
+
+
+# --- moving averages / volatility (core/ma.py, core/volatility.py) ---------
+
+def sma(col, n: int, w) -> Column:
+    return _full(w, n, F.avg(col).over(_frame(w, n)))
+
+
+def zscore(col, n: int, w, ddof: int = 1) -> Column:
+    """(x−mean)/std over window (core/utils.py:67-90)."""
+    std = (F.stddev_samp if ddof else F.stddev_pop)(col).over(_frame(w, n))
+    mean = F.avg(col).over(_frame(w, n))
+    return _full(w, n, F.when(std != 0, (F.col(col) - mean) / std))
+
+
+def rolling_median(col, n: int, w) -> Column:
+    """Exact interpolated rolling median. Spark lacks window median, so we
+    sort the frame's collect_list — O(n·log n) per row, fine at bar scale
+    (the reference's per-window sort is the same complexity)."""
+    lst = F.array_sort(F.collect_list(col).over(_frame(w, n)))
+    m = F.size(lst)
+    lo = F.element_at(lst, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(lst, (m / 2 + 1).cast("int"))
+    return (lo + hi) / 2.0
+
+
+def burst_ratio(col, n: int, w) -> Column:
+    """x / rolling median (core/utils.py:92-108)."""
+    med = rolling_median(col, n, w)
+    return _full(w, n, F.when(med != 0, F.col(col) / med))
+
+
+def vwap_distance(close, volume, n: int, w, log: bool = False) -> Column:
+    """close / rolling VWAP − 1 (core/reversion.py:9-56)."""
+    vw = F.sum(F.col(close) * F.col(volume)).over(_frame(w, n)) / F.sum(volume).over(_frame(w, n))
+    out = F.log(F.col(close) / vw) if log else F.col(close) / vw - 1
+    return _full(w, n, out)
+
+
+def realized_vol(r, n: int, w) -> Column:
+    """sqrt(Σ r² / n) over window, NULL-aware count (core/volatility.py:256-286)."""
+    cnt = F.count(r).over(_frame(w, n))
+    return _full(w, n, F.when(cnt > 0, F.sqrt(F.sum(F.col(r) * F.col(r)).over(_frame(w, n)) / cnt)))
+
+
+def bollinger_percent_b(col, n: int, w, k: float = 2.0) -> Column:
+    """(x−lower)/(upper−lower) with bands mean±k·std (volatility.py:289-338)."""
+    mean = F.avg(col).over(_frame(w, n))
+    std = F.stddev_samp(col).over(_frame(w, n))
+    return _full(w, n, F.when(std != 0, (F.col(col) - (mean - k * std)) / (2 * k * std)))
+
+
+def parkinson_range(high, low) -> Column:
+    """ln(h/l)²/(4·ln2) per row (volatility.py:341-349) — pure projection."""
+    return F.pow(F.log(F.col(high) / F.col(low)), 2) / (4.0 * math.log(2.0))
+
+
+def true_range(high, low, close, w) -> Column:
+    """TR = max(h−l, |h−c₋₁|, |l−c₋₁|) (volatility.py:222-253)."""
+    pc = F.lag(close).over(w)
+    return F.greatest(
+        F.col(high) - F.col(low), F.abs(F.col(high) - pc), F.abs(F.col(low) - pc)
+    )
+
+
+def atr_sma(tr, n: int, w) -> Column:
+    """SMA-smoothed ATR over a pre-materialized TR column
+    (volatility.py:352-437); EMA variant is sequential. Materialize TR
+    with ``true_range`` in a prior select — Spark forbids nested windows.
+    """
+    return _full(w, n + 1, F.avg(tr).over(_frame(w, n)))  # +1: tr NULL on row 1
+
+
+def variance_ratio_1_4(r, r4, n: int, w) -> Column:
+    """var(1-bar ret)/(var(4-bar ret)/4) (volatility.py:481-540).
+
+    ``r`` = 1-bar log return, ``r4`` = pre-materialized
+    r+lag(r)+lag2(r)+lag3(r) (nested-window restriction).
+    """
+    v1 = F.var_samp(r).over(_frame(w, n))
+    v4 = F.var_samp(r4).over(_frame(w, n))
+    return _full(w, n + 4, F.when(v4 != 0, v1 / (v4 / 4.0)))
+
+
+def kurtosis_rolling(col, n: int, w) -> Column:
+    """Rolling excess kurtosis, population moments — explicit power sums so
+    the DuckDB oracle can reproduce the exact formula (transforms.py:900).
+    """
+    f = _frame(w, n)
+    s1 = F.sum(col).over(f)
+    s2 = F.sum(F.pow(col, 2)).over(f)
+    s3 = F.sum(F.pow(col, 3)).over(f)
+    s4 = F.sum(F.pow(col, 4)).over(f)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * F.pow(m, 4)
+    return _full(w, n, F.when(m2 != 0, m4 / (m2 * m2) - 3.0))
+
+
+def bipower_variation(prod, n: int, w) -> Column:
+    """(π/2)·Σ|rₜ|·|rₜ₋₁| over window (transforms.py:1551); ``prod`` is
+    the pre-materialized |r|·|lag(r)| column."""
+    return _full(w, n + 2, F.sum(prod).over(_frame(w, n)) * (math.pi / 2.0))
+
+
+# --- flow / volume (core/volume.py) ----------------------------------------
+
+def flow_acceleration(volume, n: int, r: int, w) -> Column:
+    """log(Σ recent r vols / (r/(n−r))·Σ prior n−r vols) (volume.py:572-607)."""
+    recent = F.sum(volume).over(w.rowsBetween(-(r - 1), 0))
+    prior = F.sum(volume).over(w.rowsBetween(-(n - 1), -r))
+    return _full(w, n, F.when(prior > 0, F.log(recent / (prior * r / (n - r)))))
+
+
+def vpin(buy_vol, sell_vol, n: int, w) -> Column:
+    """Σ|buy−sell| / Σ(buy+sell) over window (volume.py:610-641)."""
+    num = F.sum(F.abs(F.col(buy_vol) - F.col(sell_vol))).over(_frame(w, n))
+    den = F.sum(F.col(buy_vol) + F.col(sell_vol)).over(_frame(w, n))
+    return _full(w, n, F.when(den > 0, num / den))
+
+
+def price_volume_corr(r, volume, n: int, w) -> Column:
+    """Rolling Pearson corr(returns, volume) (core/correlation.py:9-111;
+    the reference kernel's hardcoded test shortcuts are NOT replicated)."""
+    return _full(w, n + 1, F.corr(r, volume).over(_frame(w, n)))
+
+
+# --- trend / time (core/trend.py, core/time.py, transforms.py) -------------
+
+def trend_slope(col, x_col, n: int, w, as_degrees: bool = True) -> Column:
+    """OLS slope of ln(col) vs a pre-materialized row-index column, in
+    degrees (transforms.py:936). Closed-form from power sums so both
+    engines compute the identical expression (``x_col`` must be
+    materialized first — nested-window restriction).
+    """
+    f = _frame(w, n)
+    y = F.log(col)
+    x = F.col(x_col).cast("double")
+    sx = F.sum(x).over(f)
+    sy = F.sum(y).over(f)
+    sxy = F.sum(x * y).over(f)
+    sxx = F.sum(x * x).over(f)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    out = F.degrees(F.atan(slope)) if as_degrees else slope
+    return _full(w, n, out)
+
+
+def mean_reversion_z(col, n: int, w) -> Column:
+    """(c − SMA)/rolling std (transforms.py:1033)."""
+    return zscore(col, n, w, ddof=1)
+
+
+def bar_duration(ts, p: int, w) -> Column:
+    """ts − ts[t−p] in seconds (transforms.py:1511)."""
+    return (F.col(ts) - F.lag(ts, p).over(w)) / 1e9
+
+
+def bar_rate(ts, dt_ns: int, w_range) -> Column:
+    """Bars per hour in a trailing time window (transforms.py:1210).
+    ``w_range`` must be a range window on the long ts column.
+    """
+    return F.count(F.lit(1)).over(w_range.rangeBetween(-dt_ns, 0)) / (dt_ns / 3.6e12)
+
+
+def return_t(col, ts, dt_ns: int, w_range, log: bool = True) -> Column:
+    """ReturnT(Δt): return vs the latest value at ts ≤ t−Δt on an
+    irregular series (core/utils.py:12-64, searchsorted semantics).
+    """
+    base = F.last(col, ignorenulls=True).over(
+        w_range.rangeBetween(Window.unboundedPreceding, -dt_ns)
+    )
+    return F.log(F.col(col) / base) if log else F.col(col) / base - 1
+
+
+def with_dir_run_len(df, r: str, order_cols: list[str], part_cols: list[str] | None = None, out: str = "dir_run_len"):
+    """Length of the current same-sign return streak (transforms.py:1605)
+    via gaps-and-islands (two window stages, so DataFrame-level)."""
+    part_cols = part_cols or []
+    w = (Window.partitionBy(*part_cols) if part_cols else Window.partitionBy(F.lit(1))).orderBy(*order_cols)
+    sign = F.signum(F.col(r))
+    df = df.withColumn("_sign", sign).withColumn(
+        "_chg", F.when(F.col("_sign") != F.lag("_sign").over(w), 1).otherwise(0)
+    )
+    df = df.withColumn("_grp", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    wi = Window.partitionBy(*part_cols, "_grp").orderBy(*order_cols)
+    df = df.withColumn(
+        out, F.when(F.col("_sign").isNotNull(), F.row_number().over(wi)).cast("long")
+    )
+    return df.drop("_sign", "_chg", "_grp")
+
+
+def time_cues(ts) -> dict[str, Column]:
+    """sin/cos time-of-day & day-of-week, session flags (core/time.py:5-62).
+
+    ts is long ns UTC. Sessions: Asia 00-08, EU 07-16, US 13-22 UTC.
+    """
+    sec_of_day = (F.col(ts) / F.lit(1_000_000_000)).cast("long") % 86400
+    frac = sec_of_day.cast("double") / 86400.0
+    # days since epoch Thu 1970-01-01 -> dow 0=Mon
+    day = F.floor(F.col(ts) / F.lit(86_400_000_000_000))
+    dow = ((day + 3) % 7).cast("double")
+    hour = F.floor(sec_of_day / 3600).cast("int")
+    return {
+        "tod_sin": F.sin(2 * math.pi * frac),
+        "tod_cos": F.cos(2 * math.pi * frac),
+        "dow_sin": F.sin(2 * math.pi * dow / 7.0),
+        "dow_cos": F.cos(2 * math.pi * dow / 7.0),
+        "asia_session": ((hour >= 0) & (hour < 8)).cast("int"),
+        "eu_session": ((hour >= 7) & (hour < 16)).cast("int"),
+        "us_session": ((hour >= 13) & (hour < 22)).cast("int"),
+        "top_of_hour": (sec_of_day % 3600 < 60).cast("int"),
+    }
+
+
+def candle_shape(open_, high, low, close, vwap) -> dict[str, Column]:
+    """Wick/body ratios + vwap drift (transforms.py:1273) — projections."""
+    rng = F.col(high) - F.col(low)
+    body_hi = F.greatest(F.col(open_), F.col(close))
+    body_lo = F.least(F.col(open_), F.col(close))
+    safe = F.when(rng != 0, rng)
+    return {
+        "wick_up": (F.col(high) - body_hi) / safe,
+        "wick_dn": (body_lo - F.col(low)) / safe,
+        "body": (body_hi - body_lo) / safe,
+        "vwap_drift": F.when(rng != 0, (F.col(close) - F.col(vwap)) / rng),
+    }

@@ -1,5 +1,6 @@
 from ._registry import QUERIES, ORACLES
 
 from . import bars_suite  # noqa: F401
+from . import features_suite  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]
