@@ -1,0 +1,261 @@
+"""Sequential-recurrence kernels (SURVEY.md §2.5 "seq" rows + §2.3
+stateful bar indexers) — the grouped Arrow pandas-UDF tier.
+
+These operators are true recurrences (EWMA family, Wilder smoothing,
+CUSUM state machines, reset-semantics bar indexers) with no bounded
+window form. Execution model: ``applyInPandas`` over a group key —
+sequential *within* a (symbol) group, parallel *across* groups, exactly
+mirroring the reference's per-array Numba kernels run per instrument.
+
+Scale posture (100 TB): state per group is O(1)-O(window), so the only
+constraint is one task per symbol; for a single huge symbol, chunk by
+time with warmup overlap (EWMA memory ≈ a few half-lives) — helpers
+accept pre-chunked input and the truncation error is quantified in the
+docstrings.
+
+Reference behavior parity (math re-derived, no code reuse):
+EWMA family ``core/ma.py:6-43``, EW std ``core/volatility.py:9-219``,
+RSI ``core/momentum.py:25-65``, EMA-ATR ``core/volatility.py:352-437``,
+ADX ``core/trend.py:8-96``, CUSUM filter ``sampling/filters.py:6-70``,
+CUSUM test ``core/structural_break/cusum.py``, volume/CUSUM bar
+indexers ``bar/logic.py:87-221``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_sequential(
+    df: DataFrame,
+    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+    by: str | None = None,
+    order: tuple[str, ...] = ("ts_ns", "trade_id"),
+) -> DataFrame:
+    """Run an ordered per-group kernel via applyInPandas (Arrow-batched).
+
+    ``kernel`` receives the group's rows sorted by ``order`` and returns
+    the output frame matching ``out_schema``.
+    """
+    drop_key = False
+    if by is None:
+        df = df.withColumn("_g", F.lit(1))
+        by, drop_key = "_g", True
+
+    cols = list(order)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return kernel(pdf.sort_values(cols).reset_index(drop=True))
+
+    out = df.groupBy(by).applyInPandas(fn, schema=out_schema)
+    return out.drop("_g") if drop_key else out
+
+
+# --- EWMA family ------------------------------------------------------------
+
+def ewma(x: np.ndarray, span: float) -> np.ndarray:
+    """pandas-equivalent adjust=True EWMA: y_t = Σ(1−α)^k x_{t−k} / Σ(1−α)^k."""
+    return pd.Series(x).ewm(span=span, adjust=True, ignore_na=False).mean().to_numpy()
+
+
+def ewms(x: np.ndarray, span: float) -> np.ndarray:
+    """Adjust=True bias-corrected EW std (reliability-weight correction
+    V²/(V²−V2), pandas ``ewm.std(bias=False)``)."""
+    return pd.Series(x).ewm(span=span, adjust=True, ignore_na=False).std(bias=False).to_numpy()
+
+
+def ewmst(ts_ns: np.ndarray, y: np.ndarray, halflife_ns: float) -> np.ndarray:
+    """Time-decay EW std on an irregular series: weight of sample i at
+    time t is exp(−(t−t_i)·ln2/halflife); bias-corrected like ``ewms``.
+
+    O(1) state recurrence (V, V2, Sy, Syy decay by d = w^Δt per step) —
+    the closed form over absolute time is what the DuckDB oracle uses.
+    """
+    lam = math.log(2.0) / halflife_ns
+    out = np.full(len(y), np.nan)
+    V = V2 = Sy = Syy = 0.0
+    prev_t = None
+    for i in range(len(y)):
+        if np.isnan(y[i]):
+            out[i] = np.nan if V == 0 else out[i - 1]
+            continue
+        d = 1.0 if prev_t is None else math.exp(-lam * (ts_ns[i] - prev_t))
+        V = 1.0 + d * V
+        V2 = 1.0 + d * d * V2
+        Sy = y[i] + d * Sy
+        Syy = y[i] * y[i] + d * Syy
+        prev_t = ts_ns[i]
+        if V * V > V2:
+            m = Sy / V
+            var = max(Syy / V - m * m, 0.0) * (V * V) / (V * V - V2)
+            out[i] = math.sqrt(var)
+    return out
+
+
+# --- Wilder recurrences -----------------------------------------------------
+
+def rsi_wilder(close: np.ndarray, n: int) -> np.ndarray:
+    """RSI with Wilder smoothing: seed = SMA of first n gains/losses, then
+    avg = ((n−1)·avg + x)/n. NaN for the first n rows."""
+    diff = np.diff(close, prepend=np.nan)
+    gain = np.where(diff > 0, diff, 0.0)
+    loss = np.where(diff < 0, -diff, 0.0)
+    out = np.full(len(close), np.nan)
+    if len(close) <= n:
+        return out
+    ag = np.mean(gain[1 : n + 1])
+    al = np.mean(loss[1 : n + 1])
+    for i in range(n, len(close)):
+        if i > n:
+            ag = ((n - 1) * ag + gain[i]) / n
+            al = ((n - 1) * al + loss[i]) / n
+        out[i] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+    return out
+
+
+def true_range_np(high, low, close):
+    pc = np.roll(close, 1)
+    pc[0] = np.nan
+    return np.nanmax(
+        np.stack([high - low, np.abs(high - pc), np.abs(low - pc)]), axis=0
+    )
+
+
+def atr_ema(high: np.ndarray, low: np.ndarray, close: np.ndarray, n: int) -> np.ndarray:
+    """Wilder EMA ATR: seed = SMA of first n TRs, then ((n−1)·atr + tr)/n."""
+    tr = true_range_np(high, low, close)
+    out = np.full(len(close), np.nan)
+    if len(close) <= n:
+        return out
+    a = np.mean(tr[1 : n + 1])
+    out[n] = a
+    for i in range(n + 1, len(close)):
+        a = ((n - 1) * a + tr[i]) / n
+        out[i] = a
+    return out
+
+
+def adx(high: np.ndarray, low: np.ndarray, close: np.ndarray, n: int) -> np.ndarray:
+    """ADX: Wilder-accumulated TR/±DM → DI± → DX → Wilder-smoothed ADX."""
+    m = len(close)
+    tr = true_range_np(high, low, close)
+    up = high - np.roll(high, 1)
+    dn = np.roll(low, 1) - low
+    up[0] = dn[0] = np.nan
+    pdm = np.where((up > dn) & (up > 0), up, 0.0)
+    ndm = np.where((dn > up) & (dn > 0), dn, 0.0)
+    out = np.full(m, np.nan)
+    if m <= 2 * n:
+        return out
+    str_, spdm, sndm = np.sum(tr[1 : n + 1]), np.sum(pdm[1 : n + 1]), np.sum(ndm[1 : n + 1])
+    dx = np.full(m, np.nan)
+    for i in range(n + 1, m):
+        str_ = str_ - str_ / n + tr[i]
+        spdm = spdm - spdm / n + pdm[i]
+        sndm = sndm - sndm / n + ndm[i]
+        pdi = 100.0 * spdm / str_ if str_ > 0 else 0.0
+        ndi = 100.0 * sndm / str_ if str_ > 0 else 0.0
+        dx[i] = 100.0 * abs(pdi - ndi) / (pdi + ndi) if (pdi + ndi) > 0 else 0.0
+    a = np.mean(dx[n + 1 : 2 * n + 1])
+    out[2 * n] = a
+    for i in range(2 * n + 1, m):
+        a = ((n - 1) * a + dx[i]) / n
+        out[i] = a
+    return out
+
+
+# --- CUSUM state machines ---------------------------------------------------
+
+def cusum_filter_np(r: np.ndarray, threshold: float | np.ndarray) -> np.ndarray:
+    """Symmetric CUSUM filter on (log) returns (AFML snippet 2.4;
+    reference ``sampling/filters.py:6-70``): S± accumulate, reset on
+    trigger; returns 0/1 event flags."""
+    thr = np.broadcast_to(np.asarray(threshold, dtype=float), r.shape)
+    out = np.zeros(len(r), dtype=np.int32)
+    sp = sn = 0.0
+    for i in range(len(r)):
+        if np.isnan(r[i]):
+            continue
+        sp = max(0.0, sp + r[i])
+        sn = min(0.0, sn + r[i])
+        if sp >= thr[i]:
+            out[i] = 1
+            sp = 0.0
+        elif sn <= -thr[i]:
+            out[i] = 1
+            sn = 0.0
+    return out
+
+
+def cusum_bar_ids(
+    r: np.ndarray, sigma: np.ndarray, mult: float, floor_thr: float
+) -> np.ndarray:
+    """CUSUM bar indexer with adaptive threshold max(mult·σ_i, floor)
+    (reference ``logic.py:152-221``): NaN σ carries the last valid value;
+    bar id increments on trigger."""
+    out = np.zeros(len(r), dtype=np.int64)
+    sp = sn = 0.0
+    bar = 0
+    last_sig = floor_thr
+    for i in range(len(r)):
+        sig = sigma[i]
+        if np.isnan(sig):
+            sig = last_sig
+        else:
+            last_sig = sig
+        thr = max(mult * sig, floor_thr)
+        x = 0.0 if np.isnan(r[i]) else r[i]
+        sp = max(0.0, sp + x)
+        sn = min(0.0, sn + x)
+        if sp >= thr or sn <= -thr:
+            sp = sn = 0.0
+            bar += 1
+        out[i] = bar
+    return out
+
+
+def volume_bar_ids_exact(qty: np.ndarray, threshold: float) -> np.ndarray:
+    """Exact reset-to-zero volume bar indexer (reference ``logic.py:87-115``:
+    cumulative volume resets to 0 on close — no carry-over)."""
+    out = np.empty(len(qty), dtype=np.int64)
+    cum = 0.0
+    bar = 0
+    for i in range(len(qty)):
+        cum += qty[i]
+        out[i] = bar
+        if cum >= threshold:
+            bar += 1
+            cum = 0.0
+    return out
+
+
+# --- CUSUM structural-break test -------------------------------------------
+
+def cusum_test_rolling(y: np.ndarray, w: int, warmup: int = 30) -> np.ndarray:
+    """Chu-Stinchcombe-White CUSUM test statistic over a rolling window
+    (reference ``core/structural_break/cusum.py:11-274``):
+
+        S_t = max_{s ∈ [t−w, t)} |y_t − y_s| / (σ̂_t · sqrt(t − s))
+
+    with σ̂_t the std of 1-step diffs up to t (rolling w). Vectorized per
+    row with NumPy broadcasting (O(w) per row, like the reference)."""
+    m = len(y)
+    out = np.full(m, np.nan)
+    d = np.diff(y, prepend=np.nan)
+    for t in range(warmup, m):
+        lo = max(0, t - w)
+        win = d[max(1, lo) : t + 1]
+        sig = np.nanstd(win, ddof=1)
+        if not sig > 0:
+            continue
+        s_idx = np.arange(lo, t)
+        stats = np.abs(y[t] - y[s_idx]) / (sig * np.sqrt(t - s_idx))
+        out[t] = np.max(stats)
+    return out
