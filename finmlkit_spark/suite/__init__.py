@@ -3,5 +3,6 @@ from ._registry import QUERIES, ORACLES
 from . import bars_suite  # noqa: F401
 from . import features_suite  # noqa: F401
 from . import sequential_suite  # noqa: F401
+from . import labels_suite  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,219 @@
+"""Triple-Barrier labeling + sample-weight queries (SURVEY.md §2.7).
+
+Events = every 97th trade of the events stream; target = constant 0.5
+log-return barrier; vertical barrier = 2 h. The whole pipeline
+(labels → concurrency → uniqueness → attribution → decay → balance) is
+SQL-expressible, so every stage gets a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import labels as L
+from ..sources.trades import EVENTS_TRADES_CTE, events_to_trades
+from ._registry import query
+
+H_NS = 7_200_000_000_000  # 2h vertical barrier
+TARGET = 0.5
+EV_MOD = 97
+HOUR_NS = 3_600_000_000_000
+
+_TRADES = "WITH " + EVENTS_TRADES_CTE.strip()
+
+# labels pipeline prefix: trades -> events -> range join -> barrier agg -> lab
+_LAB = (
+    _TRADES
+    + f""",
+ev AS (
+  SELECT trade_id AS event_id, ts_ns AS event_ts_ns, price AS entry_price,
+         {TARGET} AS target, ts_ns + {H_NS} AS vert_ts_ns
+  FROM trades WHERE trade_id % {EV_MOD} = 0
+),
+j AS (
+  SELECT e.event_id, e.event_ts_ns, e.entry_price, e.target, e.vert_ts_ns,
+         t.ts_ns, ln(t.price / e.entry_price) AS r
+  FROM ev e JOIN trades t
+    ON t.ts_ns > e.event_ts_ns AND t.ts_ns <= e.vert_ts_ns
+),
+a AS (
+  SELECT event_id, event_ts_ns, target,
+         min(CASE WHEN r >= target THEN ts_ns END) AS up_ts,
+         min(CASE WHEN r <= -target THEN ts_ns END) AS dn_ts,
+         max(ts_ns) AS last_ts,
+         arg_max(r, ts_ns) AS last_ret,
+         arg_min(r, CASE WHEN r >= target THEN ts_ns END) AS up_ret,
+         arg_min(r, CASE WHEN r <= -target THEN ts_ns END) AS dn_ret,
+         max(abs(r)) AS max_abs_ret
+  FROM j GROUP BY event_id, event_ts_ns, target
+),
+lab AS (
+  SELECT event_id, event_ts_ns,
+         CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN 1
+              WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN -1
+              ELSE 0 END AS label,
+         CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ts
+              WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ts
+              ELSE last_ts END AS touch_ts_ns,
+         CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
+              WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
+              ELSE last_ret END AS touch_ret,
+         max_abs_ret / target AS barrier_ratio
+  FROM a
+)
+"""
+)
+
+# concurrency over the trade stream from labeled spans
+_CONC = (
+    _LAB
+    + """,
+mk AS (
+  SELECT event_ts_ns AS ts_ns, 1 AS delta, 0 AS prio FROM lab
+  UNION ALL
+  SELECT touch_ts_ns + 1 AS ts_ns, -1 AS delta, 0 AS prio FROM lab
+),
+uni AS (
+  SELECT ts_ns, delta, prio FROM mk
+  UNION ALL
+  SELECT ts_ns, 0 AS delta, 1 AS prio FROM trades
+),
+cc AS (
+  SELECT ts_ns, prio,
+         sum(delta) OVER (ORDER BY ts_ns, prio ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM uni
+),
+conc AS (SELECT ts_ns, CAST(c AS BIGINT) AS c FROM cc WHERE prio = 1)
+"""
+)
+
+_UNIQ = (
+    _CONC
+    + """,
+uq AS (
+  SELECT l.event_id, l.event_ts_ns, avg(1.0 / c.c) AS uniqueness
+  FROM lab l JOIN conc c
+    ON c.ts_ns >= l.event_ts_ns AND c.ts_ns <= l.touch_ts_ns
+  GROUP BY l.event_id, l.event_ts_ns
+)
+"""
+)
+
+
+def _spark_events(trades: DataFrame) -> DataFrame:
+    return trades.where(F.col("trade_id") % EV_MOD == 0).select(
+        F.col("trade_id").alias("event_id"),
+        F.col("ts_ns").alias("event_ts_ns"),
+        F.col("price").alias("entry_price"),
+        F.lit(TARGET).alias("target"),
+    )
+
+
+def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = events_to_trades(spark, sf_dir)
+    return L.triple_barrier(_spark_events(tr), tr, H_NS, bucket_ns=HOUR_NS)
+
+
+def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = events_to_trades(spark, sf_dir)
+    spans = _labels(spark, sf_dir).select("event_id", "event_ts_ns", "touch_ts_ns")
+    return L.concurrency(spans, tr), tr, spans
+
+
+@query("tbm_labels", _LAB + "SELECT event_id, event_ts_ns, label, touch_ts_ns, touch_ret, barrier_ratio FROM lab")
+def tbm_labels(spark, sf_dir):
+    """Triple Barrier labels via bucketed range join (tbm.py:11-158)."""
+    return _labels(spark, sf_dir)
+
+
+@query("event_concurrency", _CONC + "SELECT ts_ns, c FROM conc")
+def event_concurrency(spark, sf_dir):
+    """Sweep-line concurrency c(t) of open label spans (weights.py:7-49)."""
+    c, _, _ = _trades_c(spark, sf_dir)
+    return c.select("ts_ns", F.col("c").cast("long").alias("c"))
+
+
+@query("avg_uniqueness", _UNIQ + "SELECT event_id, event_ts_ns, uniqueness FROM uq")
+def avg_uniqueness(spark, sf_dir):
+    """Average uniqueness = mean(1/c) over each event span (weights.py:7-49)."""
+    c, tr, spans = _trades_c(spark, sf_dir)
+    return L.average_uniqueness(spans, c, bucket_ns=HOUR_NS)
+
+
+@query(
+    "return_attribution",
+    _CONC
+    + """,
+tr_r AS (
+  SELECT ts_ns, ln(price / lag(price) OVER (ORDER BY ts_ns, trade_id)) AS r
+  FROM trades
+),
+trc AS (
+  SELECT t.ts_ns, t.r, c.c FROM tr_r t JOIN conc c ON c.ts_ns = t.ts_ns
+)
+SELECT l.event_id, l.event_ts_ns, abs(sum(t.r / t.c)) AS attribution
+FROM lab l JOIN trc t ON t.ts_ns >= l.event_ts_ns AND t.ts_ns <= l.touch_ts_ns
+GROUP BY l.event_id, l.event_ts_ns""",
+)
+def return_attribution_q(spark, sf_dir):
+    """Return attribution |Σ r/c| over each span (weights.py:52-103).
+
+    Note: equal-µs trades each contribute their own r with the shared
+    concurrency at that ts (join on ts)."""
+    c, tr, spans = _trades_c(spark, sf_dir)
+    w = Window.orderBy("ts_ns", "trade_id")
+    tr_r = tr.select("ts_ns", F.log(F.col("price") / F.lag("price").over(w)).alias("r"))
+    trc = tr_r.join(c.dropDuplicates(["ts_ns"]), "ts_ns")
+    return L.return_attribution(spans, trc, bucket_ns=HOUR_NS)
+
+
+@query(
+    "time_decay",
+    _UNIQ
+    + """,
+td AS (
+  SELECT event_id, event_ts_ns,
+         sum(uniqueness) OVER (ORDER BY event_ts_ns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u,
+         sum(uniqueness) OVER () AS tot_u
+  FROM uq
+)
+SELECT event_id, event_ts_ns,
+       greatest(0.5 + 0.5 * cum_u / tot_u, 0.0) AS decay_weight
+FROM td""",
+)
+def time_decay_q(spark, sf_dir):
+    """Linear time-decay on cumulative uniqueness, last_weight=0.5
+    (weights.py:106-142)."""
+    c, tr, spans = _trades_c(spark, sf_dir)
+    u = L.average_uniqueness(spans, c, bucket_ns=HOUR_NS)
+    return L.time_decay(u, last_weight=0.5)
+
+
+@query(
+    "class_balance",
+    _UNIQ
+    + """,
+lw AS (
+  SELECT l.event_id, l.event_ts_ns, l.label, u.uniqueness AS w
+  FROM lab l JOIN uq u USING (event_id, event_ts_ns)
+),
+cls AS (
+  SELECT label, sum(w) AS w_class FROM lw GROUP BY label
+),
+tot AS (
+  SELECT sum(w) AS w_total, count(DISTINCT label) AS n_classes FROM lw
+)
+SELECT lw.event_id, lw.event_ts_ns, lw.label,
+       lw.w * (tot.w_total / (tot.n_classes * cls.w_class)) AS balanced_w
+FROM lw, tot JOIN cls ON lw.label = cls.label""",
+)
+def class_balance_q(spark, sf_dir):
+    """Class-balance weights over uniqueness (weights.py:146-188)."""
+    c, tr, spans = _trades_c(spark, sf_dir)
+    u = L.average_uniqueness(spans, c, bucket_ns=HOUR_NS)
+    lab = _labels(spark, sf_dir).select("event_id", "label")
+    lw = lab.join(u, "event_id").withColumnRenamed("uniqueness", "w")
+    out = L.class_balance_weights(lw, "w")
+    return out.select("event_id", "event_ts_ns", "label", "balanced_w")
