@@ -1,0 +1,196 @@
+"""Footprint + volume-profile queries (SURVEY.md §2.4, §2.6).
+
+Footprints on 5-minute bars with tick=0.01 (level = round(price·100));
+volume profile anchored hourly over a trailing 6 h window, 20 bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import bars as B
+from ..operators import footprint as FP
+from ..operators import preprocess as P
+from ..operators import volume_profile as VP
+from ..sources.trades import events_to_trades
+from ._registry import query
+from .bars_suite import _SIDED
+
+BAR5_NS = 300_000_000_000
+HOUR_NS = 3_600_000_000_000
+IMB_MULT = 3.0
+
+_FP = (
+    _SIDED
+    + f""",
+lv AS (
+  SELECT *, (CAST(floor(ts_ns / {BAR5_NS}) AS BIGINT) + 1) * {BAR5_NS} AS bar_close_ns,
+         CAST(round(price * 100) AS BIGINT) AS level
+  FROM sided
+),
+fp AS (
+  SELECT bar_close_ns, level,
+         sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS buy_vol,
+         sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS sell_vol,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
+         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
+  FROM lv GROUP BY bar_close_ns, level
+)
+"""
+)
+
+_FPH = _FP.replace(str(BAR5_NS), str(HOUR_NS))
+
+
+def _fp_spark(spark: SparkSession, sf_dir: str, interval_ns: int = BAR5_NS):
+    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+    tr = B.with_time_bar(tr, interval_ns)
+    return FP.footprint_long(tr, tick=0.01)
+
+
+@query("footprint_long", _FP + "SELECT * FROM fp")
+def footprint_long_q(spark, sf_dir):
+    """Long-form footprint table (comp_bar_footprints, base.py:615-752)."""
+    return _fp_spark(spark, sf_dir)
+
+
+@query(
+    "footprint_features",
+    _FP
+    + f""",
+im AS (
+  SELECT *, buy_vol + sell_vol AS vol,
+         CAST(sell_vol > {IMB_MULT} * lead(buy_vol) OVER wl AS INT) AS sell_imb,
+         CAST(buy_vol > {IMB_MULT} * lag(sell_vol) OVER wl AS INT) AS buy_imb
+  FROM fp
+  WINDOW wl AS (PARTITION BY bar_close_ns ORDER BY level)
+),
+sg AS (
+  SELECT *,
+         CASE WHEN buy_imb = 1 AND sell_imb <> 1 THEN 1
+              WHEN sell_imb = 1 AND buy_imb <> 1 THEN -1
+              ELSE 0 END AS imb_sgn
+  FROM im
+),
+ch AS (
+  SELECT *,
+         CASE WHEN imb_sgn <> lag(imb_sgn, 1, 0)
+                OVER (PARTITION BY bar_close_ns ORDER BY level) THEN 1 ELSE 0 END AS chg
+  FROM sg
+),
+gr AS (
+  SELECT *,
+         sum(chg) OVER (PARTITION BY bar_close_ns ORDER BY level
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM ch
+),
+rl AS (
+  SELECT *, CASE WHEN imb_sgn <> 0
+                 THEN row_number() OVER (PARTITION BY bar_close_ns, grp ORDER BY level)
+                 ELSE 0 END AS run_len
+  FROM gr
+),
+cot AS (
+  SELECT bar_close_ns, level AS cot_level,
+         row_number() OVER (PARTITION BY bar_close_ns ORDER BY vol DESC, level ASC) AS rk
+  FROM rl
+)
+SELECT r.bar_close_ns,
+       count(*) AS n_levels,
+       CAST(sum(coalesce(buy_imb, 0)) AS BIGINT) AS buy_imb_sum,
+       CAST(sum(coalesce(sell_imb, 0)) AS BIGINT) AS sell_imb_sum,
+       CAST(max(run_len) AS BIGINT) AS max_imb_run,
+       any_value(c.cot_level) AS cot_level,
+       sum(r.level * 0.01 * r.level * 0.01 * vol) / sum(vol)
+         - pow(sum(r.level * 0.01 * vol) / sum(vol), 2) AS vp_var,
+       1.0 - sum(vol * vol) / (sum(vol) * sum(vol)) AS vp_gini
+FROM rl r JOIN (SELECT bar_close_ns, cot_level FROM cot WHERE rk = 1) c USING (bar_close_ns)
+GROUP BY r.bar_close_ns""",
+)
+def footprint_features_q(spark, sf_dir):
+    """Per-bar footprint features: diagonal imbalances, signed-run length,
+    COT level, 2nd-moment dispersion + gini (base.py:755-850; vp_skew
+    around the level-vwap degenerates to 0, so the dispersion is exposed
+    as vp_var — deviation documented)."""
+    fp = _fp_spark(spark, sf_dir)
+    return FP.footprint_features(fp, imb_mult=IMB_MULT, tick=0.01)
+
+
+@query(
+    "vp_profile",
+    _FPH
+    + f""",
+anchors AS (SELECT DISTINCT bar_close_ns AS anchor_ts FROM fp),
+j AS (
+  SELECT a.anchor_ts, f.level, f.buy_vol + f.sell_vol AS vol
+  FROM anchors a JOIN fp f
+    ON f.bar_close_ns > a.anchor_ts - {6 * HOUR_NS} AND f.bar_close_ns <= a.anchor_ts
+),
+bounds AS (
+  SELECT *, min(level) OVER (PARTITION BY anchor_ts) AS lo,
+            max(level) OVER (PARTITION BY anchor_ts) AS hi
+  FROM j
+),
+binned AS (
+  SELECT anchor_ts,
+         CAST(least(floor((level - lo) / greatest((hi - lo + 1) / 20.0, 1.0)), 19) AS BIGINT) AS bin,
+         vol
+  FROM bounds
+)
+SELECT anchor_ts, bin, sum(vol) AS vol FROM binned GROUP BY anchor_ts, bin""",
+)
+def vp_profile_q(spark, sf_dir):
+    """Rolling binned volume profile: hourly anchors × trailing 6 h of
+    hourly footprints, 20 bins (volume.py:133-274,393-456)."""
+    fp = _fp_spark(spark, sf_dir, HOUR_NS)
+    return VP.rolling_profile(fp, 6 * HOUR_NS, n_bins=20, bucket_ns=HOUR_NS)
+
+
+@query(
+    "vp_poc",
+    _FPH
+    + f""",
+anchors AS (SELECT DISTINCT bar_close_ns AS anchor_ts FROM fp),
+j AS (
+  SELECT a.anchor_ts, f.level, f.buy_vol + f.sell_vol AS vol
+  FROM anchors a JOIN fp f
+    ON f.bar_close_ns > a.anchor_ts - {6 * HOUR_NS} AND f.bar_close_ns <= a.anchor_ts
+),
+bounds AS (
+  SELECT *, min(level) OVER (PARTITION BY anchor_ts) AS lo,
+            max(level) OVER (PARTITION BY anchor_ts) AS hi
+  FROM j
+),
+prof AS (
+  SELECT anchor_ts,
+         CAST(least(floor((level - lo) / greatest((hi - lo + 1) / 20.0, 1.0)), 19) AS BIGINT) AS bin,
+         sum(vol) AS vol
+  FROM bounds GROUP BY 1, 2
+),
+poc AS (
+  SELECT anchor_ts, bin AS poc_bin,
+         row_number() OVER (PARTITION BY anchor_ts ORDER BY vol DESC, bin ASC) AS rk
+  FROM prof
+)
+SELECT p.anchor_ts, c.poc_bin,
+       sum(CASE WHEN p.bin > c.poc_bin THEN p.vol ELSE 0.0 END) / sum(p.vol) AS pct_above_poc,
+       sum(p.vol) AS total_vol
+FROM prof p JOIN (SELECT anchor_ts, poc_bin FROM poc WHERE rk = 1) c USING (anchor_ts)
+GROUP BY p.anchor_ts, c.poc_bin""",
+)
+def vp_poc_q(spark, sf_dir):
+    """POC bin + volume share above POC (volume.py:277-390)."""
+    fp = _fp_spark(spark, sf_dir, HOUR_NS)
+    prof = VP.rolling_profile(fp, 6 * HOUR_NS, n_bins=20, bucket_ns=HOUR_NS)
+    return VP.poc_features(prof)
+
+
+@query("vp_hva_lva")  # greedy order-dependent walk -> no SQL oracle (rows-only)
+def vp_hva_lva_q(spark, sf_dir):
+    """HVA/LVA value-area bounds via greedy two-at-a-time expansion around
+    POC (volume.py:277-364) — per-anchor pandas UDF; golden-tested in
+    tests/test_volume_profile.py."""
+    fp = _fp_spark(spark, sf_dir, HOUR_NS)
+    prof = VP.rolling_profile(fp, 6 * HOUR_NS, n_bins=20, bucket_ns=HOUR_NS)
+    return VP.hva_lva(prof, va_pct=0.7)
