@@ -1,0 +1,170 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north star): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+cosine (in ``similarity``).
+
+All pure DataFrame expressions — shingle/minhash/simhash signatures are
+higher-order-function columns (JVM, codegen), candidate generation is an
+equi-join on band/bucket keys (shuffle-bounded, no O(n²) cross join),
+and only candidate pairs pay the exact-verification cost. This is the
+shape that survives 100 TB: signatures are a narrow projection;
+the band join's fan-out is controlled by band width.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import poly_hash, shingles
+
+MOD = 1_000_000_007
+MH_P = 4_294_967_311  # prime > 2^32; a*h+b stays < 2^63 for h < MOD
+
+_rng = random.Random(42)
+MH_A = [_rng.randrange(1, 2**31 - 1) | 1 for _ in range(16)]
+MH_B = [_rng.randrange(0, 2**31 - 1) for _ in range(16)]
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per md5(text).
+    Hash-groupBy — one shuffle on the digest, no text comparison."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_md5")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_copies")
+    )
+
+
+def shingle_hashes(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct token-k-gram shingles -> int64 polynomial hashes."""
+    return F.transform(shingles(text_col, k), lambda s: poly_hash(s))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: sig_j = min over shingle hashes h of
+    (a_j·h + b_j) mod p — universal-hash family with fixed seeds so the
+    oracle reproduces it exactly."""
+    a = F.array(*[F.lit(x) for x in MH_A])
+    b = F.array(*[F.lit(x) for x in MH_B])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(2**63 - 1).cast("long"),
+            lambda acc, h: F.least(
+                acc, (F.element_at(a, j + 1) * h + F.element_at(b, j + 1)) % F.lit(MH_P)
+            ),
+        ),
+    )
+
+
+def band_keys(sig: Column, bands: int = 4, rows: int = 4) -> Column:
+    """LSH banding: split the signature into ``bands`` groups of ``rows``
+    values; each key embeds its band index so a single equi-join on the
+    key string is enough (no positional explode)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            ":", b.cast("string"), F.concat_ws("-", F.slice(sig, b * rows + 1, rows))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: signature projection -> explode band
+    keys -> self-equi-join on (band, key) -> exact shingle-Jaccard verify
+    >= threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    # materialize stages with a cache barrier: Catalyst's project-collapse
+    # would otherwise re-inline the shingle/hash expressions into all 16
+    # signature lambdas AND both sides of the self-join (exponential
+    # re-evaluation). The cached signature table is also the scale-out
+    # shape: compute signatures once, reuse for every band and join side.
+    d = docs.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh"))
+    d = d.withColumn("hs", F.transform(F.col("sh"), lambda s: poly_hash(s))).cache()
+    d = d.withColumn("sig", minhash_signature(F.col("hs")))
+    d = d.select("doc", "sh", band_keys(F.col("sig"), bands, rows).alias("bk")).cache()
+    e = d.select("doc", "sh", F.explode("bk").alias("key"))
+    l = e.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "key")
+    r = e.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "key")
+    cand = (
+        l.join(r, ["key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = cand.select(
+        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup: explode distinct shingles, equi-join on
+    the shingle (candidate pairs share >= 1 shingle), count intersections,
+    Jaccard = |∩| / (|A|+|B|−|∩|). No LSH approximation — the full-recall
+    variant for moderate corpus sizes."""
+    d = docs.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh"))
+    d = d.withColumn("n_sh", F.size("sh"))
+    e = d.select("doc", "n_sh", F.explode("sh").alias("g")).cache()
+    l = e.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
+    r = e.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+    pairs = (
+        l.join(r, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _bit(h: Column, i: Column) -> Column:
+    """(h >> i) & 1 with a Column shift count (shiftright needs a literal):
+    floor(h / 2^i) % 2 — exact for h < 2^53 in double space."""
+    return (F.floor(h / F.pow(F.lit(2.0), i)) % 2).cast("long")
+
+
+def simhash(hashes: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint over a *materialized* shingle-hash array
+    column: bit_i = sign of Σ(2·((h>>i)&1) − 1); fingerprint =
+    Σ bit_i·2^i (int64-safe for bits <= 62). Pass a materialized column —
+    inlining the shingle expression here would re-evaluate it per bit."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda a, h: a + 2 * _bit(h, i) - 1,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Strict SimHash dedup: pairs with identical fingerprints (bucket
+    join on the fingerprint; hamming-<k banding would split the bits into
+    key segments exactly like MinHash banding)."""
+    d = docs.select(F.col(id_col).alias("doc"), simhash(text_col).alias("sh"))
+    l = d.select(F.col("doc").alias("doc_a"), "sh")
+    r = d.select(F.col("doc").alias("doc_b"), "sh")
+    return l.join(r, "sh").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", F.col("sh").alias("fingerprint")
+    )

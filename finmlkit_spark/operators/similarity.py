@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>) —
+brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+Vector math is higher-order-function expressions (zip_with + aggregate:
+JVM-side, no Python). The brute-force path broadcasts the query set; the
+LSH path buckets by random-hyperplane signs so candidate generation is
+an equi-join on the bucket — the 100 TB shape (signatures are a narrow
+projection; only same-bucket pairs pay the exact cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 16
+
+
+def as_double(col) -> Column:
+    return F.transform(col if isinstance(col, Column) else F.col(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _plane_weight(j, i) -> Column:
+    """Deterministic pseudo-random hyperplane weights in [-0.5, 0.5):
+    LCG over the flat (plane, dim) index — reproducible in plain SQL."""
+    idx = (j * DIM + i + 1).cast("long")
+    return ((F.lit(1103515245).cast("long") * idx + 12345) % F.lit(2147483648)).cast(
+        "double"
+    ) / F.lit(2147483648.0) - 0.5
+
+
+def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH: bucket = Σ [proj_j >= 0]·2^j over n planes."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), lambda i: _plane_weight(j, i)),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def ann_brute_topk(
+    emb_df: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    corpus; deterministic ranking by (cosine desc, id)."""
+    base = emb_df.select(F.col(id_col).alias("cand_id"), as_double(emb_col).alias("v"))
+    q = emb_df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
+    )
+    j = base.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("cand_id"))
+    scored = j.select(
+        "query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def lsh_near_pairs(
+    emb_df: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH bucket equi-join + exact cosine
+    verification >= threshold."""
+    d = emb_df.select(
+        F.col(id_col).alias("id"), as_double(emb_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    l = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    r = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    cand = l.join(r, "bucket").where(F.col("id_a") < F.col("id_b"))
+    out = cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    )
+    return out.where(F.col("cos_sim") >= threshold)

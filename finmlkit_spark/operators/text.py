@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID
+heuristic, quality scoring, token counting, document fingerprinting —
+all pure Column expressions (JVM-side, codegen'd; no UDFs) so they run
+at 100 TB as narrow projections over the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+#: tiny per-language stopword lists for the n-gram/stopword lang heuristic
+LANG_WORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "une", "est"],
+}
+
+STOPWORDS = LANG_WORDS["en"]
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (the BPE-ish regex path would swap the
+    delimiter pattern here)."""
+    return F.split(F.trim(F.col(col)), " +")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: str = "text") -> Column:
+    return F.length(col).cast("long")
+
+
+def avg_token_len(col: str = "text") -> Column:
+    t = tokens(col)
+    return F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(t)
+
+
+def stopword_ratio(col: str = "text", words: list[str] | None = None) -> Column:
+    words = words or STOPWORDS
+    arr = F.array(*[F.lit(w) for w in words])
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return hits.cast("double") / F.size(t)
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite quality heuristic: length band + mean token length band +
+    stopword presence (the classic Gopher-style rule shape)."""
+    n = token_count(col)
+    atl = avg_token_len(col)
+    sw = stopword_ratio(col)
+    return (
+        F.when((n >= 10) & (n <= 100_000), 0.4).otherwise(0.0)
+        + F.when((atl >= 2.0) & (atl <= 12.0), 0.3).otherwise(0.0)
+        + F.when(sw > 0.0, 0.3).otherwise(0.0)
+    ).alias("quality")
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    """Per-language stopword hit counts (n-gram heuristic lang-ID)."""
+    t = tokens(col)
+    out = {}
+    for lang, words in LANG_WORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("long")
+    return out
+
+
+def lang_guess(col: str = "text") -> Column:
+    """argmax language by stopword hits, 'und' (undetermined) when all 0.
+    Deterministic tie-break by language name order in LANG_WORDS."""
+    scores = lang_scores(col)
+    best_name, best_score = None, None
+    for lang, s in scores.items():
+        if best_name is None:
+            best_name, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best_name = F.when(cond, F.lit(lang)).otherwise(best_name)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best_name).otherwise(F.lit("und"))
+
+
+def poly_hash(expr: Column | str, mod: int = MOD) -> Column:
+    """Polynomial rolling hash over UTF-8-ish char codes, mod-reduced each step
+    so both engines stay in int64: acc = (acc·31 + ascii(ch)) % mod.
+    The cross-engine-portable document fingerprint.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    chars = F.split(c, "")
+    return F.aggregate(
+        F.transform(chars, lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(mod),
+    )
+
+
+def shingles(col: str = "text", k: int = 3) -> Column:
+    """Distinct token k-gram shingles (the unit set for MinHash/Jaccard)."""
+    t = tokens(col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    # sequence(1, x) runs DESCENDING when x < 1 -> guard short docs
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

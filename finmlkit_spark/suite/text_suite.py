@@ -1,0 +1,305 @@
+"""Training-data pipeline queries: text analysis, dedup (exact /
+n-gram Jaccard / MinHash-LSH / SimHash), embedding similarity search,
+multimodal plumbing — over the driver's documents/embeddings tables.
+
+Oracle strategy: every signature/hash is built from cross-engine-
+portable primitives (polynomial char hash mod 1e9+7, fixed-seed
+universal hashes, LCG hyperplanes), so DuckDB reproduces the Spark
+expressions bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import text as TX
+from ._registry import query
+
+# --- shared DuckDB fragments ------------------------------------------------
+
+_PH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({e}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+_TOKS = "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents)"
+
+_SH = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+    "i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))"
+)
+
+_SHQ = _TOKS + f", shq AS (SELECT doc_id, {_SH} AS sh FROM toks)"
+
+_HS = "list_transform(sh, s -> " + _PH.format(e="s") + ")"
+
+_SIG = (
+    f"list_transform(range(0, 16), j -> list_reduce(list_prepend(9223372036854775807, "
+    f"list_transform(hs, h -> ([{{A}}][CAST(j AS INT) + 1] * h + [{{B}}][CAST(j AS INT) + 1]) % 4294967311)), "
+    f"(acc, x) -> least(acc, x)))"
+).replace("{A}", ", ".join(map(str, D.MH_A))).replace("{B}", ", ".join(map(str, D.MH_B)))
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text analysis ----------------------------------------------------------
+
+@query(
+    "text_stats",
+    _TOKS
+    + """
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(t.t, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE) / len(t.t) AS avg_token_len,
+       CAST(len(list_filter(t.t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(t.t) AS stopword_ratio
+FROM documents d JOIN toks t USING (doc_id)""",
+)
+def text_stats(spark, sf_dir):
+    """Token/char counts + quality inputs as narrow projections."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.char_count().alias("n_chars"),
+        TX.token_count().alias("n_tokens"),
+        TX.avg_token_len().alias("avg_token_len"),
+        TX.stopword_ratio().alias("stopword_ratio"),
+    )
+
+
+@query(
+    "quality_score",
+    _TOKS
+    + """
+, st AS (
+  SELECT doc_id, len(t) AS n,
+         CAST(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE) / len(t) AS atl,
+         CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(t) AS sw
+  FROM toks
+)
+SELECT doc_id,
+       (CASE WHEN n >= 10 AND n <= 100000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN sw > 0.0 THEN 0.3 ELSE 0.0 END) AS quality
+FROM st""",
+)
+def quality_score_q(spark, sf_dir):
+    """Gopher-style composite quality score."""
+    return _docs(spark, sf_dir).select("doc_id", TX.quality_score().alias("quality"))
+
+
+_LANG_LISTS = {
+    "en": "['the','a','of','and','to']",
+    "es": "['el','la','de','que','los']",
+    "de": "['der','die','das','und','ist']",
+    "fr": "['le','les','et','une','est']",
+}
+_LSC = ", ".join(
+    f"CAST(len(list_filter(t, x -> list_contains({l}, x))) AS BIGINT) AS s_{k}"
+    for k, l in _LANG_LISTS.items()
+)
+
+
+@query(
+    "lang_id",
+    _TOKS
+    + f"""
+, sc AS (SELECT doc_id, {_LSC} FROM toks),
+f1 AS (SELECT *, 'en' AS b1, s_en AS v1 FROM sc),
+f2 AS (SELECT *, CASE WHEN s_es > v1 THEN 'es' ELSE b1 END AS b2,
+               CASE WHEN s_es > v1 THEN s_es ELSE v1 END AS v2 FROM f1),
+f3 AS (SELECT *, CASE WHEN s_de > v2 THEN 'de' ELSE b2 END AS b3,
+               CASE WHEN s_de > v2 THEN s_de ELSE v2 END AS v3 FROM f2),
+f4 AS (SELECT *, CASE WHEN s_fr > v3 THEN 'fr' ELSE b3 END AS b4,
+               CASE WHEN s_fr > v3 THEN s_fr ELSE v3 END AS v4 FROM f3)
+SELECT doc_id, s_en, s_es, s_de, s_fr,
+       CASE WHEN v4 > 0 THEN b4 ELSE 'und' END AS lang_guess
+FROM f4""",
+)
+def lang_id(spark, sf_dir):
+    """N-gram/stopword language-ID heuristic (scores + argmax guess)."""
+    scores = TX.lang_scores()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[c.alias(f"s_{k}") for k, c in scores.items()],
+        TX.lang_guess().alias("lang_guess"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    "SELECT doc_id, " + _PH.format(e="text") + " AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (cross-engine stable)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.poly_hash("text").alias("fingerprint")
+    )
+
+
+# --- dedup ------------------------------------------------------------------
+
+@query(
+    "exact_dedup",
+    """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)""",
+)
+def exact_dedup_q(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy, keep lowest id)."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "ngram_jaccard",
+    _SHQ
+    + """
+, e AS (SELECT doc_id AS doc, len(sh) AS n_sh, unnest(sh) AS g FROM shq),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""",
+)
+def ngram_jaccard_q(spark, sf_dir):
+    """Full-recall token-trigram Jaccard near-dup pairs (threshold 0.5)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "minhash_lsh",
+    _SHQ
+    + f"""
+, sg AS (SELECT doc_id, sh, {_SIG.replace('hs', _HS)} AS sig FROM shq),
+bk AS (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(0, 4), b ->
+           concat(CAST(b AS VARCHAR), ':',
+                  array_to_string(list_slice(sig, CAST(b AS INT) * 4 + 1, CAST(b AS INT) * 4 + 4), '-')))) AS key
+  FROM sg
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5""",
+)
+def minhash_lsh_q(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs with exact
+    Jaccard verification (threshold 0.5)."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "simhash_fp",
+    _SHQ
+    + f"""
+, hsq AS (SELECT doc_id, {_HS} AS hs FROM shq)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32), i ->
+         CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> CAST(i AS INT)) & 1) - 1)) >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fingerprint
+FROM hsq""",
+)
+def simhash_fp(spark, sf_dir):
+    """32-bit SimHash fingerprint over shingle hashes."""
+    d = _docs(spark, sf_dir).select("doc_id", D.shingle_hashes().alias("hs")).cache()
+    return d.select("doc_id", D.simhash(F.col("hs")).alias("fingerprint"))
+
+
+# --- embedding similarity ---------------------------------------------------
+
+@query(
+    "ann_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+  FROM q, e WHERE q.query_id <> e.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank FROM s)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors 0..9 (the exact
+    baseline; LSH-bucketed variant below is the scale path)."""
+    out = SIM.ann_brute_topk(_embs(spark, sf_dir), list(range(10)), k=5)
+    return out.select("query_id", "cand_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "emb_lsh_pairs",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(0, 16), j ->
+           CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                  v[CAST(i AS INT) + 1] *
+                  (CAST((1103515245 * (j * 64 + i + 1) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)
+                )) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM e
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       list_dot_product(a.v, b2.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_dot_product(a.v, b2.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3""",
+)
+def emb_lsh_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: 16-hyperplane LSH bucket equi-join +
+    exact cosine >= 0.3 verification."""
+    return SIM.lsh_near_pairs(_embs(spark, sf_dir), threshold=0.3)
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+@query(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents""",
+)
+def multimodal_meta(spark, sf_dir):
+    """Binary-payload decode plumbing via mapInPandas (decode stubbed
+    deterministically; schema/partitioning/batch shape are real)."""
+    return MM.decode_meta(MM.with_payload(_docs(spark, sf_dir)), mode="fake")
+
+
+@query(
+    "frame_offsets",
+    """
+SELECT doc_id, unnest(range(0, CAST(greatest(octet_length(encode(text)), 1) AS BIGINT), 1024)) AS frame_offset
+FROM documents""",
+)
+def frame_offsets(spark, sf_dir):
+    """Frame-sampling offset explosion (video frame-sample analog)."""
+    return MM.frame_sample(MM.with_payload(_docs(spark, sf_dir)), every_n_bytes=1024)
