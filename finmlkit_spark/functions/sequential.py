@@ -214,10 +214,10 @@ def cusum_bar_ids(
         x = 0.0 if np.isnan(r[i]) else r[i]
         sp = max(0.0, sp + x)
         sn = min(0.0, sn + x)
+        out[i] = bar  # the triggering row closes ITS bar (end-inclusive)
         if sp >= thr or sn <= -thr:
             sp = sn = 0.0
             bar += 1
-        out[i] = bar
     return out
 
 

@@ -1,0 +1,87 @@
+"""Materialized bar tables + re-aggregation reader + store inspector
+(SURVEY.md §2.1; reference ``finmlkit/bar/io.py``).
+
+- ``materialize_time_bars`` ≙ ``AddTimeBarH5`` (``io.py:311-565``): build
+  fine-grained (e.g. 1-minute) bars once, persist partitioned by
+  year_month — the derived-table cache every coarser timeframe reads.
+- ``resample_bars`` ≙ ``TimeBarReader.read/_resample`` (``io.py:761-950``):
+  re-aggregate fine bars to any multiple timeframe: first/max/min/last/
+  sum, volume-weighted vwap (``io.py:926-928``).
+- ``store_inspector`` ≙ ``H5Inspector`` (``io.py:35-308``): per-partition
+  row counts, ts ranges, gap stats — a metadata query, not a scan, when
+  the table is partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def materialize_time_bars(bars: DataFrame, path: str, key: str = "bar_close_ns") -> None:
+    """Persist fine bars partitioned by year_month (monthly partitions ≙
+    the reference's /klines/YYYY-MM keys; pruning comes free)."""
+    out = bars.withColumn(
+        "year_month",
+        F.date_format((F.col(key) / 1e9).cast("timestamp"), "yyyy-MM"),
+    )
+    out.write.mode("overwrite").partitionBy("year_month").parquet(path)
+
+
+def read_time_bars(
+    spark: SparkSession, path: str, start_ns: int | None = None, end_ns: int | None = None
+) -> DataFrame:
+    """Pruned read of the materialized bar table (partition pruning +
+    row-group min/max on bar_close_ns — ``_find_relevant_keys`` for free)."""
+    df = spark.read.parquet(path)
+    if start_ns is not None:
+        df = df.where(F.col("bar_close_ns") >= start_ns)
+    if end_ns is not None:
+        df = df.where(F.col("bar_close_ns") <= end_ns)
+    return df
+
+
+def resample_bars(fine: DataFrame, out_interval_ns: int, key: str = "bar_close_ns") -> DataFrame:
+    """Re-aggregate fine bars to a coarser timeframe (``_resample``
+    ``io.py:890-950``): open=first, high=max, low=min, close=last,
+    volume/trades=sum, vwap = Σ(vwap·volume)/Σvolume. Close-time keyed:
+    a fine bar closing at t belongs to the coarse bar covering (t', t'']
+    with t'' = ceil(t / out)·out — computed on the close-1 so a bar
+    closing exactly on the boundary stays in the earlier coarse bar."""
+    coarse_key = (
+        (F.floor((F.col(key) - 1) / out_interval_ns) + 1) * out_interval_ns
+    ).cast("long")
+    df = fine.withColumn("_ck", coarse_key)
+    return df.groupBy(F.col("_ck").alias(key)).agg(
+        F.min_by("open", key).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", key).alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("trades").cast("long").alias("trades"),
+        (
+            F.sum(F.col("vwap") * F.col("volume"))
+            / F.when(F.sum("volume") > 0, F.sum("volume"))
+        ).alias("vwap"),
+    )
+
+
+def store_inspector(
+    df: DataFrame, ts_col: str = "ts_ns", max_gap_ns: int = 3_600_000_000_000
+) -> DataFrame:
+    """Partition-level metadata report (``H5Inspector``): per year_month —
+    rows, first/last ts, max intra-partition gap, gap count."""
+    # month via epoch-day arithmetic on DateType — timezone-free in every
+    # engine/session (timestamp formatting would follow the session tz)
+    days = F.floor(F.col(ts_col) / F.lit(86_400_000_000_000)).cast("int")
+    mon = F.date_format(F.date_add(F.lit("1970-01-01").cast("date"), days), "yyyy-MM")
+    d = df.withColumn("year_month", mon)
+    w = Window.partitionBy("year_month").orderBy(ts_col)
+    d = d.withColumn("_gap", F.col(ts_col) - F.lag(ts_col).over(w))
+    return d.groupBy("year_month").agg(
+        F.count("*").alias("n_rows"),
+        F.min(ts_col).alias("first_ts_ns"),
+        F.max(ts_col).alias("last_ts_ns"),
+        F.max("_gap").alias("max_gap_ns"),
+        F.sum(F.when(F.col("_gap") > max_gap_ns, 1).otherwise(0)).cast("long").alias("n_gaps"),
+    )

@@ -1,0 +1,92 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is batch-only; its "developing"/incremental kernels are
+the state formulations we reuse here:
+
+- time bars = event-time tumbling windows + watermark (late data beyond
+  the watermark is dropped — the streaming analog of the reference's
+  sorted-input assumption);
+- information-driven sampling (CUSUM filter) = arbitrary stateful op via
+  ``applyInPandasWithState`` with the same reset state machine as the
+  batch kernel (``functions.sequential.cusum_filter_np`` semantics),
+  state = (s_pos, s_neg, last_price) per symbol.
+
+Batch/stream parity is tested by running the same input through both
+paths (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_time_bars(
+    stream: DataFrame,
+    interval: str = "1 minute",
+    watermark: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling OHLCV bars over a trades stream with columns
+    (ts timestamp, price, qty[, symbol]). Emits one row per closed window
+    in append mode once the watermark passes.
+
+    open/close are min_by/max_by on the ns timestamp — deterministic
+    under out-of-order arrival within the watermark."""
+    by = ["symbol"] if "symbol" in stream.columns else []
+    w = stream.withWatermark(ts_col, watermark)
+    return w.groupBy(*by, F.window(ts_col, interval).alias("win")).agg(
+        F.min_by("price", ts_col).alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", ts_col).alias("close"),
+        F.sum("qty").alias("volume"),
+        (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("vwap"),
+        F.count("*").alias("trades"),
+    )
+
+
+CUSUM_STATE_SCHEMA = "sp double, sn double, last_price double"
+CUSUM_OUT_SCHEMA = "symbol string, ts long, flag int"
+
+
+def streaming_cusum_filter(stream: DataFrame, threshold: float) -> DataFrame:
+    """Stateful symmetric CUSUM event filter per symbol
+    (``applyInPandasWithState``): exactly the batch reset recurrence,
+    carried across micro-batches in GroupState."""
+
+    def fn(
+        key: tuple, pdfs: Any, state: GroupState
+    ):
+        sp, sn, last = state.get if state.exists else (0.0, 0.0, float("nan"))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for ts, price in zip(pdf["ts_ns"], pdf["price"]):
+                if last == last and last > 0:  # not NaN
+                    import math
+
+                    r = math.log(price / last)
+                    sp = max(0.0, sp + r)
+                    sn = min(0.0, sn + r)
+                    if sp >= threshold:
+                        rows.append((key[0], int(ts), 1))
+                        sp = 0.0
+                    elif sn <= -threshold:
+                        rows.append((key[0], int(ts), 1))
+                        sn = 0.0
+                last = price
+        state.update((sp, sn, last))
+        yield pd.DataFrame(rows, columns=["symbol", "ts", "flag"])
+
+    return stream.groupBy("symbol").applyInPandasWithState(
+        fn,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,78 @@
+"""IO round-trip (materialized bar table, pruned read) + golden tests
+for the reset-state kernels (reference test strategy §5.1/§5.6)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from finmlkit_spark.functions import sequential as S
+from finmlkit_spark.sources import bars_io as IO
+
+
+def test_materialize_roundtrip_and_prune(spark, tmp_path):
+    day_ns = 86_400_000_000_000
+    rows = [
+        # two months of daily bars
+        *[(i * day_ns, 1.0 + i, 2.0 + i, 0.5, 1.5 + i, 10.0, 5, 1.2) for i in range(1, 58)]
+    ]
+    bars = spark.createDataFrame(
+        rows,
+        "bar_close_ns long, open double, high double, low double, close double, volume double, trades long, vwap double",
+    )
+    path = str(tmp_path / "bars")
+    IO.materialize_time_bars(bars, path)
+    back = IO.read_time_bars(spark, path)
+    assert back.count() == 57
+    assert sorted(r["year_month"] for r in back.select("year_month").distinct().collect()) == [
+        "1970-01",
+        "1970-02",
+    ]
+    pruned = IO.read_time_bars(spark, path, start_ns=40 * day_ns)
+    assert pruned.count() == 18
+
+
+def test_resample_semantics(spark):
+    # two fine bars per coarse bar; boundary bar (close == coarse close)
+    # stays in the earlier coarse bar
+    m = 60_000_000_000
+    rows = [
+        (1 * m, 10.0, 12.0, 9.0, 11.0, 2.0, 3, 10.5),
+        (2 * m, 11.0, 15.0, 10.0, 14.0, 4.0, 2, 13.0),
+        (3 * m, 14.0, 16.0, 13.0, 15.0, 1.0, 1, 15.0),
+    ]
+    fine = spark.createDataFrame(
+        rows,
+        "bar_close_ns long, open double, high double, low double, close double, volume double, trades long, vwap double",
+    )
+    out = {r["bar_close_ns"] // m: r for r in IO.resample_bars(fine, 2 * m).collect()}
+    b2 = out[2]  # covers fine closes 1m and 2m
+    assert (b2["open"], b2["high"], b2["low"], b2["close"]) == (10.0, 15.0, 9.0, 14.0)
+    assert b2["volume"] == 6.0 and b2["trades"] == 5
+    assert abs(b2["vwap"] - (10.5 * 2 + 13.0 * 4) / 6.0) < 1e-12
+    assert out[4]["close"] == 15.0
+
+
+def test_volume_bar_exact_vs_approx_divergence():
+    # reset semantics differ from cumsum-floor exactly at boundaries:
+    # qty 60,60,60 thr=100 — exact: the crossing trade closes ITS bar
+    # (end-inclusive, logic.py:87-115) -> [0,0,1] and the residual resets;
+    # floor-cumsum carries over -> [0,1,1]
+    q = np.array([60.0, 60.0, 60.0])
+    assert list(S.volume_bar_ids_exact(q, 100.0)) == [0, 0, 1]
+    assert [int(x) for x in np.floor(np.cumsum(q) / 100.0)] == [0, 1, 1]
+
+
+def test_cusum_bar_ids_adaptive():
+    r = np.array([0.3, 0.3, -0.2, -0.9, 0.05, 0.05])
+    sigma = np.array([np.nan, 0.1, 0.1, 0.1, 0.1, 0.1])
+    # floor 0.5 dominates until sigma*mult exceeds: mult=2 -> thr=max(0.2,0.5)=0.5
+    ids = S.cusum_bar_ids(r, sigma, mult=2.0, floor_thr=0.5)
+    # cum+ = .3, .6 -> close bar0 at i=1; then -.2,-1.1 -> close bar1 at i=3
+    assert list(ids) == [0, 0, 1, 1, 2, 2]
+
+
+def test_cusum_filter_resets():
+    r = np.array([0.6, 0.6, -0.4, -0.4, -0.4])
+    flags = S.cusum_filter_np(r, 1.0)
+    # sp: .6, 1.2 -> event; sn: -.4 -.8 -1.2 -> event at last
+    assert list(flags) == [0, 1, 0, 0, 1]

@@ -1,0 +1,98 @@
+"""Batch/stream parity: the same events run through the Structured
+Streaming bar builder and the batch aggregation must agree (the
+streaming analog of the dual-backend oracle strategy)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from finmlkit_spark.streaming.bars import streaming_cusum_filter, streaming_time_bars
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_time_bars_parity(spark, stream_dir):
+    batch = spark.read.parquet(stream_dir)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .selectExpr(
+            "timestamp_micros(cast(ts / 1000 as long)) as ts",
+            "value as price",
+            "cast(1.0 as double) as qty",
+        )
+    )
+    bars = streaming_time_bars(stream, "1 minute", "5 minutes")
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("bars_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["win"]["end"]: r
+        for r in spark.sql("select * from bars_stream").collect()
+    }
+    # batch equivalent
+    from pyspark.sql import functions as F
+
+    exp = (
+        batch.selectExpr(
+            "timestamp_micros(cast(ts / 1000 as long)) as tsx", "value as price"
+        )
+        .select(F.window("tsx", "1 minute").alias("win"), "price")
+        .groupBy("win")
+        .agg(F.max("price").alias("high"), F.count("*").alias("trades"))
+        .collect()
+    )
+    exp = {r["win"]["end"]: r for r in exp}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k]["high"] == exp[k]["high"]
+        assert got[k]["trades"] == exp[k]["trades"]
+
+
+def test_streaming_cusum_parity(spark, stream_dir):
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import cusum_filter_np
+
+    batch = spark.read.parquet(stream_dir)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .selectExpr(
+            "'EVT' as symbol",
+            "ts as ts_ns",
+            "value as price",
+        )
+    )
+    out = streaming_cusum_filter(stream, threshold=1.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from cusum_stream").count()
+
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    prices = pdf["value"].to_numpy()
+    r = np.concatenate([[np.nan], np.log(prices[1:] / prices[:-1])])
+    expected = int(cusum_filter_np(r, 1.0).sum())
+    assert got == expected and got > 0
