@@ -15,11 +15,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "pipeline_1m_features",  # flagship: events->trades->bars->12 features
     "time_bars_1m",
     "bar_directional_1m",
-    "tick_bars",
     "dollar_bars",
-    "trades_side",
+    "footprint_features",
+    "tbm_labels",
+    "avg_uniqueness",
+    "seq_ewma",
+    "seq_cusum_test",
+    "minhash_lsh",
+    "ann_topk",
+    "bars_resample_15m",
 ]
 
 

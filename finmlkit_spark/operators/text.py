@@ -105,6 +105,33 @@ def poly_hash(expr: Column | str, mod: int = MOD) -> Column:
     )
 
 
+def token_hashes(col: str = "text", mod: int = MOD) -> Column:
+    """Per-token polynomial hashes — hash each token once; shingle hashes
+    combine these (3× less char work than hashing every shingle string)."""
+    return F.transform(tokens(col), lambda t: poly_hash(t, mod))
+
+
+def shingle_hashes_from_tokens(th: Column, k: int = 3, mod: int = MOD) -> Column:
+    """Distinct k-gram shingle hashes combined from a token-hash array:
+    h = fold(h·31 + th[i+j]) % mod — one step per token, not per char.
+
+    Implementation note: built from k shifted ``slice``s folded with
+    ``zip_with`` (linear). The naive ``transform(sequence, i ->
+    element_at(th, i+j))`` form re-inlines and re-evaluates the ENTIRE
+    token-hash expression per element under Catalyst's lambda evaluation
+    — O(n²·chars) per document."""
+    n = F.size(th)
+    m = n - (k - 1)  # number of shingles
+    acc = F.slice(th, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(th, j + 1, m), lambda a, b: (a * 31 + b) % F.lit(mod)
+        )
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def shingles(col: str = "text", k: int = 3) -> Column:
     """Distinct token k-gram shingles (the unit set for MinHash/Jaccard)."""
     t = tokens(col)

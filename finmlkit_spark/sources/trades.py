@@ -93,6 +93,9 @@ def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) ->
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # data-cleaning rule (reference _validate_data analog): prices must be
+    # strictly positive — zero-price prints break log-return math
+    ev = ev.where(F.col("value") > 0)
     sym = F.col("user_id").cast("string") if by_user else F.lit("EVT")
     return ev.select(
         (F.col("ts") - F.col("ts") % F.lit(1000)).alias("ts_ns"),
@@ -111,6 +114,6 @@ trades AS (
          value AS price,
          CAST(1 + (event_id % 5) AS DOUBLE) AS qty,
          'EVT' AS symbol
-  FROM events
+  FROM events WHERE value > 0
 )
 """

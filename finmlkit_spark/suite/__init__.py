@@ -7,5 +7,6 @@ from . import labels_suite  # noqa: F401
 from . import footprint_suite  # noqa: F401
 from . import text_suite  # noqa: F401
 from . import io_suite  # noqa: F401
+from . import pipeline_suite  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -33,9 +33,22 @@ _SH = (
     "i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))"
 )
 
-_SHQ = _TOKS + f", shq AS (SELECT doc_id, {_SH} AS sh FROM toks)"
+# token hashes -> combined shingle hashes (mirrors
+# text.token_hashes + text.shingle_hashes_from_tokens)
+_TH = "list_transform(t, tok -> " + _PH.format(e="tok") + ")"
 
-_HS = "list_transform(sh, s -> " + _PH.format(e="s") + ")"
+_SHH = (
+    "list_distinct(list_transform(range(1, greatest(len(th) - 2, 0) + 1), "
+    "i -> ((((th[i] * 31 + th[i + 1]) % 1000000007) * 31 + th[i + 2]) % 1000000007)))"
+)
+
+_SHQ = (
+    _TOKS
+    + f", thq AS (SELECT doc_id, {_TH} AS th FROM toks)"
+    + f", shq AS (SELECT doc_id, {_SHH} AS sh FROM thq)"
+)
+
+_HS = "sh"
 
 _SIG = (
     f"list_transform(range(0, 16), j -> list_reduce(list_prepend(9223372036854775807, "
@@ -221,7 +234,7 @@ FROM hsq""",
 )
 def simhash_fp(spark, sf_dir):
     """32-bit SimHash fingerprint over shingle hashes."""
-    d = _docs(spark, sf_dir).select("doc_id", D.shingle_hashes().alias("hs")).cache()
+    d = _docs(spark, sf_dir).select("doc_id", D.shingle_hashes().alias("hs"))
     return d.select("doc_id", D.simhash(F.col("hs")).alias("fingerprint"))
 
 
