@@ -19,8 +19,9 @@ from finmlkit_spark import suite  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: 1-minute OHLCV bars over the sf0.001 events stream."""
-    return suite.QUERIES["time_bars_1m"](spark, "/root/testdata/sf0.001")
+    """Flagship query: events -> trades -> 1m bars -> 12 features in one
+    Catalyst plan (one scan, one shuffle, one sort for all windows)."""
+    return suite.QUERIES["pipeline_1m_features"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

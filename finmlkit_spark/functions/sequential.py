@@ -236,6 +236,51 @@ def volume_bar_ids_exact(qty: np.ndarray, threshold: float) -> np.ndarray:
     return out
 
 
+# --- complexity / long-memory estimators -----------------------------------
+
+def hurst_rolling(y: np.ndarray, w: int, lags=(1, 2, 4, 8)) -> np.ndarray:
+    """Aggregated-variance Hurst exponent over a rolling window
+    (reference ``transforms.py:1341``): for each window, var of m-lag
+    differences for m in lags; H = OLS slope of log(var) vs log(m) / 2."""
+    m = len(y)
+    out = np.full(m, np.nan)
+    lx = np.log(np.asarray(lags, dtype=float))
+    for t in range(w - 1, m):
+        win = y[t - w + 1 : t + 1]
+        lv = []
+        for lag_ in lags:
+            d = win[lag_:] - win[:-lag_]
+            v = np.var(d)
+            if not v > 0:
+                lv = None
+                break
+            lv.append(np.log(v))
+        if lv is None:
+            continue
+        ly = np.asarray(lv)
+        slope = np.polyfit(lx, ly, 1)[0]
+        out[t] = slope / 2.0
+    return out
+
+
+def approx_entropy(win: np.ndarray, m: int = 2, r_mult: float = 0.2) -> float:
+    """Pincus approximate entropy of one window: phi(m) − phi(m+1) with
+    Chebyshev tolerance r = r_mult·std (reference wraps antropy;
+    re-derived from the standard definition)."""
+    n = len(win)
+    r = r_mult * np.std(win)
+    if not r > 0 or n <= m + 1:
+        return float("nan")
+
+    def phi(mm: int) -> float:
+        emb = np.lib.stride_tricks.sliding_window_view(win, mm)
+        dist = np.max(np.abs(emb[:, None, :] - emb[None, :, :]), axis=2)
+        c = (dist <= r).mean(axis=1)
+        return float(np.mean(np.log(c)))
+
+    return phi(m) - phi(m + 1)
+
+
 # --- CUSUM structural-break test -------------------------------------------
 
 def cusum_test_rolling(y: np.ndarray, w: int, warmup: int = 30) -> np.ndarray:

@@ -339,6 +339,52 @@ def _rewire_unary(self: UnaryOp, upstream: Column, ctx) -> Column:
 UnaryOp._rewire = _rewire_unary
 
 
+@register_transform
+class ExternalFunction(Transform):
+    """Wrap an arbitrary import-path callable as a vectorized transform
+    (reference ``ExternalFunction`` transforms.py:1668-1805): the fn is
+    resolved at build time and applied as an Arrow pandas_udf over the
+    required columns — serializable by import path. Documented caveat:
+    opaque to Catalyst (no pushdown through it)."""
+
+    def __init__(self, import_path: str, cols: list[str], name: str | None = None, kwargs: dict | None = None):
+        super().__init__(name or import_path.rsplit(".", 1)[-1], cols)
+        self.import_path = import_path
+        self.cols = list(cols)
+        self.kwargs = kwargs or {}
+
+    def _resolve(self):
+        import importlib
+
+        mod, fn = self.import_path.rsplit(".", 1)
+        return getattr(importlib.import_module(mod), fn)
+
+    def expr(self, ctx):
+        fn = self._resolve()
+        kw = self.kwargs
+
+        @F.pandas_udf("double")
+        def _udf(*series):
+            import pandas as pd
+
+            out = fn(*[s.to_numpy() for s in series], **kw)
+            return pd.Series(out)
+
+        return _udf(*[F.col(c) for c in self.cols])
+
+    def _params(self):
+        return {
+            "import_path": self.import_path,
+            "cols": self.cols,
+            "name": self.name,
+            "kwargs": self.kwargs,
+        }
+
+    @classmethod
+    def _from_params(cls, p):
+        return cls(p["import_path"], p["cols"], p.get("name"), p.get("kwargs"))
+
+
 class Feature:
     """User-facing wrapper (reference ``Feature`` kit.py:13-461)."""
 

@@ -8,5 +8,7 @@ from . import footprint_suite  # noqa: F401
 from . import text_suite  # noqa: F401
 from . import io_suite  # noqa: F401
 from . import pipeline_suite  # noqa: F401
+from . import misc_suite  # noqa: F401
+from . import multiuser_suite  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

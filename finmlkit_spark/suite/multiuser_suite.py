@@ -1,0 +1,131 @@
+"""Partition-parallel queries keyed by user_id — the multi-symbol scale
+path: every window/agg partitions by the key, so these plans shuffle by
+hash(user) instead of collapsing to a single ordered partition (the
+shape all operators take at 100 TB via their ``by=`` parameter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import bars as B
+from ..operators import preprocess as P
+from ..sources.trades import events_to_trades
+from ._registry import query
+
+HOUR_NS = 3_600_000_000_000
+SESSION_GAP_NS = 30 * 60_000_000_000
+
+_UTRADES = """
+trades AS (
+  SELECT epoch_us(ts) * 1000 AS ts_ns,
+         event_id AS trade_id,
+         value AS price,
+         CAST(1 + (event_id % 5) AS DOUBLE) AS qty,
+         CAST(user_id AS VARCHAR) AS symbol
+  FROM events WHERE value > 0
+)
+"""
+
+
+@query(
+    "user_hourly_bars",
+    "WITH "
+    + _UTRADES.strip()
+    + f""",
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id) AS rn,
+         (CAST(floor(ts_ns / {HOUR_NS}) AS BIGINT) + 1) * {HOUR_NS} AS bar_close_ns
+  FROM trades
+)
+SELECT symbol, bar_close_ns,
+       arg_min(price, rn) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, rn) AS close,
+       sum(qty) AS volume,
+       sum(price * qty) / sum(qty) AS vwap,
+       count(*) AS trades,
+       median(qty) AS median_trade_size,
+       min(ts_ns) AS first_ts_ns,
+       max(ts_ns) AS last_ts_ns
+FROM t GROUP BY symbol, bar_close_ns""",
+)
+def user_hourly_bars(spark, sf_dir):
+    """Per-user hourly OHLCV — hash-partitioned by user, the shape every
+    bar build takes across symbols at scale (no global sort anywhere)."""
+    tr = events_to_trades(spark, sf_dir, by_user=True)
+    df = B.with_time_bar(tr, HOUR_NS)
+    out = B.bar_ohlcv(df, key="bar_close_ns", by="symbol")
+    return out.select(
+        "symbol", "bar_close_ns", "open", "high", "low", "close", "volume",
+        "vwap", "trades", "median_trade_size", "first_ts_ns", "last_ts_ns",
+    )
+
+
+@query(
+    "user_trade_side",
+    "WITH "
+    + _UTRADES.strip()
+    + """,
+r AS (
+  SELECT *, sign(price - lag(price) OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id)) AS raw
+  FROM trades
+)
+SELECT ts_ns, trade_id, price, qty, symbol,
+       CAST(coalesce(
+         last_value(CASE WHEN raw <> 0 THEN raw END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         1) AS INT) AS side
+FROM r""",
+)
+def user_trade_side(spark, sf_dir):
+    """Tick-rule side per user partition (sequential logic stays inside a
+    hash partition — zero cross-partition state)."""
+    tr = events_to_trades(spark, sf_dir, by_user=True)
+    return P.with_trade_side(tr, by="symbol")
+
+
+@query(
+    "user_sessions",
+    "WITH "
+    + _UTRADES.strip()
+    + f""",
+g AS (
+  SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id)
+                     > {SESSION_GAP_NS} OR lag(ts_ns) OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM trades
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT symbol, CAST(session_id AS BIGINT) AS session_id,
+       min(ts_ns) AS session_start_ns,
+       max(ts_ns) AS session_end_ns,
+       count(*) AS n_events,
+       sum(price * qty) AS session_value
+FROM s GROUP BY symbol, session_id""",
+)
+def user_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) per user — gaps-and-islands
+    window + one agg; the batch shape of streaming session windows."""
+    tr = events_to_trades(spark, sf_dir, by_user=True)
+    w = Window.partitionBy("symbol").orderBy("ts_ns", "trade_id")
+    prev = F.lag("ts_ns").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_ns") - prev) > SESSION_GAP_NS), 1
+    ).otherwise(0)
+    s = tr.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return s.groupBy("symbol", "session_id").agg(
+        F.min("ts_ns").alias("session_start_ns"),
+        F.max("ts_ns").alias("session_end_ns"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("price") * F.col("qty")).alias("session_value"),
+    )
