@@ -41,18 +41,27 @@ def read_time_bars(
     return df
 
 
-def resample_bars(fine: DataFrame, out_interval_ns: int, key: str = "bar_close_ns") -> DataFrame:
+def resample_bars(
+    fine: DataFrame, out_interval_ns: int, key: str = "bar_close_ns", median_col: str | None = None
+) -> DataFrame:
     """Re-aggregate fine bars to a coarser timeframe (``_resample``
     ``io.py:890-950``): open=first, high=max, low=min, close=last,
     volume/trades=sum, vwap = Σ(vwap·volume)/Σvolume. Close-time keyed:
     a fine bar closing at t belongs to the coarse bar covering (t', t'']
     with t'' = ceil(t / out)·out — computed on the close-1 so a bar
-    closing exactly on the boundary stays in the earlier coarse bar."""
+    closing exactly on the boundary stays in the earlier coarse bar.
+
+    ``median_col``: optionally re-aggregate a per-fine-bar median column
+    (e.g. median_trade_size) as the reference's *exact weighted median*
+    (trade-count weighted, sort + cumsum, ``io.py:931-943``): the first
+    value, in median order, whose cumulative weight reaches half the
+    total. Monotone cumsum makes it min-of-eligible — window + one agg.
+    """
     coarse_key = (
         (F.floor((F.col(key) - 1) / out_interval_ns) + 1) * out_interval_ns
     ).cast("long")
     df = fine.withColumn("_ck", coarse_key)
-    return df.groupBy(F.col("_ck").alias(key)).agg(
+    aggs = [
         F.min_by("open", key).alias("open"),
         F.max("high").alias("high"),
         F.min("low").alias("low"),
@@ -63,7 +72,17 @@ def resample_bars(fine: DataFrame, out_interval_ns: int, key: str = "bar_close_n
             F.sum(F.col("vwap") * F.col("volume"))
             / F.when(F.sum("volume") > 0, F.sum("volume"))
         ).alias("vwap"),
-    )
+    ]
+    if median_col is not None:
+        wm = Window.partitionBy("_ck").orderBy(median_col, key)
+        wp = Window.partitionBy("_ck")
+        df = df.withColumn("_cumw", F.sum("trades").over(wm.rowsBetween(Window.unboundedPreceding, 0)))
+        df = df.withColumn("_totw", F.sum("trades").over(wp))
+        eligible = F.col("_cumw") * 2 >= F.col("_totw")
+        aggs.append(
+            F.min(F.when(eligible, F.col(median_col))).alias(f"{median_col}_wm")
+        )
+    return df.groupBy(F.col("_ck").alias(key)).agg(*aggs)
 
 
 def store_inspector(

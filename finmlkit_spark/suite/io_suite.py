@@ -11,7 +11,7 @@ from ..functions import sequential as S
 from ..sources import bars_io as IO
 from ..sources.trades import EVENTS_TRADES_CTE, events_to_trades
 from ._registry import query
-from .features_suite import _B, bars_1m
+from .features_suite import _B, MIN_NS, bars_1m
 
 Q15_NS = 900_000_000_000
 
@@ -20,25 +20,51 @@ Q15_NS = 900_000_000_000
     "bars_resample_15m",
     _B
     + f""",
+bm AS (
+  SELECT b.*, t2.med FROM b JOIN (
+    SELECT bar_close_ns, median(qty) AS med FROM t GROUP BY bar_close_ns
+  ) t2 USING (bar_close_ns)
+),
 ck AS (
   SELECT *, (CAST(floor((bar_close_ns - 1) / {Q15_NS}) AS BIGINT) + 1) * {Q15_NS} AS c
-  FROM b
+  FROM bm
+),
+cw AS (
+  SELECT *,
+         sum(trades) OVER (PARTITION BY c ORDER BY med, bar_close_ns
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(trades) OVER (PARTITION BY c) AS totw
+  FROM ck
 )
 SELECT c AS bar_close_ns,
-       arg_min(open, ck.bar_close_ns) AS open,
+       arg_min(open, cw.bar_close_ns) AS open,
        max(high) AS high,
        min(low) AS low,
-       arg_max(close, ck.bar_close_ns) AS close,
+       arg_max(close, cw.bar_close_ns) AS close,
        sum(volume) AS volume,
        CAST(sum(trades) AS BIGINT) AS trades,
-       sum(vwap * volume) / (CASE WHEN sum(volume) > 0 THEN sum(volume) END) AS vwap
-FROM ck GROUP BY c""",
+       sum(vwap * volume) / (CASE WHEN sum(volume) > 0 THEN sum(volume) END) AS vwap,
+       min(CASE WHEN cumw * 2 >= totw THEN med END) AS med_wm
+FROM cw GROUP BY c""",
 )
 def bars_resample_15m(spark, sf_dir):
     """Re-aggregate the materialized 1m bars to 15m (TimeBarReader
-    ``_resample`` ``io.py:890-950``: volume-weighted vwap recombination)."""
+    ``_resample`` ``io.py:890-950``): volume-weighted vwap recombination
+    + the reference's exact trade-count-weighted median (sort+cumsum)."""
     fine = bars_1m(spark, sf_dir).drop("brn", "r", "first_ts_ns")
-    return IO.resample_bars(fine, Q15_NS)
+    # attach the per-fine-bar median trade size (as the reference stores)
+    from ..operators import bars as B
+    from ..sources.trades import events_to_trades
+
+    tr = events_to_trades(spark, sf_dir)
+    med = (
+        B.with_time_bar(tr, MIN_NS)
+        .groupBy("bar_close_ns")
+        .agg(F.median("qty").alias("med"))
+    )
+    fine = fine.join(med, "bar_close_ns")
+    out = IO.resample_bars(fine, Q15_NS, median_col="med")
+    return out.withColumnRenamed("med_wm", "med_wm")
 
 
 @query(

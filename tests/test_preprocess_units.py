@@ -1,0 +1,48 @@
+"""Unit tests for preprocessing scalar helpers (unit inference, tick
+size, timestamp normalization) and the Binance CSV reader shape."""
+
+from __future__ import annotations
+
+from finmlkit_spark.operators import preprocess as P
+from finmlkit_spark.sources.trades import read_binance_csv
+
+
+def _df(spark, ts_vals):
+    return spark.createDataFrame(
+        [{"ts_ns": t, "trade_id": i, "price": 1.0, "qty": 1.0, "symbol": "S"} for i, t in enumerate(ts_vals)]
+    )
+
+
+def test_infer_time_unit(spark):
+    assert P.infer_time_unit(_df(spark, [1_700_000_000])) == "s"
+    assert P.infer_time_unit(_df(spark, [1_700_000_000_000])) == "ms"
+    assert P.infer_time_unit(_df(spark, [1_700_000_000_000_000])) == "us"
+    assert P.infer_time_unit(_df(spark, [1_700_000_000_000_000_000])) == "ns"
+
+
+def test_normalize_and_round(spark):
+    df = P.normalize_timestamps(_df(spark, [1_700_000_000_123]))  # ms in
+    assert df.collect()[0]["ts_ns"] == 1_700_000_000_123_000_000
+    r = P.round_resolution(_df(spark, [1_700_000_000_123_456_789]), resolution="ms")
+    assert r.collect()[0]["ts_ns"] == 1_700_000_000_123_000_000
+
+
+def test_infer_tick_size(spark):
+    df = spark.createDataFrame(
+        [{"price": p, "trade_id": i} for i, p in enumerate([100.00, 100.05, 100.10, 100.25, 99.95])]
+    )
+    assert abs(P.infer_tick_size(df) - 0.05) < 1e-9
+
+
+def test_binance_csv_reader(spark, tmp_path):
+    p = tmp_path / "trades.csv"
+    p.write_text(
+        "id,price,qty,quote_qty,time,is_buyer_maker\n"
+        "1,100.5,2.0,201.0,1700000000000,true\n"
+        "2,100.6,1.0,100.6,1700000000010,false\n"
+    )
+    out = read_binance_csv(spark, str(p), symbol="BTCUSDT").orderBy("trade_id").collect()
+    assert len(out) == 2
+    assert out[0]["ts_ns"] == 1_700_000_000_000_000_000
+    assert out[0]["side"] == -1 and out[1]["side"] == 1
+    assert out[0]["symbol"] == "BTCUSDT"
