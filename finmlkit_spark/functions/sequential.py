@@ -236,6 +236,55 @@ def volume_bar_ids_exact(qty: np.ndarray, threshold: float) -> np.ndarray:
     return out
 
 
+def imbalance_bar_ids(
+    side: np.ndarray, qty: np.ndarray, ewma_span: float = 100.0, init_expected: float = 100.0
+) -> np.ndarray:
+    """Volume-imbalance bars (AFML §2.3.2.1; the reference only declares
+    this sampler, ``logic.py:224-241`` NotImplementedError — implemented
+    here beyond-reference): close a bar when |Σ signed volume| exceeds
+    the expected imbalance, E updated as an EWMA of realized per-bar
+    |imbalance| (adjust=False, span ``ewma_span``)."""
+    alpha = 2.0 / (ewma_span + 1.0)
+    out = np.empty(len(side), dtype=np.int64)
+    theta = 0.0
+    expected = init_expected
+    bar = 0
+    for i in range(len(side)):
+        theta += side[i] * qty[i]
+        out[i] = bar
+        if abs(theta) >= expected:
+            expected = (1 - alpha) * expected + alpha * abs(theta)
+            theta = 0.0
+            bar += 1
+    return out
+
+
+def run_bar_ids(
+    side: np.ndarray, qty: np.ndarray, ewma_span: float = 100.0, init_expected: float = 100.0
+) -> np.ndarray:
+    """Volume-run bars (AFML §2.3.2.2; reference ``logic.py:244-261``
+    NotImplementedError — implemented beyond-reference): track the max of
+    one-sided cumulative volumes within the bar; close when it exceeds
+    the expected run, E updated as EWMA of realized runs."""
+    alpha = 2.0 / (ewma_span + 1.0)
+    out = np.empty(len(side), dtype=np.int64)
+    buy = sell = 0.0
+    expected = init_expected
+    bar = 0
+    for i in range(len(side)):
+        if side[i] > 0:
+            buy += qty[i]
+        else:
+            sell += qty[i]
+        out[i] = bar
+        run = max(buy, sell)
+        if run >= expected:
+            expected = (1 - alpha) * expected + alpha * run
+            buy = sell = 0.0
+            bar += 1
+    return out
+
+
 # --- complexity / long-memory estimators -----------------------------------
 
 def hurst_rolling(y: np.ndarray, w: int, lags=(1, 2, 4, 8)) -> np.ndarray:

@@ -1,0 +1,148 @@
+"""General star-schema analytics queries over the TPC-H-ish tables —
+demonstrates the engine's general join/agg surface (broadcast dims,
+semi-joins, multi-way joins) alongside the domain operators, plus the
+beyond-reference information-bar samplers."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions import sequential as S
+from ..operators import preprocess as P
+from ..sources.trades import events_to_trades
+from ._registry import query
+
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: predicate pushed to the scan,
+    map-side partial aggregation, two-column group."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "regional_revenue",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name""",
+)
+def regional_revenue(spark, sf_dir):
+    """Five-way star join: fact table joins small dims via explicit
+    broadcasts (no shuffle of lineitem beyond the orders join)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "priority_fill_rate",
+    """
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN f.flag THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM orders o
+LEFT JOIN (
+  SELECT l_orderkey, true AS flag FROM lineitem
+  WHERE l_shipdate > DATE '2000-01-01' GROUP BY l_orderkey
+) f ON o.o_orderkey = f.l_orderkey
+GROUP BY o.o_orderpriority""",
+)
+def priority_fill_rate(spark, sf_dir):
+    """Per-priority order counts with an existence flag (semi-join
+    pattern expressed as an aggregated left join for oracle parity)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = (
+        li.where(F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.lit(True).alias("flag"))
+    )
+    j = o.join(F.broadcast(late), o.o_orderkey == late.l_orderkey, "left")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("flag"), 1).otherwise(0)).cast("long").alias("n_late"),
+    )
+
+
+# --- beyond-reference information bars --------------------------------------
+
+@query("imbalance_bars")  # EWMA-adaptive reset state machine -> rows-only
+def imbalance_bars(spark, sf_dir):
+    """Volume-imbalance bars (AFML §2.3.2.1; the reference declares but
+    does not implement, ``logic.py:224-241``) — per-stream kernel,
+    golden-tested in tests/test_io_and_kernels.py."""
+    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = S.imbalance_bar_ids(
+            pdf["side"].to_numpy(), pdf["qty"].to_numpy(), ewma_span=50, init_expected=200.0
+        )
+        return pd.DataFrame({"ts_ns": pdf["ts_ns"], "trade_id": pdf["trade_id"], "bar_id": ids})
+
+    return S.apply_sequential(tr, kernel, "ts_ns long, trade_id long, bar_id long")
+
+
+@query("run_bars")  # EWMA-adaptive reset state machine -> rows-only
+def run_bars(spark, sf_dir):
+    """Volume-run bars (AFML §2.3.2.2; reference ``logic.py:244-261``
+    NotImplementedError) — per-stream kernel with goldens."""
+    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = S.run_bar_ids(
+            pdf["side"].to_numpy(), pdf["qty"].to_numpy(), ewma_span=50, init_expected=200.0
+        )
+        return pd.DataFrame({"ts_ns": pdf["ts_ns"], "trade_id": pdf["trade_id"], "bar_id": ids})
+
+    return S.apply_sequential(tr, kernel, "ts_ns long, trade_id long, bar_id long")

@@ -76,3 +76,21 @@ def test_cusum_filter_resets():
     flags = S.cusum_filter_np(r, 1.0)
     # sp: .6, 1.2 -> event; sn: -.4 -.8 -1.2 -> event at last
     assert list(flags) == [0, 1, 0, 0, 1]
+
+
+def test_imbalance_bar_ids():
+    # side +1/-1 alternating with qty 10 -> theta oscillates in [-10, 0,
+    # +10]; expected=15 never reached until a run of same-side prints
+    side = np.array([1, 1, -1, 1, 1])
+    qty = np.array([10.0, 10.0, 10.0, 10.0, 10.0])
+    ids = S.imbalance_bar_ids(side, qty, ewma_span=10, init_expected=15.0)
+    # theta: 10, 20 -> close (|20|>=15) at i=1; reset; -10, 0, 10 -> open
+    assert list(ids) == [0, 0, 1, 1, 1]
+
+
+def test_run_bar_ids():
+    side = np.array([1, -1, -1, 1, -1])
+    qty = np.array([5.0, 5.0, 5.0, 5.0, 5.0])
+    ids = S.run_bar_ids(side, qty, ewma_span=10, init_expected=10.0)
+    # runs: buy5/sell0 ->5; buy5/sell5 ->5; sell10 -> close at i=2; reset
+    assert list(ids) == [0, 0, 0, 1, 1]
