@@ -11,5 +11,6 @@ from . import pipeline_suite  # noqa: F401
 from . import misc_suite  # noqa: F401
 from . import multiuser_suite  # noqa: F401
 from . import analytics_suite  # noqa: F401
+from . import developing_suite  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]
