@@ -49,6 +49,26 @@ def main():
         suite.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 4)
 
+    # synthetic large-scale bar-build throughput (comparable to the
+    # reference's 39M-trade OHLCV headline): 20M generated trades ->
+    # 1-min OHLCV hash aggregation, measured warm.
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import bars as B
+
+    n_syn = 20_000_000
+    syn = spark.range(n_syn).select(
+        (F.lit(1_700_000_000_000_000_000) + F.col("id") * 50_000_000).alias("ts_ns"),
+        F.col("id").alias("trade_id"),
+        (100.0 + F.sin(F.col("id") / 1000.0) * 5.0 + (F.col("id") % 97) * 0.01).alias("price"),
+        (1.0 + (F.col("id") % 5)).cast("double").alias("qty"),
+    )
+    syn_bars = B.bar_ohlcv(B.with_time_bar(syn, 60_000_000_000), by=None)
+    syn_bars.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    syn_bars.write.format("noop").mode("overwrite").save()
+    syn_sec = time.time() - t0
+
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -58,6 +78,11 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "synthetic_bar_build": {
+                    "rows": n_syn,
+                    "sec": round(syn_sec, 3),
+                    "rows_per_sec": int(n_syn / syn_sec),
+                },
             }
         )
     )
