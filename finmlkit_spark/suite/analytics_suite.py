@@ -19,9 +19,9 @@ from ._registry import query
     """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       sum(l_extendedprice) / 1000000.0 AS sum_base_price_m,
+       sum(l_extendedprice * (1 - l_discount)) / 1000000.0 AS sum_disc_price_m,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 1000000.0 AS sum_charge_m,
        avg(l_quantity) AS avg_qty,
        avg(l_extendedprice) AS avg_price,
        avg(l_discount) AS avg_disc,
@@ -39,11 +39,16 @@ def pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
+            (F.sum("l_extendedprice") / 1e6).alias("sum_base_price_m"),
+            (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e6).alias(
+                "sum_disc_price_m"
+            ),
+            (
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )
+                / 1e6
+            ).alias("sum_charge_m"),
             F.avg("l_quantity").alias("avg_qty"),
             F.avg("l_extendedprice").alias("avg_price"),
             F.avg("l_discount").alias("avg_disc"),
@@ -56,7 +61,7 @@ def pricing_summary(spark, sf_dir):
     "regional_revenue",
     """
 SELECT r.r_name AS region, n.n_name AS nation,
-       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       sum(l.l_extendedprice * (1 - l.l_discount)) / 1000000.0 AS revenue_m,
        count(DISTINCT o.o_orderkey) AS n_orders
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -80,7 +85,7 @@ def regional_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e6).alias("revenue_m"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
 
