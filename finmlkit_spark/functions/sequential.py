@@ -77,6 +77,12 @@ def ewmst(ts_ns: np.ndarray, y: np.ndarray, halflife_ns: float) -> np.ndarray:
 
     O(1) state recurrence (V, V2, Sy, Syy decay by d = w^Δt per step) —
     the closed form over absolute time is what the DuckDB oracle uses.
+
+    Numerical note: the E[y²]−E[y]² form cancels catastrophically when
+    std ≪ |mean| (error ~ sqrt(eps)·|mean|, i.e. ~1e-6 per 1e2 of price
+    level — negligible at realistic volatility, bounded in
+    tests/test_kernel_properties.py). Chosen deliberately so the SQL
+    oracle computes the *identical* expression.
     """
     lam = math.log(2.0) / halflife_ns
     out = np.full(len(y), np.nan)
