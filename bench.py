@@ -69,6 +69,37 @@ def main():
     syn_bars.write.format("noop").mode("overwrite").save()
     syn_sec = time.time() - t0
 
+    # synthetic multi-symbol feature stage: 100 symbols x 40k bars, six
+    # window features per symbol (the partition-parallel shape)
+    from pyspark.sql import Window
+
+    from finmlkit_spark.functions import rolling as R
+
+    n_feat = 4_000_000
+    fb = spark.range(n_feat).select(
+        (F.col("id") % 100).cast("string").alias("symbol"),
+        (F.col("id") / 100).cast("long").alias("bar_close_ns"),
+        (100.0 + F.sin(F.col("id") / 500.0) * 3.0).alias("close"),
+        (101.0 + F.sin(F.col("id") / 500.0) * 3.0).alias("high"),
+        (99.0 + F.sin(F.col("id") / 500.0) * 3.0).alias("low"),
+        (1.0 + (F.col("id") % 7)).cast("double").alias("volume"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_close_ns")
+    feat = fb.select(
+        "symbol",
+        "bar_close_ns",
+        R.sma("close", 20, w).alias("sma"),
+        R.zscore("close", 20, w).alias("z"),
+        R.stoch_k("close", "high", "low", 14, w).alias("k"),
+        R.roc("close", 5, w).alias("roc"),
+        R.vwap_distance("close", "volume", 20, w).alias("vd"),
+        R.bollinger_percent_b("close", 20, w).alias("bb"),
+    )
+    feat.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    feat.write.format("noop").mode("overwrite").save()
+    feat_sec = time.time() - t0
+
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -82,6 +113,12 @@ def main():
                     "rows": n_syn,
                     "sec": round(syn_sec, 3),
                     "rows_per_sec": int(n_syn / syn_sec),
+                },
+                "synthetic_feature_windows": {
+                    "rows": n_feat,
+                    "features": 6,
+                    "sec": round(feat_sec, 3),
+                    "rows_per_sec": int(n_feat / feat_sec),
                 },
             }
         )

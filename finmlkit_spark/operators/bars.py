@@ -106,6 +106,40 @@ def bar_ohlcv(df: DataFrame, key: str = "bar_close_ns", by: str | None = None) -
     )
 
 
+def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int = 16, by: str | None = None) -> DataFrame:
+    """Skew-safe OHLCV: two-stage salted aggregation for hot keys (one
+    symbol-minute receiving millions of prints). Stage 1 groups by
+    (key, salt) computing algebraic partials — open/close travel as
+    (ts, trade_id, price) structs so the merge stays exact; stage 2
+    merges salts. median_trade_size is NOT algebraic and is intentionally
+    absent here (use ``bar_ohlcv`` or a sketch when the median matters).
+    """
+    keys = ([by] if by else []) + [key]
+    salt = (F.col("trade_id") % F.lit(salt_buckets)).alias("_salt")
+    s1 = df.groupBy(*keys, salt).agg(
+        F.min(F.struct("ts_ns", "trade_id", "price")).alias("_o"),
+        F.max(F.struct("ts_ns", "trade_id", "price")).alias("_c"),
+        F.max("price").alias("_hi"),
+        F.min("price").alias("_lo"),
+        F.sum("qty").alias("_v"),
+        F.sum(F.col("price") * F.col("qty")).alias("_pv"),
+        F.count("*").alias("_n"),
+        F.min("ts_ns").alias("_ft"),
+        F.max("ts_ns").alias("_lt"),
+    )
+    return s1.groupBy(*keys).agg(
+        F.min("_o")["price"].alias("open"),
+        F.max("_hi").alias("high"),
+        F.min("_lo").alias("low"),
+        F.max("_c")["price"].alias("close"),
+        F.sum("_v").alias("volume"),
+        (F.sum("_pv") / F.sum("_v")).alias("vwap"),
+        F.sum("_n").cast("long").alias("trades"),
+        F.min("_ft").alias("first_ts_ns"),
+        F.max("_lt").alias("last_ts_ns"),
+    )
+
+
 def fill_empty_bars(bars: DataFrame, interval_ns: int, key: str = "bar_close_ns") -> DataFrame:
     """Re-create empty bars on the wall-clock grid, filling OHLC with the
     previous close and zero volume (``base.py:352-361``).

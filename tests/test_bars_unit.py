@@ -75,3 +75,31 @@ def test_merge_split_trades(spark):
     out = P.merge_split_trades(df).orderBy("ts_ns").collect()
     assert len(out) == 2
     assert out[0]["qty"] == 3.0 and out[0]["trade_id"] == 0
+
+
+def test_salted_ohlcv_matches_unsalted(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "ts_ns": np.sort(rng.integers(0, 600 * SEC, n)).astype("int64"),
+            "trade_id": np.arange(n, dtype="int64"),
+            "price": 100 + rng.standard_normal(n).cumsum(),
+            "qty": rng.integers(1, 6, n).astype("float64"),
+            "symbol": "S",
+        }
+    )
+    df = B.with_time_bar(spark.createDataFrame(pdf), 60 * SEC)
+    plain = {
+        r["bar_close_ns"]: r.asDict()
+        for r in B.bar_ohlcv(df).drop("median_trade_size").collect()
+    }
+    salted = {r["bar_close_ns"]: r.asDict() for r in B.bar_ohlcv_salted(df).collect()}
+    assert set(plain) == set(salted)
+    for k in plain:
+        for c in ["open", "high", "low", "close", "volume", "trades"]:
+            assert plain[k][c] == salted[k][c], (k, c)
+        assert abs(plain[k]["vwap"] - salted[k]["vwap"]) < 1e-9
