@@ -50,6 +50,39 @@ def streaming_time_bars(
     )
 
 
+VB_STATE_SCHEMA = "cum double, bar_id long"
+VB_OUT_SCHEMA = "symbol string, ts long, bar_id long"
+
+
+def streaming_volume_bars(stream: DataFrame, threshold: float) -> DataFrame:
+    """Stateful exact-reset volume bar assignment per symbol — the
+    streaming form of ``sequential.volume_bar_ids_exact`` (information-
+    driven sampling as an arbitrary stateful op, SURVEY §2.10). State =
+    (running volume, bar counter), carried across micro-batches."""
+
+    def fn(key, pdfs, state: GroupState):
+        cum, bar = state.get if state.exists else (0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for ts, qty in zip(pdf["ts_ns"], pdf["qty"]):
+                cum += qty
+                rows.append((key[0], int(ts), int(bar)))
+                if cum >= threshold:
+                    bar += 1
+                    cum = 0.0
+        state.update((cum, bar))
+        yield pd.DataFrame(rows, columns=["symbol", "ts", "bar_id"])
+
+    return stream.groupBy("symbol").applyInPandasWithState(
+        fn,
+        outputStructType=VB_OUT_SCHEMA,
+        stateStructType=VB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 CUSUM_STATE_SCHEMA = "sp double, sn double, last_price double"
 CUSUM_OUT_SCHEMA = "symbol string, ts long, flag int"
 

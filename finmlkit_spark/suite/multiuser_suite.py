@@ -129,3 +129,46 @@ def user_sessions(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(F.col("price") * F.col("qty")).alias("session_value"),
     )
+
+
+import pandas as pd  # noqa: E402
+
+from ..functions import sequential as S  # noqa: E402
+
+
+@query(
+    "user_ewma",
+    "WITH "
+    + _UTRADES.strip()
+    + """,
+lx AS (
+  SELECT symbol, ts_ns, trade_id,
+         list(price) OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id
+              ROWS BETWEEN 499 PRECEDING AND CURRENT ROW) AS l
+  FROM trades
+)
+SELECT symbol, ts_ns, trade_id,
+       list_sum(list_transform(l, (x, i) -> x * pow(0.9, len(l) - i)))
+       / list_sum(list_transform(l, (x, i) -> pow(0.9, len(l) - i))) AS ewma_19
+FROM lx""",
+)
+def user_ewma(spark, sf_dir):
+    """Per-user EWMA(19) — the grouped sequential tier running
+    partition-parallel across 150 user streams (one exact recurrence per
+    group, zero cross-group state); oracle = per-partition closed-form
+    convolution."""
+    tr = events_to_trades(spark, sf_dir, by_user=True)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "ts_ns": pdf["ts_ns"],
+                "trade_id": pdf["trade_id"],
+                "ewma_19": S.ewma(pdf["price"].to_numpy(), 19),
+            }
+        )
+
+    return S.apply_sequential(
+        tr, kernel, "symbol string, ts_ns long, trade_id long, ewma_19 double", by="symbol"
+    )

@@ -96,3 +96,40 @@ def test_streaming_cusum_parity(spark, stream_dir):
     r = np.concatenate([[np.nan], np.log(prices[1:] / prices[:-1])])
     expected = int(cusum_filter_np(r, 1.0).sum())
     assert got == expected and got > 0
+
+
+def test_streaming_volume_bars_parity(spark, stream_dir):
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import volume_bar_ids_exact
+    from finmlkit_spark.streaming.bars import streaming_volume_bars
+
+    batch = spark.read.parquet(stream_dir)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .selectExpr(
+            "'EVT' as symbol",
+            "ts as ts_ns",
+            "cast(1 + (event_id % 5) as double) as qty",
+        )
+    )
+    out = streaming_volume_bars(stream, threshold=50.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ts"]: r["bar_id"] for r in spark.sql("select * from vb_stream").collect()}
+
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    qty = (1 + pdf["event_id"].to_numpy() % 5).astype(float)
+    expected = volume_bar_ids_exact(qty, 50.0)
+    exp = dict(zip(pdf["ts"].to_numpy().tolist(), expected.tolist()))
+    assert len(got) == len(exp)
+    mismatches = sum(1 for k in exp if got.get(k) != exp[k])
+    assert mismatches == 0
