@@ -339,6 +339,42 @@ def _rewire_unary(self: UnaryOp, upstream: Column, ctx) -> Column:
 UnaryOp._rewire = _rewire_unary
 
 
+class LambdaOp(Transform):
+    """``Feature.apply(fn)`` analog (reference ``kit.py:240-268``): wrap an
+    arbitrary in-process array->array callable as an Arrow pandas_udf
+    stage over one input column. Interactive-use escape hatch — NOT
+    JSON-serializable (use ``ExternalFunction`` with an import path for
+    persistable pipelines) and opaque to Catalyst (documented tradeoff).
+    """
+
+    def __init__(self, fn, child: Transform, name: str | None = None):
+        super().__init__(name or f"apply({child.name})", child.requires)
+        self.fn, self.child = fn, child
+        self.sequential = child.sequential
+
+    def expr(self, ctx):
+        fn = self.fn
+        inner = self.child.expr(ctx)
+
+        @F.pandas_udf("double")
+        def _udf(s):
+            import pandas as pd
+
+            return pd.Series(fn(s.to_numpy()))
+
+        return _udf(inner)
+
+    def _params(self):
+        raise TypeError("LambdaOp is not serializable; use ExternalFunction")
+
+
+def _apply(self: Transform, fn, name: str | None = None) -> LambdaOp:
+    return LambdaOp(fn, self, name)
+
+
+Transform.apply = _apply
+
+
 @register_transform
 class ExternalFunction(Transform):
     """Wrap an arbitrary import-path callable as a vectorized transform

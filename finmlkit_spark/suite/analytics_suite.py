@@ -33,6 +33,7 @@ GROUP BY l_returnflag, l_linestatus""",
 def pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: predicate pushed to the scan,
     map-side partial aggregation, two-column group."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # date-literal cast
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -106,6 +107,7 @@ GROUP BY o.o_orderpriority""",
 def priority_fill_rate(spark, sf_dir):
     """Per-priority order counts with an existence flag (semi-join
     pattern expressed as an aggregated left join for oracle parity)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # date-literal cast
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     late = (

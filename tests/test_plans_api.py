@@ -91,3 +91,27 @@ def test_requires_validation(spark):
     bad = Rolling("sma", "nope", 3)
     with pytest.raises(ValueError, match="missing required"):
         FeatureKit([bad], ["bar_close_ns"]).build(df, BuildContext("bar_close_ns"))
+
+
+def test_lambda_apply(spark):
+    import numpy as np
+
+    df = _bars(spark)
+    t = Rolling("sma", "close", 3).apply(lambda x: np.sqrt(x), name="sqrt_sma")
+    out = FeatureKit([t], ["bar_close_ns"]).build(df, BuildContext("bar_close_ns"))
+    r = {x["bar_close_ns"]: x for x in out.collect()}
+    assert r[5]["sqrt_sma"] == pytest.approx(math.sqrt((103 + 104 + 105) / 3))
+    with pytest.raises(TypeError, match="not serializable"):
+        t.to_config()
+
+
+def test_external_function(spark):
+    df = _bars(spark)
+    from finmlkit_spark.plans.api import ExternalFunction, from_config
+
+    t = ExternalFunction("numpy.log1p", ["close"], name="log1p_close")
+    out = FeatureKit([t], ["bar_close_ns"]).build(df, BuildContext("bar_close_ns"))
+    r = {x["bar_close_ns"]: x for x in out.collect()}
+    assert r[5]["log1p_close"] == pytest.approx(math.log1p(105.0))
+    rebuilt = from_config(t.to_config())
+    assert rebuilt.import_path == "numpy.log1p"
