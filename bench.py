@@ -27,6 +27,7 @@ HEADLINE = [
     "minhash_lsh",
     "ann_topk",
     "bars_resample_15m",
+    "user_hourly_bars",
 ]
 
 

@@ -194,3 +194,17 @@ def vp_hva_lva_q(spark, sf_dir):
     fp = _fp_spark(spark, sf_dir, HOUR_NS)
     prof = VP.rolling_profile(fp, 6 * HOUR_NS, n_bins=20, bucket_ns=HOUR_NS)
     return VP.hva_lva(prof, va_pct=0.7)
+
+
+@query("footprint_packed")  # nested-array API edge -> rows-only check
+def footprint_packed(spark, sf_dir):
+    """Nested per-bar footprint packing (collect_list of level structs,
+    sorted) — the API-edge interop shape (FootprintData.get_df parity,
+    bar/utils.py:129-209). Long-form remains the compute representation."""
+    fp = _fp_spark(spark, sf_dir)
+    packed = FP.pack_footprint(fp)
+    return packed.select(
+        "bar_close_ns",
+        F.size("footprint").alias("n_levels"),
+        F.element_at("footprint", 1)["level"].alias("min_level"),
+    )
