@@ -33,12 +33,14 @@ def bars_1m(spark: SparkSession, sf_dir: str, directional: bool = False) -> Data
     if directional:
         tr = P.with_trade_side(tr, by=None)
     df = B.with_time_bar(tr, MIN_NS)
-    df = df.withColumn("rn", F.row_number().over(Window.orderBy("ts_ns", "trade_id")))
+    # struct ordering key instead of a row_number: no global sort of the
+    # trade stream; the bar build stays a pure hash aggregation
+    ord_ = F.struct("ts_ns", "trade_id")
     aggs = [
-        F.min_by("price", "rn").alias("open"),
+        F.min_by("price", ord_).alias("open"),
         F.max("price").alias("high"),
         F.min("price").alias("low"),
-        F.max_by("price", "rn").alias("close"),
+        F.max_by("price", ord_).alias("close"),
         F.sum("qty").alias("volume"),
         (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("vwap"),
         F.count("*").alias("trades"),

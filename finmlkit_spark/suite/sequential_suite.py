@@ -37,12 +37,12 @@ def bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = events_to_trades(spark, sf_dir)
     df = B.with_time_bar(tr, HOUR_NS)
-    df = df.withColumn("rn", F.row_number().over(Window.orderBy("ts_ns", "trade_id")))
+    ord_ = F.struct("ts_ns", "trade_id")
     bars = df.groupBy("bar_close_ns").agg(
-        F.min_by("price", "rn").alias("open"),
+        F.min_by("price", ord_).alias("open"),
         F.max("price").alias("high"),
         F.min("price").alias("low"),
-        F.max_by("price", "rn").alias("close"),
+        F.max_by("price", ord_).alias("close"),
         F.sum("qty").alias("volume"),
     )
     w = Window.orderBy("bar_close_ns")
