@@ -153,3 +153,24 @@ def run_bars(spark, sf_dir):
         return pd.DataFrame({"ts_ns": pdf["ts_ns"], "trade_id": pdf["trade_id"], "bar_id": ids})
 
     return S.apply_sequential(tr, kernel, "ts_ns long, trade_id long, bar_id long")
+
+
+_SHARED_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       avg(o_totalprice) AS avg_price,
+       max(o_totalprice) AS max_price,
+       min(o_orderdate) AS first_order
+FROM orders
+WHERE o_orderstatus <> 'X'
+GROUP BY o_orderpriority"""
+
+
+@query("sql_shared_dialect", _SHARED_SQL)
+def sql_shared_dialect(spark, sf_dir):
+    """The SQL surface: Spark executes the IDENTICAL SQL string the
+    DuckDB oracle runs (shared ANSI dialect) over a registered view —
+    Catalyst parse/optimize handles it like any DataFrame plan."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_SQL)
