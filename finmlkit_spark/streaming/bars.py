@@ -50,6 +50,21 @@ def streaming_time_bars(
     )
 
 
+def streaming_sessions(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Event-time session windows per symbol (native ``session_window``):
+    the streaming form of the batch gaps-and-islands sessionization
+    (``suite.multiuser_suite.user_sessions``). A session closes when no
+    event arrives within ``gap``; late data beyond the watermark drops.
+    """
+    w = stream.withWatermark(ts_col, watermark)
+    return w.groupBy("symbol", F.session_window(ts_col, gap).alias("win")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("price") * F.col("qty")).alias("session_value"),
+    )
+
+
 VB_STATE_SCHEMA = "cum double, bar_id long"
 VB_OUT_SCHEMA = "symbol string, ts long, bar_id long"
 

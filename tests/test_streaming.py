@@ -133,3 +133,37 @@ def test_streaming_volume_bars_parity(spark, stream_dir):
     assert len(got) == len(exp)
     mismatches = sum(1 for k in exp if got.get(k) != exp[k])
     assert mismatches == 0
+
+
+def test_streaming_sessions_parity(spark, stream_dir):
+    from finmlkit_spark.streaming.bars import streaming_sessions
+
+    batch = spark.read.parquet(stream_dir)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .selectExpr(
+            "cast(user_id as string) as symbol",
+            "timestamp_micros(cast(ts / 1000 as long)) as ts",
+            "value as price",
+            "cast(1 + (event_id % 5) as double) as qty",
+        )
+        .where("price > 0")
+    )
+    out = streaming_sessions(stream, "30 minutes", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.sql("select count(*) n from sess_stream").collect()[0]["n"]
+
+    # batch equivalent: the gaps-and-islands sessionization
+    from finmlkit_spark.suite.multiuser_suite import user_sessions
+
+    n_batch = user_sessions(spark, "/root/testdata/sf0.001").count()
+    assert n_stream == n_batch and n_stream > 0
