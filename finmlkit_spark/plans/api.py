@@ -458,6 +458,25 @@ class FeatureKit:
             out = out.join(base.select(*self.retain, *[f.name for f in seq]), self.retain)
         return out
 
+    def profile(self, df: DataFrame, ctx: BuildContext | None = None) -> dict[str, float]:
+        """Per-feature wall-time report (parity with the reference's
+        timing report, ``kit.py:1068-1084``). Diagnostic only: each
+        feature is materialized separately (noop-count action), which
+        defeats the shared-plan optimization — never use in production
+        paths; ``build`` computes everything in one select."""
+        import time
+
+        ctx = ctx or BuildContext()
+        out: dict[str, float] = {}
+        for f in self.features:
+            t0 = time.time()
+            if f.sequential:
+                f.apply_sequential_stage(df, ctx).count()
+            else:
+                df.select(f.expr(ctx).alias(f.name)).count()
+            out[f.name] = round(time.time() - t0, 4)
+        return out
+
     def graph(self) -> dict[str, list[str]]:
         """name -> dependencies mini-DAG (UX parity with
         ``build_feature_graph`` feature/utils.py:359-397)."""

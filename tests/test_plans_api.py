@@ -115,3 +115,11 @@ def test_external_function(spark):
     assert r[5]["log1p_close"] == pytest.approx(math.log1p(105.0))
     rebuilt = from_config(t.to_config())
     assert rebuilt.import_path == "numpy.log1p"
+
+
+def test_profile_report(spark):
+    df = _bars(spark)
+    kit = FeatureKit([Rolling("sma", "close", 3), Rolling("zscore", "close", 3)], ["bar_close_ns"])
+    times = kit.profile(df, BuildContext("bar_close_ns"))
+    assert set(times) == {"close_sma3", "close_zscore3"}
+    assert all(t >= 0 for t in times.values())

@@ -54,7 +54,8 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
-            ok = np.allclose(av.astype(float), bv.astype(float), rtol=1e-6, atol=1e-6, equal_nan=True)
+            tol = float(__import__("os").environ.get("FMK_TOL", "1e-6"))
+            ok = np.allclose(av.astype(float), bv.astype(float), rtol=tol, atol=tol, equal_nan=True)
         else:
             try:
                 ok = (pd.Series(av).fillna("<NA>") == pd.Series(bv).fillna("<NA>")).all()
