@@ -224,3 +224,39 @@ def approx_entropy(spark, sf_dir):
     return S.apply_sequential(
         hb, kernel, "bar_close_ns long, apen double", order=("bar_close_ns",)
     )
+
+
+@query(
+    "zscore_peak_events",
+    _BH
+    + """,
+zs AS (
+  SELECT bar_close_ns, brn, volume,
+         CASE WHEN count(*) OVER wf = 24 AND stddev_samp(volume) OVER wf <> 0
+              THEN (volume - avg(volume) OVER wf) / stddev_samp(volume) OVER wf END AS z
+  FROM b
+  WINDOW wf AS (ORDER BY bar_close_ns ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+pk AS (
+  SELECT *, max(volume) OVER (ORDER BY bar_close_ns
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS local_max
+  FROM zs
+)
+SELECT bar_close_ns, z FROM pk WHERE z > 2.0 AND volume = local_max""",
+)
+def zscore_peak_events(spark, sf_dir):
+    """Z-score peak event filter (reference declares ``z_score_peak_filter``
+    but raises NotImplementedError, ``filters.py:73-94`` — implemented
+    beyond-reference): emit bars whose volume z-score exceeds 2 AND is a
+    local maximum over a ±3-bar neighborhood — window-native, no state."""
+    hb = bars_1h(spark, sf_dir)
+    wf = Window.orderBy("bar_close_ns").rowsBetween(-23, 0)
+    wn = Window.orderBy("bar_close_ns").rowsBetween(-3, 3)
+    z = F.when(
+        (F.count(F.lit(1)).over(wf) == 24) & (F.stddev_samp("volume").over(wf) != 0),
+        (F.col("volume") - F.avg("volume").over(wf)) / F.stddev_samp("volume").over(wf),
+    )
+    d = hb.withColumn("z", z).withColumn("local_max", F.max("volume").over(wn))
+    return d.where((F.col("z") > 2.0) & (F.col("volume") == F.col("local_max"))).select(
+        "bar_close_ns", "z"
+    )
