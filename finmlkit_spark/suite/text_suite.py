@@ -316,3 +316,122 @@ FROM documents""",
 def frame_offsets(spark, sf_dir):
     """Frame-sampling offset explosion (video frame-sample analog)."""
     return MM.frame_sample(MM.with_payload(_docs(spark, sf_dir)), every_n_bytes=1024)
+
+
+@query(
+    "corpus_report",
+    _TOKS
+    + """
+, st AS (
+  SELECT d.doc_id, d.source, d.lang,
+         len(t.t) AS n_tokens,
+         CAST(len(list_filter(t.t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+           / len(t.t) AS sw
+  FROM documents d JOIN toks t USING (doc_id)
+),
+dup AS (
+  SELECT md5(text) AS h, count(*) AS copies FROM documents GROUP BY md5(text)
+),
+dd AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN p.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM documents d JOIN dup p ON md5(d.text) = p.h
+  GROUP BY d.source
+)
+SELECT s.source,
+       any_value(dd.n_docs) AS n_docs,
+       any_value(dd.n_dup_docs) AS n_dup_docs,
+       avg(s.n_tokens) AS avg_tokens,
+       avg(s.sw) AS avg_stopword_ratio,
+       CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs
+FROM st s JOIN dd ON s.source = dd.source
+GROUP BY s.source""",
+)
+def corpus_report(spark, sf_dir):
+    """Corpus curation report per source: sizes, exact-dup incidence,
+    token stats, language spread — the summary table a training-data
+    pipeline publishes after each ingest."""
+    docs = _docs(spark, sf_dir)
+    st = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        TX.token_count().alias("n_tokens"),
+        TX.stopword_ratio().alias("sw"),
+    )
+    dup = docs.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("copies"))
+    dd = (
+        docs.withColumn("h", F.md5("text"))
+        .join(F.broadcast(dup), "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        )
+    )
+    return (
+        st.join(F.broadcast(dd), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.any_value("n_dup_docs").alias("n_dup_docs"),
+            F.avg("n_tokens").alias("avg_tokens"),
+            F.avg("sw").alias("avg_stopword_ratio"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "ann_ivf",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           c.cid) AS rk
+  FROM e, cent c
+),
+buckets AS (SELECT vec_id, v, cid FROM assign WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cid FROM buckets WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, b.vec_id AS cand_id,
+         list_dot_product(q.qv, b.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+  FROM q JOIN buckets b ON q.cid = b.cid AND q.query_id <> b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank FROM s)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def ann_ivf(spark, sf_dir):
+    """IVF-style ANN (the coarse-quantizer scale path next to LSH):
+    deterministic centroids (vec_ids 0..7),each vector assigned to its
+    max-cosine centroid, queries search only their own bucket — the
+    candidate set shrinks by the number of partitions. Exactness traded
+    for the bucket restriction, like any IVF nprobe=1 search."""
+    e = _embs(spark, sf_dir).select("vec_id", SIM.as_double("embedding").alias("v"))
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    j = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", SIM.cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    buckets = j.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") == 1).select(
+        "vec_id", "v", "cid"
+    )
+    q = buckets.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    s = q.join(buckets, "cid").where(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        SIM.cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return s.withColumn("rank", F.row_number().over(wk).cast("long")).where(F.col("rank") <= 5)
