@@ -172,3 +172,79 @@ def user_ewma(spark, sf_dir):
     return S.apply_sequential(
         tr, kernel, "symbol string, ts_ns long, trade_id long, ewma_19 double", by="symbol"
     )
+
+
+from ..operators import labels as L  # noqa: E402
+
+
+@query(
+    "user_tbm_labels",
+    "WITH "
+    + _UTRADES.strip()
+    + """,
+ev AS (
+  SELECT symbol, trade_id AS event_id, ts_ns AS event_ts_ns, price AS entry_price,
+         0.5 AS target, ts_ns + 86400000000000 AS vert_ts_ns
+  FROM trades WHERE trade_id % 29 = 0
+),
+j AS (
+  SELECT e.symbol, e.event_id, e.event_ts_ns, e.target,
+         t.ts_ns, ln(t.price / e.entry_price) AS r
+  FROM ev e JOIN trades t
+    ON t.symbol = e.symbol AND t.ts_ns > e.event_ts_ns AND t.ts_ns <= e.vert_ts_ns
+),
+a AS (
+  SELECT symbol, event_id, event_ts_ns, target,
+         min(CASE WHEN r >= target THEN ts_ns END) AS up_ts,
+         min(CASE WHEN r <= -target THEN ts_ns END) AS dn_ts,
+         max(ts_ns) AS last_ts
+  FROM j GROUP BY symbol, event_id, event_ts_ns, target
+)
+SELECT symbol, event_id, event_ts_ns,
+       CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN 1
+            WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN -1
+            ELSE 0 END AS label,
+       CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ts
+            WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ts
+            ELSE last_ts END AS touch_ts_ns
+FROM a""",
+)
+def user_tbm_labels(spark, sf_dir):
+    """Triple Barrier per user stream (150-way partition-parallel range
+    join keyed by symbol — the multi-instrument labeling shape; 24h
+    vertical barrier on the sparse per-user streams)."""
+    tr = events_to_trades(spark, sf_dir, by_user=True)
+    events = tr.where(F.col("trade_id") % 29 == 0).select(
+        "symbol",
+        F.col("trade_id").alias("event_id"),
+        F.col("ts_ns").alias("event_ts_ns"),
+        F.col("price").alias("entry_price"),
+        F.lit(0.5).alias("target"),
+    )
+    ev = events.withColumn("vert_ts_ns", F.col("event_ts_ns") + F.lit(86_400_000_000_000))
+    j = L.range_join(
+        ev, tr.select("symbol", "ts_ns", "price"), "event_ts_ns", "vert_ts_ns", "ts_ns",
+        by=["symbol"], bucket_ns=6 * HOUR_NS,
+    )
+    r = F.log(F.col("price") / F.col("entry_price"))
+    agg = j.groupBy("symbol", "event_id", "event_ts_ns", "target").agg(
+        F.min(F.when(r >= F.col("target"), F.col("ts_ns"))).alias("up_ts"),
+        F.min(F.when(r <= -F.col("target"), F.col("ts_ns"))).alias("dn_ts"),
+        F.max("ts_ns").alias("last_ts"),
+    )
+    up_first = F.col("up_ts").isNotNull() & (
+        F.col("dn_ts").isNull() | (F.col("up_ts") <= F.col("dn_ts"))
+    )
+    dn_first = F.col("dn_ts").isNotNull() & (
+        F.col("up_ts").isNull() | (F.col("dn_ts") < F.col("up_ts"))
+    )
+    return agg.select(
+        "symbol",
+        "event_id",
+        "event_ts_ns",
+        F.when(up_first, 1).when(dn_first, -1).otherwise(0).alias("label"),
+        F.when(up_first, F.col("up_ts"))
+        .when(dn_first, F.col("dn_ts"))
+        .otherwise(F.col("last_ts"))
+        .alias("touch_ts_ns"),
+    )
