@@ -17,7 +17,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import poly_hash, shingle_hashes_from_tokens, shingles, token_hashes
+from .text import shingle_hashes_from_tokens, shingles, token_hashes  # noqa: F401 (shingles kept for API)
 
 MOD = 1_000_000_007
 MH_P = 4_294_967_311  # prime > 2^32; a*h+b stays < 2^63 for h < MOD

@@ -14,8 +14,8 @@ from ..operators import bars as B
 from ..operators import joins as J
 from ..operators import labels as L
 from ._registry import query
-from .features_suite import MIN_NS, bars_1m
-from .labels_suite import _UNIQ, H_NS, HOUR_NS, _labels, _spark_events, _trades_c
+from .features_suite import bars_1m  # noqa: F401
+from .labels_suite import _UNIQ, HOUR_NS, _labels, _trades_c
 from .sequential_suite import DECAY, K, SPAN, _BH, bars_1h
 
 

@@ -6,8 +6,6 @@ one shuffle for the bar groupBy, one sort for the feature windows."""
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
 from ..functions import rolling as R
