@@ -35,7 +35,11 @@ def footprint_long(trades_sided: DataFrame, tick: float, key: str = "bar_close_n
 
 
 def footprint_features(
-    fp: DataFrame, imb_mult: float = 3.0, key: str = "bar_close_ns", tick: float = 0.01
+    fp: DataFrame,
+    imb_mult: float = 3.0,
+    key: str = "bar_close_ns",
+    tick: float = 0.01,
+    bar_vwap: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bar footprint features (``comp_footprint_features``
     ``base.py:755-850``):
@@ -74,6 +78,11 @@ def footprint_features(
         "run_len", F.when(F.col("imb_sgn") != 0, F.row_number().over(wg)).otherwise(0)
     )
 
+    if bar_vwap is not None:
+        df = df.join(bar_vwap.select(key, "bar_vwap"), key)
+    else:
+        df = df.withColumn("bar_vwap", F.lit(None).cast("double"))
+
     price = F.col("level") * F.lit(tick)
     return df.groupBy(key).agg(
         F.count("*").cast("long").alias("n_levels"),
@@ -85,6 +94,7 @@ def footprint_features(
         F.sum("vol").alias("_v1"),
         F.sum(price * F.col("vol")).alias("_pv"),
         F.sum(price * price * F.col("vol")).alias("_ppv"),
+        F.sum((price - F.col("bar_vwap")) * F.col("vol")).alias("_skew_num"),
     ).select(
         key,
         "n_levels",
@@ -92,9 +102,10 @@ def footprint_features(
         "sell_imb_sum",
         "max_imb_run",
         "cot_level",
-        # vp_skew = Σ(p−vwap)v/Σv = (Σp·v − vwap·Σv)/Σv with vwap=Σpv/Σv -> 0;
-        # the reference skews around the *bar trade vwap*; with level-vwap it
-        # degenerates, so expose second central moment instead:
+        # vp_skew = Σ(p−bar_vwap)·v/Σv around the bar's TRADE vwap
+        # (base.py:838-843); NULL when no bar_vwap table was supplied
+        # (around the level-vwap it would degenerate to 0)
+        (F.col("_skew_num") / F.col("_v1")).alias("vp_skew"),
         ((F.col("_ppv") / F.col("_v1")) - F.pow(F.col("_pv") / F.col("_v1"), 2)).alias("vp_var"),
         (F.lit(1.0) - F.col("_v2") / (F.col("_v1") * F.col("_v1"))).alias("vp_gini"),
     )

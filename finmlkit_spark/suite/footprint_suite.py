@@ -95,6 +95,10 @@ cot AS (
   SELECT bar_close_ns, level AS cot_level,
          row_number() OVER (PARTITION BY bar_close_ns ORDER BY vol DESC, level ASC) AS rk
   FROM rl
+),
+bv AS (
+  SELECT bar_close_ns, sum(price * qty) / sum(qty) AS bar_vwap
+  FROM lv GROUP BY bar_close_ns
 )
 SELECT r.bar_close_ns,
        count(*) AS n_levels,
@@ -102,19 +106,26 @@ SELECT r.bar_close_ns,
        CAST(sum(coalesce(sell_imb, 0)) AS BIGINT) AS sell_imb_sum,
        CAST(max(run_len) AS BIGINT) AS max_imb_run,
        any_value(c.cot_level) AS cot_level,
+       sum((r.level * 0.01 - b.bar_vwap) * vol) / sum(vol) AS vp_skew,
        sum(r.level * 0.01 * r.level * 0.01 * vol) / sum(vol)
          - pow(sum(r.level * 0.01 * vol) / sum(vol), 2) AS vp_var,
        1.0 - sum(vol * vol) / (sum(vol) * sum(vol)) AS vp_gini
-FROM rl r JOIN (SELECT bar_close_ns, cot_level FROM cot WHERE rk = 1) c USING (bar_close_ns)
+FROM rl r
+JOIN (SELECT bar_close_ns, cot_level FROM cot WHERE rk = 1) c USING (bar_close_ns)
+JOIN bv b USING (bar_close_ns)
 GROUP BY r.bar_close_ns""",
 )
 def footprint_features_q(spark, sf_dir):
     """Per-bar footprint features: diagonal imbalances, signed-run length,
-    COT level, 2nd-moment dispersion + gini (base.py:755-850; vp_skew
-    around the level-vwap degenerates to 0, so the dispersion is exposed
-    as vp_var — deviation documented)."""
-    fp = _fp_spark(spark, sf_dir)
-    return FP.footprint_features(fp, imb_mult=IMB_MULT, tick=0.01)
+    COT level, vp_skew around the bar's TRADE vwap (base.py:838-843),
+    2nd-moment dispersion, gini (base.py:755-850)."""
+    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+    tr = B.with_time_bar(tr, BAR5_NS)
+    fp = FP.footprint_long(tr, tick=0.01)
+    bv = tr.groupBy("bar_close_ns").agg(
+        (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("bar_vwap")
+    )
+    return FP.footprint_features(fp, imb_mult=IMB_MULT, tick=0.01, bar_vwap=bv)
 
 
 @query(
