@@ -171,9 +171,12 @@ def bar_directional_features(df: DataFrame, key: str = "bar_close_ns", by: str |
     """Directional flow features (``base.py:409-546``).
 
     Conditional aggregations for buy/sell tick/volume/dollar splits;
-    spread = |Δprice| on side flips averaged per bar; path extrema of the
-    running signed imbalances via an intra-bar cumulative window followed
-    by min/max in the same groupBy (one shuffle total).
+    spread = |Δprice| on side flips (pairs may straddle the bar boundary
+    exactly as the reference's loop does — ``prev_tick_sign`` seeds from
+    the prior bar's last trade, ``base.py:487-498``); mean_spread =
+    Σ flip spreads / TOTAL ticks in the bar (``base.py:536``), 0 when no
+    flips; path extrema of the running signed imbalances via an
+    intra-bar cumulative window + min/max in the same groupBy.
 
     Requires columns: ts_ns, trade_id, price, qty, side.
     """
@@ -204,8 +207,10 @@ def bar_directional_features(df: DataFrame, key: str = "bar_close_ns", by: str |
         F.sum(is_sell * F.col("qty")).alias("volume_sell"),
         F.sum(is_buy * F.col("qty") * F.col("price")).alias("dollars_buy"),
         F.sum(is_sell * F.col("qty") * F.col("price")).alias("dollars_sell"),
-        F.avg("_flip_spread").alias("mean_spread"),
-        F.max("_flip_spread").alias("max_spread"),
+        (
+            F.coalesce(F.sum("_flip_spread"), F.lit(0.0)) / F.count("*")
+        ).alias("mean_spread"),
+        F.coalesce(F.max("_flip_spread"), F.lit(0.0)).alias("max_spread"),
         F.min("_cum_ticks").alias("cum_ticks_min"),
         F.max("_cum_ticks").alias("cum_ticks_max"),
         F.min("_cum_vol").alias("cum_volume_min"),

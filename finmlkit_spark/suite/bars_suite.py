@@ -231,8 +231,8 @@ SELECT bar_close_ns,
        sum(CASE WHEN side = -1 THEN qty ELSE 0.0 END) AS volume_sell,
        sum(CASE WHEN side = 1 THEN qty * price ELSE 0.0 END) AS dollars_buy,
        sum(CASE WHEN side = -1 THEN qty * price ELSE 0.0 END) AS dollars_sell,
-       avg(flip_spread) AS mean_spread,
-       max(flip_spread) AS max_spread,
+       coalesce(sum(flip_spread), 0.0) / count(*) AS mean_spread,
+       coalesce(max(flip_spread), 0.0) AS max_spread,
        min(cum_ticks) AS cum_ticks_min,
        max(cum_ticks) AS cum_ticks_max,
        min(cum_vol) AS cum_volume_min,
