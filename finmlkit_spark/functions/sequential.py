@@ -239,12 +239,14 @@ def cusum_filter_np(r: np.ndarray, threshold: float | np.ndarray) -> np.ndarray:
             continue
         sp = max(0.0, sp + r[i])
         sn = min(0.0, sn + r[i])
-        if sp >= thr[i]:
-            out[i] = 1
-            sp = 0.0
-        elif sn <= -thr[i]:
+        # reference order/strictness (filters.py:48-55): negative side
+        # first, strict comparisons (both can never trigger in one step)
+        if sn < -thr[i]:
             out[i] = 1
             sn = 0.0
+        elif sp > thr[i]:
+            out[i] = 1
+            sp = 0.0
     return out
 
 

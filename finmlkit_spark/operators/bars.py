@@ -161,9 +161,9 @@ def fill_empty_bars(bars: DataFrame, interval_ns: int, key: str = "bar_close_ns"
         F.coalesce("low", prev_close).alias("low"),
         F.coalesce("close", prev_close).alias("close"),
         F.coalesce("volume", F.lit(0.0)).alias("volume"),
-        F.col("vwap"),
+        F.coalesce("vwap", F.lit(0.0)).alias("vwap"),
         F.coalesce("trades", F.lit(0)).alias("trades"),
-        "median_trade_size",
+        F.coalesce("median_trade_size", F.lit(0.0)).alias("median_trade_size"),
     )
 
 

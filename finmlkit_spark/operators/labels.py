@@ -75,10 +75,21 @@ def triple_barrier(
     dn_first = F.col("dn_ts").isNotNull() & (
         F.col("up_ts").isNull() | (F.col("dn_ts") < F.col("up_ts"))
     )
+    touch_ret_expr = (
+        F.when(up_first, F.col("up_ret"))
+        .when(dn_first, F.col("dn_ret"))
+        .otherwise(F.col("last_ret"))
+    )
     return agg.select(
         "event_id",
         "event_ts_ns",
         F.when(up_first, 1).when(dn_first, -1).otherwise(0).alias("label"),
+        # reference labeling (tbm.py:118-121): sign of the terminal return
+        # (vertical touches get the sign of the return at t1; 0 -> +1)
+        F.when(F.signum(touch_ret_expr) != 0, F.signum(touch_ret_expr))
+        .otherwise(F.lit(1.0))
+        .cast("int")
+        .alias("label_sign"),
         F.when(up_first, F.col("up_ts"))
         .when(dn_first, F.col("dn_ts"))
         .otherwise(F.col("last_ts"))

@@ -121,12 +121,13 @@ def streaming_cusum_filter(stream: DataFrame, threshold: float) -> DataFrame:
                     r = math.log(price / last)
                     sp = max(0.0, sp + r)
                     sn = min(0.0, sn + r)
-                    if sp >= threshold:
-                        rows.append((key[0], int(ts), 1))
-                        sp = 0.0
-                    elif sn <= -threshold:
+                    # reference order/strictness (filters.py:48-55)
+                    if sn < -threshold:
                         rows.append((key[0], int(ts), 1))
                         sn = 0.0
+                    elif sp > threshold:
+                        rows.append((key[0], int(ts), 1))
+                        sp = 0.0
                 last = price
         state.update((sp, sn, last))
         yield pd.DataFrame(rows, columns=["symbol", "ts", "flag"])

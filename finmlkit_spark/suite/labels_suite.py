@@ -53,6 +53,13 @@ lab AS (
          CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN 1
               WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN -1
               ELSE 0 END AS label,
+         CAST(CASE WHEN sign(CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
+                        WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
+                        ELSE last_ret END) <> 0
+              THEN sign(CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
+                        WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
+                        ELSE last_ret END)
+              ELSE 1 END AS INT) AS label_sign,
          CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ts
               WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ts
               ELSE last_ts END AS touch_ts_ns,
@@ -121,7 +128,7 @@ def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.concurrency(spans, tr), tr, spans
 
 
-@query("tbm_labels", _LAB + "SELECT event_id, event_ts_ns, label, touch_ts_ns, touch_ret, barrier_ratio FROM lab")
+@query("tbm_labels", _LAB + "SELECT event_id, event_ts_ns, label, label_sign, touch_ts_ns, touch_ret, barrier_ratio FROM lab")
 def tbm_labels(spark, sf_dir):
     """Triple Barrier labels via bucketed range join (tbm.py:11-158)."""
     return _labels(spark, sf_dir)

@@ -342,12 +342,12 @@ CUSUM_H = 1.0
   FROM b WHERE brn = 1
   UNION ALL
   SELECT nb.brn, nb.bar_close_ns, nb.r,
-         CASE WHEN greatest(0, rec.sp + nb.r) >= {CUSUM_H}
-                OR least(0, rec.sn + nb.r) <= -{CUSUM_H} THEN 1 ELSE 0 END,
-         CASE WHEN greatest(0, rec.sp + nb.r) >= {CUSUM_H} THEN 0.0
+         CASE WHEN least(0, rec.sn + nb.r) < -{CUSUM_H}
+                OR greatest(0, rec.sp + nb.r) > {CUSUM_H} THEN 1 ELSE 0 END,
+         CASE WHEN least(0, rec.sn + nb.r) < -{CUSUM_H} THEN greatest(0, rec.sp + nb.r)
+              WHEN greatest(0, rec.sp + nb.r) > {CUSUM_H} THEN 0.0
               ELSE greatest(0, rec.sp + nb.r) END,
-         CASE WHEN greatest(0, rec.sp + nb.r) >= {CUSUM_H} THEN least(0, rec.sn + nb.r)
-              WHEN least(0, rec.sn + nb.r) <= -{CUSUM_H} THEN 0.0
+         CASE WHEN least(0, rec.sn + nb.r) < -{CUSUM_H} THEN 0.0
               ELSE least(0, rec.sn + nb.r) END
   FROM rec JOIN b nb ON nb.brn = rec.brn + 1
 )
