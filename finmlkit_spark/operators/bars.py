@@ -229,8 +229,10 @@ def bar_trade_size_features(
 ) -> DataFrame:
     """Trade-size distribution features (``base.py:549-612``).
 
-    mean_size_rel = log1p(mean qty / θ), size_95_rel = log1p(p95 / θ),
-    pct_block = Σ qty·[qty > block_mult·θ] / Σ qty,
+    thr = block_mult·θ (the block threshold) normalizes EVERY feature —
+    the reference divides mean and p95 by thr, not bare θ
+    (``base.py:584-586``): mean_size_rel = log1p(mean qty / thr),
+    size_95_rel = log1p(p95 / thr), pct_block = Σ qty·[qty > thr] / Σ qty,
     size_gini = 1 − Σ (qtyᵢ/Σqty)² computed as Σqty² / (Σqty)² — a single
     pass instead of the reference's two-pass normalized loop.
     """
@@ -238,8 +240,8 @@ def bar_trade_size_features(
     thr = block_mult * theta
     keys = ([by] if by else []) + [key]
     return df.groupBy(*keys).agg(
-        F.log1p(F.avg("qty") / F.lit(theta)).alias("mean_size_rel"),
-        F.log1p(F.percentile("qty", F.lit(0.95)) / F.lit(theta)).alias("size_95_rel"),
+        F.log1p(F.avg("qty") / F.lit(thr)).alias("mean_size_rel"),
+        F.log1p(F.percentile("qty", F.lit(0.95)) / F.lit(thr)).alias("size_95_rel"),
         (
             F.sum(F.when(F.col("qty") > thr, F.col("qty")).otherwise(0.0)) / F.sum("qty")
         ).alias("pct_block"),

@@ -47,12 +47,16 @@ def footprint_features(
     - diagonal imbalance flags: sell[l] > m·buy[l+1] (sell imbalance),
       buy[l] > m·sell[l−1] (buy imbalance) — lag/lead over the level
       window within the bar (``base.py:795-798``);
-    - buy/sell imbalance counts; longest signed imbalance run
+    - buy/sell imbalance counts; SIGNED longest imbalance run — buy
+      priority on dual-imbalance levels, first maximal run wins ties
       (gaps-and-islands over levels, ``base.py:800-822``);
     - COT level = argmax total volume, lowest level on ties
       (``base.py:828-830``);
-    - vp_skew = Σ(price−vwap)·vol/Σvol, vp_gini = 1−Σ(vol/Σvol)²
-      (``base.py:838-848``).
+    - vp_skew: the reference computes Σ(level−level_vwap)·vol/Σvol, which
+      is IDENTICALLY ZERO (deviation around its own weighted mean,
+      ``base.py:838-843``); we fix the semantics by skewing around the
+      bar's TRADE vwap (pass ``bar_vwap``); vp_gini = 1−Σ(vol/Σvol)²
+      (``base.py:845-848``).
     """
     wl = Window.partitionBy(key).orderBy("level")
     vol = F.col("buy_vol") + F.col("sell_vol")
@@ -64,10 +68,11 @@ def footprint_features(
         "buy_imb",
         (F.col("buy_vol") > imb_mult * F.lag("sell_vol").over(wl)).cast("int"),
     )
-    # signed imbalance state per level: +1 buy-imb, -1 sell-imb, else 0
+    # signed imbalance state per level: buy checked FIRST (a level with
+    # both imbalances counts as buy, reference base.py:800-805)
     sgn = (
-        F.when((F.col("buy_imb") == 1) & (F.col("sell_imb") != 1), 1)
-        .when((F.col("sell_imb") == 1) & (F.col("buy_imb") != 1), -1)
+        F.when(F.col("buy_imb") == 1, 1)
+        .when(F.col("sell_imb") == 1, -1)
         .otherwise(0)
     )
     df = df.withColumn("imb_sgn", sgn)
@@ -88,7 +93,13 @@ def footprint_features(
         F.count("*").cast("long").alias("n_levels"),
         F.sum(F.coalesce("buy_imb", F.lit(0))).cast("long").alias("buy_imb_sum"),
         F.sum(F.coalesce("sell_imb", F.lit(0))).cast("long").alias("sell_imb_sum"),
-        F.max("run_len").cast("long").alias("max_imb_run"),
+        # SIGNED longest run (reference base.py:806-822): first run (in
+        # level order) reaching the max length wins ties -> min_by on
+        # (-run_len, level), signed by the run direction
+        F.min_by(
+            F.col("run_len") * F.col("imb_sgn"),
+            F.struct((-F.col("run_len")).alias("nr"), F.col("level")),
+        ).cast("long").alias("max_imb_run"),
         F.min_by("level", F.struct((-F.col("vol")).alias("nv"), F.col("level"))).alias("cot_level"),
         F.sum(F.col("vol") * F.col("vol")).alias("_v2"),
         F.sum("vol").alias("_v1"),

@@ -68,8 +68,8 @@ im AS (
 ),
 sg AS (
   SELECT *,
-         CASE WHEN buy_imb = 1 AND sell_imb <> 1 THEN 1
-              WHEN sell_imb = 1 AND buy_imb <> 1 THEN -1
+         CASE WHEN buy_imb = 1 THEN 1
+              WHEN sell_imb = 1 THEN -1
               ELSE 0 END AS imb_sgn
   FROM im
 ),
@@ -104,7 +104,7 @@ SELECT r.bar_close_ns,
        count(*) AS n_levels,
        CAST(sum(coalesce(buy_imb, 0)) AS BIGINT) AS buy_imb_sum,
        CAST(sum(coalesce(sell_imb, 0)) AS BIGINT) AS sell_imb_sum,
-       CAST(max(run_len) AS BIGINT) AS max_imb_run,
+       CAST(arg_min(run_len * imb_sgn, (0 - run_len) * 1000000 + level) AS BIGINT) AS max_imb_run,
        any_value(c.cot_level) AS cot_level,
        sum((r.level * 0.01 - b.bar_vwap) * vol) / sum(vol) AS vp_skew,
        sum(r.level * 0.01 * r.level * 0.01 * vol) / sum(vol)
