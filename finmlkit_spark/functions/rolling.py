@@ -256,7 +256,8 @@ def with_dir_run_len(df, r: str, order_cols: list[str], part_cols: list[str] | N
 def time_cues(ts) -> dict[str, Column]:
     """sin/cos time-of-day & day-of-week, session flags (core/time.py:5-62).
 
-    ts is long ns UTC. Sessions: Asia 00-08, EU 07-16, US 13-22 UTC.
+    ts is long ns UTC. Sessions (reference hours): Asia 00-08, EU 07-15,
+    US 13-21; session_transition = top minute of hours 0/7/13.
     """
     sec_of_day = (F.col(ts) / F.lit(1_000_000_000)).cast("long") % 86400
     frac = sec_of_day.cast("double") / 86400.0
@@ -270,8 +271,11 @@ def time_cues(ts) -> dict[str, Column]:
         "dow_sin": F.sin(2 * math.pi * dow / 7.0),
         "dow_cos": F.cos(2 * math.pi * dow / 7.0),
         "asia_session": ((hour >= 0) & (hour < 8)).cast("int"),
-        "eu_session": ((hour >= 7) & (hour < 16)).cast("int"),
-        "us_session": ((hour >= 13) & (hour < 22)).cast("int"),
+        "eu_session": ((hour >= 7) & (hour < 15)).cast("int"),
+        "us_session": ((hour >= 13) & (hour < 21)).cast("int"),
+        "session_transition": (
+            hour.isin(0, 7, 13) & (sec_of_day % 3600 < 60)
+        ).cast("int"),
         "top_of_hour": (sec_of_day % 3600 < 60).cast("int"),
     }
 

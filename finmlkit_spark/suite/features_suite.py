@@ -502,8 +502,10 @@ def feat_dir_run_len(spark, sf_dir):
        sin(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0) AS dow_sin,
        cos(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0) AS dow_cos,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 < 8 AS INT) AS asia_session,
-       CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 7 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 16 AS INT) AS eu_session,
-       CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 13 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 22 AS INT) AS us_session,
+       CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 7 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 15 AS INT) AS eu_session,
+       CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 13 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 21 AS INT) AS us_session,
+       CAST(((bar_close_ns // 1000000000) % 86400) // 3600 IN (0, 7, 13)
+            AND (bar_close_ns // 1000000000) % 3600 < 60 AS INT) AS session_transition,
        CAST((bar_close_ns // 1000000000) % 3600 < 60 AS INT) AS top_of_hour
 FROM b""",
 )
