@@ -188,7 +188,13 @@ def atr_ema(high: np.ndarray, low: np.ndarray, close: np.ndarray, n: int) -> np.
     out = np.full(len(close), np.nan)
     if len(close) <= n:
         return out
-    a = np.mean(tr[1 : n + 1])
+    # Sequential-order seed sum (not np.mean): np.mean's unrolled/pairwise
+    # accumulation rounds differently from a left-to-right fold, and the
+    # DuckDB recursive-CTE oracle replays the fold — keep both bit-identical.
+    a = 0.0
+    for i in range(1, n + 1):
+        a = a + tr[i]
+    a = a / n
     out[n] = a
     for i in range(n + 1, len(close)):
         a = ((n - 1) * a + tr[i]) / n

@@ -497,10 +497,10 @@ def feat_dir_run_len(spark, sf_dir):
     "feat_time_cues",
     _B
     + """SELECT bar_close_ns,
-       sin(2 * pi() * ((bar_close_ns // 1000000000) % 86400) / 86400.0) AS tod_sin,
-       cos(2 * pi() * ((bar_close_ns // 1000000000) % 86400) / 86400.0) AS tod_cos,
-       sin(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0) AS dow_sin,
-       cos(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0) AS dow_cos,
+       round(sin(2 * pi() * ((bar_close_ns // 1000000000) % 86400) / 86400.0), 6) AS tod_sin,
+       round(cos(2 * pi() * ((bar_close_ns // 1000000000) % 86400) / 86400.0), 6) AS tod_cos,
+       round(sin(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0), 6) AS dow_sin,
+       round(cos(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0), 6) AS dow_cos,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 < 8 AS INT) AS asia_session,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 7 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 15 AS INT) AS eu_session,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 13 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 21 AS INT) AS us_session,
@@ -510,10 +510,17 @@ def feat_dir_run_len(spark, sf_dir):
 FROM b""",
 )
 def feat_time_cues(spark, sf_dir):
-    """TimeCues: cyclic time-of-day/day-of-week + session flags (core/time.py:5-62)."""
+    """TimeCues: cyclic time-of-day/day-of-week + session flags (core/time.py:5-62).
+
+    The four trig columns are rounded to 6 decimals on BOTH engines: JVM
+    Math.sin/cos and DuckDB libm differ in the last ulp, which fails a
+    bit-exact hash even though values agree to ~1e-15.
+    """
     cues = R.time_cues("bar_close_ns")
+    trig = {"tod_sin", "tod_cos", "dow_sin", "dow_cos"}
     return bars_1m(spark, sf_dir).select(
-        "bar_close_ns", *[c.alias(k) for k, c in cues.items()]
+        "bar_close_ns",
+        *[(F.round(c, 6) if k in trig else c).alias(k) for k, c in cues.items()],
     )
 
 

@@ -223,7 +223,7 @@ def seq_rsi_wilder(spark, sf_dir):
 
 @query(
     "seq_atr_ema",
-    _B
+    _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""
 , trq AS (
   SELECT bar_close_ns, brn,
@@ -232,30 +232,39 @@ def seq_rsi_wilder(spark, sf_dir):
                   abs(low - lag(close) OVER (ORDER BY bar_close_ns))) AS tr
   FROM b
 ),
-lt AS (
-  SELECT bar_close_ns, brn,
-         list(tr) OVER (ORDER BY bar_close_ns ROWS BETWEEN {KW - 1} PRECEDING AND CURRENT ROW) AS l
-  FROM trq
+rec AS (
+  SELECT brn, bar_close_ns, CAST(0.0 AS DOUBLE) AS acc, CAST(NULL AS DOUBLE) AS atr
+  FROM trq WHERE brn = 1
+  UNION ALL
+  SELECT nb.brn, nb.bar_close_ns,
+         CASE WHEN nb.brn <= {N_W + 1} THEN rec.acc + nb.tr ELSE rec.acc END,
+         CASE WHEN nb.brn = {N_W + 1} THEN (rec.acc + nb.tr) / {N_W}
+              WHEN nb.brn > {N_W + 1} THEN (({N_W} - 1) * rec.atr + nb.tr) / {N_W}
+         END
+  FROM rec JOIN trq nb ON nb.brn = rec.brn + 1
 )
-SELECT bar_close_ns,
-       list_sum(list_transform(l, (x, i) -> x * pow({WD}, len(l) - i))) / {N_W} AS atr_ema_14
-FROM lt WHERE brn > {MIN_BRN}""",
+SELECT bar_close_ns, atr AS atr_ema_14 FROM rec WHERE atr IS NOT NULL""",
 )
 def seq_atr_ema(spark, sf_dir):
-    """Wilder EMA ATR(14) (core/volatility.py:352-437)."""
-    bars = bars_1m(spark, sf_dir)
+    """Wilder EMA ATR(14) on hourly bars (core/volatility.py:352-437).
+
+    Exact recursive-CTE replay oracle: the SMA seed is accumulated as a
+    left-to-right fold inside the recursion and the kernel folds in the
+    same order, so both engines emit bit-identical doubles (the round-1
+    truncated-convolution oracle's tail exceeded the driver's hash
+    precision)."""
+    bars = bars_1h(spark, sf_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
                 "bar_close_ns": pdf["bar_close_ns"],
-                "brn": pdf["brn"],
                 "atr_ema_14": S.atr_ema(
                     pdf["high"].to_numpy(), pdf["low"].to_numpy(), pdf["close"].to_numpy(), N_W
                 ),
             }
         )
-        return out[out["brn"] > MIN_BRN][["bar_close_ns", "atr_ema_14"]]
+        return out[out["atr_ema_14"].notna()][["bar_close_ns", "atr_ema_14"]]
 
     return S.apply_sequential(bars, kernel, "bar_close_ns long, atr_ema_14 double", order=("bar_close_ns",))
 
