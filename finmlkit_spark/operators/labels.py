@@ -32,42 +32,99 @@ def triple_barrier(
     pt_mult: float = 1.0,
     sl_mult: float = 1.0,
     bucket_ns: int | None = None,
+    side_col: str | None = None,
+    min_close_ns: int = 0,
+    min_ret: float = 0.0,
 ) -> DataFrame:
     """Triple Barrier Method (reference ``tbm.py:11-158``).
 
-    ``events``: (event_ts_ns, entry_price, target) — target is the
-    log-return barrier half-width (e.g. a volatility estimate).
-    Walks the price path in (event_ts, event_ts + horizon]: label +1 if
-    the +pt_mult·target log-return barrier is touched first, −1 for the
-    −sl_mult·target barrier, 0 if neither before the vertical barrier.
+    ``events``: (event_id, event_ts_ns, entry_price, target[, side]) —
+    target is the log-return barrier half-width (e.g. a volatility
+    estimate). Walks the price path in (event_ts, event_ts + horizon]:
+    label +1 if the +pt_mult·target log-return barrier is touched first,
+    −1 for the −sl_mult·target barrier, 0 if neither before the vertical
+    barrier.
 
-    Returns per event: label, touch_ts_ns (first crossing or last trade
-    before the vertical barrier), touch_ret (log return at that point),
-    and barrier_ratio = max |ret|/barrier reached (the reference's
-    vertical-touch closeness weight, ``tbm.py:146-156``).
+    Reference-parity knobs (``tbm.py:19-21,34-36``):
+
+    - ``side_col``: meta-labeling. Returns are computed as
+      side·log(price/entry) (``tbm.py:103,116``) and ``label`` becomes
+      the {0,1} meta label: 1 iff the terminal return ≥ ``min_ret``
+      (``tbm.py:139-140``).
+    - ``min_close_ns``: minimum open time — path rows closer than this
+      to the event are skipped entirely (no touch, no ratio update, no
+      return; ``tbm.py:111-114``).
+    - ``barrier_ratio`` replicates ``max_rb_ratios`` (``tbm.py:146-156``):
+      exactly 1.0 when a horizontal barrier is touched before the
+      vertical index; on a vertical touch, max_urbr/(1+max_lrbr) for a
+      positive terminal return (max_lrbr/(1+max_urbr) otherwise), capped
+      at 1.0, where max_urbr/max_lrbr are the per-side maximum
+      return/barrier ratios accumulated up to the touch row; NULL when
+      the relevant barrier is disabled (inf/0 — ref emits NaN).
+
+    Tie-break deviation (documented): the reference walks rows in array
+    index order, so equal-timestamp trades are ordered; here the touch
+    row is resolved at timestamp granularity (all trades sharing the
+    first-touch timestamp count toward the ratio accumulators).
+
+    Per event the output is: label (±1/0, or {0,1} meta), label_sign
+    (sign of terminal return, 0→+1, ``tbm.py:141-143``), touch_ts_ns,
+    touch_ret, barrier_ratio.
     """
+    is_meta = side_col is not None
+    side = F.col(side_col) if is_meta else F.lit(1)
     ev = events.select(
         F.col("event_id"),
         F.col("event_ts_ns"),
         F.col("entry_price"),
         F.col("target"),
         (F.col("event_ts_ns") + F.lit(horizon_ns)).alias("vert_ts_ns"),
+        side.alias("side"),
     )
     j = range_join(
         ev, trades.select("ts_ns", "price"), "event_ts_ns", "vert_ts_ns", "ts_ns",
         bucket_ns=bucket_ns,
     )
-    r = F.log(F.col("price") / F.col("entry_price"))
+    r = F.col("side") * F.log(F.col("price") / F.col("entry_price"))
     up = F.col("target") * pt_mult
     dn = -F.col("target") * sl_mult
-    agg = j.groupBy("event_id", "event_ts_ns", "entry_price", "target", "vert_ts_ns").agg(
-        F.min(F.when(r >= up, F.col("ts_ns"))).alias("up_ts"),
-        F.min(F.when(r <= dn, F.col("ts_ns"))).alias("dn_ts"),
+    inf = float("inf")
+    up_valid = (F.abs(up) != inf) & (up != 0.0) & ~F.isnan(up)
+    dn_valid = (F.abs(dn) != inf) & (dn != 0.0) & ~F.isnan(dn)
+    el = (F.col("ts_ns") - F.col("event_ts_ns")) >= F.lit(min_close_ns)
+    hit = el & ((r >= up) | (r <= dn))
+    # Window pre-pass (partitioned by event — no global sort): the ratio
+    # accumulators only see rows up to the first touch (tbm.py:109-132
+    # breaks the walk), which needs the touch ts visible per row.
+    w = Window.partitionBy("event_id")
+    j = (
+        j.withColumn("_r", r)
+        .withColumn("_el", el)
+        .withColumn("_hit", hit)
+        .withColumn("_touch0", F.min(F.when(F.col("_hit"), F.col("ts_ns"))).over(w))
+        .withColumn("_t1", F.max("ts_ns").over(w))
+    )
+    rr = F.col("_r")
+    inc = F.col("_el") & (F.col("ts_ns") <= F.coalesce("_touch0", "_t1"))
+    agg = j.groupBy(
+        "event_id", "event_ts_ns", "entry_price", "target", "vert_ts_ns", "side"
+    ).agg(
+        F.min(F.when(F.col("_el") & (rr >= up), F.col("ts_ns"))).alias("up_ts"),
+        F.min(F.when(F.col("_el") & (rr <= dn), F.col("ts_ns"))).alias("dn_ts"),
         F.max("ts_ns").alias("last_ts"),
-        F.max_by(r, "ts_ns").alias("last_ret"),
-        F.min_by(r, F.when(r >= up, F.col("ts_ns"))).alias("up_ret"),
-        F.min_by(r, F.when(r <= dn, F.col("ts_ns"))).alias("dn_ret"),
-        F.max(F.abs(r)).alias("max_abs_ret"),
+        F.max_by(F.when(F.col("_el"), rr), F.when(F.col("_el"), F.col("ts_ns"))).alias(
+            "last_el_ret"
+        ),
+        F.min_by(rr, F.when(F.col("_el") & (rr >= up), F.col("ts_ns"))).alias("up_ret"),
+        F.min_by(rr, F.when(F.col("_el") & (rr <= dn), F.col("ts_ns"))).alias("dn_ret"),
+        F.coalesce(F.max(F.when(inc & (rr > 0) & up_valid, rr / up)), F.lit(0.0)).alias(
+            "max_urbr"
+        ),
+        F.coalesce(F.max(F.when(inc & (rr < 0) & dn_valid, rr / dn)), F.lit(0.0)).alias(
+            "max_lrbr"
+        ),
+        F.first(up_valid).alias("up_valid"),
+        F.first(dn_valid).alias("dn_valid"),
     )
     up_first = F.col("up_ts").isNotNull() & (
         F.col("dn_ts").isNull() | (F.col("up_ts") <= F.col("dn_ts"))
@@ -75,32 +132,52 @@ def triple_barrier(
     dn_first = F.col("dn_ts").isNotNull() & (
         F.col("up_ts").isNull() | (F.col("dn_ts") < F.col("up_ts"))
     )
+    touch_ts_expr = (
+        F.when(up_first, F.col("up_ts"))
+        .when(dn_first, F.col("dn_ts"))
+        .otherwise(F.col("last_ts"))
+    )
+    # terminal return: at the touch row, else the last *eligible* row,
+    # else 0.0 (ret initialized to 0, tbm.py:108)
     touch_ret_expr = (
         F.when(up_first, F.col("up_ret"))
         .when(dn_first, F.col("dn_ret"))
-        .otherwise(F.col("last_ret"))
+        .otherwise(F.coalesce(F.col("last_el_ret"), F.lit(0.0)))
+    )
+    # max_rb_ratios (tbm.py:146-156): vertical branch iff touch row == t1 row
+    ratio = F.when(
+        touch_ts_expr == F.col("last_ts"),
+        F.when(
+            touch_ret_expr > 0,
+            F.when(
+                F.col("up_valid"),
+                F.least(F.col("max_urbr") / (1.0 + F.col("max_lrbr")), F.lit(1.0)),
+            ),
+        ).otherwise(
+            F.when(
+                F.col("dn_valid"),
+                F.least(F.col("max_lrbr") / (1.0 + F.col("max_urbr")), F.lit(1.0)),
+            )
+        ),
+    ).otherwise(F.lit(1.0))
+    label = (
+        F.when(touch_ret_expr >= F.lit(min_ret), 1).otherwise(0)
+        if is_meta
+        else F.when(up_first, 1).when(dn_first, -1).otherwise(0)
     )
     return agg.select(
         "event_id",
         "event_ts_ns",
-        F.when(up_first, 1).when(dn_first, -1).otherwise(0).alias("label"),
-        # reference labeling (tbm.py:118-121): sign of the terminal return
+        label.alias("label"),
+        # reference labeling (tbm.py:141-143): sign of the terminal return
         # (vertical touches get the sign of the return at t1; 0 -> +1)
         F.when(F.signum(touch_ret_expr) != 0, F.signum(touch_ret_expr))
         .otherwise(F.lit(1.0))
         .cast("int")
         .alias("label_sign"),
-        F.when(up_first, F.col("up_ts"))
-        .when(dn_first, F.col("dn_ts"))
-        .otherwise(F.col("last_ts"))
-        .alias("touch_ts_ns"),
-        F.when(up_first, F.col("up_ret"))
-        .when(dn_first, F.col("dn_ret"))
-        .otherwise(F.col("last_ret"))
-        .alias("touch_ret"),
-        (F.col("max_abs_ret") / (F.col("target") * F.lit(max(pt_mult, sl_mult)))).alias(
-            "barrier_ratio"
-        ),
+        touch_ts_expr.alias("touch_ts_ns"),
+        touch_ret_expr.alias("touch_ret"),
+        ratio.alias("barrier_ratio"),
     )
 
 
@@ -156,9 +233,12 @@ def return_attribution(
         F.abs(F.sum(F.col("r") / F.col("c"))).alias("attribution")
     )
     if normalize:
-        n = out.count()
-        tot = out.agg(F.sum("attribution")).collect()[0][0]
-        out = out.withColumn("attribution", F.col("attribution") * F.lit(n / tot))
+        tot = out.agg(
+            (F.count(F.lit(1)).cast("double") / F.sum("attribution")).alias("_scale")
+        )
+        out = out.crossJoin(F.broadcast(tot)).withColumn(
+            "attribution", F.col("attribution") * F.col("_scale")
+        ).drop("_scale")
     return out
 
 

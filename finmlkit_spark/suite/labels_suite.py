@@ -37,6 +37,13 @@ j AS (
   FROM ev e JOIN trades t
     ON t.ts_ns > e.event_ts_ns AND t.ts_ns <= e.vert_ts_ns
 ),
+jw AS (
+  SELECT *,
+         min(CASE WHEN r >= target OR r <= -target THEN ts_ns END)
+             OVER (PARTITION BY event_id) AS touch0,
+         max(ts_ns) OVER (PARTITION BY event_id) AS t1_ts
+  FROM j
+),
 a AS (
   SELECT event_id, event_ts_ns, target,
          min(CASE WHEN r >= target THEN ts_ns END) AS up_ts,
@@ -45,8 +52,11 @@ a AS (
          arg_max(r, ts_ns) AS last_ret,
          arg_min(r, CASE WHEN r >= target THEN ts_ns END) AS up_ret,
          arg_min(r, CASE WHEN r <= -target THEN ts_ns END) AS dn_ret,
-         max(abs(r)) AS max_abs_ret
-  FROM j GROUP BY event_id, event_ts_ns, target
+         coalesce(max(CASE WHEN r > 0 AND ts_ns <= coalesce(touch0, t1_ts)
+                           THEN r / target END), 0.0) AS max_urbr,
+         coalesce(max(CASE WHEN r < 0 AND ts_ns <= coalesce(touch0, t1_ts)
+                           THEN r / (-target) END), 0.0) AS max_lrbr
+  FROM jw GROUP BY event_id, event_ts_ns, target
 ),
 lab AS (
   SELECT event_id, event_ts_ns,
@@ -55,18 +65,26 @@ lab AS (
               ELSE 0 END AS label,
          CAST(CASE WHEN sign(CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
                         WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
-                        ELSE last_ret END) <> 0
+                        ELSE coalesce(last_ret, 0.0) END) <> 0
               THEN sign(CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
                         WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
-                        ELSE last_ret END)
+                        ELSE coalesce(last_ret, 0.0) END)
               ELSE 1 END AS INT) AS label_sign,
          CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ts
               WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ts
               ELSE last_ts END AS touch_ts_ns,
          CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
               WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
-              ELSE last_ret END AS touch_ret,
-         max_abs_ret / target AS barrier_ratio
+              ELSE coalesce(last_ret, 0.0) END AS touch_ret,
+         CASE WHEN (CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ts
+                         WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ts
+                         ELSE last_ts END) = last_ts
+              THEN CASE WHEN (CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
+                                   WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
+                                   ELSE coalesce(last_ret, 0.0) END) > 0
+                        THEN least(max_urbr / (1 + max_lrbr), 1.0)
+                        ELSE least(max_lrbr / (1 + max_urbr), 1.0) END
+              ELSE 1.0 END AS barrier_ratio
   FROM a
 )
 """
@@ -132,6 +150,90 @@ def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tbm_labels(spark, sf_dir):
     """Triple Barrier labels via bucketed range join (tbm.py:11-158)."""
     return _labels(spark, sf_dir)
+
+
+TARGET_M = 0.02  # tighter barriers so the meta query mixes touch/vertical
+MINC_NS = 600_000_000_000  # 10 min minimum open time
+MIN_RET = 0.0005
+
+
+@query(
+    "tbm_meta",
+    _TRADES
+    + f""",
+ev2 AS (
+  SELECT trade_id AS event_id, ts_ns AS event_ts_ns, price AS entry_price,
+         {TARGET_M} AS target, ts_ns + {H_NS} AS vert_ts_ns,
+         CASE WHEN (trade_id // {EV_MOD}) % 2 = 0 THEN 1 ELSE -1 END AS side
+  FROM trades WHERE trade_id % {EV_MOD} = 0
+),
+j2 AS (
+  SELECT e.event_id, e.event_ts_ns, e.target, t.ts_ns,
+         e.side * ln(t.price / e.entry_price) AS r,
+         (t.ts_ns - e.event_ts_ns) >= {MINC_NS} AS el
+  FROM ev2 e JOIN trades t
+    ON t.ts_ns > e.event_ts_ns AND t.ts_ns <= e.vert_ts_ns
+),
+jw2 AS (
+  SELECT *,
+         min(CASE WHEN el AND (r >= target OR r <= -target) THEN ts_ns END)
+             OVER (PARTITION BY event_id) AS touch0,
+         max(ts_ns) OVER (PARTITION BY event_id) AS t1_ts
+  FROM j2
+),
+a2 AS (
+  SELECT event_id, event_ts_ns, target,
+         min(CASE WHEN el AND r >= target THEN ts_ns END) AS up_ts,
+         min(CASE WHEN el AND r <= -target THEN ts_ns END) AS dn_ts,
+         max(ts_ns) AS last_ts,
+         arg_max(CASE WHEN el THEN r END, CASE WHEN el THEN ts_ns END) AS last_el_ret,
+         arg_min(r, CASE WHEN el AND r >= target THEN ts_ns END) AS up_ret,
+         arg_min(r, CASE WHEN el AND r <= -target THEN ts_ns END) AS dn_ret,
+         coalesce(max(CASE WHEN el AND r > 0 AND ts_ns <= coalesce(touch0, t1_ts)
+                           THEN r / target END), 0.0) AS max_urbr,
+         coalesce(max(CASE WHEN el AND r < 0 AND ts_ns <= coalesce(touch0, t1_ts)
+                           THEN r / (-target) END), 0.0) AS max_lrbr
+  FROM jw2 GROUP BY event_id, event_ts_ns, target
+),
+m AS (
+  SELECT event_id, event_ts_ns, max_urbr, max_lrbr, last_ts,
+         CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ts
+              WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ts
+              ELSE last_ts END AS touch_ts_ns,
+         CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) THEN up_ret
+              WHEN dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) THEN dn_ret
+              ELSE coalesce(last_el_ret, 0.0) END AS touch_ret
+  FROM a2
+)
+SELECT event_id, event_ts_ns,
+       CASE WHEN touch_ret >= {MIN_RET} THEN 1 ELSE 0 END AS label,
+       CAST(CASE WHEN sign(touch_ret) <> 0 THEN sign(touch_ret) ELSE 1 END AS INT) AS label_sign,
+       touch_ts_ns, touch_ret,
+       CASE WHEN touch_ts_ns = last_ts
+            THEN CASE WHEN touch_ret > 0
+                      THEN least(max_urbr / (1 + max_lrbr), 1.0)
+                      ELSE least(max_lrbr / (1 + max_urbr), 1.0) END
+            ELSE 1.0 END AS barrier_ratio
+FROM m""",
+)
+def tbm_meta(spark, sf_dir):
+    """Meta-labeling Triple Barrier (tbm.py:19-21,34-36,139-140): a given
+    per-event side flips the return sign, labels become {0,1} vs min_ret,
+    and a 10-minute minimum open time gates the path walk."""
+    tr = events_to_trades(spark, sf_dir)
+    ev = tr.where(F.col("trade_id") % EV_MOD == 0).select(
+        F.col("trade_id").alias("event_id"),
+        F.col("ts_ns").alias("event_ts_ns"),
+        F.col("price").alias("entry_price"),
+        F.lit(TARGET_M).alias("target"),
+        F.when((F.col("trade_id") / EV_MOD).cast("long") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("side"),
+    )
+    return L.triple_barrier(
+        ev, tr, H_NS, bucket_ns=HOUR_NS,
+        side_col="side", min_close_ns=MINC_NS, min_ret=MIN_RET,
+    )
 
 
 @query("event_concurrency", _CONC + "SELECT ts_ns, c FROM conc")

@@ -1,0 +1,169 @@
+"""Triple-barrier reference-parity: the Spark range-join operator vs a
+pure-Python replay of the documented walk (reference tbm.py:11-158) on a
+synthetic series with unique timestamps (no tie ambiguity).
+
+Covers side meta-labeling, min_close_time gating, min_ret meta labels,
+and the max_rb_ratios semantics (1.0 on horizontal touch; damped
+max/(1+opposite), capped at 1.0, on vertical touch).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finmlkit_spark.operators import labels as L
+
+HOUR_NS = 3_600_000_000_000
+
+
+def replay(ts, close, ev_idx, targets, sides, pt, sl, vb_ns, minc_ns, min_ret, meta):
+    """Reference walk (tbm.py:77-156), written from the documented semantics."""
+    logc = np.log(close)
+    out = []
+    for k, i0 in enumerate(ev_idx):
+        tgt = targets[k]
+        up, dn = tgt * pt, -tgt * sl
+        t0 = ts[i0]
+        t1_idx = np.searchsorted(ts, t0 + vb_ns, side="right") - 1
+        if t1_idx <= i0:
+            continue
+        side = sides[k]
+        touch = t1_idx
+        mu = ml = 0.0
+        ret = 0.0
+        for j in range(i0 + 1, t1_idx + 1):
+            if ts[j] - t0 < minc_ns:
+                continue
+            ret = (logc[j] - logc[i0]) * side
+            if ret > 0.0:
+                mu = max(mu, ret / up)
+            elif ret < 0.0:
+                ml = max(ml, ret / dn)
+            if ret >= up or ret <= dn:
+                touch = j
+                break
+        if meta:
+            label = 1 if ret >= min_ret else 0
+        else:
+            s = np.sign(ret)
+            label = int(s) if s != 0 else 1
+        if touch == t1_idx:
+            ratio = min((mu / (1 + ml)) if ret > 0 else (ml / (1 + mu)), 1.0)
+        else:
+            ratio = 1.0
+        out.append((int(ev_idx[k]), int(ts[touch]), float(ret), label, float(ratio)))
+    return out
+
+
+@pytest.mark.parametrize("meta", [False, True])
+def test_tbm_matches_reference_replay(spark, meta):
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = (np.arange(n, dtype=np.int64) * 1_000_000_000) + rng.integers(
+        0, 500_000_000, n
+    )
+    ts = np.sort(ts)
+    assert len(np.unique(ts)) == n
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.004, n)))
+    ev_idx = np.arange(50, n - 400, 173)
+    targets = np.full(len(ev_idx), 0.06)  # ~sigma*sqrt(horizon): mixes branches
+    sides = np.where(ev_idx % 2 == 0, 1, -1) if meta else np.ones(len(ev_idx), int)
+    vb = 300 * 1_000_000_000  # ~300-row horizon
+    minc = 45 * 1_000_000_000  # skip the first ~45 rows of each path
+    min_ret = 0.001
+
+    trades = spark.createDataFrame(
+        [(int(t), float(c)) for t, c in zip(ts, close)], "ts_ns long, price double"
+    )
+    ev = spark.createDataFrame(
+        [
+            (int(i), int(ts[i]), float(close[i]), float(tg), int(sd))
+            for i, tg, sd in zip(ev_idx, targets, sides)
+        ],
+        "event_id long, event_ts_ns long, entry_price double, target double, side int",
+    )
+    got = (
+        L.triple_barrier(
+            ev,
+            trades,
+            vb,
+            pt_mult=1.0,
+            sl_mult=1.0,
+            bucket_ns=HOUR_NS,
+            side_col="side" if meta else None,
+            min_close_ns=minc,
+            min_ret=min_ret,
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    exp = replay(ts, close, ev_idx, targets, sides, 1.0, 1.0, vb, minc, min_ret, meta)
+    exp_by_ts = {ts[e[0]]: e for e in exp}
+    assert len(got) == len(exp)
+    n_touch = n_vert = 0
+    for row in got:
+        e = exp_by_ts[row["event_ts_ns"]]
+        assert row["touch_ts_ns"] == e[1], (row, e)
+        assert math.isclose(row["touch_ret"], e[2], rel_tol=0, abs_tol=1e-12), (row, e)
+        if meta:
+            assert row["label"] == e[3], (row, e)
+        else:
+            assert row["label_sign"] in (-1, 1)
+        assert math.isclose(row["barrier_ratio"], e[4], rel_tol=0, abs_tol=1e-12), (
+            row,
+            e,
+        )
+        if e[4] == 1.0 and row["touch_ts_ns"] != ts[
+            np.searchsorted(ts, row["event_ts_ns"] + vb, side="right") - 1
+        ]:
+            n_touch += 1
+        else:
+            n_vert += 1
+    # the synthetic path must exercise both branches for the test to mean anything
+    assert n_touch > 0 and n_vert > 0, (n_touch, n_vert)
+
+
+def test_tbm_min_close_blocks_early_touch(spark):
+    # price jumps over the barrier immediately; with min_close the early
+    # rows are skipped so the event cannot close before the gate
+    ts = np.arange(100, dtype=np.int64) * 1_000_000_000
+    price = np.full(100, 100.0)
+    price[1:] = 120.0  # instant +log(1.2) jump, way past target
+    trades = spark.createDataFrame(
+        [(int(t), float(p)) for t, p in zip(ts, price)], "ts_ns long, price double"
+    )
+    ev = spark.createDataFrame(
+        [(0, 0, 100.0, 0.05)],
+        "event_id long, event_ts_ns long, entry_price double, target double",
+    )
+    no_gate = L.triple_barrier(ev, trades, 50 * 1_000_000_000).collect()[0]
+    gated = L.triple_barrier(
+        ev, trades, 50 * 1_000_000_000, min_close_ns=10 * 1_000_000_000
+    ).collect()[0]
+    assert no_gate["touch_ts_ns"] == 1_000_000_000  # first row touches
+    assert gated["touch_ts_ns"] == 10 * 1_000_000_000  # first eligible row
+    assert no_gate["label"] == gated["label"] == 1
+    assert no_gate["barrier_ratio"] == gated["barrier_ratio"] == 1.0
+
+
+def test_tbm_vertical_ratio_damping(spark):
+    # path wanders up to 80% of the upper barrier and down to 40% of the
+    # lower, never touching: ratio = 0.8/(1+0.4), not 0.8
+    ts = np.arange(5, dtype=np.int64) * 1_000_000_000
+    tgt = 0.10
+    rets = [0.0, 0.04, -0.04, 0.08, 0.01]  # log-returns vs entry
+    price = [100.0 * math.exp(r) for r in rets]
+    trades = spark.createDataFrame(
+        [(int(t), float(p)) for t, p in zip(ts, price)], "ts_ns long, price double"
+    )
+    ev = spark.createDataFrame(
+        [(0, 0, 100.0, tgt)],
+        "event_id long, event_ts_ns long, entry_price double, target double",
+    )
+    row = L.triple_barrier(ev, trades, 10 * 1_000_000_000).collect()[0]
+    assert row["label"] == 0
+    assert math.isclose(row["barrier_ratio"], 0.8 / 1.4, rel_tol=1e-9)
