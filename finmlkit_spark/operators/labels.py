@@ -181,12 +181,20 @@ def triple_barrier(
     )
 
 
-def concurrency(spans: DataFrame, trades: DataFrame) -> DataFrame:
+def concurrency(
+    spans: DataFrame, trades: DataFrame, chunk_ns: int = 3_600_000_000_000
+) -> DataFrame:
     """c(t): number of open event spans at each trade ts (sweep line,
     reference ``weights.py:7-49``). ``spans``: (event_ts_ns, touch_ts_ns).
 
     Markers sort before trades at equal ts, so a span [s, e] is active for
     trades with s <= t <= e.
+
+    Scale: the running sum is an EXACT chunked two-pass prefix sum —
+    within-chunk cumsum under a ``Window.partitionBy(chunk)`` (parallel),
+    plus a broadcast of per-chunk totals cumulated over the tiny chunk
+    table. Integer deltas are associative, so this equals the global
+    ordered window without ever moving the trade stream to one partition.
     """
     markers = spans.select(
         F.col("event_ts_ns").alias("ts_ns"), F.lit(1).alias("delta")
@@ -194,9 +202,25 @@ def concurrency(spans: DataFrame, trades: DataFrame) -> DataFrame:
         spans.select((F.col("touch_ts_ns") + 1).alias("ts_ns"), F.lit(-1).alias("delta"))
     ).withColumn("prio", F.lit(0))
     tr = trades.select("ts_ns").withColumn("delta", F.lit(0)).withColumn("prio", F.lit(1))
-    u = markers.unionByName(tr)
-    w = Window.orderBy("ts_ns", "prio").rowsBetween(Window.unboundedPreceding, 0)
-    c = u.withColumn("c", F.sum("delta").over(w))
+    u = markers.unionByName(tr).withColumn(
+        "_chunk", F.floor(F.col("ts_ns") / F.lit(chunk_ns))
+    )
+    w_in = (
+        Window.partitionBy("_chunk")
+        .orderBy("ts_ns", "prio")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("_cum_in", F.sum("delta").over(w_in))
+    # per-chunk totals -> cumulative offset of all PRIOR chunks; the chunk
+    # table is tiny (one row per chunk), so its ordered window is free
+    tot = u.groupBy("_chunk").agg(F.sum("delta").alias("_tot"))
+    w_ch = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.withColumn("_off", F.coalesce(F.sum("_tot").over(w_ch), F.lit(0))).select(
+        "_chunk", "_off"
+    )
+    c = u.join(F.broadcast(off), "_chunk").withColumn(
+        "c", F.col("_off") + F.col("_cum_in")
+    )
     return c.where(F.col("prio") == 1).select("ts_ns", "c")
 
 
