@@ -280,6 +280,94 @@ def time_cues(ts) -> dict[str, Column]:
     }
 
 
+def fast_feature_stage(
+    df,
+    by: str | None = None,
+    order_col: str = "bar_close_ns",
+    close: str = "close",
+    high: str = "high",
+    low: str = "low",
+    volume: str = "volume",
+    n_ma: int = 20,
+    n_st: int = 14,
+    n_roc: int = 5,
+):
+    """Six core window features in O(1) amortized work per row via
+    running-sum differences (the scale path for wide frames).
+
+    The bounded-frame helpers above recompute their aggregate over the
+    whole frame for every row (O(frame)/row in Spark's WindowExec). Here
+    each sliding sum is ``cum − lag(cum, n)`` over unbounded-preceding
+    cumulative sums, which WindowExec maintains incrementally — O(1)/row
+    regardless of frame width. All window passes share one shuffle+sort
+    (identical partitioning/ordering), and min/max keep the bounded frame
+    (not invertible; comparisons are cheap).
+
+    Numerical note: variance uses the E[x²]−E[x]² power-sum form and the
+    sliding sums difference large cumulants, so absolute error grows as
+    cum·ε (~1e-16·Σx). Both are deliberate: the DuckDB oracle reproduces
+    the *identical* expressions, and the tested agreement with the exact
+    bounded-frame helpers is ≤1e-6 relative at realistic magnitudes.
+
+    Features (same semantics/warmup as the helpers): sma, z
+    (``zscore``), k (``stoch_k``), roc, vd (``vwap_distance``), bb
+    (``bollinger_percent_b``, k=2).
+    """
+    part = [by] if by else []
+    w = (
+        Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+    ).orderBy(order_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(close)
+    d1 = df.select(
+        *part,
+        order_col,
+        close,
+        F.row_number().over(w).alias("_rn"),
+        F.sum(x).over(wc).alias("_cs"),
+        F.sum(x * x).over(wc).alias("_cs2"),
+        F.sum(x * F.col(volume)).over(wc).alias("_cv"),
+        F.sum(volume).over(wc).alias("_vv"),
+        F.min(low).over(w.rowsBetween(-(n_st - 1), 0)).alias("_lo"),
+        F.max(high).over(w.rowsBetween(-(n_st - 1), 0)).alias("_hi"),
+    )
+    d2 = d1.select(
+        *part,
+        order_col,
+        close,
+        "_rn",
+        "_lo",
+        "_hi",
+        (F.col("_cs") - F.coalesce(F.lag("_cs", n_ma).over(w), F.lit(0.0))).alias("_s"),
+        (F.col("_cs2") - F.coalesce(F.lag("_cs2", n_ma).over(w), F.lit(0.0))).alias("_s2"),
+        (F.col("_cv") - F.coalesce(F.lag("_cv", n_ma).over(w), F.lit(0.0))).alias("_sv"),
+        (F.col("_vv") - F.coalesce(F.lag("_vv", n_ma).over(w), F.lit(0.0))).alias("_sw"),
+        F.lag(close, n_roc).over(w).alias("_base"),
+    )
+    full_ma = F.col("_rn") >= n_ma
+    full_st = F.col("_rn") >= n_st
+    mean = F.col("_s") / float(n_ma)
+    var = (F.col("_s2") - F.lit(float(n_ma)) * mean * mean) / float(n_ma - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    vw = F.col("_sv") / F.col("_sw")
+    return d2.select(
+        *part,
+        order_col,
+        F.when(full_ma, mean).alias("sma"),
+        F.when(full_ma & (std != 0), (F.col(close) - mean) / std).alias("z"),
+        F.when(
+            full_st & (F.col("_hi") != F.col("_lo")),
+            100.0 * (F.col(close) - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+        ).alias("k"),
+        ((F.col(close) - F.col("_base")) / F.col("_base") * 100.0).alias("roc"),
+        F.when(full_ma, F.col(close) / vw - 1).alias("vd"),
+        F.when(
+            full_ma & (std != 0),
+            (F.col(close) - (mean - 2.0 * std)) / (4.0 * std),
+        ).alias("bb"),
+    )
+
+
 def candle_shape(open_, high, low, close, vwap) -> dict[str, Column]:
     """Wick/body ratios + vwap drift (transforms.py:1273) — projections."""
     rng = F.col(high) - F.col(low)

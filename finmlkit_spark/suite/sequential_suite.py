@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import rolling as R
 from ..functions import sequential as S
 from ._registry import query
 from .features_suite import _B, bars_1m
@@ -408,6 +409,63 @@ def seq_volume_bars_exact(spark, sf_dir):
         return pd.DataFrame({"bar_close_ns": pdf["bar_close_ns"], "bar_id": ids})
 
     return S.apply_sequential(bars, kernel, "bar_close_ns long, bar_id long", order=("bar_close_ns",))
+
+
+@query(
+    "feat_fast_stage",
+    _BH
+    + """
+, c AS (
+  SELECT bar_close_ns, close, brn,
+         sum(close) OVER wc AS cs,
+         sum(close * close) OVER wc AS cs2,
+         sum(close * volume) OVER wc AS cv,
+         sum(volume) OVER wc AS vv,
+         min(low) OVER (ORDER BY bar_close_ns ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo,
+         max(high) OVER (ORDER BY bar_close_ns ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi
+  FROM b
+  WINDOW wc AS (ORDER BY bar_close_ns ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT bar_close_ns, close, brn, lo, hi,
+         cs - coalesce(lag(cs, 20) OVER wo, 0.0) AS s,
+         cs2 - coalesce(lag(cs2, 20) OVER wo, 0.0) AS s2,
+         cv - coalesce(lag(cv, 20) OVER wo, 0.0) AS sv,
+         vv - coalesce(lag(vv, 20) OVER wo, 0.0) AS sw,
+         lag(close, 5) OVER wo AS base
+  FROM c
+  WINDOW wo AS (ORDER BY bar_close_ns)
+),
+e AS (
+  SELECT bar_close_ns, close, brn, lo, hi, s, sv, sw, base,
+         s / 20.0 AS mean,
+         sqrt(greatest((s2 - 20.0 * (s / 20.0) * (s / 20.0)) / 19.0, 0.0)) AS std
+  FROM d
+)
+SELECT bar_close_ns,
+       round(CASE WHEN brn >= 20 THEN mean END, 4) AS sma,
+       round(CASE WHEN brn >= 20 AND std <> 0 THEN (close - mean) / std END, 4) AS z,
+       round(CASE WHEN brn >= 14 AND hi <> lo THEN 100.0 * (close - lo) / (hi - lo) END, 4) AS k,
+       round((close - base) / base * 100.0, 4) AS roc,
+       round(CASE WHEN brn >= 20 THEN close / (sv / sw) - 1 END, 4) AS vd,
+       round(CASE WHEN brn >= 20 AND std <> 0 THEN (close - (mean - 2.0 * std)) / (4.0 * std) END, 4) AS bb
+FROM e""",
+)
+def feat_fast_stage(spark, sf_dir):
+    """Prefix-sum sliding-aggregate feature stage (rolling.fast_feature_stage)
+    on hourly bars: six features in O(1)/row via cum − lag(cum, n).
+
+    Rounded to 4 decimals on BOTH engines: DuckDB evaluates cumulative
+    window sums in segment-tree order while Spark folds left-to-right, so
+    the cumulants differ at ~1e-15 relative; rounding removes the noise
+    while still checking 4-decimal agreement of every feature value.
+    """
+    bars = bars_1h(spark, sf_dir)
+    out = R.fast_feature_stage(bars, by=None, order_col="bar_close_ns")
+    return out.select(
+        "bar_close_ns",
+        *[F.round(F.col(c), 4).alias(c) for c in ["sma", "z", "k", "roc", "vd", "bb"]],
+    )
 
 
 CT_W = 100
