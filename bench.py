@@ -26,6 +26,7 @@ HEADLINE = [
     "seq_cusum_test",
     "minhash_lsh",
     "ann_topk",
+    "ann_ivf",
     "bars_resample_15m",
     "user_hourly_bars",
 ]

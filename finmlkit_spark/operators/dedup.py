@@ -127,27 +127,68 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup: explode distinct shingles, equi-join on
     the shingle (candidate pairs share >= 1 shingle), count intersections,
     Jaccard = |∩| / (|A|+|B|−|∩|). No LSH approximation — the full-recall
-    variant for moderate corpus sizes."""
+    variant for moderate corpus sizes.
+
+    ``max_doc_freq`` is the 100 TB knob: a shingle appearing in d docs
+    fans the self-join out to d² rows, so common boilerplate shingles
+    (stop-shingles) dominate the join at scale. With the cutoff set,
+    candidate generation only uses shingles whose document frequency is
+    <= max_doc_freq (bounding the join at |shingles|·max_doc_freq² rows),
+    and the Jaccard of every surviving pair is then computed EXACTLY from
+    the full shingle arrays. The only loss is pairs whose entire overlap
+    consists of above-cutoff shingles — for near-duplicates (high
+    Jaccard) such pairs require every shared shingle to be corpus-wide
+    boilerplate, which the threshold filter would likely reject anyway.
+    """
     d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
     d = d.withColumn("n_sh", F.size("sh"))
     e = d.select("doc", "n_sh", F.explode("sh").alias("g")).cache()
-    l = e.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
-    r = e.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
-    pairs = (
-        l.join(r, "g")
+    if max_doc_freq is None:
+        l = e.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
+        r = e.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+        pairs = (
+            l.join(r, "g")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
+        )
+    # bounded-fan-out path: candidates from below-cutoff shingles only,
+    # then exact verification on the full arrays (as in minhash_lsh_pairs)
+    rare = (
+        e.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("g")
+    )
+    er = e.join(rare, "g")
+    cand = (
+        er.select(F.col("doc").alias("doc_a"), "g")
+        .join(er.select(F.col("doc").alias("doc_b"), "g"), "g")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
-    )
+    cand = cand.join(
+        d.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(d.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return cand.select(
+        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
 
 
 def _bit(h: Column, i: Column) -> Column:
