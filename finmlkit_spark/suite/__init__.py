@@ -13,4 +13,90 @@ from . import multiuser_suite  # noqa: F401
 from . import analytics_suite  # noqa: F401
 from . import developing_suite  # noqa: F401
 
+# --- registration order = driver check order -------------------------------
+# The external driver verifies the FIRST 50 registered queries per round.
+# Round 1 left 48 of the first 50 green (CORRECTNESS_r01); round 2
+# front-loads everything that has no driver row yet — the two repaired
+# hash-fails, every previously-unchecked family (footprint, volume
+# profile, weights tail, plans API, io, text/dedup/ANN/multimodal,
+# multiuser, analytics), and the round's new queries — so every SURVEY §2
+# family accumulates driver-green evidence across rounds. Round-1-green
+# queries move behind position 50 (their evidence stands).
+_PRIORITY = [
+    # repaired round-1 hash-fails
+    "feat_time_cues",
+    "seq_atr_ema",
+    # new this round
+    "tbm_meta",
+    "feat_fast_stage",
+    # weights tail (r1 positions 50-51)
+    "time_decay",
+    "class_balance",
+    # §2.4 footprints / §2.6 volume profile
+    "footprint_long",
+    "footprint_features",
+    "vp_profile",
+    "vp_poc",
+    "vp_hva_lva",
+    "footprint_packed",
+    "vp_developing",
+    # LLM-pipeline tier: text / dedup / similarity / multimodal
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_fp",
+    "ann_topk",
+    "emb_lsh_pairs",
+    "ann_ivf",
+    "multimodal_meta",
+    "frame_offsets",
+    "corpus_report",
+    # io / storage surface
+    "bars_resample_15m",
+    "store_inspector",
+    "time_bars_filled",
+    # sequential tail + rows-only kernels
+    "seq_cusum_bars",
+    "seq_bar_duration_ewma",
+    "hurst_exponent",
+    "approx_entropy",
+    "imbalance_bars",
+    "run_bars",
+    # labels/weights remainder + events
+    "final_weights",
+    "zscore_peak_events",
+    # joins / plans API / pipeline
+    "asof_sigma",
+    "pipeline_1m_features",
+    "featurekit_build",
+    "sql_shared_dialect",
+    # multi-user partition-parallel shapes
+    "user_hourly_bars",
+    "user_trade_side",
+    "user_sessions",
+    "user_ewma",
+    "user_tbm_labels",
+    # analytics (TPC-H-shaped)
+    "pricing_summary",
+    "regional_revenue",
+    "priority_fill_rate",
+]
+
+
+def _reorder() -> None:
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    ordered.update({n: q for n, q in QUERIES.items() if n not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    o = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o)
+
+
+_reorder()
+
 __all__ = ["QUERIES", "ORACLES"]
