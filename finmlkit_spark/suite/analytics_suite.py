@@ -9,9 +9,10 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..functions import sequential as S
-from ..operators import preprocess as P
-from ..sources.trades import events_to_trades
+from ..operators import preprocess as P  # noqa: F401 (per-trade side path)
+from ..sources.trades import events_to_trades  # noqa: F401
 from ._registry import query
+from .sequential_suite import _BH
 
 
 @query(
@@ -123,36 +124,148 @@ def priority_fill_rate(spark, sf_dir):
 
 
 # --- beyond-reference information bars --------------------------------------
+#
+# Oracled on the hourly series (side = sign of the hourly return, size =
+# hourly volume): the EWMA-adaptive reset machines are replayed exactly
+# by recursive CTEs — recursion depth stays in the hundreds, and hourly
+# volumes are integer-valued doubles so the signed-flow state is exact on
+# both engines. The per-trade shape uses the identical kernels
+# (golden-tested in tests/test_io_and_kernels.py).
 
-@query("imbalance_bars")  # EWMA-adaptive reset state machine -> rows-only
+_IB_SPAN = 50.0
+_IB_ALPHA = 2.0 / (_IB_SPAN + 1.0)
+_IB_E0 = 200.0
+
+_IB_PREFIX = """
+, s AS MATERIALIZED (
+  SELECT brn, bar_close_ns, volume,
+         CASE WHEN coalesce(r, 0.0) >= 0 THEN 1.0 ELSE -1.0 END AS sd
+  FROM b
+)
+"""
+
+
+def _hourly_sided(spark, sf_dir):
+    from .sequential_suite import bars_1h
+
+    b = bars_1h(spark, sf_dir)
+    return b.select(
+        "bar_close_ns",
+        "volume",
+        F.when(F.coalesce(F.col("r"), F.lit(0.0)) >= 0, 1.0).otherwise(-1.0).alias("sd"),
+    )
+
+
+@query(
+    "imbalance_bars",
+    _BH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _IB_PREFIX
+    + f""",
+rec AS (
+  SELECT brn, bar_close_ns,
+         CAST(0 AS BIGINT) AS bar_id,
+         CASE WHEN abs(sd * volume) >= {_IB_E0!r} THEN 0.0 ELSE sd * volume END AS theta,
+         CASE WHEN abs(sd * volume) >= {_IB_E0!r}
+              THEN (1 - {_IB_ALPHA!r}) * {_IB_E0!r} + {_IB_ALPHA!r} * abs(sd * volume)
+              ELSE CAST({_IB_E0!r} AS DOUBLE) END AS expected,
+         CASE WHEN abs(sd * volume) >= {_IB_E0!r} THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS nxt_bar
+  FROM s WHERE brn = 1
+  UNION ALL
+  SELECT nb.brn, nb.bar_close_ns,
+         rec.nxt_bar,
+         CASE WHEN abs(rec.theta + nb.sd * nb.volume) >= rec.expected THEN 0.0
+              ELSE rec.theta + nb.sd * nb.volume END,
+         CASE WHEN abs(rec.theta + nb.sd * nb.volume) >= rec.expected
+              THEN (1 - {_IB_ALPHA!r}) * rec.expected + {_IB_ALPHA!r} * abs(rec.theta + nb.sd * nb.volume)
+              ELSE rec.expected END,
+         CASE WHEN abs(rec.theta + nb.sd * nb.volume) >= rec.expected
+              THEN rec.nxt_bar + 1 ELSE rec.nxt_bar END
+  FROM rec JOIN s nb ON nb.brn = rec.brn + 1
+)
+SELECT bar_close_ns, bar_id FROM rec""",
+)
 def imbalance_bars(spark, sf_dir):
     """Volume-imbalance bars (AFML §2.3.2.1; the reference declares but
-    does not implement, ``logic.py:224-241``) — per-stream kernel,
-    golden-tested in tests/test_io_and_kernels.py."""
-    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+    does not implement, ``logic.py:224-241``): close when |Σ signed
+    volume| exceeds the EWMA-adaptive expected imbalance. Exact
+    recursive-CTE oracle replays the reset machine."""
+    d = _hourly_sided(spark, sf_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = S.imbalance_bar_ids(
-            pdf["side"].to_numpy(), pdf["qty"].to_numpy(), ewma_span=50, init_expected=200.0
+            pdf["sd"].to_numpy(), pdf["volume"].to_numpy(),
+            ewma_span=_IB_SPAN, init_expected=_IB_E0,
         )
-        return pd.DataFrame({"ts_ns": pdf["ts_ns"], "trade_id": pdf["trade_id"], "bar_id": ids})
+        return pd.DataFrame({"bar_close_ns": pdf["bar_close_ns"], "bar_id": ids})
 
-    return S.apply_sequential(tr, kernel, "ts_ns long, trade_id long, bar_id long")
+    return S.apply_sequential(
+        d, kernel, "bar_close_ns long, bar_id long", order=("bar_close_ns",)
+    )
 
 
-@query("run_bars")  # EWMA-adaptive reset state machine -> rows-only
+@query(
+    "run_bars",
+    _BH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _IB_PREFIX
+    + f""",
+rec AS (
+  SELECT brn, bar_close_ns,
+         CAST(0 AS BIGINT) AS bar_id,
+         CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
+              THEN 0.0 ELSE CASE WHEN sd > 0 THEN volume ELSE 0.0 END END AS buy,
+         CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
+              THEN 0.0 ELSE CASE WHEN sd > 0 THEN 0.0 ELSE volume END END AS sell,
+         CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
+              THEN (1 - {_IB_ALPHA!r}) * {_IB_E0!r}
+                   + {_IB_ALPHA!r} * greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
+                                              CASE WHEN sd > 0 THEN 0.0 ELSE volume END)
+              ELSE CAST({_IB_E0!r} AS DOUBLE) END AS expected,
+         CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nxt_bar
+  FROM s WHERE brn = 1
+  UNION ALL
+  SELECT nb.brn, nb.bar_close_ns,
+         rec.nxt_bar,
+         CASE WHEN greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
+                            rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END) >= rec.expected
+              THEN 0.0 ELSE rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END END,
+         CASE WHEN greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
+                            rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END) >= rec.expected
+              THEN 0.0 ELSE rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END END,
+         CASE WHEN greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
+                            rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END) >= rec.expected
+              THEN (1 - {_IB_ALPHA!r}) * rec.expected
+                   + {_IB_ALPHA!r} * greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
+                                              rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END)
+              ELSE rec.expected END,
+         CASE WHEN greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
+                            rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END) >= rec.expected
+              THEN rec.nxt_bar + 1 ELSE rec.nxt_bar END
+  FROM rec JOIN s nb ON nb.brn = rec.brn + 1
+)
+SELECT bar_close_ns, bar_id FROM rec""",
+)
 def run_bars(spark, sf_dir):
     """Volume-run bars (AFML §2.3.2.2; reference ``logic.py:244-261``
-    NotImplementedError) — per-stream kernel with goldens."""
-    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+    NotImplementedError): close when the max one-sided cumulative volume
+    exceeds the EWMA-adaptive expected run. Exact recursive-CTE oracle."""
+    d = _hourly_sided(spark, sf_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = S.run_bar_ids(
-            pdf["side"].to_numpy(), pdf["qty"].to_numpy(), ewma_span=50, init_expected=200.0
+            pdf["sd"].to_numpy(), pdf["volume"].to_numpy(),
+            ewma_span=_IB_SPAN, init_expected=_IB_E0,
         )
-        return pd.DataFrame({"ts_ns": pdf["ts_ns"], "trade_id": pdf["trade_id"], "bar_id": ids})
+        return pd.DataFrame({"bar_close_ns": pdf["bar_close_ns"], "bar_id": ids})
 
-    return S.apply_sequential(tr, kernel, "ts_ns long, trade_id long, bar_id long")
+    return S.apply_sequential(
+        d, kernel, "bar_close_ns long, bar_id long", order=("bar_close_ns",)
+    )
 
 
 _SHARED_SQL = """

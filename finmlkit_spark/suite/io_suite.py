@@ -1,6 +1,6 @@
 """Storage-layer queries (SURVEY.md §2.1): bar re-aggregation (the
-materialized-table read path) + the store inspector, plus the weak-check
-CUSUM bar sampler (§2.3 parity)."""
+materialized-table read path) + the store inspector, plus the CUSUM bar
+sampler (§2.3 parity; exact recursive-CTE oracle on hourly bars)."""
 
 from __future__ import annotations
 
@@ -12,6 +12,7 @@ from ..sources import bars_io as IO
 from ..sources.trades import EVENTS_TRADES_CTE, events_to_trades
 from ._registry import query
 from .features_suite import _B, MIN_NS, bars_1m
+from .sequential_suite import _BH
 
 Q15_NS = 900_000_000_000
 
@@ -95,17 +96,79 @@ def store_inspector_q(spark, sf_dir):
     return IO.store_inspector(tr, "ts_ns")
 
 
-@query("seq_cusum_bars")  # adaptive-threshold state machine -> rows-only check
+_CB_HL_NS = 30 * 60_000_000_000
+_CB_LAM = __import__("math").log(2.0) / _CB_HL_NS
+_CB_MULT = 5.0
+_CB_FLOOR = 0.5
+
+
+@query(
+    "seq_cusum_bars",
+    _BH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, bm AS MATERIALIZED (SELECT brn, bar_close_ns, r FROM b),
+rec AS (
+  SELECT brn, bar_close_ns,
+         CAST(0 AS BIGINT) AS bar_id,
+         CAST(0.0 AS DOUBLE) AS v, CAST(0.0 AS DOUBLE) AS v2,
+         CAST(0.0 AS DOUBLE) AS sy, CAST(0.0 AS DOUBLE) AS syy,
+         CAST(NULL AS BIGINT) AS prev_t,
+         CAST({_CB_FLOOR!r} AS DOUBLE) AS last_sig,
+         CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+         CAST(0 AS BIGINT) AS nxt_bar
+  FROM bm WHERE brn = 1
+  UNION ALL
+  SELECT nb.brn, nb.bar_close_ns,
+         nb.out_bar AS bar_id,
+         nv, nv2, nsy, nsyy, nprev_t, nlast_sig, nsp2, nsn2, nbar
+  FROM (
+    SELECT nb.*,
+           CASE WHEN nb.r IS NULL THEN NULL
+                WHEN rec.prev_t IS NULL THEN 1.0
+                ELSE exp(-{_CB_LAM!r} * (nb.bar_close_ns - rec.prev_t)) END AS d,
+           CASE WHEN nb.r IS NULL THEN rec.v ELSE 1.0 + d * rec.v END AS nv,
+           CASE WHEN nb.r IS NULL THEN rec.v2 ELSE 1.0 + d * d * rec.v2 END AS nv2,
+           CASE WHEN nb.r IS NULL THEN rec.sy ELSE nb.r + d * rec.sy END AS nsy,
+           CASE WHEN nb.r IS NULL THEN rec.syy ELSE nb.r * nb.r + d * rec.syy END AS nsyy,
+           CASE WHEN nb.r IS NULL THEN rec.prev_t ELSE nb.bar_close_ns END AS nprev_t,
+           CASE WHEN nb.r IS NULL THEN NULL
+                WHEN nv * nv > nv2
+                THEN sqrt(greatest(nsyy / nv - (nsy / nv) * (nsy / nv), 0.0)
+                          * (nv * nv) / (nv * nv - nv2))
+                ELSE NULL END AS sigma,
+           coalesce(sigma, rec.last_sig) AS nlast_sig,
+           greatest({_CB_MULT!r} * nlast_sig, {_CB_FLOOR!r}) AS thr,
+           coalesce(nb.r, 0.0) AS x,
+           greatest(0.0, rec.sp + x) AS nsp,
+           least(0.0, rec.sn + x) AS nsn,
+           (nsp >= thr OR nsn <= -thr) AS trig,
+           CASE WHEN trig THEN 0.0 ELSE nsp END AS nsp2,
+           CASE WHEN trig THEN 0.0 ELSE nsn END AS nsn2,
+           CASE WHEN trig THEN rec.nxt_bar + 1 ELSE rec.nxt_bar END AS nbar,
+           rec.nxt_bar AS out_bar
+    FROM rec JOIN bm nb ON nb.brn = rec.brn + 1
+  ) nb
+)
+SELECT bar_close_ns, bar_id FROM rec""",
+)
 def seq_cusum_bars(spark, sf_dir):
     """CUSUM bar sampler with adaptive threshold max(mult·σ, floor)
-    (reference ``logic.py:152-221``); σ = time-decay EW std of 1m log
-    returns. Golden-tested in tests/test_sequential_kernels.py."""
-    bars = bars_1m(spark, sf_dir)
+    (reference ``logic.py:152-221``) on hourly bars; σ = time-decay EW
+    std of log returns (halflife 30 min).
+
+    The oracle is an exact WITH RECURSIVE replay carrying the full EWMST
+    state (V, V2, Sy, Syy, prev_t) plus the CUSUM machine (sp, sn,
+    last_sig, bar): exp/sqrt are bit-identical between glibc (Python
+    kernel) and DuckDB, and every arithmetic step is written in the same
+    order on both sides, so bar ids match exactly."""
+    from .sequential_suite import bars_1h
+
+    bars = bars_1h(spark, sf_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         r = pdf["r"].to_numpy()
-        sigma = S.ewmst(pdf["bar_close_ns"].to_numpy(), r, 30 * 60_000_000_000)
-        ids = S.cusum_bar_ids(r, sigma, mult=5.0, floor_thr=0.5)
+        sigma = S.ewmst(pdf["bar_close_ns"].to_numpy(), r, _CB_HL_NS)
+        ids = S.cusum_bar_ids(r, sigma, mult=_CB_MULT, floor_thr=_CB_FLOOR)
         return pd.DataFrame({"bar_close_ns": pdf["bar_close_ns"], "bar_id": ids})
 
     return S.apply_sequential(
