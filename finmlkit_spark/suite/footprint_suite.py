@@ -197,21 +197,108 @@ def vp_poc_q(spark, sf_dir):
     return VP.poc_features(prof)
 
 
-@query("vp_hva_lva")  # greedy order-dependent walk -> no SQL oracle (rows-only)
+_VP_PROF = f""",
+anchors AS (SELECT DISTINCT bar_close_ns AS anchor_ts FROM fp),
+j AS (
+  SELECT a.anchor_ts, f.level, f.buy_vol + f.sell_vol AS vol
+  FROM anchors a JOIN fp f
+    ON f.bar_close_ns > a.anchor_ts - {6 * HOUR_NS} AND f.bar_close_ns <= a.anchor_ts
+),
+bounds AS (
+  SELECT *, min(level) OVER (PARTITION BY anchor_ts) AS lo,
+            max(level) OVER (PARTITION BY anchor_ts) AS hi
+  FROM j
+),
+prof AS (
+  SELECT anchor_ts,
+         CAST(least(floor((level - lo) / greatest((hi - lo + 1) / 20.0, 1.0)), 19) AS BIGINT) AS bin,
+         sum(vol) AS vol
+  FROM bounds GROUP BY 1, 2
+)"""
+
+
+@query(
+    "vp_hva_lva",
+    _FPH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _VP_PROF
+    + """,
+agg AS (
+  SELECT anchor_ts,
+         list(vol ORDER BY bin) AS varr,
+         list(bin ORDER BY bin) AS barr,
+         sum(vol) AS total
+  FROM prof GROUP BY anchor_ts
+),
+pocx AS (
+  SELECT anchor_ts, bin AS poc_bin
+  FROM (SELECT anchor_ts, bin,
+               row_number() OVER (PARTITION BY anchor_ts ORDER BY vol DESC, bin ASC) AS rk
+        FROM prof)
+  WHERE rk = 1
+),
+rec AS (
+  SELECT a.anchor_ts, varr, barr, total,
+         CAST(list_position(barr, p.poc_bin) AS BIGINT) AS p,
+         CAST(list_position(barr, p.poc_bin) AS BIGINT) AS lo,
+         CAST(list_position(barr, p.poc_bin) AS BIGINT) AS hi,
+         varr[list_position(barr, p.poc_bin)] AS covered,
+         varr[list_position(barr, p.poc_bin)] >= 0.7 * total AS done
+  FROM agg a JOIN pocx p USING (anchor_ts)
+  UNION ALL
+  SELECT anchor_ts, varr, barr, total, p,
+         CAST(nlo AS BIGINT), CAST(nhi AS BIGINT), ncov, ndone
+  FROM (
+    SELECT anchor_ts, varr, barr, total, p, lo, hi, covered,
+           CASE WHEN hi < len(varr)
+                THEN varr[hi + 1] + CASE WHEN hi + 2 <= len(varr) THEN varr[hi + 2] ELSE 0.0 END
+                ELSE -1.0 END AS up2,
+           CASE WHEN lo > 1
+                THEN CASE WHEN lo > 2 THEN varr[lo - 2] + varr[lo - 1] ELSE varr[1] END
+                ELSE -1.0 END AS dn2,
+           (up2 < 0 AND dn2 < 0) AS stuck,
+           (NOT stuck AND up2 >= dn2) AS go_up,
+           CASE WHEN stuck OR NOT go_up THEN hi ELSE least(hi + 2, len(varr)) END AS nhi,
+           CASE WHEN stuck OR go_up THEN lo ELSE greatest(lo - 2, 1) END AS nlo,
+           CASE WHEN stuck THEN covered
+                WHEN go_up THEN covered + varr[hi + 1]
+                     + CASE WHEN nhi >= hi + 2 THEN varr[hi + 2] ELSE 0.0 END
+                ELSE covered + varr[nlo]
+                     + CASE WHEN lo - 1 > nlo THEN varr[lo - 1] ELSE 0.0 END END AS ncov,
+           (stuck OR ncov >= 0.7 * total) AS ndone
+    FROM rec WHERE NOT done
+  ) q
+)
+SELECT anchor_ts, barr[p] AS poc_bin, barr[lo] AS lva_bin, barr[hi] AS hva_bin,
+       CASE WHEN total > 0 THEN covered / total END AS va_coverage
+FROM rec WHERE done""",
+)
 def vp_hva_lva_q(spark, sf_dir):
     """HVA/LVA value-area bounds via greedy two-at-a-time expansion around
     POC (volume.py:277-364) — per-anchor pandas UDF; golden-tested in
-    tests/test_volume_profile.py."""
+    tests/test_volume_profile.py.
+
+    The oracle replays the walk as a lockstep recursive CTE (one row per
+    unfinished anchor per step, ≤ n_bins/2 steps). Binned volumes are
+    integer-valued doubles, so coverage sums and the 0.7·total threshold
+    compare identically on both engines — bar ids and bounds are exact."""
     fp = _fp_spark(spark, sf_dir, HOUR_NS)
     prof = VP.rolling_profile(fp, 6 * HOUR_NS, n_bins=20, bucket_ns=HOUR_NS)
     return VP.hva_lva(prof, va_pct=0.7)
 
 
-@query("footprint_packed")  # nested-array API edge -> rows-only check
+@query(
+    "footprint_packed",
+    _FP
+    + """
+SELECT bar_close_ns, CAST(count(*) AS INT) AS n_levels, min(level) AS min_level
+FROM fp GROUP BY bar_close_ns""",
+)
 def footprint_packed(spark, sf_dir):
     """Nested per-bar footprint packing (collect_list of level structs,
     sorted) — the API-edge interop shape (FootprintData.get_df parity,
-    bar/utils.py:129-209). Long-form remains the compute representation."""
+    bar/utils.py:129-209). Long-form remains the compute representation;
+    the oracle checks the packed array's cardinality and head (sort_array
+    on the level-led struct = ascending level order)."""
     fp = _fp_spark(spark, sf_dir)
     packed = FP.pack_footprint(fp)
     return packed.select(

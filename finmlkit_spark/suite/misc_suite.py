@@ -4,6 +4,8 @@ exponent, approximate entropy."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Window
@@ -190,36 +192,125 @@ def seq_bar_duration_ewma(spark, sf_dir):
     )
 
 
-@query("hurst_exponent")  # rolling OLS over log-log var-of-aggregates -> kernel; goldens in tests
+_HW = 64
+_LN2 = math.log(2.0)
+# closed-form OLS-slope coefficients over lx = [0, ln2, 2ln2, 3ln2]:
+# slope = Σ c_m · ln(var_m) with c_m = (lx_m − mean lx) / Σ(lx − mean lx)²
+_H_SXX = 5.0 * _LN2 * _LN2
+_HC = [(-1.5 * _LN2) / _H_SXX, (-0.5 * _LN2) / _H_SXX,
+       (0.5 * _LN2) / _H_SXX, (1.5 * _LN2) / _H_SXX]
+
+
+def _var_sql(m: int) -> str:
+    """Two-pass variance of the lag-m differences of list l (lateral
+    aliases keep each stage readable)."""
+    return (
+        f"list_transform(generate_series(1, len(l) - {m}), i -> l[i + {m}] - l[i]) AS d{m},\n"
+        f"         list_sum(d{m}) / len(d{m}) AS mu{m},\n"
+        f"         list_sum(list_transform(d{m}, x -> (x - mu{m}) * (x - mu{m}))) / len(d{m}) AS v{m}"
+    )
+
+
+@query(
+    "hurst_exponent",
+    _BH
+    + f"""
+, lw AS (
+  SELECT bar_close_ns,
+         list(close) OVER (ORDER BY bar_close_ns ROWS BETWEEN {_HW - 1} PRECEDING AND CURRENT ROW) AS l
+  FROM b
+),
+vv AS (
+  SELECT bar_close_ns, len(l) AS n,
+         {_var_sql(1)},
+         {_var_sql(2)},
+         {_var_sql(4)},
+         {_var_sql(8)}
+  FROM lw
+)
+SELECT bar_close_ns,
+       round(CASE WHEN n = {_HW} AND v1 > 0 AND v2 > 0 AND v4 > 0 AND v8 > 0
+                  THEN (({_HC[0]!r}) * ln(v1) + ({_HC[1]!r}) * ln(v2)
+                        + ({_HC[2]!r}) * ln(v4) + ({_HC[3]!r}) * ln(v8)) / 2.0
+             END, 6) AS hurst
+FROM vv""",
+)
 def hurst_exponent(spark, sf_dir):
     """HurstExponent (transforms.py:1341): aggregated-variance estimate
     over a rolling window — per-window polyfit of log(var(m-aggregated
-    returns)) vs log(m), m ∈ {1,2,4,8}; H = slope/2."""
+    returns)) vs log(m), m ∈ {1,2,4,8}; H = slope/2.
+
+    Rounded to 6 decimals on both engines: the kernel's np.polyfit/np.var
+    and the oracle's closed-form OLS/two-pass variance agree to ~1e-12,
+    far inside the rounding but not bit-exactly."""
     hb = bars_1h(spark, sf_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         y = pdf["close"].to_numpy()
-        out = S.hurst_rolling(y, 64)
-        return pd.DataFrame({"bar_close_ns": pdf["bar_close_ns"], "hurst": out})
+        out = S.hurst_rolling(y, _HW)
+        return pd.DataFrame(
+            {"bar_close_ns": pdf["bar_close_ns"], "hurst": np.round(out, 6)}
+        )
 
     return S.apply_sequential(
         hb, kernel, "bar_close_ns long, hurst double", order=("bar_close_ns",)
     )
 
 
-@query("approx_entropy")  # O(w^2) template matching -> kernel; goldens in tests
+_AE_W = 48
+
+
+def _phi_sql(mm: int) -> str:
+    """phi(mm) = mean_i ln(fraction of j whose Chebyshev template distance
+    <= r), templates of length mm over list l (self-match included, as in
+    the kernel)."""
+    n = f"(len(l) - {mm} + 1)"
+    dist = " , ".join(f"abs(l[i + {k}] - l[j + {k}])" for k in range(mm))
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}), i -> "
+        f"ln(list_sum(list_transform(generate_series(1, {n}), j -> "
+        f"CASE WHEN greatest({dist}) <= r THEN 1.0 ELSE 0.0 END)) / {n}))) / {n}"
+    )
+
+
+@query(
+    "approx_entropy",
+    _BH
+    + f"""
+, lw AS (
+  SELECT bar_close_ns,
+         list(close) OVER (ORDER BY bar_close_ns ROWS BETWEEN {_AE_W - 1} PRECEDING AND CURRENT ROW) AS l
+  FROM b
+),
+rr AS (
+  SELECT bar_close_ns, l, len(l) AS n,
+         list_sum(l) / len(l) AS mu,
+         0.2 * sqrt(list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / len(l)) AS r
+  FROM lw
+)
+SELECT bar_close_ns,
+       round(CASE WHEN n = {_AE_W} AND r > 0
+                  THEN {_phi_sql(2)} - {_phi_sql(3)}
+             END, 6) AS apen
+FROM rr""",
+)
 def approx_entropy(spark, sf_dir):
     """ApproximateEntropy(m=2, tol=0.2·std) over a rolling window
-    (transforms.py:1400) — classic Pincus ApEn, numpy kernel."""
+    (transforms.py:1400) — classic Pincus ApEn, numpy kernel.
+
+    Rounded to 6 decimals on both engines: template-match counts are
+    integers (so the phi fractions are identical), only the summation
+    association of std/log-means differs at ulp level."""
     hb = bars_1h(spark, sf_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         y = pdf["close"].to_numpy()
         out = np.full(len(y), np.nan)
-        w = 48
-        for t in range(w - 1, len(y)):
-            out[t] = S.approx_entropy(y[t - w + 1 : t + 1], m=2, r_mult=0.2)
-        return pd.DataFrame({"bar_close_ns": pdf["bar_close_ns"], "apen": out})
+        for t in range(_AE_W - 1, len(y)):
+            out[t] = S.approx_entropy(y[t - _AE_W + 1 : t + 1], m=2, r_mult=0.2)
+        return pd.DataFrame(
+            {"bar_close_ns": pdf["bar_close_ns"], "apen": np.round(out, 6)}
+        )
 
     return S.apply_sequential(
         hb, kernel, "bar_close_ns long, apen double", order=("bar_close_ns",)
