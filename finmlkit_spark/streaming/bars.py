@@ -98,6 +98,47 @@ def streaming_volume_bars(stream: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+IB_STATE_SCHEMA = "theta double, expected double, bar_id long"
+IB_OUT_SCHEMA = "symbol string, ts long, bar_id long"
+
+
+def streaming_imbalance_bars(
+    stream: DataFrame, ewma_span: float = 100.0, init_expected: float = 100.0
+) -> DataFrame:
+    """Stateful volume-imbalance bar assignment per symbol — the
+    streaming form of ``sequential.imbalance_bar_ids`` (AFML §2.3.2.1,
+    beyond-reference): close a bar when |Σ signed volume| exceeds the
+    EWMA-adaptive expected imbalance. State = (theta, expected, bar),
+    carried across micro-batches; identical recurrence to the batch
+    kernel, so batch/stream parity is exact on ordered input."""
+    alpha = 2.0 / (ewma_span + 1.0)
+
+    def fn(key, pdfs, state: GroupState):
+        theta, expected, bar = (
+            state.get if state.exists else (0.0, float(init_expected), 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for ts, side, qty in zip(pdf["ts_ns"], pdf["side"], pdf["qty"]):
+                theta += side * qty
+                rows.append((key[0], int(ts), int(bar)))
+                if abs(theta) >= expected:
+                    expected = (1 - alpha) * expected + alpha * abs(theta)
+                    theta = 0.0
+                    bar += 1
+        state.update((theta, expected, bar))
+        yield pd.DataFrame(rows, columns=["symbol", "ts", "bar_id"])
+
+    return stream.groupBy("symbol").applyInPandasWithState(
+        fn,
+        outputStructType=IB_OUT_SCHEMA,
+        stateStructType=IB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 CUSUM_STATE_SCHEMA = "sp double, sn double, last_price double"
 CUSUM_OUT_SCHEMA = "symbol string, ts long, flag int"
 

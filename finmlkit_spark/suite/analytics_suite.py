@@ -135,6 +135,13 @@ def priority_fill_rate(spark, sf_dir):
 _IB_SPAN = 50.0
 _IB_ALPHA = 2.0 / (_IB_SPAN + 1.0)
 _IB_E0 = 200.0
+# SQL literals in scientific notation: DuckDB parses plain decimal
+# literals as DECIMAL (overflow-prone in the recursive products, the
+# round-1 "1.0 + x" trap); an exponent forces DOUBLE. 17 significant
+# digits round-trip the exact Python doubles the kernel uses.
+_IB_A = f"{_IB_ALPHA:.17e}"
+_IB_OMA = f"{(1.0 - _IB_ALPHA):.17e}"
+_IB_E0L = f"{_IB_E0:.17e}"
 
 _IB_PREFIX = """
 , s AS MATERIALIZED (
@@ -164,11 +171,11 @@ def _hourly_sided(spark, sf_dir):
 rec AS (
   SELECT brn, bar_close_ns,
          CAST(0 AS BIGINT) AS bar_id,
-         CASE WHEN abs(sd * volume) >= {_IB_E0!r} THEN 0.0 ELSE sd * volume END AS theta,
-         CASE WHEN abs(sd * volume) >= {_IB_E0!r}
-              THEN (1 - {_IB_ALPHA!r}) * {_IB_E0!r} + {_IB_ALPHA!r} * abs(sd * volume)
-              ELSE CAST({_IB_E0!r} AS DOUBLE) END AS expected,
-         CASE WHEN abs(sd * volume) >= {_IB_E0!r} THEN CAST(1 AS BIGINT)
+         CASE WHEN abs(sd * volume) >= {_IB_E0L} THEN 0.0 ELSE sd * volume END AS theta,
+         CASE WHEN abs(sd * volume) >= {_IB_E0L}
+              THEN {_IB_OMA} * {_IB_E0L} + {_IB_A} * abs(sd * volume)
+              ELSE {_IB_E0L} END AS expected,
+         CASE WHEN abs(sd * volume) >= {_IB_E0L} THEN CAST(1 AS BIGINT)
               ELSE CAST(0 AS BIGINT) END AS nxt_bar
   FROM s WHERE brn = 1
   UNION ALL
@@ -177,7 +184,7 @@ rec AS (
          CASE WHEN abs(rec.theta + nb.sd * nb.volume) >= rec.expected THEN 0.0
               ELSE rec.theta + nb.sd * nb.volume END,
          CASE WHEN abs(rec.theta + nb.sd * nb.volume) >= rec.expected
-              THEN (1 - {_IB_ALPHA!r}) * rec.expected + {_IB_ALPHA!r} * abs(rec.theta + nb.sd * nb.volume)
+              THEN {_IB_OMA} * rec.expected + {_IB_A} * abs(rec.theta + nb.sd * nb.volume)
               ELSE rec.expected END,
          CASE WHEN abs(rec.theta + nb.sd * nb.volume) >= rec.expected
               THEN rec.nxt_bar + 1 ELSE rec.nxt_bar END
@@ -213,19 +220,19 @@ rec AS (
   SELECT brn, bar_close_ns,
          CAST(0 AS BIGINT) AS bar_id,
          CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
-                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0L}
               THEN 0.0 ELSE CASE WHEN sd > 0 THEN volume ELSE 0.0 END END AS buy,
          CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
-                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0L}
               THEN 0.0 ELSE CASE WHEN sd > 0 THEN 0.0 ELSE volume END END AS sell,
          CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
-                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
-              THEN (1 - {_IB_ALPHA!r}) * {_IB_E0!r}
-                   + {_IB_ALPHA!r} * greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0L}
+              THEN {_IB_OMA} * {_IB_E0L}
+                   + {_IB_A} * greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
                                               CASE WHEN sd > 0 THEN 0.0 ELSE volume END)
-              ELSE CAST({_IB_E0!r} AS DOUBLE) END AS expected,
+              ELSE {_IB_E0L} END AS expected,
          CASE WHEN greatest(CASE WHEN sd > 0 THEN volume ELSE 0.0 END,
-                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0!r}
+                            CASE WHEN sd > 0 THEN 0.0 ELSE volume END) >= {_IB_E0L}
               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nxt_bar
   FROM s WHERE brn = 1
   UNION ALL
@@ -239,8 +246,8 @@ rec AS (
               THEN 0.0 ELSE rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END END,
          CASE WHEN greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
                             rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END) >= rec.expected
-              THEN (1 - {_IB_ALPHA!r}) * rec.expected
-                   + {_IB_ALPHA!r} * greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
+              THEN {_IB_OMA} * rec.expected
+                   + {_IB_A} * greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
                                               rec.sell + CASE WHEN nb.sd > 0 THEN 0.0 ELSE nb.volume END)
               ELSE rec.expected END,
          CASE WHEN greatest(rec.buy + CASE WHEN nb.sd > 0 THEN nb.volume ELSE 0.0 END,
