@@ -226,7 +226,7 @@ def seq_rsi_wilder(spark, sf_dir):
     "seq_atr_ema",
     _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""
-, trq AS (
+, trq AS MATERIALIZED (
   SELECT bar_close_ns, brn,
          greatest(high - low,
                   abs(high - lag(close) OVER (ORDER BY bar_close_ns)),
@@ -346,10 +346,11 @@ CUSUM_H = 1.0
     "seq_cusum_filter",
     _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""
-, rec AS (
+, bn AS MATERIALIZED (SELECT brn, bar_close_ns, r FROM b),
+rec AS (
   SELECT brn, bar_close_ns, r,
          CAST(0 AS INT) AS flag, CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn
-  FROM b WHERE brn = 1
+  FROM bn WHERE brn = 1
   UNION ALL
   SELECT nb.brn, nb.bar_close_ns, nb.r,
          CASE WHEN least(0, rec.sn + nb.r) < -{CUSUM_H}
@@ -359,7 +360,7 @@ CUSUM_H = 1.0
               ELSE greatest(0, rec.sp + nb.r) END,
          CASE WHEN least(0, rec.sn + nb.r) < -{CUSUM_H} THEN 0.0
               ELSE least(0, rec.sn + nb.r) END
-  FROM rec JOIN b nb ON nb.brn = rec.brn + 1
+  FROM rec JOIN bn nb ON nb.brn = rec.brn + 1
 )
 SELECT bar_close_ns FROM rec WHERE flag = 1""",
 )
@@ -383,18 +384,19 @@ VOL_THR_H = 100.0
     "seq_volume_bars_exact",
     _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""
-, rec AS (
+, bn AS MATERIALIZED (SELECT brn, bar_close_ns, volume FROM b),
+rec AS (
   SELECT brn, bar_close_ns,
          CAST(0 AS BIGINT) AS bar_id,
          CASE WHEN volume >= {VOL_THR_H} THEN 0.0 ELSE volume END AS cum,
          CASE WHEN volume >= {VOL_THR_H} THEN 1 ELSE 0 END AS nxt
-  FROM b WHERE brn = 1
+  FROM bn WHERE brn = 1
   UNION ALL
   SELECT nb.brn, nb.bar_close_ns,
          CAST(rec.bar_id + rec.nxt AS BIGINT),
          CASE WHEN rec.cum + nb.volume >= {VOL_THR_H} THEN 0.0 ELSE rec.cum + nb.volume END,
          CASE WHEN rec.cum + nb.volume >= {VOL_THR_H} THEN 1 ELSE 0 END
-  FROM rec JOIN b nb ON nb.brn = rec.brn + 1
+  FROM rec JOIN bn nb ON nb.brn = rec.brn + 1
 )
 SELECT bar_close_ns, bar_id FROM rec""",
 )
