@@ -25,13 +25,28 @@ STOPWORDS = LANG_WORDS["en"]
 
 
 def tokens(col: str = "text") -> Column:
-    """Whitespace tokenization (the BPE-ish regex path would swap the
-    delimiter pattern here)."""
+    """Whitespace tokenization (see ``bpe_token_count`` for the BPE-ish
+    pre-tokenizer counting path)."""
     return F.split(F.trim(F.col(col)), " +")
 
 
 def token_count(col: str = "text") -> Column:
     return F.size(tokens(col)).cast("long")
+
+
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# digit runs, punctuation runs (each optionally space-prefixed). Both
+# Java regex (Spark) and RE2 (DuckDB) support these classes identically.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex — the
+    LLM-pipeline budget estimate (whitespace counting undercounts
+    punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast(
+        "long"
+    )
 
 
 def char_count(col: str = "text") -> Column:

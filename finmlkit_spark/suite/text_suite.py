@@ -435,3 +435,24 @@ def ann_ivf(spark, sf_dir):
     )
     wk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return s.withColumn("rank", F.row_number().over(wk).cast("long")).where(F.col("rank") <= 5)
+
+
+@query(
+    "token_counts",
+    """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'
+           )) AS BIGINT) AS bpe_tokens
+FROM documents""",
+)
+def token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish token counts (the LLM budget estimator;
+    GPT-2-style pre-tokenizer approximation, identical regex semantics
+    in Java regex and RE2)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.token_count().alias("ws_tokens"),
+        TX.bpe_token_count().alias("bpe_tokens"),
+    )
