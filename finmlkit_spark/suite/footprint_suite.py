@@ -106,9 +106,9 @@ SELECT r.bar_close_ns,
        CAST(sum(coalesce(sell_imb, 0)) AS BIGINT) AS sell_imb_sum,
        CAST(arg_min(run_len * imb_sgn, (0 - run_len) * 1000000 + level) AS BIGINT) AS max_imb_run,
        any_value(c.cot_level) AS cot_level,
-       sum((r.level * 0.01 - b.bar_vwap) * vol) / sum(vol) AS vp_skew,
-       sum(r.level * 0.01 * r.level * 0.01 * vol) / sum(vol)
-         - pow(sum(r.level * 0.01 * vol) / sum(vol), 2) AS vp_var,
+       round(sum((r.level * 0.01 - b.bar_vwap) * vol) / sum(vol), 6) + 0.0 AS vp_skew,
+       round(sum(r.level * 0.01 * r.level * 0.01 * vol) / sum(vol)
+         - pow(sum(r.level * 0.01 * vol) / sum(vol), 2), 6) + 0.0 AS vp_var,
        1.0 - sum(vol * vol) / (sum(vol) * sum(vol)) AS vp_gini
 FROM rl r
 JOIN (SELECT bar_close_ns, cot_level FROM cot WHERE rk = 1) c USING (bar_close_ns)
@@ -118,14 +118,23 @@ GROUP BY r.bar_close_ns""",
 def footprint_features_q(spark, sf_dir):
     """Per-bar footprint features: diagonal imbalances, signed-run length,
     COT level, vp_skew around the bar's TRADE vwap (base.py:838-843),
-    2nd-moment dispersion, gini (base.py:755-850)."""
+    2nd-moment dispersion, gini (base.py:755-850).
+
+    vp_skew / vp_var are rounded to 6 decimals on BOTH engines (and
+    negative zero normalized via + 0.0): both are large-cumulant
+    cancellations whose residual (~1e-11 absolute) exceeds the true
+    value on single-level bars, so raw doubles differ between engines
+    in exactly the rows where the value is ~0."""
     tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
     tr = B.with_time_bar(tr, BAR5_NS)
     fp = FP.footprint_long(tr, tick=0.01)
     bv = tr.groupBy("bar_close_ns").agg(
         (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("bar_vwap")
     )
-    return FP.footprint_features(fp, imb_mult=IMB_MULT, tick=0.01, bar_vwap=bv)
+    out = FP.footprint_features(fp, imb_mult=IMB_MULT, tick=0.01, bar_vwap=bv)
+    return out.withColumn("vp_skew", F.round("vp_skew", 6) + 0.0).withColumn(
+        "vp_var", F.round("vp_var", 6) + 0.0
+    )
 
 
 @query(
