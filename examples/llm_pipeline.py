@@ -1,0 +1,76 @@
+"""End-to-end training-data curation pipeline over the documents and
+embeddings tables — the LLM-data tier in one flow:
+
+    quality/lang filter -> exact dedup -> MinHash-LSH near-dup removal
+    -> token budget accounting -> ANN neighbor audit
+
+Run: python examples/llm_pipeline.py [sf_dir]   (default sf0.001)
+Every stage is a lazy DataFrame; one action at the end materializes the
+curated corpus report. At scale the same code runs with the documents
+table partitioned by shard — every join here is either a broadcast or a
+bounded equi-join on a signature key.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from finmlkit_spark.operators import dedup as D  # noqa: E402
+from finmlkit_spark.operators import similarity as SIM  # noqa: E402
+from finmlkit_spark.operators import text as TX  # noqa: E402
+from finmlkit_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm-pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. quality + language gate (pure projections — scale-free)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TX.quality_score().alias("quality"),
+        TX.lang_guess().alias("lang"),
+        TX.token_count().alias("ws_tokens"),
+        TX.bpe_token_count().alias("bpe_tokens"),
+    )
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+
+    # 2. exact dedup: keep the lowest doc_id per content hash
+    exact = D.exact_dedup(kept, "text", "doc_id").select("keep_id")
+    kept = kept.join(exact, kept.doc_id == exact.keep_id).drop("keep_id")
+
+    # 3. near-dup removal: MinHash-LSH candidates, exact Jaccard verify,
+    #    drop the higher id of every surviving pair
+    pairs = D.minhash_lsh_pairs(kept, "text", "doc_id", threshold=0.6)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    curated = kept.join(drop, "doc_id", "left_anti")
+
+    # 4. token budget accounting per language bucket
+    report = curated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.avg("quality").alias("avg_quality"),
+    )
+
+    # 5. embedding-space audit: brute-force top-5 neighbors for the first
+    #    queries (the IVF variant swaps in at scale)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann = SIM.ann_brute_topk(emb, query_ids=[0, 1, 2], k=5)
+
+    print("=== curated corpus ===")
+    for r in report.collect():
+        print(r)
+    print("=== sample neighbors ===")
+    for r in ann.orderBy("query_id", "rank").collect()[:15]:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

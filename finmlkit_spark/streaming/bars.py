@@ -139,6 +139,47 @@ def streaming_imbalance_bars(
     )
 
 
+RB_STATE_SCHEMA = "buy double, sell double, expected double, bar_id long"
+
+
+def streaming_run_bars(
+    stream: DataFrame, ewma_span: float = 100.0, init_expected: float = 100.0
+) -> DataFrame:
+    """Stateful volume-run bar assignment per symbol — the streaming form
+    of ``sequential.run_bar_ids`` (AFML §2.3.2.2): close when the max
+    one-sided cumulative volume exceeds the EWMA-adaptive expected run."""
+    alpha = 2.0 / (ewma_span + 1.0)
+
+    def fn(key, pdfs, state: GroupState):
+        buy, sell, expected, bar = (
+            state.get if state.exists else (0.0, 0.0, float(init_expected), 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for ts, side, qty in zip(pdf["ts_ns"], pdf["side"], pdf["qty"]):
+                if side > 0:
+                    buy += qty
+                else:
+                    sell += qty
+                rows.append((key[0], int(ts), int(bar)))
+                run = max(buy, sell)
+                if run >= expected:
+                    expected = (1 - alpha) * expected + alpha * run
+                    buy = sell = 0.0
+                    bar += 1
+        state.update((buy, sell, expected, bar))
+        yield pd.DataFrame(rows, columns=["symbol", "ts", "bar_id"])
+
+    return stream.groupBy("symbol").applyInPandasWithState(
+        fn,
+        outputStructType=IB_OUT_SCHEMA,
+        stateStructType=RB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 CUSUM_STATE_SCHEMA = "sp double, sn double, last_price double"
 CUSUM_OUT_SCHEMA = "symbol string, ts long, flag int"
 

@@ -204,3 +204,39 @@ def test_streaming_imbalance_bars_parity(spark, stream_dir):
     assert len(got) == len(exp)
     mismatches = sum(1 for k in exp if got.get(k) != exp[k])
     assert mismatches == 0
+
+
+def test_streaming_run_bars_parity(spark, stream_dir):
+    from finmlkit_spark.functions.sequential import run_bar_ids
+    from finmlkit_spark.streaming.bars import streaming_run_bars
+
+    batch = spark.read.parquet(stream_dir)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .selectExpr(
+            "'EVT' as symbol",
+            "ts as ts_ns",
+            "cast(case when event_id % 3 = 0 then -1 else 1 end as double) as side",
+            "cast(1 + (event_id % 5) as double) as qty",
+        )
+    )
+    out = streaming_run_bars(stream, ewma_span=50.0, init_expected=200.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ts"]: r["bar_id"] for r in spark.sql("select * from rb_stream").collect()}
+
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    side = ((pdf["event_id"].to_numpy() % 3 != 0) * 2 - 1).astype(float)
+    qty = (1 + pdf["event_id"].to_numpy() % 5).astype(float)
+    expected = run_bar_ids(side, qty, ewma_span=50.0, init_expected=200.0)
+    exp = dict(zip(pdf["ts"].to_numpy().tolist(), expected.tolist()))
+    assert len(got) == len(exp)
+    assert sum(1 for k in exp if got.get(k) != exp[k]) == 0
