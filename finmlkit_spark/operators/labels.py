@@ -266,12 +266,34 @@ def return_attribution(
     return out
 
 
-def time_decay(events_u: DataFrame, last_weight: float = 0.5) -> DataFrame:
+def time_decay(
+    events_u: DataFrame, last_weight: float = 0.5, chunk_ns: int = 86_400_000_000_000
+) -> DataFrame:
     """Linear decay on cumulative uniqueness, newest weight 1.0, oldest
-    ``last_weight`` (∈ [−1,1]), clipped at 0 (reference ``weights.py:106-142``)."""
-    w = Window.orderBy("event_ts_ns", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    df = events_u.withColumn("cum_u", F.sum("uniqueness").over(w))
-    tot = df.agg(F.sum("uniqueness").alias("tot_u"))
+    ``last_weight`` (∈ [−1,1]), clipped at 0 (reference ``weights.py:106-142``).
+
+    The running sum uses the same chunked two-pass prefix sum as
+    ``concurrency`` (within-chunk cumsum + broadcast per-chunk offsets),
+    so the event table never collapses to a single ordered partition.
+    Reassociating the float sum moves each prefix by ~k·ε relative —
+    orders of magnitude inside any comparison tolerance.
+    """
+    df = events_u.withColumn("_chunk", F.floor(F.col("event_ts_ns") / F.lit(chunk_ns)))
+    w_in = (
+        Window.partitionBy("_chunk")
+        .orderBy("event_ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn("_cum_in", F.sum("uniqueness").over(w_in))
+    tot_ch = df.groupBy("_chunk").agg(F.sum("uniqueness").alias("_tot"))
+    w_ch = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot_ch.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_ch), F.lit(0.0))
+    ).select("_chunk", "_off")
+    df = df.join(F.broadcast(off), "_chunk").withColumn(
+        "cum_u", F.col("_off") + F.col("_cum_in")
+    )
+    tot = events_u.agg(F.sum("uniqueness").alias("tot_u"))
     df = df.crossJoin(F.broadcast(tot))
     decay = F.lit(last_weight) + (1.0 - last_weight) * F.col("cum_u") / F.col("tot_u")
     return df.select(
