@@ -53,6 +53,7 @@ _PRIORITY = [
     "emb_lsh_pairs",
     "ann_ivf",
     "multimodal_meta",
+    "image_decode_stats",
     "frame_offsets",
     "corpus_report",
     # io / storage surface
@@ -76,7 +77,6 @@ _PRIORITY = [
     "sql_shared_dialect",
     # multi-user partition-parallel shapes
     "user_hourly_bars",
-    "user_trade_side",
     "user_sessions",
     "user_ewma",
     "user_tbm_labels",

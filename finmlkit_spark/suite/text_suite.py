@@ -308,6 +308,65 @@ def multimodal_meta(spark, sf_dir):
 
 
 @query(
+    "image_decode_stats",
+    """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(i // 16 AS BIGINT) AS y,
+         CAST(i % 16 AS BIGINT) AS x,
+         CAST((d.doc_id * 7 + i) % 256 AS DOUBLE) AS v
+  FROM documents d, (SELECT unnest(range(128)) AS i)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       ROUND(AVG(v), 6) AS mean_lum,
+       ROUND(SQRT(AVG(v * v) - AVG(v) * AVG(v)), 6) AS std_lum,
+       ROUND(SUM(CASE WHEN x < 15 THEN abs(((doc_id * 7 + y * 16 + x + 1) % 256) - v) ELSE 0 END)
+             / (8 * 15), 6) AS edge_energy
+FROM px
+GROUP BY doc_id""",
+)
+def image_decode_stats(spark, sf_dir):
+    """REAL compressed-image decode through the engine: a deterministic
+    8x16 grayscale image per doc (pixel i = (doc_id*7+i) % 256) is
+    PNG-encoded (zlib DEFLATE) inside the executors, then decoded back
+    by ``image_features`` (inflate + scanline unfilter) and reduced to
+    luminance stats. The oracle computes the same stats from the pixel
+    formula directly — so a hash match proves the PNG encode->decode
+    round-trip and the feature kernel end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _encode(it):
+        from ..operators.multimodal import encode_png
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                i = np.arange(128, dtype=np.int64)
+                img = ((int(did) * 7 + i) % 256).astype(np.uint8).reshape(8, 16)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payload_df = docs.mapInPandas(_encode, schema="doc_id long, payload binary")
+    feats = MM.image_features(payload_df)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_lum", 6).alias("mean_lum"),
+        F.round("std_lum", 6).alias("std_lum"),
+        F.round("edge_energy", 6).alias("edge_energy"),
+    )
+
+
+@query(
     "frame_offsets",
     """
 SELECT doc_id, unnest(range(0, CAST(greatest(octet_length(encode(text)), 1) AS BIGINT), 1024)) AS frame_offset
