@@ -1,0 +1,98 @@
+"""Batch/stream parity for the streaming LLM-curation pipeline:
+quality filter (stateless projections) + watermark-bounded exact dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finmlkit_spark.streaming import curation as C
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, tmp_path_factory):
+    """documents + injected duplicates (same text, new ids, later ts)."""
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)  # 50 duplicate texts
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 900)
+        )
+    )
+    base.unionByName(dups).coalesce(1).write.parquet(d, mode="overwrite")
+    return d
+
+
+def _run_stream(spark, df_stream, name):
+    q = (
+        df_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_quality_filter_parity(spark, docs_stream_dir):
+    batch = spark.read.parquet(docs_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_stream_dir)
+    got = _run_stream(
+        spark, C.streaming_quality_filter(stream, min_chars=20, min_quality=0.3), "q_filter"
+    )
+    exp = C.with_curation_columns(batch).filter(
+        (F.col("n_chars") >= 20) & (F.col("quality") >= 0.3)
+    )
+    g = {r["doc_id"]: r for r in got.collect()}
+    e = {r["doc_id"]: r for r in exp.collect()}
+    assert set(g) == set(e) and len(e) > 0
+    for k in e:
+        assert g[k]["quality"] == pytest.approx(e[k]["quality"])
+        assert g[k]["n_tokens"] == e[k]["n_tokens"]
+        assert g[k]["lang"] == e[k]["lang"]
+
+
+def test_streaming_exact_dedup_parity(spark, docs_stream_dir):
+    batch = spark.read.parquet(docs_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_stream_dir)
+    got = _run_stream(
+        spark, C.streaming_exact_dedup(stream, watermark="1 hour"), "dedup_stream"
+    )
+    rows = got.collect()
+    # one survivor per distinct text, all texts represented
+    md5s = [r["content_md5"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    exp_md5s = {
+        r["h"] for r in batch.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    assert set(md5s) == exp_md5s
+    assert len(rows) == 500  # 550 arrivals -> 500 distinct texts
+
+
+def test_streaming_curation_pipeline(spark, docs_stream_dir):
+    batch = spark.read.parquet(docs_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_stream_dir)
+    got = _run_stream(
+        spark,
+        C.streaming_curation_pipeline(stream, min_chars=20, min_quality=0.3),
+        "cur_pipe",
+    )
+    rows = got.collect()
+    md5s = [r["content_md5"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    exp = (
+        C.with_curation_columns(batch)
+        .filter((F.col("n_chars") >= 20) & (F.col("quality") >= 0.3))
+        .select("content_md5")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == exp
