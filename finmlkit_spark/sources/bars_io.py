@@ -85,6 +85,36 @@ def resample_bars(
     return df.groupBy(F.col("_ck").alias(key)).agg(*aggs)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    key: str = "bar_close_ns",
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (+ sorted) on ``key``.
+
+    The 100 TB join story: two tables bucketed on the same key with the
+    same bucket count join with ZERO Exchange — each task reads bucket i
+    of both sides (SortMergeJoin straight off the sorted files). Worth
+    it for any table joined repeatedly on the same key (bars × features,
+    bars × labels, events × bars): one shuffle at write time, none at
+    read time, forever. Bucket pruning also kicks in for equality
+    predicates on ``key``.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table preserving its output partitioning (plain
+    ``spark.table`` — the catalog carries the bucket spec)."""
+    return spark.table(table)
+
+
 def store_inspector(
     df: DataFrame, ts_col: str = "ts_ns", max_gap_ns: int = 3_600_000_000_000
 ) -> DataFrame:

@@ -94,3 +94,35 @@ def test_run_bar_ids():
     ids = S.run_bar_ids(side, qty, ewma_span=10, init_expected=10.0)
     # runs: buy5/sell0 ->5; buy5/sell5 ->5; sell10 -> close at i=2; reset
     assert list(ids) == [0, 0, 0, 1, 1]
+
+
+def test_bucketed_write_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join with zero Exchange —
+    the write-once/join-forever co-location contract."""
+    day_ns = 86_400_000_000_000
+    bars = spark.createDataFrame(
+        [(i * day_ns, 1.0 + i) for i in range(200)], "bar_close_ns long, close double"
+    )
+    feats = spark.createDataFrame(
+        [(i * day_ns, 0.1 * i) for i in range(200)], "bar_close_ns long, f double"
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would auto-broadcast; force the shuffle-join
+        # planner path the bucket layout is designed to eliminate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        IO.write_bucketed(bars, "b_bars", 8, path=str(tmp_path / "b_bars"))
+        IO.write_bucketed(feats, "b_feats", 8, path=str(tmp_path / "b_feats"))
+        j = IO.read_bucketed(spark, "b_bars").join(
+            IO.read_bucketed(spark, "b_feats"), "bar_close_ns"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 200
+        got = {r["bar_close_ns"]: r for r in j.collect()}
+        assert got[day_ns]["close"] == 2.0 and got[day_ns]["f"] == 0.1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS b_bars")
+        spark.sql("DROP TABLE IF EXISTS b_feats")
