@@ -231,3 +231,70 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return l.join(r, "sh").where(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b", F.col("sh").alias("fingerprint")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, docs: DataFrame | None = None, id_col: str = "doc_id", max_iter: int = 30
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id),
+    cluster_id = min doc id in the component. The last mile of fuzzy
+    dedup: pair lists become keep/drop decisions only once transitively
+    connected docs share one cluster.
+
+    Pregel-style min-label propagation: each iteration every node takes
+    the min of its own label and its neighbors' labels (one join + one
+    groupBy per iteration, lineage cut with localCheckpoint). Converges
+    in component-diameter iterations; near-dup components are dense and
+    shallow in practice (diameter ~ a few). At extreme diameters the
+    large-star/small-star variant halves rounds to O(log n) — same
+    join/agg shape, noted here as the production escalation.
+
+    ``docs`` given -> singleton docs are included with cluster_id = own
+    id (the full corpus mapping a keep-one-per-cluster filter needs).
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("label").alias("nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("mnl"))
+        )
+        new = (
+            labels.join(nbr_min.select(F.col("a").alias("id"), "mnl"), "id", "left")
+            .select("id", F.least("label", F.coalesce("mnl", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("id", F.col("label").alias("old")), "id")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    if docs is None:
+        return comp
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+        )
+    )
+
+
+def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-dedup keep filter: one doc per near-dup cluster (the min
+    id), singletons kept. The document set a training run actually
+    consumes."""
+    comp = dedup_clusters(pairs, docs, id_col)
+    return docs.join(
+        comp.where(F.col(id_col) == F.col("cluster_id")).select(id_col), id_col
+    )

@@ -1,0 +1,112 @@
+"""Corpus sampling + sequence packing for training-data pipelines
+(BASELINE.json north star; no reference counterpart — the reference is
+batch features only).
+
+All content-keyed and deterministic: sampling/splitting decisions hash
+the DOCUMENT TEXT (``text.poly_hash``), not row position or RNG state,
+so results are stable under repartitioning, resharding, and re-runs —
+the property a 100 TB pipeline needs for reproducible training sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import poly_hash, token_count
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    strata_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum keep the
+    ``n_per_stratum`` docs with the smallest (content hash, id) — a
+    uniform-ish, content-keyed draw with exact per-stratum counts.
+
+    One shuffle (window partition on strata). With many small strata the
+    partitions stay balanced; a single giant stratum degrades to a
+    per-stratum sort, which AQE splits fine since the key cardinality
+    inside the window is the hash (near-unique).
+    """
+    strata_cols = strata_cols or ["lang"]
+    w = Window.partitionBy(*strata_cols).orderBy("_h", id_col)
+    return (
+        docs.withColumn("_h", poly_hash(text_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+        .withColumnRenamed("_h", "sample_hash")
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    test_permille: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-keyed train/test split: a doc lands in 'test' iff its
+    content bucket (0..999) < test_permille. Pure projection —
+    scale-free, and duplicate texts always land on the same side (no
+    leakage across the split from exact dups).
+
+    The raw polynomial hash of near-identical texts differs only in the
+    low digits (the last chars feed the accumulator directly), so
+    ``% 1000`` would correlate the split with trailing content. A Knuth
+    multiplicative mix + top-bits extraction avalanches it; every step
+    stays in int64 and is exact in both engines (power-of-two division).
+    """
+    h = poly_hash(text_col)
+    mixed = (h * F.lit(2654435761)) % F.lit(4294967296)
+    bucket = F.floor(mixed * 1000 / F.lit(4294967296))
+    return docs.withColumn(
+        "split", F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+PACK_SCHEMA = "group string, doc_id long, n_tokens long, pack_id long"
+
+
+def sequence_packing(
+    docs: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy first-fit sequence packing: walking each group in id
+    order, append the doc to the current pack unless its tokens would
+    overflow ``budget``, else start a new pack (an over-budget doc gets
+    its own pack). The token-budget analog of the exact-reset volume
+    bar sampler — same per-group sequential state machine, so the same
+    scale shape: groups pack independently (``applyInPandas``, one
+    shuffle on the group key), state is O(1) per group.
+    """
+    import pandas as pd
+
+    budget = int(budget)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        cum = 0
+        pid = 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if cum > 0 and cum + t > budget:
+                pid += 1
+                cum = 0
+            cum += t
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf[["group", "doc_id", "n_tokens", "pack_id"]]
+
+    base = docs.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("group").applyInPandas(_pack, schema=PACK_SCHEMA)

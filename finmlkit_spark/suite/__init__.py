@@ -75,11 +75,14 @@ _PRIORITY = [
     "pipeline_1m_features",
     "featurekit_build",
     "sql_shared_dialect",
-    # multi-user partition-parallel shapes
+    # LLM-pipeline round-2 additions (cluster dedup, sequence packing)
+    "dedup_clusters",
+    "sequence_packing",
+    # multi-user partition-parallel shapes (user_ewma / user_tbm_labels
+    # are grouped variants of r1-green seq_ewma / tbm_labels — rotated
+    # behind the window in favor of first-time families)
     "user_hourly_bars",
     "user_sessions",
-    "user_ewma",
-    "user_tbm_labels",
     # analytics (TPC-H-shaped)
     "pricing_summary",
     "regional_revenue",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import multimodal as MM
+from ..operators import sampling as SMP
 from ..operators import similarity as SIM
 from ..operators import text as TX
 from ._registry import query
@@ -515,3 +516,118 @@ def token_counts(spark, sf_dir):
         TX.token_count().alias("ws_tokens"),
         TX.bpe_token_count().alias("bpe_tokens"),
     )
+
+
+# --- sampling / packing / cluster dedup -------------------------------------
+
+_PH_TEXT = _PH.format(e="text")
+
+
+@query(
+    "stratified_sample",
+    f"""
+WITH h AS (SELECT doc_id, lang, {_PH_TEXT} AS sample_hash FROM documents),
+rk AS (
+  SELECT doc_id, lang, sample_hash,
+         row_number() OVER (PARTITION BY lang ORDER BY sample_hash, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang, sample_hash FROM rk WHERE rk <= 30""",
+)
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic content-keyed stratified sample: 30 docs per
+    language, chosen by smallest (poly_hash(text), doc_id) — exact
+    per-stratum counts, stable under resharding."""
+    return SMP.stratified_sample(
+        _docs(spark, sf_dir), n_per_stratum=30, strata_cols=["lang"]
+    ).select("doc_id", "lang", "sample_hash")
+
+
+@query(
+    "hash_split",
+    f"""
+WITH h AS (SELECT doc_id, {_PH_TEXT} AS ph FROM documents)
+SELECT doc_id,
+       CASE WHEN ((ph * 2654435761) % 4294967296) * 1000 // 4294967296 < 100
+            THEN 'test' ELSE 'train' END AS split
+FROM h""",
+)
+def hash_split_q(spark, sf_dir):
+    """Content-keyed train/test split (10% test): duplicate texts land
+    on the same side, so exact dups can never straddle the split."""
+    return SMP.hash_split(_docs(spark, sf_dir), test_permille=100).select(
+        "doc_id", "split"
+    )
+
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "sequence_packing",
+    f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT source AS grp, doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS nt,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT grp, doc_id, rn, nt,
+         CAST(0 AS BIGINT) AS pack_id, nt AS cum
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT n.grp, n.doc_id, n.rn, n.nt,
+         CASE WHEN rec.cum + n.nt > {_PACK_BUDGET} THEN rec.pack_id + 1 ELSE rec.pack_id END,
+         CASE WHEN rec.cum + n.nt > {_PACK_BUDGET} THEN n.nt ELSE rec.cum + n.nt END
+  FROM rec JOIN d n ON n.grp = rec.grp AND n.rn = rec.rn + 1
+)
+SELECT grp AS "group", doc_id, nt AS n_tokens, pack_id FROM rec""",
+)
+def sequence_packing_q(spark, sf_dir):
+    """Greedy first-fit sequence packing per source (token budget 256):
+    the training-sequence assembly step. Oracle = lockstep recursive
+    replay per group (integer token counts -> engine-exact)."""
+    return SMP.sequence_packing(_docs(spark, sf_dir), budget=_PACK_BUDGET)
+
+
+@query(
+    "dedup_clusters",
+    _SHQ.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, sg AS (SELECT doc_id, sh, {_SIG.replace('hs', _HS)} AS sig FROM shq),
+bk AS (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(0, 4), b ->
+           concat(CAST(b AS VARCHAR), ':',
+                  array_to_string(list_slice(sig, CAST(b AS INT) * 4 + 1, CAST(b AS INT) * 4 + 4), '-')))) AS key
+  FROM sg
+),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT a, b AS r FROM edges
+  UNION
+  SELECT reach.a, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(r)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)""",
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Connected components over MinHash-LSH near-dup pairs (threshold
+    0.5) -> full corpus (doc_id, cluster_id) mapping; singletons map to
+    themselves. Oracle = transitive closure via recursive UNION
+    fixpoint."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return D.dedup_clusters(pairs, docs)

@@ -1,0 +1,91 @@
+"""Unit tests for corpus sampling, sequence packing, and cluster dedup
+(edge semantics the oracle queries can't isolate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finmlkit_spark.operators import dedup as D
+from finmlkit_spark.operators import sampling as SMP
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_sequence_packing_boundaries(spark):
+    # budget 10: [4,6] exact fit stays; [4,7] overflows; a 25-token doc
+    # gets its own pack and the walk continues after it
+    rows = [
+        (1, "a " * 4, "en", "s"),
+        (2, "b " * 6, "en", "s"),   # 4+6 == 10 -> same pack
+        (3, "c " * 7, "en", "s"),   # overflow -> pack 1
+        (4, "d " * 25, "en", "s"),  # over budget alone -> pack 2
+        (5, "e " * 2, "en", "s"),   # pack 3
+    ]
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in SMP.sequence_packing(_docs_df(spark, rows), budget=10).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_sequence_packing_groups_independent(spark):
+    rows = [(i, "w " * 6, "en", f"s{i % 2}") for i in range(1, 7)]
+    out = SMP.sequence_packing(_docs_df(spark, rows), budget=12).collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["group"], []).append((r["doc_id"], r["pack_id"]))
+    for g, lst in per_group.items():
+        lst.sort()
+        assert [p for _, p in lst] == [0, 0, 1]  # each group packs from 0
+
+
+def test_stratified_sample_counts_and_determinism(spark):
+    rows = [(i, f"text number {i}", "en" if i % 2 else "de", "s") for i in range(100)]
+    df = _docs_df(spark, rows)
+    got = SMP.stratified_sample(df, n_per_stratum=10, strata_cols=["lang"])
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 10, "de": 10}
+    ids1 = sorted(r["doc_id"] for r in got.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in SMP.stratified_sample(
+            df.repartition(7), n_per_stratum=10, strata_cols=["lang"]
+        ).collect()
+    )
+    assert ids1 == ids2  # content-keyed: stable under resharding
+
+
+def test_hash_split_dup_texts_same_side(spark):
+    rows = [(i, f"unique {i}", "en", "s") for i in range(50)]
+    rows += [(100 + i, f"unique {i}", "en", "s") for i in range(50)]  # exact dups
+    out = SMP.hash_split(_docs_df(spark, rows), test_permille=300)
+    sides = {(r["doc_id"] % 100): set() for r in out.collect()}
+    for r in out.collect():
+        sides[r["doc_id"] % 100].add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())  # dup pairs never straddle
+    labels = {r["split"] for r in out.collect()}
+    assert labels == {"train", "test"}
+
+
+def test_dedup_clusters_and_keep(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    docs = _docs_df(spark, [(i, f"t{i}", "en", "s") for i in [1, 2, 3, 5, 7, 9]])
+    comp = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs, docs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+    kept = sorted(r["doc_id"] for r in D.keep_canonical(docs, pairs).collect())
+    assert kept == [1, 5, 7]
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a path graph needs diameter iterations — exercise the loop
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    comp = D.dedup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in comp} == {1}
+    assert len(comp) == n
