@@ -25,6 +25,8 @@ HEADLINE = [
     "seq_ewma",
     "seq_cusum_test",
     "minhash_lsh",
+    "sequence_packing",
+    "doc_quality_signals",
     "ann_topk",
     "ann_ivf",
     "bars_resample_15m",

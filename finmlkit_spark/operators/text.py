@@ -159,3 +159,42 @@ def shingles(col: str = "text", k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def repetition_ratio(col: str = "text", n: int = 3) -> Column:
+    """Within-document repetition: 1 − distinct/total token n-grams — the
+    Gopher/RefinedWeb duplicated-n-gram quality signal. 0.0 for docs too
+    short to form an n-gram. Pure HOF projection (scale-free)."""
+    t = tokens(col)
+    m = F.size(t) - (n - 1)
+    mm = F.greatest(m, F.lit(1))
+    # slice+zip_with, NOT transform(sequence, element_at): element_at
+    # under Catalyst's lambda re-inlines the whole split per element
+    # (O(n²·chars) per doc — see shingle_hashes_from_tokens)
+    grams = F.slice(t, 1, mm)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, j + 1, mm), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(
+        m >= 1,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / m,
+    ).otherwise(F.lit(0.0))
+
+
+# Patterns kept to the regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, +, {m,}, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+LONG_NUM_RE = "[0-9]{8,}"
+
+
+def pii_counts(col: str = "text") -> dict[str, Column]:
+    """Counts of scrub-target patterns (emails, URLs, long digit runs) —
+    the inputs to a redaction/filter policy. regexp_count keeps it a
+    JVM-side projection."""
+    return {
+        "n_emails": F.regexp_count(F.col(col), F.lit(EMAIL_RE)).cast("long"),
+        "n_urls": F.regexp_count(F.col(col), F.lit(URL_RE)).cast("long"),
+        "n_long_nums": F.regexp_count(F.col(col), F.lit(LONG_NUM_RE)).cast("long"),
+    }

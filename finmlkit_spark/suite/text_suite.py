@@ -631,3 +631,34 @@ def dedup_clusters_q(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     return D.dedup_clusters(pairs, docs)
+
+
+@query(
+    "doc_quality_signals",
+    _TOKS
+    + """
+, g AS (
+  SELECT d.doc_id, d.text, t.t, greatest(len(t.t) - 2, 1) AS m,
+         list_transform(range(1, greatest(len(t.t) - 2, 1) + 1),
+                        i -> concat(t.t[i], ' ', t.t[i + 1], ' ', t.t[i + 2])) AS grams
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN len(t) - 2 >= 1
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / m
+            ELSE 0.0 END AS rep3,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[0-9]{8,}')) AS BIGINT) AS n_long_nums
+FROM g""",
+)
+def doc_quality_signals(spark, sf_dir):
+    """Within-doc repetition (duplicated trigram ratio) + scrub-target
+    pattern counts (emails/URLs/long digit runs) — the RefinedWeb-style
+    quality/redaction signals as pure projections."""
+    pii = TX.pii_counts()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.repetition_ratio(n=3).alias("rep3"),
+        *[c.alias(k) for k, c in pii.items()],
+    )

@@ -89,3 +89,29 @@ def test_dedup_clusters_long_chain(spark):
     comp = D.dedup_clusters(pairs).collect()
     assert {r["cluster_id"] for r in comp} == {1}
     assert len(comp) == n
+
+
+def test_repetition_and_pii(spark):
+    from finmlkit_spark.operators import text as TX
+
+    rows = [
+        (1, "spam spam spam spam spam", "en", "s"),        # all trigrams identical
+        (2, "one two three four five", "en", "s"),          # no repetition
+        (3, "mail me at bob@example.com or visit https://x.co/page 12345678901", "en", "s"),
+        (4, "hi", "en", "s"),                               # too short for trigrams
+    ]
+    df = _docs_df(spark, rows)
+    pii = TX.pii_counts()
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.repetition_ratio(n=3).alias("rep3"),
+            *[c.alias(k) for k, c in pii.items()],
+        ).collect()
+    }
+    assert out[1]["rep3"] == 1.0 - 1.0 / 3.0  # 3 grams, 1 distinct
+    assert out[2]["rep3"] == 0.0
+    assert out[4]["rep3"] == 0.0
+    assert (out[3]["n_emails"], out[3]["n_urls"], out[3]["n_long_nums"]) == (1, 1, 1)
+    assert out[1]["n_emails"] == 0
