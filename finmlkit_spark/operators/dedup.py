@@ -298,3 +298,34 @@ def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     return docs.join(
         comp.where(F.col(id_col) == F.col("cluster_id")).select(id_col), id_col
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >=
+    ``min_shared`` token-trigram shingles with ANY benchmark doc.
+
+    Shape at 100 TB: the benchmark side is small (eval sets), so its
+    exploded shingle set broadcasts; the corpus explodes its shingles
+    once and semi-aggregates — one broadcast join, no corpus self-join.
+    Returns (doc_id, n_shared) for contaminated docs; anti-join against
+    it to get the clean set.
+    """
+    d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
+    b = (
+        benchmark.select(F.explode(shingle_hashes(text_col)).alias("g"))
+        .distinct()
+    )
+    e = d.select("doc", F.explode("sh").alias("g"))
+    hits = (
+        e.join(F.broadcast(b), "g")
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return hits.select(F.col("doc").alias(id_col), "n_shared")

@@ -662,3 +662,25 @@ def doc_quality_signals(spark, sf_dir):
         TX.repetition_ratio(n=3).alias("rep3"),
         *[c.alias(k) for k, c in pii.items()],
     )
+
+
+@query(
+    "decontamination",
+    _SHQ
+    + """
+, bmk AS (SELECT DISTINCT unnest(sh) AS g FROM shq WHERE doc_id % 97 = 0),
+e AS (SELECT doc_id, unnest(sh) AS g FROM shq WHERE doc_id % 97 <> 0)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM e JOIN bmk USING (g)
+GROUP BY e.doc_id
+HAVING count(*) >= 1""",
+)
+def decontamination_q(spark, sf_dir):
+    """Benchmark decontamination: training docs (id % 97 != 0) sharing
+    any token-trigram shingle with the held-out 'benchmark' slice
+    (id % 97 == 0). Benchmark shingles broadcast; the corpus never
+    self-joins."""
+    docs = _docs(spark, sf_dir)
+    bmk = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(train, bmk, min_shared=1)
