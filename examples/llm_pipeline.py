@@ -1,8 +1,10 @@
 """End-to-end training-data curation pipeline over the documents and
 embeddings tables — the LLM-data tier in one flow:
 
-    quality/lang filter -> exact dedup -> MinHash-LSH near-dup removal
-    -> token budget accounting -> ANN neighbor audit
+    quality/repetition filter -> exact dedup -> MinHash-LSH cluster
+    dedup (keep one per component) -> benchmark decontamination ->
+    train/test hash split -> sequence packing -> token budget report
+    -> ANN neighbor audit
 
 Run: python examples/llm_pipeline.py [sf_dir]   (default sf0.001)
 Every stage is a lazy DataFrame; one action at the end materializes the
@@ -20,6 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, ".")
 
 from finmlkit_spark.operators import dedup as D  # noqa: E402
+from finmlkit_spark.operators import sampling as SMP  # noqa: E402
 from finmlkit_spark.operators import similarity as SIM  # noqa: E402
 from finmlkit_spark.operators import text as TX  # noqa: E402
 from finmlkit_spark.session import get_spark  # noqa: E402
@@ -34,22 +37,37 @@ def main() -> None:
     scored = docs.select(
         "doc_id",
         "text",
+        "source",
         TX.quality_score().alias("quality"),
         TX.lang_guess().alias("lang"),
+        TX.repetition_ratio().alias("rep3"),
         TX.token_count().alias("ws_tokens"),
         TX.bpe_token_count().alias("bpe_tokens"),
     )
-    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    kept = scored.where(
+        (F.col("quality") >= 0.5) & (F.col("lang") == "en") & (F.col("rep3") < 0.5)
+    )
 
     # 2. exact dedup: keep the lowest doc_id per content hash
     exact = D.exact_dedup(kept, "text", "doc_id").select("keep_id")
     kept = kept.join(exact, kept.doc_id == exact.keep_id).drop("keep_id")
 
-    # 3. near-dup removal: MinHash-LSH candidates, exact Jaccard verify,
-    #    drop the higher id of every surviving pair
+    # 3. near-dup removal: MinHash-LSH pairs -> connected components ->
+    #    keep exactly one doc per cluster (transitive dups collapse too)
     pairs = D.minhash_lsh_pairs(kept, "text", "doc_id", threshold=0.6)
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    curated = kept.join(drop, "doc_id", "left_anti")
+    curated = D.keep_canonical(kept, pairs)
+
+    # 3b. decontamination: drop anything sharing shingles with the
+    #     held-out benchmark slice (here: doc_id % 97 == 0 stands in)
+    bmk = docs.where(F.col("doc_id") % 97 == 0)
+    contaminated = D.decontaminate(curated, bmk).select("doc_id")
+    curated = curated.join(contaminated, "doc_id", "left_anti")
+
+    # 3c. content-keyed train/test split + greedy sequence packing of
+    #     the train side (budget 2048 tokens per training sequence)
+    split = SMP.hash_split(curated, test_permille=100)
+    train = split.where(F.col("split") == "train")
+    packs = SMP.sequence_packing(train, budget=2048, group_col="source")
 
     # 4. token budget accounting per language bucket
     report = curated.groupBy("lang").agg(
@@ -67,6 +85,9 @@ def main() -> None:
     print("=== curated corpus ===")
     for r in report.collect():
         print(r)
+    print("=== packing ===")
+    n_packs = packs.agg(F.countDistinct("group", "pack_id").alias("n")).collect()[0]["n"]
+    print(f"train sequences packed: {n_packs}")
     print("=== sample neighbors ===")
     for r in ann.orderBy("query_id", "rank").collect()[:15]:
         print(r)
