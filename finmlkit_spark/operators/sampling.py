@@ -110,3 +110,48 @@ def sequence_packing(
         token_count(text_col).cast("long").alias("n_tokens"),
     )
     return base.groupBy("group").applyInPandas(_pack, schema=PACK_SCHEMA)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    target_weight,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture rebalancing: downsample each group so the kept
+    corpus approaches the target mixture ``target_weight`` (a Column of
+    unnormalized per-row target weights, constant within a group —
+    e.g. a lookup on ``source``).
+
+    keep-rate_g = (t_g / a_g) / max_h(t_h / a_h), where t is the
+    normalized target share and a the actual share — the dominant group
+    keeps rate 1.0, everything else scales down; no group is ever
+    upsampled. The keep decision is content-keyed (same avalanche
+    bucket as ``hash_split``), so it is deterministic and reshard-
+    stable. Two small aggregates + broadcast joins — the doc table
+    streams through once.
+    """
+    d = docs.withColumn("_tw", target_weight)
+    grp = d.groupBy(group_col).agg(
+        F.count("*").alias("_n"), F.first("_tw").alias("_w")
+    )
+    tot = grp.agg(
+        F.sum("_n").cast("double").alias("_ntot"), F.sum("_w").alias("_wtot")
+    )
+    grp = grp.crossJoin(F.broadcast(tot)).withColumn(
+        "_ratio", (F.col("_w") / F.col("_wtot")) / (F.col("_n") / F.col("_ntot"))
+    )
+    rmax = grp.agg(F.max("_ratio").alias("_rmax"))
+    rates = (
+        grp.crossJoin(F.broadcast(rmax))
+        .withColumn("keep_rate", F.col("_ratio") / F.col("_rmax"))
+        .select(group_col, "keep_rate")
+    )
+    h = poly_hash(text_col)
+    mixed = (h * F.lit(2654435761)) % F.lit(4294967296)
+    bucketf = mixed.cast("double") / F.lit(4294967296.0)
+    return (
+        d.drop("_tw")
+        .join(F.broadcast(rates), group_col)
+        .where(bucketf < F.col("keep_rate"))
+    )

@@ -17,7 +17,8 @@ from . import developing_suite  # noqa: F401
 # ROUND-3 ROTATION NOTE: after round 2's window, the only queries with
 # no driver row ever are: token_counts, user_fast_features,
 # user_trade_side, user_ewma, user_tbm_labels, stratified_sample,
-# hash_split, doc_quality_signals, decontamination (9). Front-load
+# hash_split, doc_quality_signals, decontamination, priority_fill_rate
+# (10, plus anything new this round that missed the window). Front-load
 # exactly these next round; everything else has r1 or r2 evidence.
 # The external driver verifies the FIRST 50 registered queries per round.
 # Round 1 left 48 of the first 50 green (CORRECTNESS_r01); round 2
@@ -80,18 +81,21 @@ _PRIORITY = [
     "pipeline_1m_features",
     "featurekit_build",
     "sql_shared_dialect",
-    # LLM-pipeline round-2 additions (cluster dedup, sequence packing)
+    # LLM-pipeline round-2 additions (cluster dedup, sequence packing,
+    # domain-mixture rebalancing)
     "dedup_clusters",
     "sequence_packing",
+    "mixture_sample",
     # multi-user partition-parallel shapes (user_ewma / user_tbm_labels
     # are grouped variants of r1-green seq_ewma / tbm_labels — rotated
     # behind the window in favor of first-time families)
     "user_hourly_bars",
     "user_sessions",
-    # analytics (TPC-H-shaped)
+    # analytics (TPC-H-shaped; priority_fill_rate rotated behind the
+    # window to make room for mixture_sample — same family as the two
+    # kept queries, so the family still gets first-time evidence)
     "pricing_summary",
     "regional_revenue",
-    "priority_fill_rate",
 ]
 
 

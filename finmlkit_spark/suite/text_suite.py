@@ -684,3 +684,34 @@ def decontamination_q(spark, sf_dir):
     bmk = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return D.decontaminate(train, bmk, min_shared=1)
+
+
+@query(
+    "mixture_sample",
+    f"""
+WITH h AS (SELECT doc_id, source, {_PH_TEXT} AS ph FROM documents),
+tw AS (
+  SELECT doc_id, source, ph,
+         CAST((CAST(substring(source, 4) AS INT) % 4) + 1 AS DOUBLE) AS w
+  FROM h
+),
+grp AS (SELECT source, count(*) AS n, any_value(w) AS w FROM tw GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(w) AS DOUBLE) AS ww FROM grp),
+r AS (SELECT source, (w / ww) / (n / nn) AS ratio FROM grp, tot),
+rm AS (SELECT max(ratio) AS rmax FROM r),
+rates AS (SELECT source, ratio / rmax AS keep_rate FROM r, rm)
+SELECT t.doc_id, t.source
+FROM tw t JOIN rates USING (source)
+WHERE CAST((t.ph * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 < rates.keep_rate""",
+)
+def mixture_sample_q(spark, sf_dir):
+    """Domain-mixture rebalancing (DoReMi/Pile-style source weighting):
+    downsample each source toward a target weight ((src# % 4) + 1), the
+    dominant source keeping rate 1.0 and nothing ever upsampled. The
+    keep decision hashes the document text (avalanche bucket), so the
+    drawn corpus is deterministic and reshard-stable; the arithmetic is
+    exact-integer sums + IEEE division, so DuckDB reproduces it
+    bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    w = ((F.substring("source", 4, 8).cast("int") % 4) + 1).cast("double")
+    return SMP.mixture_sample(docs, w).select("doc_id", "source")

@@ -115,3 +115,25 @@ def test_repetition_and_pii(spark):
     assert out[4]["rep3"] == 0.0
     assert (out[3]["n_emails"], out[3]["n_urls"], out[3]["n_long_nums"]) == (1, 1, 1)
     assert out[1]["n_emails"] == 0
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    # 40 docs in 'big' (weight 1) vs 20 in 'small' (weight 3):
+    # target ratio small/big = 3/1, so 'small' is dominant (keep 1.0 —
+    # every doc survives) and 'big' downsamples to keep_rate
+    # (1/60)/(40/60) / ((3/60)/(20/60)) = (1/40)/(3/20) = 1/6.
+    rows = [(i, f"unique text number {i} padding", "en", "big") for i in range(40)]
+    rows += [(100 + i, f"other document {i} body", "en", "small") for i in range(20)]
+    df = _docs_df(spark, rows)
+    w = F.when(F.col("source") == "small", F.lit(3.0)).otherwise(F.lit(1.0))
+    out = SMP.mixture_sample(df, w).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # dominant group is never downsampled (keep_rate exactly 1.0)
+    assert by_src["small"] == {100 + i for i in range(20)}
+    # non-dominant group is a strict, non-empty subset
+    assert 0 < len(by_src["big"]) < 40
+    # content-keyed decision => stable under resharding
+    again = SMP.mixture_sample(df.repartition(7, "doc_id"), w).collect()
+    assert {(r["doc_id"]) for r in again} == {r["doc_id"] for r in out}
