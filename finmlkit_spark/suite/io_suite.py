@@ -102,54 +102,76 @@ _CB_MULT = 5.0
 _CB_FLOOR = 0.5
 
 
+# Oracle shape note: one recursion carrying the full (EWMST + CUSUM)
+# state with ~15 chained lateral aliases took ~7.5 s — DuckDB re-inlines
+# each alias reference, so the sigma/threshold/trigger chains blow up
+# into a large duplicated expression tree per iteration. Splitting into
+# two SIMPLE recursions (EWMST state, then the CUSUM machine over a
+# materialized per-row threshold) is ~8x faster with bit-identical
+# output: sigma is a pure per-row function of the carried state, and
+# the NaN-carry in both kernels collapses into one last-non-null fill.
 @query(
     "seq_cusum_bars",
     _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""
 , bm AS MATERIALIZED (SELECT brn, bar_close_ns, r FROM b),
-rec AS (
-  SELECT brn, bar_close_ns,
-         CAST(0 AS BIGINT) AS bar_id,
-         CAST(0.0 AS DOUBLE) AS v, CAST(0.0 AS DOUBLE) AS v2,
+st AS (
+  SELECT brn, CAST(0.0 AS DOUBLE) AS v, CAST(0.0 AS DOUBLE) AS v2,
          CAST(0.0 AS DOUBLE) AS sy, CAST(0.0 AS DOUBLE) AS syy,
-         CAST(NULL AS BIGINT) AS prev_t,
-         CAST({_CB_FLOOR!r} AS DOUBLE) AS last_sig,
-         CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
-         CAST(0 AS BIGINT) AS nxt_bar
+         CAST(NULL AS BIGINT) AS prev_t
   FROM bm WHERE brn = 1
   UNION ALL
-  SELECT nb.brn, nb.bar_close_ns,
-         nb.out_bar AS bar_id,
-         nv, nv2, nsy, nsyy, nprev_t, nlast_sig, nsp2, nsn2, nbar
+  SELECT brn2,
+         CASE WHEN r2 IS NULL THEN v ELSE 1.0 + d * v END,
+         CASE WHEN r2 IS NULL THEN v2 ELSE 1.0 + d * d * v2 END,
+         CASE WHEN r2 IS NULL THEN sy ELSE r2 + d * sy END,
+         CASE WHEN r2 IS NULL THEN syy ELSE r2 * r2 + d * syy END,
+         CASE WHEN r2 IS NULL THEN prev_t ELSE t2 END
   FROM (
-    SELECT nb.*,
+    SELECT nb.brn AS brn2, nb.bar_close_ns AS t2, nb.r AS r2,
+           st.v, st.v2, st.sy, st.syy, st.prev_t,
            CASE WHEN nb.r IS NULL THEN NULL
-                WHEN rec.prev_t IS NULL THEN 1.0
-                ELSE exp(-{_CB_LAM!r} * (nb.bar_close_ns - rec.prev_t)) END AS d,
-           CASE WHEN nb.r IS NULL THEN rec.v ELSE 1.0 + d * rec.v END AS nv,
-           CASE WHEN nb.r IS NULL THEN rec.v2 ELSE 1.0 + d * d * rec.v2 END AS nv2,
-           CASE WHEN nb.r IS NULL THEN rec.sy ELSE nb.r + d * rec.sy END AS nsy,
-           CASE WHEN nb.r IS NULL THEN rec.syy ELSE nb.r * nb.r + d * rec.syy END AS nsyy,
-           CASE WHEN nb.r IS NULL THEN rec.prev_t ELSE nb.bar_close_ns END AS nprev_t,
-           CASE WHEN nb.r IS NULL THEN NULL
-                WHEN nv * nv > nv2
-                THEN sqrt(greatest(nsyy / nv - (nsy / nv) * (nsy / nv), 0.0)
-                          * (nv * nv) / (nv * nv - nv2))
-                ELSE NULL END AS sigma,
-           coalesce(sigma, rec.last_sig) AS nlast_sig,
-           greatest({_CB_MULT!r} * nlast_sig, {_CB_FLOOR!r}) AS thr,
-           coalesce(nb.r, 0.0) AS x,
-           greatest(0.0, rec.sp + x) AS nsp,
-           least(0.0, rec.sn + x) AS nsn,
-           (nsp >= thr OR nsn <= -thr) AS trig,
-           CASE WHEN trig THEN 0.0 ELSE nsp END AS nsp2,
-           CASE WHEN trig THEN 0.0 ELSE nsn END AS nsn2,
-           CASE WHEN trig THEN rec.nxt_bar + 1 ELSE rec.nxt_bar END AS nbar,
-           rec.nxt_bar AS out_bar
-    FROM rec JOIN bm nb ON nb.brn = rec.brn + 1
-  ) nb
+                WHEN st.prev_t IS NULL THEN 1.0
+                ELSE exp(-{_CB_LAM!r} * (nb.bar_close_ns - st.prev_t)) END AS d
+    FROM st JOIN bm nb ON nb.brn = st.brn + 1
+  )
+),
+thrt AS MATERIALIZED (
+  SELECT brn, bar_close_ns, x,
+         greatest({_CB_MULT!r} * coalesce(
+           last_value(sraw IGNORE NULLS) OVER (ORDER BY brn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           {_CB_FLOOR!r}), {_CB_FLOOR!r}) AS thr
+  FROM (
+    SELECT bm.brn, bm.bar_close_ns, coalesce(bm.r, 0.0) AS x,
+           CASE WHEN bm.r IS NULL OR NOT (st.v * st.v > st.v2) THEN NULL
+                ELSE sqrt(greatest(st.syy / st.v - (st.sy / st.v) * (st.sy / st.v), 0.0)
+                          * (st.v * st.v) / (st.v * st.v - st.v2)) END AS sraw
+    FROM bm JOIN st USING (brn)
+  )
+),
+cm AS (
+  SELECT brn, bar_close_ns, CAST(0 AS BIGINT) AS bar_id,
+         CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+         CAST(0 AS BIGINT) AS nxt
+  FROM thrt WHERE brn = 1
+  UNION ALL
+  SELECT brn2, t2, nxt0,
+         CASE WHEN trig THEN 0.0 ELSE nsp END,
+         CASE WHEN trig THEN 0.0 ELSE nsn END,
+         CASE WHEN trig THEN nxt0 + 1 ELSE nxt0 END
+  FROM (
+    SELECT brn2, t2, nxt0, nsp, nsn, (nsp >= t OR nsn <= -t) AS trig
+    FROM (
+      SELECT nb.brn AS brn2, nb.bar_close_ns AS t2, nb.thr AS t,
+             cm.nxt AS nxt0,
+             greatest(0.0, cm.sp + nb.x) AS nsp,
+             least(0.0, cm.sn + nb.x) AS nsn
+      FROM cm JOIN thrt nb ON nb.brn = cm.brn + 1
+    )
+  )
 )
-SELECT bar_close_ns, bar_id FROM rec""",
+SELECT bar_close_ns, bar_id FROM cm""",
 )
 def seq_cusum_bars(spark, sf_dir):
     """CUSUM bar sampler with adaptive threshold max(mult·σ, floor)
