@@ -329,3 +329,50 @@ def decontaminate(
         .where(F.col("n_shared") >= min_shared)
     )
     return hits.select(F.col("doc").alias(id_col), "n_shared")
+
+
+def dup_span_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span fraction: for each doc, the share
+    of its distinct token-trigram shingles that also occur in at least
+    one OTHER document — the distributed analog of suffix-array
+    substring dedup ("Deduplicating Training Data Makes Language Models
+    Better"): a high fraction marks boilerplate/template documents even
+    when no single near-dup pair exists.
+
+    Shape at 100 TB: one explode + hash-aggregate on the narrow int64
+    shingle key (map-side combined), then one shuffle join back on the
+    same key and a per-doc aggregate. Never a self-join; fan-out is the
+    corpus shingle count, not pairs. Docs too short for a trigram get
+    fraction 0.0.
+    """
+    d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
+    e = d.select("doc", F.explode("sh").alias("g"))
+    # shingle arrays are distinct per doc, so count(*) = number of docs
+    df_counts = e.groupBy("g").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        e.join(df_counts, "g")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long").alias("n_shared"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.when(
+                F.col("n_shingles").isNotNull(),
+                F.col("n_shared").cast("double") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

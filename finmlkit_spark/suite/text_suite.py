@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import corpus as CP
 from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import sampling as SMP
@@ -715,3 +716,74 @@ def mixture_sample_q(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     w = ((F.substring("source", 4, 8).cast("int") % 4) + 1).cast("double")
     return SMP.mixture_sample(docs, w).select("doc_id", "source")
+
+
+@query(
+    "dup_spans",
+    _SHQ
+    + """
+, e AS (SELECT doc_id AS doc, unnest(sh) AS g FROM shq),
+dfc AS (SELECT g, count(*) AS n_docs FROM e GROUP BY g),
+pd AS (
+  SELECT doc, count(*) AS n_shingles,
+         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM e JOIN dfc USING (g) GROUP BY doc
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(pd.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN pd.n_shingles IS NOT NULL
+            THEN CAST(pd.n_shared AS DOUBLE) / pd.n_shingles ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc""",
+)
+def dup_spans_q(spark, sf_dir):
+    """Cross-document duplicated-span fraction per doc (the distributed
+    suffix-array-dedup analog): share of a doc's distinct token
+    trigrams that occur in any other document."""
+    return D.dup_span_fraction(_docs(spark, sf_dir))
+
+
+@query(
+    "vocab_topk",
+    _TOKS
+    + """
+, e AS (SELECT doc_id, unnest(t) AS token FROM toks),
+pd AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY doc_id, token),
+c AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM pd GROUP BY token
+),
+r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank FROM c)
+SELECT token, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 100""",
+)
+def vocab_topk_q(spark, sf_dir):
+    """Top-100 corpus vocabulary (occurrences + document frequency) —
+    the tokenizer-training word-count table."""
+    return CP.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+@query(
+    "tfidf_keywords",
+    _TOKS
+    + """
+, e AS (SELECT doc_id AS doc, unnest(t) AS token FROM toks),
+tf AS (SELECT doc, token, count(*) AS tf FROM e GROUP BY doc, token),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+s AS (
+  SELECT tf.doc, tf.token, tf.tf, dfq.df,
+         CAST(tf.tf AS DOUBLE) * n.n_total / dfq.df AS score
+  FROM tf JOIN dfq USING (token), n
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, token) AS rank FROM s)
+SELECT doc AS doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3""",
+)
+def tfidf_keywords_q(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords with a rational idf (N/df) so
+    scores are exact integer ratios — deterministic cross-engine
+    ranking (log-idf differs in the last ulp between libm builds)."""
+    return CP.tfidf_keywords(_docs(spark, sf_dir), top_per_doc=3)

@@ -137,3 +137,45 @@ def test_mixture_sample_rates_and_determinism(spark):
     # content-keyed decision => stable under resharding
     again = SMP.mixture_sample(df.repartition(7, "doc_id"), w).collect()
     assert {(r["doc_id"]) for r in again} == {r["doc_id"] for r in out}
+
+
+def test_dup_span_fraction(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "s"),  # shares 3-grams with 2
+        (2, "alpha beta gamma delta zeta", "en", "s"),     # 2 of 3 grams shared
+        (3, "totally different words entirely here", "en", "s"),
+        (4, "hi", "en", "s"),                              # too short for a trigram
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in D.dup_span_fraction(_docs_df(spark, rows)).collect()
+    }
+    # doc1 grams: (a b g), (b g d), (g d e); doc2: (a b g), (b g d), (g d z)
+    assert out[1]["n_shingles"] == 3 and out[1]["n_shared"] == 2
+    assert out[2]["n_shingles"] == 3 and out[2]["n_shared"] == 2
+    assert abs(out[1]["dup_frac"] - 2 / 3) < 1e-12
+    assert out[3]["n_shared"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_shingles"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_vocab_and_tfidf(spark):
+    from finmlkit_spark.operators import corpus as CP
+
+    rows = [
+        (1, "apple apple banana", "en", "s"),
+        (2, "apple cherry", "en", "s"),
+        (3, "banana banana banana cherry", "en", "s"),
+    ]
+    df = _docs_df(spark, rows)
+    vocab = {r["token"]: r for r in CP.vocab_topk(df, k=10).collect()}
+    assert vocab["banana"]["n_occurrences"] == 4 and vocab["banana"]["n_docs"] == 2
+    assert vocab["apple"]["n_occurrences"] == 3 and vocab["apple"]["n_docs"] == 2
+    assert vocab["banana"]["rank"] == 1
+    # apple (3) before cherry (2); tie-breaks alphabetical at equal counts
+    assert vocab["apple"]["rank"] == 2 and vocab["cherry"]["rank"] == 3
+
+    kw = CP.tfidf_keywords(df, top_per_doc=1).collect()
+    top = {r["doc_id"]: r["token"] for r in kw}
+    # doc1: apple tf=2 df=2 -> 3.0; banana tf=1 df=2 -> 1.5 => apple
+    # doc3: banana tf=3 df=2 -> 4.5 beats cherry tf=1 df=2 -> 1.5
+    assert top[1] == "apple" and top[3] == "banana"
