@@ -376,3 +376,31 @@ def dup_span_fraction(
             .alias("dup_frac"),
         )
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection: given the (doc_id, cluster_id)
+    mapping from ``dedup_clusters`` and a per-doc quality score, keep
+    the highest-quality doc per near-dup cluster (ties → lowest id) —
+    the keep-policy step a curation pipeline runs after clustering,
+    instead of blindly keeping the lowest id.
+
+    One window over cluster_id (hash-partitioned; cluster sizes are
+    near-dup group sizes, i.e. tiny) — scales as a plain shuffle on
+    cluster_id.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(quality, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(id_col, "cluster_id", "quality")
+    )

@@ -155,3 +155,50 @@ def mixture_sample(
         .join(F.broadcast(rates), group_col)
         .where(bucketf < F.col("keep_rate"))
     )
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-budget token chunks with overlap
+    (the pretraining chunker: stride = chunk − overlap; the last chunk
+    may run short). Projection + posexplode — no shuffle at all; chunk
+    content is fingerprinted (md5) so downstream dedup/packing can run
+    on chunks without re-reading text.
+
+    Shape note: the token array is materialized BEFORE the explode and
+    the per-chunk ``slice`` runs after it — the Generate node is a
+    project-collapse barrier, so the text is split once per doc, not
+    once per chunk (``transform(sequence, i -> slice(t, ...))`` would
+    re-inline the split per element — the O(n²) trap documented in
+    ``text.shingle_hashes_from_tokens``).
+    """
+    from .text import tokens
+
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    nc = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.floor((n - chunk_tokens + stride - 1) / F.lit(float(stride)))).cast("int")
+    )
+    d1 = docs.select(F.col(id_col), t.alias("_t"), nc.alias("_nc"))
+    d2 = d1.select(
+        id_col,
+        "_t",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id", "_i"),
+    )
+    chunk = F.concat_ws(" ", F.slice("_t", F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)))
+    return d2.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        chunk.alias("_c"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size(F.split("_c", " ")).cast("long").alias("n_tokens"),
+        F.md5("_c").alias("chunk_md5"),
+    )

@@ -18,9 +18,9 @@ from . import developing_suite  # noqa: F401
 # no driver row ever are: token_counts, user_fast_features,
 # user_trade_side, user_ewma, user_tbm_labels, stratified_sample,
 # hash_split, doc_quality_signals, decontamination, priority_fill_rate,
-# dup_spans, vocab_topk, tfidf_keywords (13, plus anything new this
-# round that missed the window). Front-load exactly these next round;
-# everything else has r1 or r2 evidence.
+# dup_spans, vocab_topk, tfidf_keywords, doc_chunks, dedup_keep_best
+# (15, plus anything new this round that missed the window). Front-load
+# exactly these next round; everything else has r1 or r2 evidence.
 # The external driver verifies the FIRST 50 registered queries per round.
 # Round 1 left 48 of the first 50 green (CORRECTNESS_r01); round 2
 # front-loads everything that has no driver row yet — the two repaired

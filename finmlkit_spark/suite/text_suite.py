@@ -787,3 +787,92 @@ def tfidf_keywords_q(spark, sf_dir):
     scores are exact integer ratios — deterministic cross-engine
     ranking (log-idf differs in the last ulp between libm builds)."""
     return CP.tfidf_keywords(_docs(spark, sf_dir), top_per_doc=3)
+
+
+@query(
+    "doc_chunks",
+    _TOKS
+    + """
+, d1 AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE 1 + CAST(floor((len(t) - 64 + 47) / 48.0) AS INT) END AS nc
+  FROM toks
+),
+e AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM d1),
+c AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS ctext
+  FROM e
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_tokens,
+       md5(ctext) AS chunk_md5
+FROM c""",
+)
+def doc_chunks_q(spark, sf_dir):
+    """Pretraining chunker: 64-token chunks, 16-token overlap (stride
+    48); chunks are md5-fingerprinted so the compare proves the exact
+    chunk text without hauling it through the hash."""
+    return SMP.doc_chunks(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+@query(
+    "dedup_keep_best",
+    _SHQ.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, sg AS (SELECT doc_id, sh, {_SIG.replace('hs', _HS)} AS sig FROM shq),
+bk AS (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(0, 4), b ->
+           concat(CAST(b AS VARCHAR), ':',
+                  array_to_string(list_slice(sig, CAST(b AS INT) * 4 + 1, CAST(b AS INT) * 4 + 4), '-')))) AS key
+  FROM sg
+),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT a, b AS r FROM edges
+  UNION
+  SELECT reach.a, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(r)) AS cluster_id FROM reach GROUP BY a),
+cl AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+qs AS (
+  SELECT doc_id,
+         (CASE WHEN len(t) >= 10 AND len(t) <= 100000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE) / len(t) >= 2.0
+                 AND CAST(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE) / len(t) <= 12.0
+                 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+                      / len(t) > 0.0 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM toks
+),
+rk AS (
+  SELECT cl.doc_id, cl.cluster_id, qs.quality,
+         row_number() OVER (PARTITION BY cl.cluster_id ORDER BY qs.quality DESC, cl.doc_id) AS rk
+  FROM cl JOIN qs USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality FROM rk WHERE rk = 1""",
+)
+def dedup_keep_best_q(spark, sf_dir):
+    """Canonical-doc selection: highest-quality doc per MinHash-LSH
+    near-dup cluster (ties -> lowest id) — the keep-policy step after
+    clustering; singletons keep themselves."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = D.dedup_clusters(pairs, docs)
+    quality = docs.select("doc_id", TX.quality_score().alias("quality"))
+    return D.keep_best_per_cluster(clusters, quality)

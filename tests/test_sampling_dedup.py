@@ -179,3 +179,36 @@ def test_vocab_and_tfidf(spark):
     # doc1: apple tf=2 df=2 -> 3.0; banana tf=1 df=2 -> 1.5 => apple
     # doc3: banana tf=3 df=2 -> 4.5 beats cherry tf=1 df=2 -> 1.5
     assert top[1] == "apple" and top[3] == "banana"
+
+
+def test_doc_chunks_boundaries(spark):
+    # 10 tokens, chunk 4, overlap 1 (stride 3): starts at 1,4,7,10 ->
+    # nc = 1 + ceil((10-4)/3) = 3 ... wait: 1+ceil(6/3)=3 chunks cover
+    # tokens 1-4,4-7,7-10; token 10 covered by chunk starting at 7.
+    toks = [f"t{i}" for i in range(1, 11)]
+    rows = [(1, " ".join(toks), "en", "s"), (2, "a b", "en", "s")]
+    out = SMP.doc_chunks(_docs_df(spark, rows), chunk_tokens=4, overlap=1).collect()
+    d1 = sorted((r["chunk_id"], r["n_tokens"]) for r in out if r["doc_id"] == 1)
+    assert d1 == [(0, 4), (1, 4), (2, 4)]
+    d2 = [(r["chunk_id"], r["n_tokens"]) for r in out if r["doc_id"] == 2]
+    assert d2 == [(0, 2)]  # short doc -> one short chunk
+    # overlap: chunk 0 = t1..t4, chunk 1 = t4..t7 (token 4 in both)
+    import hashlib
+    md5 = {r["chunk_id"]: r["chunk_md5"] for r in out if r["doc_id"] == 1}
+    assert md5[0] == hashlib.md5(b"t1 t2 t3 t4").hexdigest()
+    assert md5[1] == hashlib.md5(b"t4 t5 t6 t7").hexdigest()
+
+
+def test_keep_best_per_cluster(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.4), (2, 0.7), (3, 0.1), (4, 0.5), (5, 0.5)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r["cluster_id"]: r["doc_id"]
+        for r in D.keep_best_per_cluster(clusters, quality).collect()
+    }
+    assert out == {1: 2, 3: 3, 4: 4}  # cluster 4: quality tie -> lowest id
