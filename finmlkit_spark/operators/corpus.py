@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import STOPWORDS, tokens
 
 
 def vocab_topk(
@@ -85,3 +85,169 @@ def tfidf_keywords(
             "rank",
         )
     )
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact segment-level dedup — the distributed analog of C4's
+    line-level dedup (docs here are single-line, so the "line" unit is a
+    fixed window of ``seg_tokens`` consecutive tokens). Every repeated
+    segment keeps only its first corpus occurrence (min (doc_id, seg_no));
+    later occurrences are cut and the surviving segments are re-joined in
+    order into a cleaned document.
+
+    Plan: explode segments (fan-out bounded by doc length / seg_tokens),
+    one hash aggregate on the segment MD5 to elect the first occurrence
+    (the shuffle carries only the 16-byte digest + two longs, never
+    text), a semi-join back on (digest, doc, seg_no), then one per-doc
+    aggregate to reassemble. The reassembly groupBy is keyed on doc_id,
+    so segment text only shuffles once, partitioned by its own document.
+    """
+    t = tokens(text_col)
+    nseg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
+    segs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, i * seg_tokens + 1, seg_tokens)
+                ),
+            )
+        ).alias("seg_no", "seg"),
+    ).withColumn("digest", F.md5("seg"))
+    first = segs.groupBy("digest").agg(
+        F.min(F.struct("doc", "seg_no")).alias("first_occ")
+    )
+    kept = segs.join(first, "digest").where(
+        (F.col("doc") == F.col("first_occ.doc"))
+        & (F.col("seg_no") == F.col("first_occ.seg_no"))
+    )
+    out = kept.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_no", "seg"))),
+                    lambda s: s["seg"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    totals = segs.groupBy("doc").agg(F.count("*").cast("long").alias("n_segments"))
+    return (
+        totals.join(out, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+# C4-style corpus-filter constants (Raffel et al. 2020 §2.2, adapted to
+# single-line docs: the per-line rules become per-document rules).
+C4_BAD_SUBSTRINGS = ["lorem ipsum", "javascript", "{"]
+C4_MIN_TOKENS = 5
+C4_MAX_TOKEN_LEN = 20
+C4_MAX_TOP_SHARE = 0.3
+
+
+def c4_filter_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style quality-filter signals + keep decision, one row per doc.
+
+    Rules (each an independent flag so downstream can re-weigh them):
+    ≥ ``C4_MIN_TOKENS`` tokens, longest token ≤ ``C4_MAX_TOKEN_LEN``
+    chars, no bad substring (lorem ipsum / javascript / code braces),
+    at least one stopword hit, and the most frequent token's share of
+    the doc ≤ ``C4_MAX_TOP_SHARE`` (the one-word-spam rule). Pure
+    per-row projection — no shuffle, scale-free; exact rational
+    arithmetic only, so both engines agree bit-for-bit.
+    """
+    t = tokens(text_col)
+    low = F.lower(F.col(text_col))
+    bad = None
+    for s in C4_BAD_SUBSTRINGS:
+        c = F.contains(low, F.lit(s))
+        bad = c if bad is None else (bad | c)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    # top token share via the sorted token list: longest run of equal
+    # adjacent tokens == max frequency (exact, no second explode).
+    sorted_t = F.sort_array(t)
+    run = F.aggregate(
+        sorted_t,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.array_max(F.transform(t, F.length)).cast("long").alias("max_token_len"),
+        bad.alias("has_bad_substring"),
+        F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+        .cast("long")
+        .alias("stop_hits"),
+        run.cast("long").alias("top_token_freq"),
+    )
+    keep = (
+        (F.col("n_tokens") >= C4_MIN_TOKENS)
+        & (F.col("max_token_len") <= C4_MAX_TOKEN_LEN)
+        & ~F.col("has_bad_substring")
+        & (F.col("stop_hits") > 0)
+        & (
+            F.col("top_token_freq").cast("double") / F.col("n_tokens")
+            <= F.lit(C4_MAX_TOP_SHARE)
+        )
+    )
+    return d.withColumn("keep", keep)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    LM — the cheap perplexity-style quality score (low = rare/garbled
+    vocabulary, high = in-distribution text).
+
+    Plan: one explode -> (token, count) hash aggregate (map-side
+    combined; the shuffle carries token keys, not text), a scalar total
+    broadcast, a broadcast-able join from the exploded tokens back to
+    their corpus counts, then one per-doc aggregate. ln() and the mean
+    are rounded to ``ndigits`` on both engines — sum order and libm
+    differ cross-engine in the last ulp (same rationale as TimeCues).
+    """
+    e = docs.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
+    cnt = e.groupBy("token").agg(F.count("*").alias("tf"))
+    tot = cnt.agg(F.sum("tf").cast("double").alias("t_total"))
+    scored = (
+        e.join(cnt, "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.log(F.col("tf") / F.col("t_total")))
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), ndigits).alias("mean_logprob"),
+        F.round(F.exp(-F.avg("lp")), ndigits).alias("perplexity"),
+    ).select(F.col("doc").alias(id_col), "n_tokens", "mean_logprob", "perplexity")

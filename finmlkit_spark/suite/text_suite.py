@@ -876,3 +876,94 @@ def dedup_keep_best_q(spark, sf_dir):
     clusters = D.dedup_clusters(pairs, docs)
     quality = docs.select("doc_id", TX.quality_score().alias("quality"))
     return D.keep_best_per_cluster(clusters, quality)
+
+
+@query(
+    "segment_dedup",
+    _TOKS
+    + """
+, d1 AS (SELECT doc_id, t, CAST(ceil(len(t) / 8.0) AS INT) AS nseg FROM toks),
+ex AS (SELECT doc_id, t, unnest(range(0, nseg)) AS seg_no FROM d1),
+segs AS (
+  SELECT doc_id, CAST(seg_no AS INT) AS seg_no,
+         array_to_string(list_slice(t, CAST(seg_no AS INT) * 8 + 1, CAST(seg_no AS INT) * 8 + 8), ' ') AS seg
+  FROM ex
+),
+rk AS (
+  SELECT doc_id, seg_no, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_no) AS rk
+  FROM segs
+),
+kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(seg, ' ' ORDER BY seg_no)) AS clean_md5
+  FROM rk WHERE rk = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments FROM segs GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_segments,
+       coalesce(kept.n_kept, 0) AS n_kept,
+       coalesce(kept.clean_md5, md5('')) AS clean_md5
+FROM tot LEFT JOIN kept USING (doc_id)""",
+)
+def segment_dedup_q(spark, sf_dir):
+    """C4-style exact segment dedup: every repeated 8-token segment
+    keeps only its first corpus occurrence; docs are reassembled from
+    the surviving segments (md5-fingerprinted for the compare)."""
+    return CP.segment_dedup(_docs(spark, sf_dir), seg_tokens=8)
+
+
+@query(
+    "c4_filter",
+    _TOKS
+    + """
+, fr AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+),
+topf AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_freq
+  FROM (SELECT doc_id, token, count(*) AS c FROM fr GROUP BY doc_id, token)
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_token_len,
+         (contains(lower(d.text), 'lorem ipsum') OR contains(lower(d.text), 'javascript')
+          OR contains(lower(d.text), '{')) AS has_bad_substring,
+         CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS stop_hits
+  FROM documents d JOIN toks USING (doc_id)
+)
+SELECT sig.doc_id, n_tokens, max_token_len, has_bad_substring, stop_hits,
+       topf.top_token_freq,
+       (n_tokens >= 5 AND max_token_len <= 20 AND NOT has_bad_substring
+        AND stop_hits > 0
+        AND CAST(topf.top_token_freq AS DOUBLE) / n_tokens <= 0.3) AS keep
+FROM sig JOIN topf USING (doc_id)""",
+)
+def c4_filter_q(spark, sf_dir):
+    """C4-style quality filter signals (Raffel et al. 2020 §2.2 rules
+    adapted to single-line docs) + the combined keep decision."""
+    return CP.c4_filter_signals(_docs(spark, sf_dir))
+
+
+@query(
+    "unigram_logprob",
+    _TOKS
+    + """
+, e AS (SELECT doc_id AS doc, unnest(t) AS token FROM toks),
+cnt AS (SELECT token, count(*) AS tf FROM e GROUP BY token),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t_total FROM cnt),
+lp AS (
+  SELECT e.doc, ln(cnt.tf / tot.t_total) AS lp
+  FROM e JOIN cnt USING (token), tot
+)
+SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 6) AS mean_logprob,
+       round(exp(-avg(lp)), 6) AS perplexity
+FROM lp GROUP BY doc""",
+)
+def unigram_logprob_q(spark, sf_dir):
+    """Corpus unigram-LM mean token log-probability per doc (the cheap
+    perplexity-style quality score; trig-free but libm ln/exp, so both
+    sides round to 6 decimals like TimeCues)."""
+    return CP.unigram_logprob(_docs(spark, sf_dir))

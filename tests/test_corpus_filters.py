@@ -1,0 +1,79 @@
+"""Unit tests for the C4-style corpus ops: segment dedup, quality
+filter signals, unigram-LM scoring."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from finmlkit_spark.operators import corpus as CP
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_dedup_removes_later_occurrences(spark):
+    # doc 0 and doc 1 share their first 4-token segment; doc 1 keeps
+    # only its unique tail segment.
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d x y z w"),
+        (2, "q r s t"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CP.segment_dedup(_docs(spark, rows), seg_tokens=4).collect()
+    }
+    assert out[0]["n_segments"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["n_segments"] == 1 and out[2]["n_kept"] == 1
+    # doc 1's surviving text is exactly its second segment
+    md5 = (
+        spark.range(1)
+        .select(F.md5(F.lit("x y z w")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert out[1]["clean_md5"] == md5
+
+
+def test_segment_dedup_fully_duplicated_doc(spark):
+    rows = [(0, "a b c d"), (1, "a b c d")]
+    out = {
+        r["doc_id"]: r
+        for r in CP.segment_dedup(_docs(spark, rows), seg_tokens=4).collect()
+    }
+    assert out[1]["n_kept"] == 0
+    empty_md5 = (
+        spark.range(1).select(F.md5(F.lit("")).alias("m")).collect()[0]["m"]
+    )
+    assert out[1]["clean_md5"] == empty_md5
+
+
+def test_c4_filter_rules(spark):
+    rows = [
+        (0, "the quick brown fox jumps over dogs"),  # keep
+        (1, "no stopword here fox jumps quick brown"),  # stop_hits == 0
+        (2, "the fox"),  # too short
+        (3, "the quick javascript fox jumps over dogs"),  # bad substring
+        (4, "the spam spam spam spam spam spam spam spam spam"),  # top share
+        (5, "the quick supercalifragilisticexpialidocious fox jumps over it"),
+    ]
+    out = {r["doc_id"]: r for r in CP.c4_filter_signals(_docs(spark, rows)).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["stop_hits"] == 0
+    assert out[2]["keep"] is False and out[2]["n_tokens"] == 2
+    assert out[3]["keep"] is False and out[3]["has_bad_substring"] is True
+    assert out[4]["keep"] is False and out[4]["top_token_freq"] == 9
+    assert out[5]["keep"] is False and out[5]["max_token_len"] > 20
+
+
+def test_unigram_logprob_exact_two_token_corpus(spark):
+    # corpus: "x x x y" -> p(x)=3/4, p(y)=1/4
+    rows = [(0, "x x"), (1, "x y")]
+    out = {r["doc_id"]: r for r in CP.unigram_logprob(_docs(spark, rows)).collect()}
+    assert out[0]["mean_logprob"] == round(math.log(0.75), 6)
+    expected1 = (math.log(0.75) + math.log(0.25)) / 2
+    assert abs(out[1]["mean_logprob"] - round(expected1, 6)) <= 1e-9
+    assert abs(out[1]["perplexity"] - round(math.exp(-expected1), 6)) <= 1e-9
