@@ -96,3 +96,65 @@ def lsh_near_pairs(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
     )
     return out.where(F.col("cos_sim") >= threshold)
+
+
+def kmeans_assign(
+    emb_df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Lloyd k-means over the embedding column by max-cosine assignment —
+    the trainable coarse quantizer for IVF search (``ann_ivf`` uses fixed
+    seed centroids; this learns them).
+
+    Fully distributed, no driver-side model state: centroids live in a
+    k-row DataFrame that is broadcast into the assignment cross join;
+    the update is a per-(cluster, dimension) hash aggregate (k·dim rows,
+    tiny) re-assembled into arrays. Determinism: seeding takes the first
+    ``k`` vectors by id, assignment ties break toward the lower cluster
+    id, and updated centroid components are rounded to ``ndigits`` so
+    both engines iterate from bit-identical state (float mean order
+    differs across engines; rounding re-synchronizes each iteration —
+    same rationale as TimeCues). Empty clusters drop out (standard
+    Lloyd); the final row set is one assignment per vector.
+    """
+    from pyspark.sql import Window
+
+    e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+    cent = e.where(F.col("vid") < k).select(
+        F.col("vid").cast("long").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        j = e.crossJoin(F.broadcast(c)).select(
+            "vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cid"))
+        return (
+            j.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vid", "v", "cid", "sim")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        dims = a.select("cid", F.posexplode("v").alias("pos", "val"))
+        upd = dims.groupBy("cid", "pos").agg(
+            F.round(F.avg("val"), ndigits).alias("val")
+        )
+        cent = upd.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("cv")
+        )
+
+    out = assign(cent)
+    return out.select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.round("sim", ndigits).alias("cos_sim"),
+    )

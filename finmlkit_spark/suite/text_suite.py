@@ -967,3 +967,43 @@ def unigram_logprob_q(spark, sf_dir):
     perplexity-style quality score; trig-free but libm ln/exp, so both
     sides round to 6 decimals like TimeCues)."""
     return CP.unigram_logprob(_docs(spark, sf_dir))
+
+
+def _km_sim(v: str, c: str) -> str:
+    return (
+        f"list_dot_product({v}, {c}) / "
+        f"(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c})))"
+    )
+
+
+def _km_iter(i: int) -> str:
+    """One Lloyd iteration: assign to max-cosine centroid, then per-dim
+    rounded mean update (mirrors similarity.kmeans_assign)."""
+    p = i - 1
+    return f"""
+s{i} AS (SELECT e.vec_id, e.v, c.cid, {_km_sim('e.v', 'c.cv')} AS sim FROM e, c{p} c),
+a{i} AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s{i}),
+b{i} AS (SELECT vec_id, v, cid FROM a{i} WHERE rk = 1),
+u{i} AS (SELECT cid, i, round(avg(v[CAST(i AS INT)]), 6) AS val
+         FROM b{i}, range(1, 65) t(i) GROUP BY cid, i),
+c{i} AS (SELECT cid, list(val ORDER BY i) AS cv FROM u{i} GROUP BY cid)"""
+
+
+@query(
+    "kmeans_clusters",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    "c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM e WHERE vec_id < 8),"
+    + _km_iter(1)
+    + ","
+    + _km_iter(2)
+    + f""",
+sf AS (SELECT e.vec_id, c.cid, {_km_sim('e.v', 'c.cv')} AS sim FROM e, c2 c),
+af AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM sf)
+SELECT vec_id, cid AS cluster_id, round(sim, 6) AS cos_sim FROM af WHERE rk = 1""",
+)
+def kmeans_clusters_q(spark, sf_dir):
+    """Lloyd k-means (k=8, 2 iterations, max-cosine assignment) over the
+    embeddings table — the trained coarse quantizer for IVF search.
+    Centroid components round to 6 decimals each iteration so both
+    engines iterate from bit-identical state."""
+    return SIM.kmeans_assign(_embs(spark, sf_dir), k=8, iters=2)

@@ -77,3 +77,25 @@ def test_unigram_logprob_exact_two_token_corpus(spark):
     expected1 = (math.log(0.75) + math.log(0.25)) / 2
     assert abs(out[1]["mean_logprob"] - round(expected1, 6)) <= 1e-9
     assert abs(out[1]["perplexity"] - round(math.exp(-expected1), 6)) <= 1e-9
+
+
+def test_kmeans_assign_separates_obvious_clusters(spark):
+    from finmlkit_spark.operators import similarity as SIM
+
+    # two tight groups on orthogonal axes; ids 0/1 seed the centroids
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.95, 0.05, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+        (5, [0.05, 0.95, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in SIM.kmeans_assign(df, k=2, iters=2).collect()}
+    assert len(out) == 6
+    assert out[0]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[1]["cluster_id"] == out[4]["cluster_id"] == out[5]["cluster_id"]
+    assert out[0]["cluster_id"] != out[1]["cluster_id"]
+    for r in out.values():
+        assert r["cos_sim"] > 0.9
