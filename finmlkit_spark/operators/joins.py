@@ -25,16 +25,25 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance_ns: int | None = None,
 ) -> DataFrame:
     """Attach to each left row the latest right row with right.on <= left.on
     (direction='backward'; 'forward' = earliest right row >= left.on).
+    ``tolerance_ns`` (pandas merge_asof semantics) rejects matches farther
+    than the tolerance from the left timestamp — attached columns become
+    NULL, the left row survives.
 
     Implementation: tag + unionByName + last(ignoreNulls) over an ordered
     window partitioned by ``by`` — one sort-shuffle, no cross product,
-    skew-free (the window is per symbol).
+    skew-free (the window is per symbol). The tolerance check rides the
+    same window (the matched right timestamp is carried as one more
+    filled column), so it adds no extra shuffle.
     """
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+    if tolerance_ns is not None:
+        right = right.withColumn("_match_ts", F.col(on))
+        right_cols = list(right_cols) + ["_match_ts"]
 
     lt = left.withColumn("_src", F.lit(1))
     for c in right_cols:
@@ -64,7 +73,23 @@ def asof_join(
     out = u.select(
         *[c for c in left.columns], *[fill[c].alias(c) for c in right_cols], "_src"
     )
-    return out.where(F.col("_src") == 1).drop("_src")
+    out = out.where(F.col("_src") == 1).drop("_src")
+    if tolerance_ns is not None:
+        gap = (
+            (F.col(on) - F.col("_match_ts"))
+            if direction == "backward"
+            else (F.col("_match_ts") - F.col(on))
+        )
+        ok = F.col("_match_ts").isNotNull() & (gap <= F.lit(tolerance_ns))
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(ok, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in right_cols
+                if c != "_match_ts"
+            ],
+        )
+    return out
 
 
 def range_join(

@@ -351,3 +351,45 @@ def zscore_peak_events(spark, sf_dir):
     return d.where((F.col("z") > 2.0) & (F.col("volume") == F.col("local_max"))).select(
         "bar_close_ns", "z"
     )
+
+
+@query(
+    "asof_tolerance",
+    _BH
+    + """,
+sigb AS (
+  SELECT brn, bar_close_ns AS sig_ts, stddev_samp(r) OVER (ORDER BY bar_close_ns
+         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS sigma
+  FROM b
+),
+sig AS (SELECT sig_ts, sigma FROM sigb WHERE brn % 29 = 1),
+ev AS (SELECT bar_close_ns, close FROM b WHERE brn % 7 = 0),
+j AS (
+  SELECT e.bar_close_ns, e.close, s.sigma, s.sig_ts
+  FROM ev e ASOF LEFT JOIN sig s ON s.sig_ts <= e.bar_close_ns
+)
+SELECT bar_close_ns, close,
+       CASE WHEN sig_ts IS NOT NULL AND bar_close_ns - sig_ts <= 7200000000000
+            THEN sigma END AS sigma
+FROM j""",
+)
+def asof_tolerance(spark, sf_dir):
+    """asof_join with pandas-merge_asof tolerance semantics: matches
+    farther than 2 h behind the event are rejected (columns NULL, row
+    kept). The tolerance check rides the same union+window pass — no
+    extra shuffle vs plain asof."""
+    hb = bars_1h(spark, sf_dir)
+    w = Window.orderBy("bar_close_ns").rowsBetween(-23, 0)
+    sig = hb.select(
+        "brn", F.col("bar_close_ns").alias("ts_ns"), F.stddev_samp("r").over(w).alias("sigma")
+    ).where(F.col("brn") % 29 == 1).select("ts_ns", "sigma")
+    ev = hb.where(F.col("brn") % 7 == 0).select(
+        F.col("bar_close_ns").alias("ts_ns"), F.col("bar_close_ns").alias("bar_close_ns"), "close"
+    )
+    out = J.asof_join(
+        ev.select("ts_ns", "bar_close_ns", "close"),
+        sig,
+        on="ts_ns",
+        tolerance_ns=7_200_000_000_000,
+    )
+    return out.select("bar_close_ns", "close", "sigma")

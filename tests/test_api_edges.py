@@ -67,3 +67,21 @@ def test_pack_footprint_sorted(spark):
     row = FP.pack_footprint(fp).collect()[0]
     levels = [e["level"] for e in row["footprint"]]
     assert levels == [3, 5]  # sorted ascending
+
+
+def test_asof_join_tolerance(spark):
+    from finmlkit_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(10,), (20,), (30,)], "ts_ns long"
+    )
+    right = spark.createDataFrame(
+        [(9, 1.0), (12, 2.0)], "ts_ns long, x double"
+    )
+    out = {r["ts_ns"]: r["x"] for r in J.asof_join(left, right, tolerance_ns=5).collect()}
+    assert out == {10: 1.0, 20: None, 30: None}  # 20: gap 8 > 5; 30: gap 18
+    fwd = {
+        r["ts_ns"]: r["x"]
+        for r in J.asof_join(left, right, direction="forward", tolerance_ns=2).collect()
+    }
+    assert fwd == {10: 2.0, 20: None, 30: None}
