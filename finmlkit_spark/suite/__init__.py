@@ -18,8 +18,10 @@ from . import developing_suite  # noqa: F401
 # no driver row ever are: token_counts, user_fast_features,
 # user_trade_side, user_ewma, user_tbm_labels, stratified_sample,
 # hash_split, doc_quality_signals, decontamination, priority_fill_rate,
-# dup_spans, vocab_topk, tfidf_keywords, doc_chunks, dedup_keep_best
-# (15, plus anything new this round that missed the window). Front-load
+# dup_spans, vocab_topk, tfidf_keywords, doc_chunks, dedup_keep_best,
+# plus the five swapped out to admit this session's new operators:
+# quality_score, lang_id, doc_fingerprint, frame_offsets, vp_developing
+# (20, plus anything new this round that missed the window). Front-load
 # exactly these next round; everything else has r1 or r2 evidence.
 # The external driver verifies the FIRST 50 registered queries per round.
 # Round 1 left 48 of the first 50 green (CORRECTNESS_r01); round 2
@@ -46,22 +48,21 @@ _PRIORITY = [
     "vp_poc",
     "vp_hva_lva",
     "footprint_packed",
-    "vp_developing",
     # LLM-pipeline tier: text / dedup / similarity / multimodal
     "text_stats",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",
+    "segment_dedup",
+    "c4_filter",
+    "unigram_logprob",
     "simhash_fp",
     "ann_topk",
     "emb_lsh_pairs",
     "ann_ivf",
+    "kmeans_clusters",
     "multimodal_meta",
     "image_decode_stats",
-    "frame_offsets",
     "corpus_report",
     # io / storage surface
     "bars_resample_15m",
@@ -79,6 +80,7 @@ _PRIORITY = [
     "zscore_peak_events",
     # joins / plans API / pipeline
     "asof_sigma",
+    "asof_tolerance",
     "pipeline_1m_features",
     "featurekit_build",
     "sql_shared_dialect",
