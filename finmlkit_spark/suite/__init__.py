@@ -20,8 +20,9 @@ from . import developing_suite  # noqa: F401
 # hash_split, doc_quality_signals, decontamination, priority_fill_rate,
 # dup_spans, vocab_topk, tfidf_keywords, doc_chunks, dedup_keep_best,
 # plus the five swapped out to admit this session's new operators:
-# quality_score, lang_id, doc_fingerprint, frame_offsets, vp_developing
-# (20, plus anything new this round that missed the window). Front-load
+# quality_score, lang_id, doc_fingerprint, frame_offsets, vp_developing,
+# corpus_report
+# (21, plus anything new this round that missed the window). Front-load
 # exactly these next round; everything else has r1 or r2 evidence.
 # The external driver verifies the FIRST 50 registered queries per round.
 # Round 1 left 48 of the first 50 green (CORRECTNESS_r01); round 2
@@ -63,7 +64,7 @@ _PRIORITY = [
     "kmeans_clusters",
     "multimodal_meta",
     "image_decode_stats",
-    "corpus_report",
+    "curation_pipeline",
     # io / storage surface
     "bars_resample_15m",
     "store_inspector",

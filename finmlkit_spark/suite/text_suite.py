@@ -1007,3 +1007,64 @@ def kmeans_clusters_q(spark, sf_dir):
     Centroid components round to 6 decimals each iteration so both
     engines iterate from bit-identical state."""
     return SIM.kmeans_assign(_embs(spark, sf_dir), k=8, iters=2)
+
+
+@query(
+    "curation_pipeline",
+    _TOKS
+    + f"""
+, fr AS (SELECT doc_id, unnest(t) AS token FROM toks),
+topf AS (
+  SELECT doc_id, max(c) AS top_token_freq
+  FROM (SELECT doc_id, token, count(*) AS c FROM fr GROUP BY doc_id, token)
+  GROUP BY doc_id
+),
+c4k AS (
+  SELECT d.doc_id
+  FROM documents d JOIN toks USING (doc_id) JOIN topf USING (doc_id)
+  WHERE len(t) >= 5 AND list_max(list_transform(t, x -> length(x))) <= 20
+    AND NOT (contains(lower(d.text), 'lorem ipsum') OR contains(lower(d.text), 'javascript')
+             OR contains(lower(d.text), '{{'))
+    AND len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) > 0
+    AND CAST(topf.top_token_freq AS DOUBLE) / len(t) <= 0.3
+),
+d1 AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN c4k USING (doc_id)),
+ek AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
+d2 AS (SELECT d1.* FROM d1 JOIN ek USING (doc_id)),
+th2 AS (SELECT d2.doc_id, {_TH} AS th FROM d2 JOIN toks USING (doc_id)),
+sh2 AS (SELECT doc_id, {_SHH} AS sh FROM th2),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh2 WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM sh2 WHERE doc_id % 97 <> 0),
+cont AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, unnest(sh) AS g FROM tr) e JOIN bench USING (g)
+),
+d3 AS (
+  SELECT d2.* FROM d2 JOIN tr USING (doc_id)
+  WHERE d2.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+ph AS (
+  SELECT doc_id, ({_PH.format(e='text')} * 2654435761) % 4294967296 AS mixed
+  FROM d3
+)
+SELECT d3.doc_id, d3.source, CAST(len(toks.t) AS BIGINT) AS n_tokens
+FROM d3 JOIN ph USING (doc_id) JOIN toks USING (doc_id)
+WHERE floor(mixed * 1000 / 4294967296) >= 100""",
+)
+def curation_pipeline_q(spark, sf_dir):
+    """CurationKit end-to-end: C4 filter -> exact dedup ->
+    decontamination (bench slice id %% 97 == 0) -> content-hash train
+    split, declared as a JSON-round-trippable recipe and folded into ONE
+    lazy plan (filters push down through every stage)."""
+    from ..plans import curation as CK
+
+    kit = CK.CurationKit(
+        [
+            CK.C4Filter(),
+            CK.ExactDedup(),
+            CK.Decontaminate(bench_filter="doc_id % 97 = 0", min_shared=1),
+            CK.HashSplit(test_permille=100, side="train"),
+        ]
+    )
+    out = kit.run(_docs(spark, sf_dir))
+    return out.select("doc_id", "source", TX.token_count().alias("n_tokens"))
