@@ -29,6 +29,8 @@ HEADLINE = [
     "doc_quality_signals",
     "ann_topk",
     "ann_ivf",
+    "kmeans_clusters",
+    "curation_pipeline",
     "bars_resample_15m",
     "user_hourly_bars",
 ]
@@ -42,7 +44,7 @@ def main():
     spark = get_spark("bench")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
-    def timed(df, runs: int = 3) -> float:
+    def timed(df, runs: int = 5) -> float:
         """Warm once, then best-of-N noop writes (JVM timing noise on a
         shared host easily exceeds 2x; min is the honest engine time)."""
         df.write.format("noop").mode("overwrite").save()

@@ -92,6 +92,25 @@ def main() -> None:
     for r in ann.orderBy("query_id", "rank").collect()[:15]:
         print(r)
 
+    # 6. the same flow, declaratively: a CurationKit recipe is the
+    #    JSON-versionable form of stages 1-3c, folded into ONE lazy plan
+    from finmlkit_spark.plans import curation as CK
+
+    kit = CK.CurationKit(
+        [
+            CK.QualityFilter(min_quality=0.5, lang="en", max_rep3=0.5),
+            CK.ExactDedup(),
+            CK.NearDupDedup(threshold=0.6),
+            CK.Decontaminate(bench_filter="doc_id % 97 = 0"),
+            CK.HashSplit(test_permille=100, side="train"),
+        ]
+    )
+    print("=== kit recipe ===")
+    import json
+
+    print(json.dumps(kit.to_config()))
+    print("kit-curated docs:", kit.run(docs).count())
+
 
 if __name__ == "__main__":
     main()

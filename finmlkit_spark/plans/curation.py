@@ -165,15 +165,28 @@ class MixtureSample(Stage):
 
 
 class CurationKit:
-    """Ordered stage list -> one lazy curated-corpus plan."""
+    """Ordered stage list -> one lazy curated-corpus plan.
 
-    def __init__(self, stages: list[Stage]):
+    ``persist_after`` names stage kinds whose output should be
+    persisted (MEMORY_AND_DISK). Stages that branch their input —
+    ``decontaminate`` reads it for the bench slice, the train slice,
+    and the anti-join — otherwise recompute the whole upstream chain
+    per branch; persisting the boundary before such a stage is the
+    standard materialize-between-phases pattern of production curation
+    pipelines (the frame is narrow doc rows, safe to cache, unlike
+    array-signature intermediates — see the minhash cache note).
+    """
+
+    def __init__(self, stages: list[Stage], persist_after: list[str] | None = None):
         self.stages = list(stages)
+        self.persist_after = list(persist_after or [])
 
     def run(self, docs: DataFrame) -> DataFrame:
         out = docs
         for s in self.stages:
             out = s.apply(out)
+            if s.kind in self.persist_after:
+                out = out.persist()
         return out
 
     def report(self, docs: DataFrame) -> dict[str, int]:
@@ -188,11 +201,17 @@ class CurationKit:
 
     # -- serialization ------------------------------------------------------
     def to_config(self) -> dict[str, Any]:
-        return {"stages": [s.to_config() for s in self.stages]}
+        cfg: dict[str, Any] = {"stages": [s.to_config() for s in self.stages]}
+        if self.persist_after:
+            cfg["persist_after"] = self.persist_after
+        return cfg
 
     @classmethod
     def from_config(cls, cfg: dict[str, Any]) -> "CurationKit":
-        return cls([stage_from_config(c) for c in cfg["stages"]])
+        return cls(
+            [stage_from_config(c) for c in cfg["stages"]],
+            persist_after=cfg.get("persist_after"),
+        )
 
     def save_config(self, path: str) -> None:
         import json

@@ -1064,7 +1064,11 @@ def curation_pipeline_q(spark, sf_dir):
             CK.ExactDedup(),
             CK.Decontaminate(bench_filter="doc_id % 97 = 0", min_shared=1),
             CK.HashSplit(test_permille=100, side="train"),
-        ]
+        ],
+        # decontaminate branches its input 3x (bench slice, train slice,
+        # anti-join); persist the post-dedup boundary so the upstream
+        # filter+dedup chain computes once
+        persist_after=["exact_dedup"],
     )
     out = kit.run(_docs(spark, sf_dir))
     return out.select("doc_id", "source", TX.token_count().alias("n_tokens"))

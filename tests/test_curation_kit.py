@@ -81,3 +81,13 @@ def test_near_dup_and_mixture_stages(spark):
     # dominant group keeps rate 1.0 -> no group is upsampled, output subset
     assert mix.count() <= docs.count()
     assert set(mix.columns) >= {"doc_id", "text", "source"}
+
+
+def test_persist_after_round_trip(spark):
+    kit = C.CurationKit(
+        [C.ExactDedup(), C.Decontaminate()], persist_after=["exact_dedup"]
+    )
+    kit2 = C.CurationKit.from_config(kit.to_config())
+    assert kit2.persist_after == ["exact_dedup"]
+    out = kit2.run(_docs(spark))
+    assert out.count() > 0
