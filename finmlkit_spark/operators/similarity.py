@@ -158,3 +158,34 @@ def kmeans_assign(
         F.col("cid").alias("cluster_id"),
         F.round("sim", ndigits).alias("cos_sim"),
     )
+
+
+def semantic_dup_pairs(
+    emb_df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): Lloyd
+    k-means partitions the embedding space, then cosine pairs are
+    computed only WITHIN each cluster — the candidate set shrinks from
+    |corpus|² to Σ|cluster|², which is the method's entire scale story.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
+
+    The within-cluster self-join is an equi-join on cluster_id; skew
+    (one giant cluster) is bounded by raising k — cluster sizes are the
+    knob, exactly as in the paper.
+    """
+    a = kmeans_assign(emb_df, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    v = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
+    m = a.select(F.col(id_col).alias("id"), "cluster_id").join(v, "id")
+    l = m.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id")
+    r = m.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster_id")
+    pairs = (
+        l.join(r, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)

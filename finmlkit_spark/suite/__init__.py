@@ -21,8 +21,8 @@ from . import developing_suite  # noqa: F401
 # dup_spans, vocab_topk, tfidf_keywords, doc_chunks, dedup_keep_best,
 # plus the five swapped out to admit this session's new operators:
 # quality_score, lang_id, doc_fingerprint, frame_offsets, vp_developing,
-# corpus_report
-# (21, plus anything new this round that missed the window). Front-load
+# corpus_report, emb_lsh_pairs
+# (22, plus anything new this round that missed the window). Front-load
 # exactly these next round; everything else has r1 or r2 evidence.
 # The external driver verifies the FIRST 50 registered queries per round.
 # Round 1 left 48 of the first 50 green (CORRECTNESS_r01); round 2
@@ -59,9 +59,9 @@ _PRIORITY = [
     "unigram_logprob",
     "simhash_fp",
     "ann_topk",
-    "emb_lsh_pairs",
     "ann_ivf",
     "kmeans_clusters",
+    "semantic_dedup",
     "multimodal_meta",
     "image_decode_stats",
     "curation_pipeline",

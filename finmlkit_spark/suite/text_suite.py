@@ -1072,3 +1072,30 @@ def curation_pipeline_q(spark, sf_dir):
     )
     out = kit.run(_docs(spark, sf_dir))
     return out.select("doc_id", "source", TX.token_count().alias("n_tokens"))
+
+
+@query(
+    "semantic_dedup",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    "c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM e WHERE vec_id < 8),"
+    + _km_iter(1)
+    + ","
+    + _km_iter(2)
+    + f""",
+sf AS (SELECT e.vec_id, e.v, c.cid, {_km_sim('e.v', 'c.cv')} AS sim FROM e, c2 c),
+af AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM sf),
+m AS (SELECT vec_id, v, cid FROM af WHERE rk = 1),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_km_sim('a.v', 'b.v')}, 6) AS cos_sim
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4""",
+)
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means partitions the embedding
+    space, cosine near-dup pairs are found only within clusters —
+    candidates shrink from |corpus|^2 to sum(|cluster|^2). Threshold
+    0.4 here because the synthetic embeddings are near-orthogonal
+    (max pairwise cos ~0.51); production text embeddings use ~0.95."""
+    return SIM.semantic_dup_pairs(_embs(spark, sf_dir), k=8, iters=2, threshold=0.4)

@@ -99,3 +99,20 @@ def test_kmeans_assign_separates_obvious_clusters(spark):
     assert out[0]["cluster_id"] != out[1]["cluster_id"]
     for r in out.values():
         assert r["cos_sim"] > 0.9
+
+
+def test_semantic_dup_pairs_within_cluster_only(spark):
+    from finmlkit_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.99, 0.05]),   # near-dup of 0, same cluster
+        (3, [0.05, 0.99]),   # near-dup of 1, other cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.semantic_dup_pairs(df, k=2, iters=1, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(0, 2), (1, 3)}
+    for r in out:
+        assert r["cos_sim"] >= 0.9
