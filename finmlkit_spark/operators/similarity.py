@@ -121,22 +121,29 @@ def kmeans_assign(
     same rationale as TimeCues). Empty clusters drop out (standard
     Lloyd); the final row set is one assignment per vector.
     """
-    from pyspark.sql import Window
-
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
     cent = e.where(F.col("vid") < k).select(
         F.col("vid").cast("long").alias("cid"), F.col("v").alias("cv")
     )
 
     def assign(c: DataFrame) -> DataFrame:
+        # argmax by hash aggregate, NOT a per-vector window: map-side
+        # partial max_by collapses the broadcast-join fan-out (n·k rows)
+        # before the shuffle, so only n rows move — the window form
+        # sort-shuffles all n·k. Tie-break toward the lower cid via the
+        # (sim, -cid) ordering struct.
         j = e.crossJoin(F.broadcast(c)).select(
             "vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
         )
-        w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cid"))
         return (
-            j.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vid", "v", "cid", "sim")
+            j.groupBy("vid")
+            .agg(
+                F.max_by(
+                    F.struct("cid", "sim"), F.struct(F.col("sim"), -F.col("cid"))
+                ).alias("best"),
+                F.first("v").alias("v"),  # constant within the group
+            )
+            .select("vid", "v", F.col("best.cid").alias("cid"), F.col("best.sim").alias("sim"))
         )
 
     for _ in range(iters):

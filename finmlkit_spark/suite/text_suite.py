@@ -482,9 +482,15 @@ def ann_ivf(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    wr = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    buckets = j.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") == 1).select(
-        "vec_id", "v", "cid"
+    # argmax via map-side-combined max_by (shuffles n rows, not the n·k
+    # broadcast-join fan-out a per-vector window would sort-shuffle)
+    buckets = (
+        j.groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct("cid"), F.struct(F.col("sim"), -F.col("cid"))).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("b.cid").alias("cid"))
     )
     q = buckets.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
