@@ -131,7 +131,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup: explode distinct shingles, equi-join on
     the shingle (candidate pairs share >= 1 shingle), count intersections,
@@ -140,14 +140,16 @@ def ngram_jaccard_pairs(
 
     ``max_doc_freq`` is the 100 TB knob: a shingle appearing in d docs
     fans the self-join out to d² rows, so common boilerplate shingles
-    (stop-shingles) dominate the join at scale. With the cutoff set,
-    candidate generation only uses shingles whose document frequency is
-    <= max_doc_freq (bounding the join at |shingles|·max_doc_freq² rows),
-    and the Jaccard of every surviving pair is then computed EXACTLY from
-    the full shingle arrays. The only loss is pairs whose entire overlap
-    consists of above-cutoff shingles — for near-duplicates (high
-    Jaccard) such pairs require every shared shingle to be corpus-wide
-    boilerplate, which the threshold filter would likely reject anyway.
+    (stop-shingles) dominate the join at scale. With the cutoff set
+    (DEFAULT 256 — the unbounded d² self-join is explicit opt-in via
+    ``max_doc_freq=None``), candidate generation only uses shingles whose
+    document frequency is <= max_doc_freq (bounding the join at
+    |shingles|·max_doc_freq² rows), and the Jaccard of every surviving
+    pair is then computed EXACTLY from the full shingle arrays. The only
+    loss is pairs whose entire overlap consists of above-cutoff shingles
+    — for near-duplicates (high Jaccard) such pairs require every shared
+    shingle to be corpus-wide boilerplate, which the threshold filter
+    would likely reject anyway.
     """
     d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
     d = d.withColumn("n_sh", F.size("sh"))

@@ -86,19 +86,33 @@ def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) ->
     oracle can reproduce it), symbol = single global stream 'EVT' or the
     user_id when ``by_user`` (for partition-parallel operator tests).
 
-    The parquet stores TIMESTAMP(NANOS); Spark reads it as long ns via
-    the legacy nanosAsLong conf, then we floor to µs to match both the
-    oracle's TIMESTAMP precision and the reference's resolution rounding
-    (``data_model.py:370-388``).
+    The physical type of ``ts`` is NOT assumed — the reference infers
+    timestamp units from magnitude (``data_model.py:399-418``) precisely
+    so ingest survives upstream format drift, and we mirror that posture
+    at the dtype level: TIMESTAMP(NANOS) parquet arrives as long ns (via
+    the legacy nanosAsLong conf) and is floored to µs; timestamp[us]/[ms]
+    parquet arrives as TIMESTAMP_NTZ and is converted via unix_micros
+    under a UTC session zone (bit-identical to the oracle's
+    ``epoch_us(ts) * 1000``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype.startswith("timestamp"):
+        # timestamp[us]/[ms] (TIMESTAMP or TIMESTAMP_NTZ) -> epoch ns
+        ts_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    elif ts_dtype == "bigint":
+        # TIMESTAMP(NANOS) read as long ns via nanosAsLong; floor to µs
+        ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
+    else:
+        raise TypeError(f"events.ts: unsupported dtype {ts_dtype!r}")
     # data-cleaning rule (reference _validate_data analog): prices must be
     # strictly positive — zero-price prints break log-return math
     ev = ev.where(F.col("value") > 0)
     sym = F.col("user_id").cast("string") if by_user else F.lit("EVT")
     return ev.select(
-        (F.col("ts") - F.col("ts") % F.lit(1000)).alias("ts_ns"),
+        ts_ns.alias("ts_ns"),
         F.col("event_id").alias("trade_id"),
         F.col("value").alias("price"),
         (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("qty"),

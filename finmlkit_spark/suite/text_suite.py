@@ -179,6 +179,34 @@ def exact_dedup_q(spark, sf_dir):
     "ngram_jaccard",
     _SHQ
     + """
+, e AS (SELECT doc_id AS doc, unnest(sh) AS g FROM shq),
+rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 256),
+er AS (SELECT e.doc, e.g FROM e JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM er a JOIN er b ON a.g = b.g AND a.doc < b.doc
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shq sa ON sa.doc_id = c.doc_a
+  JOIN shq sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""",
+)
+def ngram_jaccard_q(spark, sf_dir):
+    """Token-trigram Jaccard near-dup pairs (threshold 0.5), via the
+    bounded-fan-out default (max_doc_freq=256): candidates only from
+    shingles rarer than the cutoff, exact Jaccard on survivors."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "ngram_jaccard_full",
+    _SHQ
+    + """
 , e AS (SELECT doc_id AS doc, len(sh) AS n_sh, unnest(sh) AS g FROM shq),
 pairs AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
@@ -189,9 +217,10 @@ SELECT doc_a, doc_b,
        CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""",
 )
-def ngram_jaccard_q(spark, sf_dir):
-    """Full-recall token-trigram Jaccard near-dup pairs (threshold 0.5)."""
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+def ngram_jaccard_full_q(spark, sf_dir):
+    """Full-recall (unbounded, explicit opt-in) token-trigram Jaccard
+    near-dup pairs (threshold 0.5)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, max_doc_freq=None)
 
 
 @query(

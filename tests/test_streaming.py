@@ -4,8 +4,6 @@ streaming analog of the dual-backend oracle strategy)."""
 
 from __future__ import annotations
 
-import shutil
-
 import pytest
 
 from finmlkit_spark.streaming.bars import streaming_cusum_filter, streaming_time_bars
@@ -15,8 +13,23 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def stream_dir(tmp_path_factory):
+    """events.parquet with ts normalized to int64 epoch-ns.
+
+    The driver has regenerated events.parquet with different physical
+    timestamp types across rounds (TIMESTAMP(NANOS) -> timestamp[us]);
+    these parity tests target the canonical ns-long form, so normalize
+    here instead of assuming what the driver wrote.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    ts = tbl["ts"]
+    if not pa.types.is_int64(ts.type):
+        ts = ts.cast(pa.timestamp("ns")).cast(pa.int64())
+        tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts)
+    pq.write_table(tbl, str(d / "events.parquet"))
     return str(d)
 
 
