@@ -33,6 +33,13 @@ HEADLINE = [
     "curation_pipeline",
     "bars_resample_15m",
     "user_hourly_bars",
+    # LLM-curation scale operators (round-3 additions: the dedup/semantic
+    # tier's scale claims get measured, not asserted)
+    "semantic_dedup",
+    "dedup_clusters",
+    "segment_dedup",
+    "simhash_near_pairs",
+    "ngram_jaccard",
 ]
 
 

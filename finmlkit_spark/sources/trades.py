@@ -64,6 +64,59 @@ def read_binance_csv(spark: SparkSession, path: str, symbol: str = "UNKNOWN") ->
     )
 
 
+def read_binance_zip(spark: SparkSession, path: str, symbol: str = "UNKNOWN") -> DataFrame:
+    """Zipped Binance monthly dumps -> canonical trades (reference
+    ``scripts/binance2h5.py:144-193`` streams the CSVs straight out of
+    the monthly ``*.zip`` archives).
+
+    Spark's CSV reader cannot open zip members, so read the archives as
+    whole files via the ``binaryFile`` source and decompress inside an
+    Arrow-batched ``mapInPandas``: one task per archive — the natural
+    parallelism of monthly dumps (the reference parallelizes per file
+    the same way), blobs never hit the driver, and downstream is the
+    identical canonical projection as :func:`read_binance_csv`. At
+    100 TB the permanent fix is a one-time re-encode to parquet
+    (``write_monthly_partitions``); this reader is the ingest edge.
+    """
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    out_schema = (
+        "ts_ns long, trade_id long, price double, qty double, symbol string, side int"
+    )
+
+    def unzip_parse(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for name in zf.namelist():
+                        if not name.endswith(".csv"):
+                            continue
+                        raw = pd.read_csv(
+                            io.BytesIO(zf.read(name)),
+                            header=None,
+                            names=[f.name for f in BINANCE_CSV_SCHEMA.fields],
+                            comment="i",  # tolerate the 'id,price,...' header row
+                        )
+                        yield pd.DataFrame(
+                            {
+                                "ts_ns": raw["time"].astype("int64") * 1_000_000,
+                                "trade_id": raw["id"].astype("int64"),
+                                "price": raw["price"].astype("float64"),
+                                "qty": raw["qty"].astype("float64"),
+                                "symbol": symbol,
+                                "side": (
+                                    1 - 2 * raw["is_buyer_maker"].astype(bool)
+                                ).astype("int32"),
+                            }
+                        )
+
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+    return blobs.mapInPandas(unzip_parse, schema=out_schema)
+
+
 def read_trades_parquet(spark: SparkSession, path: str, start_ns: int | None = None, end_ns: int | None = None) -> DataFrame:
     """Partition-pruned, predicate-pushed trades scan.
 

@@ -27,8 +27,15 @@ def _w():
     return Window.orderBy("bar_close_ns")
 
 
-def bars_1m(spark: SparkSession, sf_dir: str, directional: bool = False) -> DataFrame:
-    """1-minute bars + brn (bar row number) + r (1-bar log return)."""
+def bars_1m(
+    spark: SparkSession, sf_dir: str, directional: bool = False, seq: bool = True
+) -> DataFrame:
+    """1-minute bars + brn (bar row number) + r (1-bar log return).
+
+    ``seq=False`` returns the pure hash-aggregation bars without the
+    global-window brn/r columns — the scale entry point for callers that
+    evaluate their own partition-parallel windows (see
+    ``pipeline_suite.pipeline_1m_features``)."""
     tr = events_to_trades(spark, sf_dir)
     if directional:
         tr = P.with_trade_side(tr, by=None)
@@ -52,6 +59,8 @@ def bars_1m(spark: SparkSession, sf_dir: str, directional: bool = False) -> Data
             F.sum(F.when(F.col("side") == -1, F.col("qty")).otherwise(0.0)).alias("volume_sell"),
         ]
     bars = df.groupBy("bar_close_ns").agg(*aggs)
+    if not seq:
+        return bars
     bars = bars.withColumn("brn", F.row_number().over(_w()))
     bars = bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(_w())))
     return bars

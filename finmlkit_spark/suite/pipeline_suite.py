@@ -2,12 +2,18 @@
 1-minute bars -> 12 inter-bar features, all in ONE Catalyst plan
 (single select over the bar aggregation; the reference runs this as
 EP1+EP2, SURVEY.md §3). This is the headline bench workload: one scan,
-one shuffle for the bar groupBy, one sort for the feature windows."""
+one shuffle for the bar groupBy, and — since round 3 — ZERO
+``Exchange SinglePartition`` nodes: the feature windows run per row-
+chunk with warmup-row duplication (``functions.chunked_window``), so
+every stage of the flagship parallelizes across executors while staying
+bit-identical to the global-window oracle (bounded frames + warmup
+overlap => identical frame contents per row)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import chunked_window as CW
 from ..functions import rolling as R
 from ._registry import query
 from .features_suite import _B, _guard, _wf, bars_1m, _w
@@ -42,11 +48,23 @@ SELECT bar_close_ns, open, high, low, close, volume, vwap, trades,
 FROM trq""",
 )
 def pipeline_1m_features(spark, sf_dir):
-    """Events -> trades -> 1m bars -> 12 features, one logical plan."""
-    df = bars_1m(spark, sf_dir).withColumn("tr", R.true_range("high", "low", "close", _w()))
-    w = _w()
+    """Events -> trades -> 1m bars -> 12 features, one logical plan.
+
+    Deepest lookback chain: lag(close) -> tr (1) feeding the 14-row ATR
+    frame (13 preceding), and the 20-row frames (19 preceding) whose
+    oldest row's own r/tr needs one more lag — warmup=24 covers all with
+    margin. Results are row-identical to the global-window oracle.
+    """
+    bars = bars_1m(spark, sf_dir, seq=False)
+    ch = CW.with_row_chunks(bars, "bar_close_ns", warmup=24, chunk_rows=8192, persist=True)
+    w = CW.chunk_window("bar_close_ns")
+    df = ch.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+    df = df.withColumn("tr", R.true_range("high", "low", "close", w))
     shape = R.candle_shape("open", "high", "low", "close", "vwap")
-    return df.select(
+    return CW.finish(df.select(
+        CW.CHUNK,
+        CW.WARM,
+        CW.GLOBAL_RN,
         "bar_close_ns",
         "open",
         "high",
@@ -68,4 +86,4 @@ def pipeline_1m_features(spark, sf_dir):
         R.flow_acceleration("volume", 20, 5, w).alias("flow_accel"),
         shape["wick_up"].alias("wick_up"),
         shape["vwap_drift"].alias("vwap_drift"),
-    )
+    ))

@@ -269,6 +269,42 @@ def simhash_fp(spark, sf_dir):
     return d.select("doc_id", D.simhash(F.col("hs")).alias("fingerprint"))
 
 
+@query(
+    "simhash_near_pairs",
+    _SHQ
+    + """
+, hsq AS (SELECT doc_id, sh AS hs FROM shq),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> CAST(i AS INT)) & 1) - 1)) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fingerprint
+  FROM hsq
+),
+k AS (
+  SELECT doc_id, fingerprint, unnest(range(0, 4)) AS band
+  FROM fp
+),
+kk AS (
+  SELECT doc_id, fingerprint, band,
+         (fingerprint >> CAST(band * 8 AS INT)) & 255 AS segv
+  FROM k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fingerprint AS fp_a, b.fingerprint AS fp_b
+  FROM kk a JOIN kk b ON a.band = b.band AND a.segv = b.segv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""",
+)
+def simhash_near_pairs_q(spark, sf_dir):
+    """Hamming-banded SimHash near-dup pairs (32 bits, 4 bands,
+    hamming <= 3): pigeonhole-complete candidate join on 8-bit segments,
+    exact popcount(xor) verification."""
+    return D.simhash_near_pairs(_docs(spark, sf_dir))
+
+
 # --- embedding similarity ---------------------------------------------------
 
 @query(

@@ -1,0 +1,91 @@
+"""Chunked global-window stage: bit-exactness vs the true global window.
+
+``functions.chunked_window`` promises that bounded-frame window
+expressions evaluated per row-chunk (with warmup-row duplication) are
+row-identical to the same expressions over the global single-partition
+window — this is what lets the flagship drop its last
+``Exchange SinglePartition``. Verify on the real bar stream with chunk
+sizes small enough to force many boundaries, plus the global row
+number itself, plus the zero-SinglePartition plan property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from finmlkit_spark.functions import chunked_window as CW
+from finmlkit_spark.functions import rolling as R
+from tests.conftest import SF_SMALL
+
+
+def _bars(spark):
+    from finmlkit_spark.suite.features_suite import bars_1m
+
+    return bars_1m(spark, SF_SMALL, seq=False)
+
+
+def _features(df, w, extra=()):
+    df = df.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+    df = df.withColumn("tr", R.true_range("high", "low", "close", w))
+    return df.select(
+        *extra,
+        "bar_close_ns",
+        F.col("r").alias("ret_1"),
+        R.sma("close", 20, w).alias("sma_20"),
+        R.zscore("close", 20, w).alias("zscore_20"),
+        R.stoch_k("close", "high", "low", 14, w).alias("stoch_k_14"),
+        R.atr_sma("tr", 14, w).alias("atr_14"),
+        R.realized_vol("r", 20, w).alias("rv_20"),
+        R.roc("close", 5, w).alias("roc_5"),
+        R.flow_acceleration("volume", 20, 5, w).alias("flow_accel"),
+    )
+
+
+FEATS = ["ret_1", "sma_20", "zscore_20", "stoch_k_14", "atr_14", "rv_20", "roc_5", "flow_accel"]
+
+
+def test_chunked_features_bit_identical(spark):
+    bars = _bars(spark)
+    glob = {r["bar_close_ns"]: r for r in _features(bars, Window.orderBy("bar_close_ns")).collect()}
+    ch = CW.with_row_chunks(bars, "bar_close_ns", warmup=24, chunk_rows=60)
+    got = {
+        r["bar_close_ns"]: r
+        for r in CW.finish(
+            _features(ch, CW.chunk_window("bar_close_ns"), extra=(CW.CHUNK, CW.WARM, CW.GLOBAL_RN))
+        ).collect()
+    }
+    assert set(glob) == set(got)
+    for k, g in glob.items():
+        for f in FEATS:
+            assert got[k][f] == g[f] or (got[k][f] is None and g[f] is None), (k, f)
+
+
+def test_global_row_number_exact(spark):
+    bars = _bars(spark)
+    want = {
+        r["bar_close_ns"]: r["rn"]
+        for r in bars.select(
+            "bar_close_ns", F.row_number().over(Window.orderBy("bar_close_ns")).alias("rn")
+        ).collect()
+    }
+    got = {
+        r["bar_close_ns"]: r[CW.GLOBAL_RN]
+        for r in CW.with_global_row_number(bars, "bar_close_ns", coarse_span=CW.DAY_NS // 24).collect()
+    }
+    assert got == want
+
+
+def test_flagship_plan_has_no_single_partition(spark):
+    from finmlkit_spark.suite import QUERIES
+
+    df = QUERIES["pipeline_1m_features"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_warmup_smaller_than_chunk_required(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        CW.with_row_chunks(_bars(spark), "bar_close_ns", warmup=64, chunk_rows=64)
