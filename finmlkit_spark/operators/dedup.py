@@ -153,6 +153,11 @@ def ngram_jaccard_pairs(
     """
     d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
     d = d.withColumn("n_sh", F.size("sh"))
+    # the shingle arrays feed the explode AND (bounded path) both exact-
+    # verification joins — cut the lineage so the HOF shingle fold runs
+    # once; RDD storage (localCheckpoint), NOT cache(): the columnar
+    # cache pathologically serializes array columns (SCALE.md lesson 2)
+    d = d.localCheckpoint(eager=False)
     e = d.select("doc", "n_sh", F.explode("sh").alias("g")).cache()
     if max_doc_freq is None:
         l = e.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
@@ -265,10 +270,14 @@ def simhash_near_pairs(
         )
     seg = bits // bands
     mask = (1 << seg) - 1
+    # fingerprints feed BOTH sides of the band self-join; cache the
+    # (doc, fp) projection — two longs per row, scalar-only so the
+    # columnar cache is safe — so the shingle fold + SimHash UDF run
+    # once over the corpus, not once per join side
     d = docs.select(
         F.col(id_col).alias("doc"),
         simhash(shingle_hashes(text_col), bits).alias("fp"),
-    )
+    ).cache()
     keys = F.array(
         *[
             F.struct(

@@ -33,6 +33,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-batched pair cosine, bit-identical to :func:`cosine`.
+
+    The HOF fold costs ~µs/element interpreted (SCALE.md lesson 3); at
+    SemDeDup pair volumes (Σ|cluster|² pairs × 3 folds × dim) that
+    dominates the query. This UDF reproduces the fold's EXACT float
+    semantics — elementwise products then a SEQUENTIAL left-to-right
+    summation via cumsum (numpy's sum/dot use pairwise summation, which
+    would drift in the last ulp and break oracle hash equality) — at
+    numpy batch speed. Requires equal-length (padded) vectors per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _cos(va, vb):
+        A = np.stack(va.values).astype(np.float64)
+        B = np.stack(vb.values).astype(np.float64)
+        dots = (A * B).cumsum(axis=1)[:, -1]
+        na = np.sqrt((A * A).cumsum(axis=1)[:, -1])
+        nb = np.sqrt((B * B).cumsum(axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    return _cos(a, b)
+
+
 def _plane_weight(j, i) -> Column:
     """Deterministic pseudo-random hyperplane weights in [-0.5, 0.5):
     LCG over the flat (plane, dim) index — reproducible in plain SQL."""
@@ -158,6 +184,13 @@ def kmeans_assign(
                 lambda s: s["val"],
             ).alias("cv")
         )
+        # materialize the k-row centroid table: without this each
+        # iteration NESTS the previous assignment cross-join in its
+        # lineage, and the final plan re-executes the whole chain once
+        # per downstream reference (2-3x at iters=2). localCheckpoint,
+        # not cache(): the columnar cache pathologically serializes
+        # array columns (SCALE.md lesson 2); k rows, so the cut is free.
+        cent = cent.localCheckpoint()
 
     out = assign(cent)
     return out.select(
@@ -185,14 +218,60 @@ def semantic_dup_pairs(
     (one giant cluster) is bounded by raising k — cluster sizes are the
     knob, exactly as in the paper.
     """
+    import numpy as np
+    import pandas as pd
+
     a = kmeans_assign(emb_df, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
     v = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
     m = a.select(F.col(id_col).alias("id"), "cluster_id").join(v, "id")
-    l = m.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id")
-    r = m.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster_id")
-    pairs = (
-        l.join(r, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+
+    # Within-cluster pairs as grouped applyInPandas, NOT a self-join:
+    # each vector crosses Arrow ONCE (n_c rows per cluster), the
+    # |cluster|² pair products exist only inside numpy (row-blocked to
+    # bound memory), and only surviving pairs return — vs a cluster_id
+    # self-join that ships BOTH pair arrays through the shuffle and the
+    # UDF boundary (O(Σ|c|²·dim) Arrow traffic; measured 40% slower at
+    # sf0.1 even Arrow-batched). Float semantics are preserved exactly:
+    # elementwise products then SEQUENTIAL cumsum summation — identical
+    # to the zip_with+aggregate fold and the oracle's list_dot_product
+    # (numpy sum/dot would use pairwise summation and drift in the last
+    # ulp). The pre-filter keeps a 1e-6 guard band; the authoritative
+    # round+threshold stays Spark-side (HALF_UP, matching the oracle).
+    # Skew: one task per cluster — k is the cluster-size knob (paper's
+    # own posture); the row-block keeps peak memory at block×dim.
+    guard = threshold - 1e-6
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((X * X).cumsum(axis=1)[:, -1])
+        ia, ib = np.triu_indices(n_rows, k=1)
+        oa, ob, oc = [], [], []
+        for s in range(0, len(ia), 200_000):
+            sa, sb = ia[s : s + 200_000], ib[s : s + 200_000]
+            cos = (X[sa] * X[sb]).cumsum(axis=1)[:, -1] / (nrm[sa] * nrm[sb])
+            keep = cos >= guard
+            oa.append(ids[sa][keep])
+            ob.append(ids[sb][keep])
+            oc.append(cos[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(oa),
+                "id_b": np.concatenate(ob),
+                "cos_raw": np.concatenate(oc),
+            }
+        )
+
+    pairs = m.groupBy("cluster_id").applyInPandas(
+        _pairs, "id_a long, id_b long, cos_raw double"
     )
-    return pairs.where(F.col("cos_sim") >= threshold)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)
