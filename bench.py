@@ -113,6 +113,27 @@ def main():
     )
     feat_exact_sec = timed(feat_exact)
 
+    # single-symbol chunked flagship: 4M bars of ONE symbol through the
+    # full 12-feature flagship window block — the workload that is a
+    # single-core SinglePartition without chunked_window. Measures the
+    # scale path's real throughput on the exact production expressions.
+    from finmlkit_spark.suite.pipeline_suite import flagship_feature_stage
+
+    n_flag = 4_000_000
+    fbars = spark.range(n_flag).select(
+        ((F.col("id") + 1) * 60_000_000_000).alias("bar_close_ns"),
+        (100.0 + F.sin(F.col("id") / 500.0) * 3.0).alias("open"),
+        (101.0 + F.sin(F.col("id") / 500.0) * 3.0).alias("high"),
+        (99.0 + F.sin(F.col("id") / 500.0) * 3.0).alias("low"),
+        (100.5 + F.sin(F.col("id") / 500.0) * 3.0).alias("close"),
+        (1.0 + (F.col("id") % 7)).cast("double").alias("volume"),
+        (100.2 + F.sin(F.col("id") / 500.0) * 3.0).alias("vwap"),
+        (F.col("id") % 50 + 1).alias("trades"),
+    )
+    flag = flagship_feature_stage(fbars, persist=False)
+    flag_sec = timed(flag)
+    spark.catalog.clearCache()
+
     # --- headline queries (best-of-2: first pass includes plan+codegen
     # warmup; shared-host timing noise often exceeds 2x) -------------------
     times: dict[str, float] = {}
@@ -151,6 +172,12 @@ def main():
                     "features": 6,
                     "sec": round(feat_exact_sec, 3),
                     "rows_per_sec": int(n_feat / feat_exact_sec),
+                },
+                "synthetic_chunked_flagship_single_symbol": {
+                    "rows": n_flag,
+                    "features": 12,
+                    "sec": round(flag_sec, 3),
+                    "rows_per_sec": int(n_flag / flag_sec),
                 },
             }
         )

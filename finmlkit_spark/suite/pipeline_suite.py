@@ -19,44 +19,20 @@ from ._registry import query
 from .features_suite import _B, _guard, _wf, bars_1m, _w
 
 
-@query(
-    "pipeline_1m_features",
-    _B
-    + f""",
-trq AS (
-  SELECT *, greatest(high - low,
-                     abs(high - lag(close) OVER (ORDER BY bar_close_ns)),
-                     abs(low - lag(close) OVER (ORDER BY bar_close_ns))) AS tr
-  FROM b
-)
-SELECT bar_close_ns, open, high, low, close, volume, vwap, trades,
-       r AS ret_1,
-       {_guard(20, f'avg(close) OVER {_wf(20)}')} AS sma_20,
-       {_guard(20, f'CASE WHEN stddev_samp(close) OVER {_wf(20)} <> 0 THEN (close - avg(close) OVER {_wf(20)}) / stddev_samp(close) OVER {_wf(20)} END')} AS zscore_20,
-       {_guard(14, f'CASE WHEN max(high) OVER {_wf(14)} <> min(low) OVER {_wf(14)} THEN 100.0 * (close - min(low) OVER {_wf(14)}) / (max(high) OVER {_wf(14)} - min(low) OVER {_wf(14)}) END')} AS stoch_k_14,
-       {_guard(20, f'CASE WHEN stddev_samp(close) OVER {_wf(20)} <> 0 THEN (close - (avg(close) OVER {_wf(20)} - 2.0 * stddev_samp(close) OVER {_wf(20)})) / (4.0 * stddev_samp(close) OVER {_wf(20)}) END')} AS boll_b_20,
-       pow(ln(high / low), 2) / (4.0 * ln(2.0)) AS parkinson,
-       CASE WHEN count(*) OVER {_wf(15)} = 15 THEN avg(tr) OVER {_wf(14)} END AS atr_14,
-       {_guard(20, f'close / (sum(close * volume) OVER {_wf(20)} / sum(volume) OVER {_wf(20)}) - 1')} AS vwap_dist_20,
-       {_guard(20, f'CASE WHEN count(r) OVER {_wf(20)} > 0 THEN sqrt(sum(r * r) OVER {_wf(20)} / count(r) OVER {_wf(20)}) END')} AS rv_20,
-       (close - lag(close, 5) OVER (ORDER BY bar_close_ns)) / lag(close, 5) OVER (ORDER BY bar_close_ns) * 100.0 AS roc_5,
-       {_guard(20, f'''CASE WHEN sum(volume) OVER (ORDER BY bar_close_ns ROWS BETWEEN 19 PRECEDING AND 5 PRECEDING) > 0
-            THEN ln(sum(volume) OVER (ORDER BY bar_close_ns ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-                    / (sum(volume) OVER (ORDER BY bar_close_ns ROWS BETWEEN 19 PRECEDING AND 5 PRECEDING) * 5.0 / 15.0)) END''')} AS flow_accel,
-       (high - greatest(open, close)) / nullif(high - low, 0) AS wick_up,
-       (close - vwap) / nullif(high - low, 0) AS vwap_drift
-FROM trq""",
-)
-def pipeline_1m_features(spark, sf_dir):
-    """Events -> trades -> 1m bars -> 12 features, one logical plan.
+#: deepest lookback chain in the flagship feature block: lag(close) ->
+#: tr (1) feeding the 14-row ATR frame (13 preceding), and the 20-row
+#: frames (19 preceding) whose oldest row's own r/tr needs one more lag
+FLAGSHIP_WARMUP = 24
 
-    Deepest lookback chain: lag(close) -> tr (1) feeding the 14-row ATR
-    frame (13 preceding), and the 20-row frames (19 preceding) whose
-    oldest row's own r/tr needs one more lag — warmup=24 covers all with
-    margin. Results are row-identical to the global-window oracle.
-    """
-    bars = bars_1m(spark, sf_dir, seq=False)
-    ch = CW.with_row_chunks(bars, "bar_close_ns", warmup=24, chunk_rows=8192, persist=True)
+
+def flagship_feature_stage(bars, chunk_rows: int = 8192, persist: bool = True):
+    """The flagship's 12-feature window block over OHLCV bars, evaluated
+    partition-parallel via chunked windows (zero SinglePartition; results
+    row-identical to the global-window form — see chunked_window docs).
+    Reused by the registry query and the bench's synthetic scale probe."""
+    ch = CW.with_row_chunks(
+        bars, "bar_close_ns", warmup=FLAGSHIP_WARMUP, chunk_rows=chunk_rows, persist=persist
+    )
     w = CW.chunk_window("bar_close_ns")
     df = ch.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
     df = df.withColumn("tr", R.true_range("high", "low", "close", w))
@@ -87,3 +63,37 @@ def pipeline_1m_features(spark, sf_dir):
         shape["wick_up"].alias("wick_up"),
         shape["vwap_drift"].alias("vwap_drift"),
     ))
+
+
+
+@query(
+    "pipeline_1m_features",
+    _B
+    + f""",
+trq AS (
+  SELECT *, greatest(high - low,
+                     abs(high - lag(close) OVER (ORDER BY bar_close_ns)),
+                     abs(low - lag(close) OVER (ORDER BY bar_close_ns))) AS tr
+  FROM b
+)
+SELECT bar_close_ns, open, high, low, close, volume, vwap, trades,
+       r AS ret_1,
+       {_guard(20, f'avg(close) OVER {_wf(20)}')} AS sma_20,
+       {_guard(20, f'CASE WHEN stddev_samp(close) OVER {_wf(20)} <> 0 THEN (close - avg(close) OVER {_wf(20)}) / stddev_samp(close) OVER {_wf(20)} END')} AS zscore_20,
+       {_guard(14, f'CASE WHEN max(high) OVER {_wf(14)} <> min(low) OVER {_wf(14)} THEN 100.0 * (close - min(low) OVER {_wf(14)}) / (max(high) OVER {_wf(14)} - min(low) OVER {_wf(14)}) END')} AS stoch_k_14,
+       {_guard(20, f'CASE WHEN stddev_samp(close) OVER {_wf(20)} <> 0 THEN (close - (avg(close) OVER {_wf(20)} - 2.0 * stddev_samp(close) OVER {_wf(20)})) / (4.0 * stddev_samp(close) OVER {_wf(20)}) END')} AS boll_b_20,
+       pow(ln(high / low), 2) / (4.0 * ln(2.0)) AS parkinson,
+       CASE WHEN count(*) OVER {_wf(15)} = 15 THEN avg(tr) OVER {_wf(14)} END AS atr_14,
+       {_guard(20, f'close / (sum(close * volume) OVER {_wf(20)} / sum(volume) OVER {_wf(20)}) - 1')} AS vwap_dist_20,
+       {_guard(20, f'CASE WHEN count(r) OVER {_wf(20)} > 0 THEN sqrt(sum(r * r) OVER {_wf(20)} / count(r) OVER {_wf(20)}) END')} AS rv_20,
+       (close - lag(close, 5) OVER (ORDER BY bar_close_ns)) / lag(close, 5) OVER (ORDER BY bar_close_ns) * 100.0 AS roc_5,
+       {_guard(20, f'''CASE WHEN sum(volume) OVER (ORDER BY bar_close_ns ROWS BETWEEN 19 PRECEDING AND 5 PRECEDING) > 0
+            THEN ln(sum(volume) OVER (ORDER BY bar_close_ns ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    / (sum(volume) OVER (ORDER BY bar_close_ns ROWS BETWEEN 19 PRECEDING AND 5 PRECEDING) * 5.0 / 15.0)) END''')} AS flow_accel,
+       (high - greatest(open, close)) / nullif(high - low, 0) AS wick_up,
+       (close - vwap) / nullif(high - low, 0) AS vwap_drift
+FROM trq""",
+)
+def pipeline_1m_features(spark, sf_dir):
+    """Events -> trades -> 1m bars -> 12 features, one logical plan."""
+    return flagship_feature_stage(bars_1m(spark, sf_dir, seq=False))
