@@ -89,3 +89,52 @@ def test_warmup_smaller_than_chunk_required(spark):
 
     with pytest.raises(ValueError):
         CW.with_row_chunks(_bars(spark), "bar_close_ns", warmup=64, chunk_rows=64)
+
+
+def test_global_row_number_with_ties_and_tiebreak(spark):
+    """Duplicate order values resolved deterministically by tiebreak_cols
+    even when the duplicates straddle a coarse-bucket row_number."""
+    rows = [(1000, i) for i in range(50)] + [(2000, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "ts long, tid long")
+    got = {
+        (r["ts"], r["tid"]): r[CW.GLOBAL_RN]
+        for r in CW.with_global_row_number(
+            df, "ts", tiebreak_cols=("tid",), coarse_span=100
+        ).collect()
+    }
+    want = {
+        (ts, tid): i + 1
+        for i, (ts, tid) in enumerate(sorted(rows))
+    }
+    assert got == want
+
+
+def test_row_chunks_sparse_time_axis(spark):
+    """Row-count chunking is immune to arbitrarily sparse stretches of
+    the time axis (the failure mode of time-span chunking): warmup rows
+    always come from the previous CHUNK regardless of time gaps."""
+    import random
+
+    rng = random.Random(7)
+    ts = sorted(rng.sample(range(10**6, 10**12, 997), 500))
+    df = spark.createDataFrame([(t, float(i)) for i, t in enumerate(ts)], "ts long, x double")
+    ch = CW.with_row_chunks(df, "ts", warmup=5, chunk_rows=37, coarse_span=10**9)
+    w = CW.chunk_window("ts")
+    got = {
+        r["ts"]: r["s"]
+        for r in CW.finish(
+            ch.select(CW.CHUNK, CW.WARM, CW.GLOBAL_RN, "ts", F.sum("x").over(w.rowsBetween(-4, 0)).alias("s"))
+        ).collect()
+    }
+    xs = {t: float(i) for i, t in enumerate(ts)}
+    for i, t in enumerate(ts):
+        want = sum(xs[u] for u in ts[max(0, i - 4) : i + 1])
+        assert got[t] == want, (i, t)
+
+
+def test_row_chunks_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "ts long, x double")
+    assert CW.finish(CW.with_row_chunks(empty, "ts", warmup=3, chunk_rows=8)).count() == 0
+    one = spark.createDataFrame([(5, 1.0)], "ts long, x double")
+    out = CW.finish(CW.with_row_chunks(one, "ts", warmup=3, chunk_rows=8)).collect()
+    assert len(out) == 1 and out[0]["ts"] == 5
