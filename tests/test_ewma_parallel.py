@@ -1,0 +1,56 @@
+"""Chunk-parallel EWMA (two-pass linear-recurrence scan) parity vs the
+exact sequential kernel — the truncation-free scale path for the
+sequential tier on a single huge symbol."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from finmlkit_spark.functions import sequential as S
+
+
+def _series(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = 1_700_000_000_000_000_000 + np.arange(n) * 60_000_000_000
+    x = 100 + np.cumsum(rng.normal(0, 0.5, n))
+    return ts, x
+
+
+def test_parallel_matches_sequential(spark):
+    ts, x = _series()
+    df = spark.createDataFrame(
+        list(zip(ts.tolist(), x.tolist())), "ts_ns long, close double"
+    )
+    exact = S.ewma(x, 19.0)
+    got = S.ewma_parallel(df, "close", 19.0, order_col="ts_ns", chunk_rows=256)
+    gm = {r["ts_ns"]: r["ewma"] for r in got.collect()}
+    gv = np.array([gm[t] for t in ts.tolist()])
+    err = np.nanmax(np.abs(gv - exact) / np.maximum(np.abs(exact), 1e-12))
+    assert err < 1e-11, err
+
+
+def test_parallel_grouped_matches_per_group(spark):
+    ts, x = _series(3000)
+    sym = (np.arange(len(ts)) % 3).astype(str)
+    df = spark.createDataFrame(
+        list(zip(sym.tolist(), ts.tolist(), x.tolist())),
+        "sym string, ts_ns long, close double",
+    )
+    got = S.ewma_parallel(df, "close", 9.0, order_col="ts_ns", chunk_rows=128, by="sym")
+    gm = {(r["sym"], r["ts_ns"]): r["ewma"] for r in got.collect()}
+    for s in "012":
+        mask = sym == s
+        exact = S.ewma(x[mask], 9.0)
+        gv = np.array([gm[(s, t)] for t in ts[mask].tolist()])
+        err = np.nanmax(np.abs(gv - exact) / np.maximum(np.abs(exact), 1e-12))
+        assert err < 1e-11, (s, err)
+
+
+def test_parallel_plan_has_no_single_partition(spark):
+    ts, x = _series(1000)
+    df = spark.createDataFrame(
+        list(zip(ts.tolist(), x.tolist())), "ts_ns long, close double"
+    )
+    got = S.ewma_parallel(df, "close", 19.0, order_col="ts_ns", chunk_rows=128)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
