@@ -266,6 +266,117 @@ def ewma_parallel(
     return outdf.select(*by_cols, order_col, y.alias(out))
 
 
+def ewms_parallel(
+    df: DataFrame,
+    col: str,
+    span: float,
+    order_col: str = "ts_ns",
+    chunk_rows: int = 4096,
+    by: str | None = None,
+    out: str = "ewms",
+    coarse_span: int = 86_400_000_000_000,
+) -> DataFrame:
+    """EXACT parallel EW moving std (adjust=True, bias-corrected) — the
+    four decayed moments behind :func:`ewms` (V, V2, Sy, Syy) are each
+    linear recurrences in q = 1−α (V2 in q²), so the same two-pass
+    chunked scan as :func:`ewma_parallel` combines them in closed form:
+    local moments per chunk at C speed, carries over the
+    one-row-per-chunk summary via a broadcast triangular join, then the
+    reliability-weight variance V²/(V²−V2)·(Syy/V − (Sy/V)²). Zero
+    truncation; deviation from the sequential fold is float
+    reassociation only (parity-tested).
+    """
+    from .chunked_window import with_global_row_number
+
+    q = 1.0 - 2.0 / (span + 1.0)
+    q2 = q * q
+    by_cols = [by] if by else []
+    if by:
+        d = df.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(by).orderBy(order_col))
+        )
+    else:
+        d = with_global_row_number(df, order_col, coarse_span=coarse_span, rn_col="_rn")
+    d = d.withColumn("_ck", F.floor((F.col("_rn") - 1) / chunk_rows))
+    d = d.withColumn("_pos", (F.col("_rn") - 1) % chunk_rows + 1)
+
+    def local_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pos").reset_index(drop=True)
+        x = pdf[col].to_numpy(dtype=np.float64)
+        p = np.arange(1, len(x) + 1, dtype=np.float64)
+        v = (1.0 - q**p) / (1.0 - q)
+        v2 = (1.0 - q2**p) / (1.0 - q2)
+        ew = pd.Series(x).ewm(span=span, adjust=True, ignore_na=False)
+        sy = ew.mean().to_numpy() * v
+        syy = pd.Series(x * x).ewm(span=span, adjust=True, ignore_na=False).mean().to_numpy() * v
+        return pd.DataFrame(
+            {
+                **{k: pdf[k] for k in by_cols},
+                order_col: pdf[order_col],
+                "_ck": pdf["_ck"],
+                "_pos": pdf["_pos"],
+                "_v": v,
+                "_v2": v2,
+                "_sy": sy,
+                "_syy": syy,
+            }
+        )
+
+    sch = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by_cols]
+        + [
+            f"`{order_col}` {df.schema[order_col].dataType.simpleString()}",
+            "`_ck` long",
+            "`_pos` long",
+            "`_v` double",
+            "`_v2` double",
+            "`_sy` double",
+            "`_syy` double",
+        ]
+    )
+    scanned = d.groupBy(*by_cols, "_ck").applyInPandas(local_scan, schema=sch)
+
+    summary = scanned.groupBy(*by_cols, "_ck").agg(
+        F.max_by("_v", "_pos").alias("_vl"),
+        F.max_by("_v2", "_pos").alias("_v2l"),
+        F.max_by("_sy", "_pos").alias("_syl"),
+        F.max_by("_syy", "_pos").alias("_syyl"),
+    )
+    a = summary.select(*by_cols, "_ck")
+    b = summary.select(
+        *[F.col(c).alias(f"_b_{c}") for c in by_cols],
+        F.col("_ck").alias("_ckb"),
+        "_vl",
+        "_v2l",
+        "_syl",
+        "_syyl",
+    )
+    cond = [F.col(f"_b_{c}") == F.col(c) for c in by_cols] + [F.col("_ckb") < F.col("_ck")]
+    gap = (F.col("_ck") - F.col("_ckb") - 1) * chunk_rows
+    carries = (
+        a.join(b, cond, "left")
+        .groupBy(*by_cols, "_ck")
+        .agg(
+            F.coalesce(F.sum(F.col("_vl") * F.pow(F.lit(q), gap)), F.lit(0.0)).alias("_cv"),
+            F.coalesce(F.sum(F.col("_v2l") * F.pow(F.lit(q2), gap)), F.lit(0.0)).alias("_cv2"),
+            F.coalesce(F.sum(F.col("_syl") * F.pow(F.lit(q), gap)), F.lit(0.0)).alias("_csy"),
+            F.coalesce(F.sum(F.col("_syyl") * F.pow(F.lit(q), gap)), F.lit(0.0)).alias("_csyy"),
+        )
+    )
+    outdf = scanned.join(F.broadcast(carries), [*by_cols, "_ck"])
+    qp = F.pow(F.lit(q), F.col("_pos"))
+    qp2 = F.pow(F.lit(q2), F.col("_pos"))
+    V = F.col("_v") + qp * F.col("_cv")
+    V2 = F.col("_v2") + qp2 * F.col("_cv2")
+    Sy = F.col("_sy") + qp * F.col("_csy")
+    Syy = F.col("_syy") + qp * F.col("_csyy")
+    rn = F.col("_ck") * chunk_rows + F.col("_pos")
+    m = Sy / V
+    var = F.greatest(Syy / V - m * m, F.lit(0.0)) * V * V / (V * V - V2)
+    std = F.when((rn > 1) & (V * V > V2), F.sqrt(var))
+    return outdf.select(*by_cols, order_col, std.alias(out))
+
+
 # --- Wilder recurrences -----------------------------------------------------
 
 def rsi_wilder(close: np.ndarray, n: int) -> np.ndarray:

@@ -150,6 +150,39 @@ def seq_ewms(spark, sf_dir):
     return S.apply_sequential(bars, kernel, "bar_close_ns long, ewms_19 double", order=("bar_close_ns",))
 
 
+@query(
+    "seq_ewms_parallel",
+    _B
+    + f"""
+, lx AS (
+  SELECT bar_close_ns, brn,
+         list(close) OVER (ORDER BY bar_close_ns ROWS BETWEEN {K - 1} PRECEDING AND CURRENT ROW) AS l
+  FROM b
+),
+mom AS (
+  SELECT bar_close_ns, brn,
+         list_sum(list_transform(l, (x, i) -> pow({DECAY}, len(l) - i))) AS V,
+         list_sum(list_transform(l, (x, i) -> pow({DECAY}, 2 * (len(l) - i)))) AS V2,
+         list_sum(list_transform(l, (x, i) -> x * pow({DECAY}, len(l) - i))) AS Sy,
+         list_sum(list_transform(l, (x, i) -> x * x * pow({DECAY}, len(l) - i))) AS Syy
+  FROM lx
+)
+SELECT bar_close_ns,
+       CASE WHEN brn > 1 AND V * V > V2
+            THEN sqrt(greatest(Syy / V - (Sy / V) * (Sy / V), 0) * V * V / (V * V - V2)) END AS ewms_19
+FROM mom""",
+)
+def seq_ewms_parallel(spark, sf_dir):
+    """The SAME EW moving std as seq_ewms via the chunk-parallel
+    two-pass moment scan (``sequential.ewms_parallel``) — four linear
+    recurrences, closed-form carries, zero truncation, no
+    SinglePartition. Hash-matches the identical convolution oracle."""
+    bars = bars_1m(spark, sf_dir, seq=False)
+    return S.ewms_parallel(
+        bars, "close", float(SPAN), order_col="bar_close_ns", chunk_rows=512, out="ewms_19"
+    )
+
+
 HL_NS = 30 * 60_000_000_000  # 30 min halflife
 LAM = math.log(2.0) / HL_NS
 RNG = 60 * HL_NS  # 2^-60 ≈ 8.7e-19

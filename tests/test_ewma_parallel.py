@@ -46,6 +46,21 @@ def test_parallel_grouped_matches_per_group(spark):
         assert err < 1e-11, (s, err)
 
 
+def test_ewms_parallel_matches_sequential(spark):
+    ts, x = _series()
+    df = spark.createDataFrame(
+        list(zip(ts.tolist(), x.tolist())), "ts_ns long, close double"
+    )
+    exact = S.ewms(x, 19.0)
+    got = S.ewms_parallel(df, "close", 19.0, order_col="ts_ns", chunk_rows=256)
+    gm = {r["ts_ns"]: r["ewms"] for r in got.collect()}
+    gv = np.array([np.nan if gm[t] is None else gm[t] for t in ts.tolist()], dtype=np.float64)
+    mask = ~np.isnan(exact)
+    assert np.isnan(gv[~mask]).all()
+    err = np.nanmax(np.abs(gv[mask] - exact[mask]) / np.maximum(np.abs(exact[mask]), 1e-12))
+    assert err < 1e-9, err
+
+
 def test_parallel_plan_has_no_single_partition(spark):
     ts, x = _series(1000)
     df = spark.createDataFrame(
