@@ -1,0 +1,55 @@
+"""Schema-tolerant testdata table reader.
+
+Round 2 lost its entire finance half to ONE upstream physical-type
+change (events.ts: TIMESTAMP(NANOS) -> timestamp[us]). The reference
+survives such drift by inferring units from magnitude
+(``finmlkit/bar/data_model.py:399-418``); this module is the same
+posture for every driver table: normalize each known timestamp-ish
+column to TIMESTAMP_NTZ whatever the parquet physically stores —
+timestamp (either zone flavor) passes through as NTZ, epoch-ns BIGINT
+(the nanosAsLong read of TIMESTAMP(NANOS)) converts via unix micros,
+DATE widens. Downstream queries never see the storage encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: known event-time columns per driver table
+TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Coerce one timestamp-ish column to TIMESTAMP_NTZ (UTC wall time)."""
+    dt = dict(df.dtypes)[col]
+    if dt == "timestamp_ntz":
+        return df
+    if dt.startswith("timestamp"):
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    if dt == "date":
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    if dt == "bigint":
+        # epoch nanoseconds (TIMESTAMP(NANOS) under nanosAsLong)
+        return df.withColumn(
+            col,
+            F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    raise TypeError(f"{col}: unsupported dtype {dt!r}")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver table with event-time columns normalized."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TS_COLS.get(name, ()):
+        if c in df.columns:
+            df = normalize_ts(df, c)
+    return df

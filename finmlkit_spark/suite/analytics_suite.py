@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..functions import sequential as S
 from ..operators import preprocess as P  # noqa: F401 (per-trade side path)
 from ..sources.trades import events_to_trades  # noqa: F401
+from ..sources.tables import read_table
 from ._registry import query
 from .sequential_suite import _BH
 
@@ -35,7 +36,7 @@ def pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: predicate pushed to the scan,
     map-side partial aggregation, two-column group."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # date-literal cast
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -75,11 +76,11 @@ GROUP BY r.r_name, n.n_name""",
 def regional_revenue(spark, sf_dir):
     """Five-way star join: fact table joins small dims via explicit
     broadcasts (no shuffle of lineitem beyond the orders join)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
     j = (
         li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -109,8 +110,8 @@ def priority_fill_rate(spark, sf_dir):
     """Per-priority order counts with an existence flag (semi-join
     pattern expressed as an aggregated left join for oracle parity)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # date-literal cast
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
     late = (
         li.where(F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp"))
         .groupBy("l_orderkey")
@@ -292,5 +293,5 @@ def sql_shared_dialect(spark, sf_dir):
     DuckDB oracle runs (shared ANSI dialect) over a registered view —
     Catalyst parse/optimize handles it like any DataFrame plan."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SHARED_SQL)

@@ -18,6 +18,7 @@ from ..operators import multimodal as MM
 from ..operators import sampling as SMP
 from ..operators import similarity as SIM
 from ..operators import text as TX
+from ..sources.tables import read_table
 from ._registry import query
 
 # --- shared DuckDB fragments ------------------------------------------------
@@ -60,11 +61,11 @@ _SIG = (
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_table(spark, sf_dir, "documents")
 
 
 def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table(spark, sf_dir, "embeddings")
 
 
 # --- text analysis ----------------------------------------------------------

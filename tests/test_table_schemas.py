@@ -1,0 +1,125 @@
+"""Whole-corpus schema smoke: every driver table reads through the
+schema-tolerant adapter with its canonical logical schema, across every
+real sf dir — the class of upstream physical-type drift that cost
+round 2 should always fail here first (sub-second), never in the
+driver's correctness window.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from finmlkit_spark.sources.tables import TS_COLS, normalize_ts, read_table
+
+SF_DIRS = sorted(glob.glob("/root/testdata/sf*"))
+
+#: canonical logical schemas after normalization (what queries rely on)
+EXPECT = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp_ntz",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp_ntz",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    # embedding element type may drift float<->double; similarity code
+    # normalizes via as_double, so only assert the structural shape
+    "embeddings": {"vec_id": "bigint", "label": "int"},
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+@pytest.mark.parametrize("table", sorted(EXPECT))
+def test_table_reads_with_canonical_schema(spark, sf_dir, table):
+    df = read_table(spark, sf_dir, table)
+    got = dict(df.dtypes)
+    for col, want in EXPECT[table].items():
+        assert got.get(col) == want, (table, col, got.get(col))
+    if table == "embeddings":
+        assert got["embedding"].startswith("array<"), got["embedding"]
+
+
+def test_normalize_ts_from_nanos_long(spark):
+    ns = 1_700_000_000_123_456_789
+    df = spark.createDataFrame([(ns,)], "ts bigint")
+    out = normalize_ts(df, "ts")
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+    got = out.collect()[0]["ts"]
+    assert got.isoformat().startswith("2023-11-14T22:13:20.123456")
+
+
+def test_normalize_ts_from_date(spark):
+    import datetime
+
+    df = spark.createDataFrame([(datetime.date(2024, 3, 1),)], "d date")
+    out = normalize_ts(df, "d")
+    assert dict(out.dtypes)["d"] == "timestamp_ntz"
+
+
+def test_ts_cols_cover_all_timestamp_columns():
+    """If the driver adds a timestamp column to a table, TS_COLS must
+    learn about it — this asserts the inventory matches reality."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in EXPECT:
+        desc = con.execute(
+            f"describe select * from read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        ).fetchall()
+        ts_like = {c for c, typ, *_ in desc if "TIMESTAMP" in typ.upper() or typ.upper() == "DATE"}
+        assert ts_like == set(TS_COLS.get(t, ())), (t, ts_like)
