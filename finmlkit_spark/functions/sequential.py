@@ -377,6 +377,171 @@ def ewms_parallel(
     return outdf.select(*by_cols, order_col, std.alias(out))
 
 
+def ewmst_parallel(
+    df: DataFrame,
+    ts_col: str,
+    y_col: str,
+    halflife_ns: float,
+    chunk_rows: int = 4096,
+    by: str | None = None,
+    out: str = "ewmst",
+    coarse_span: int = 86_400_000_000_000,
+) -> DataFrame:
+    """EXACT parallel time-decay EW std (:func:`ewmst` semantics) — the
+    reference's volatility estimator for TBM targets, parallel within
+    one symbol with zero truncation.
+
+    All four moments are ABSOLUTE-TIME decayed sums over non-NaN
+    samples: M_t = Σ_i f(y_i)·exp(−λ(t − t_i)) (V2 with 2λ), because
+    the per-step decays exp(−λΔ) telescope. So chunks (by exact global
+    row number) scan locally from zero state, and the cross-chunk carry
+    anchored at T_ref(c) = the latest sample time before chunk c is
+
+        C_M(c) = Σ_{j<c} M_end(j)·exp(−λ(T_ref(c) − T_j))
+
+    — which IS the combined end-state of the previous chunks, so the
+    per-row combine is one decay factor exp(−λ(t − T_ref)). Exponents
+    are never positive: no overflow, and terms underflow to zero
+    exactly at the estimator's memory horizon. NaN inputs emit the
+    previous sample's std (sequential semantics) via an ignore-nulls
+    forward fill within the chunk, falling back to the carry's own std
+    at chunk heads; rows before any sample stay NULL.
+
+    Caveat (documented, irrelevant for distinct-timestamp bar data): if
+    two samples share one timestamp the V²>V2 guard can suppress a
+    mid-series std, and a NaN immediately after would fill from an
+    older value than the sequential kernel's NaN.
+    """
+    from .chunked_window import with_global_row_number
+
+    lam = math.log(2.0) / float(halflife_ns)
+    by_cols = [by] if by else []
+    if by:
+        d = df.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(by).orderBy(ts_col))
+        )
+    else:
+        d = with_global_row_number(df, ts_col, coarse_span=coarse_span, rn_col="_rn")
+    d = d.withColumn("_ck", F.floor((F.col("_rn") - 1) / chunk_rows))
+
+    def local_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        t = pdf[ts_col].to_numpy(dtype=np.int64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        Vv = np.full(n, np.nan)
+        V2v = np.full(n, np.nan)
+        Syv = np.full(n, np.nan)
+        Syyv = np.full(n, np.nan)
+        V = V2 = Sy = Syy = 0.0
+        prev_t = None
+        for i in range(n):
+            if np.isnan(y[i]):
+                continue
+            dec = 1.0 if prev_t is None else math.exp(-lam * (t[i] - prev_t))
+            V = 1.0 + dec * V
+            V2 = 1.0 + dec * dec * V2
+            Sy = y[i] + dec * Sy
+            Syy = y[i] * y[i] + dec * Syy
+            prev_t = t[i]
+            Vv[i], V2v[i], Syv[i], Syyv[i] = V, V2, Sy, Syy
+        return pd.DataFrame(
+            {
+                **{k: pdf[k] for k in by_cols},
+                ts_col: pdf[ts_col],
+                "_ck": pdf["_ck"],
+                "_y": y,
+                "_v": Vv,
+                "_v2": V2v,
+                "_sy": Syv,
+                "_syy": Syyv,
+            }
+        )
+
+    sch = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by_cols]
+        + [
+            f"`{ts_col}` {df.schema[ts_col].dataType.simpleString()}",
+            "`_ck` long",
+            "`_y` double",
+            "`_v` double",
+            "`_v2` double",
+            "`_sy` double",
+            "`_syy` double",
+        ]
+    )
+    scanned = d.groupBy(*by_cols, "_ck").applyInPandas(local_scan, schema=sch)
+
+    nn = scanned.where(~F.isnan("_v") & F.col("_v").isNotNull())
+    summary = nn.groupBy(*by_cols, "_ck").agg(
+        F.max(ts_col).alias("_T"),
+        F.max_by("_v", ts_col).alias("_vl"),
+        F.max_by("_v2", ts_col).alias("_v2l"),
+        F.max_by("_sy", ts_col).alias("_syl"),
+        F.max_by("_syy", ts_col).alias("_syyl"),
+    )
+    a = summary.select(*by_cols, "_ck")
+    b = summary.select(
+        *[F.col(c).alias(f"_b_{c}") for c in by_cols],
+        F.col("_ck").alias("_ckb"),
+        F.col("_T").alias("_Tb"),
+        "_vl",
+        "_v2l",
+        "_syl",
+        "_syyl",
+    )
+    cond = [F.col(f"_b_{c}") == F.col(c) for c in by_cols] + [F.col("_ckb") < F.col("_ck")]
+    tref = (
+        a.join(b, cond, "left")
+        .groupBy(*by_cols, "_ck")
+        .agg(F.max("_Tb").alias("_Tref"))
+    )
+    # second triangular pass: decayed sums anchored at T_ref(c)
+    dec1 = F.exp(-lam * (F.col("_Tref") - F.col("_Tb")))
+    dec2 = F.exp(-2.0 * lam * (F.col("_Tref") - F.col("_Tb")))
+    carries = (
+        tref.join(b, cond, "left")
+        .groupBy(*by_cols, "_ck", "_Tref")
+        .agg(
+            F.coalesce(F.sum(F.col("_vl") * dec1), F.lit(0.0)).alias("_cv"),
+            F.coalesce(F.sum(F.col("_v2l") * dec2), F.lit(0.0)).alias("_cv2"),
+            F.coalesce(F.sum(F.col("_syl") * dec1), F.lit(0.0)).alias("_csy"),
+            F.coalesce(F.sum(F.col("_syyl") * dec1), F.lit(0.0)).alias("_csyy"),
+        )
+    )
+
+    def _std(V, V2, Sy, Syy):
+        m = Sy / V
+        var = F.greatest(Syy / V - m * m, F.lit(0.0)) * V * V / (V * V - V2)
+        return F.when((V > 0) & (V * V > V2), F.sqrt(var))
+
+    outdf = scanned.join(F.broadcast(carries), [*by_cols, "_ck"], "left")
+    has_c = F.col("_Tref").isNotNull()
+    # NB: Arrow maps the kernel's NaN to Spark NULL, and Spark's
+    # isnan(NULL) is FALSE — so the sample test must check BOTH
+    is_sample = F.col("_y").isNotNull() & ~F.isnan("_y")
+    rdec1 = F.when(has_c, F.exp(-lam * (F.col(ts_col) - F.col("_Tref")))).otherwise(F.lit(0.0))
+    rdec2 = F.when(has_c, F.exp(-2.0 * lam * (F.col(ts_col) - F.col("_Tref")))).otherwise(F.lit(0.0))
+    V = F.when(is_sample, F.col("_v")).otherwise(F.lit(0.0)) + rdec1 * F.coalesce("_cv", F.lit(0.0))
+    V2 = F.when(is_sample, F.col("_v2")).otherwise(F.lit(0.0)) + rdec2 * F.coalesce("_cv2", F.lit(0.0))
+    Sy = F.when(is_sample, F.col("_sy")).otherwise(F.lit(0.0)) + rdec1 * F.coalesce("_csy", F.lit(0.0))
+    Syy = F.when(is_sample, F.col("_syy")).otherwise(F.lit(0.0)) + rdec1 * F.coalesce("_csyy", F.lit(0.0))
+    std_sample = F.when(is_sample, _std(V, V2, Sy, Syy))
+    outdf = outdf.withColumn("_std_s", std_sample)
+    wfill = Window.partitionBy(*by_cols, "_ck").orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carry_std = _std(
+        F.col("_cv"), F.col("_cv2"), F.col("_csy"), F.col("_csyy")
+    )
+    filled = F.when(
+        is_sample, F.col("_std_s")
+    ).otherwise(
+        F.coalesce(F.last("_std_s", ignorenulls=True).over(wfill), F.when(has_c, carry_std))
+    )
+    return outdf.select(*by_cols, ts_col, filled.alias(out))
+
+
 # --- Wilder recurrences -----------------------------------------------------
 
 def rsi_wilder(close: np.ndarray, n: int) -> np.ndarray:

@@ -230,6 +230,40 @@ def seq_ewmst(spark, sf_dir):
     return S.apply_sequential(bars, kernel, "bar_close_ns long, ewmst_30m double", order=("bar_close_ns",))
 
 
+@query(
+    "seq_ewmst_parallel",
+    _B
+    + f"""
+, lw AS (
+  SELECT bar_close_ns, brn,
+         list({{'t': bar_close_ns, 'v': close}}) OVER (
+           ORDER BY bar_close_ns RANGE BETWEEN {RNG} PRECEDING AND CURRENT ROW) AS l
+  FROM b
+),
+mom AS (
+  SELECT bar_close_ns, brn,
+         list_sum(list_transform(l, e -> exp(-{LAM} * (bar_close_ns - e.t)))) AS V,
+         list_sum(list_transform(l, e -> exp(-2 * {LAM} * (bar_close_ns - e.t)))) AS V2,
+         list_sum(list_transform(l, e -> e.v * exp(-{LAM} * (bar_close_ns - e.t)))) AS Sy,
+         list_sum(list_transform(l, e -> e.v * e.v * exp(-{LAM} * (bar_close_ns - e.t)))) AS Syy
+  FROM lw
+)
+SELECT bar_close_ns,
+       CASE WHEN V * V > V2
+            THEN sqrt(greatest(Syy / V - (Sy / V) * (Sy / V), 0) * V * V / (V * V - V2)) END AS ewmst_30m
+FROM mom""",
+)
+def seq_ewmst_parallel(spark, sf_dir):
+    """The SAME time-decay EW std as seq_ewmst via the chunk-parallel
+    scan (``sequential.ewmst_parallel``): the four moments are
+    absolute-time decayed sums, so chunk carries telescope exactly —
+    zero truncation, no SinglePartition, same closed-form oracle."""
+    bars = bars_1m(spark, sf_dir, seq=False)
+    return S.ewmst_parallel(
+        bars, "bar_close_ns", "close", float(HL_NS), chunk_rows=512, out="ewmst_30m"
+    )
+
+
 # --- Wilder recurrences (compared beyond the mixing horizon) ---------------
 
 N_W = 14

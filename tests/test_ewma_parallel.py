@@ -61,6 +61,32 @@ def test_ewms_parallel_matches_sequential(spark):
     assert err < 1e-9, err
 
 
+def test_ewmst_parallel_matches_sequential(spark):
+    """Time-decay EW std on an irregular axis with NaN inputs at the
+    head, mid-chunk, and a chunk boundary — all must reproduce the
+    sequential kernel's values AND its NaN/fill pattern exactly."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    gaps = rng.integers(60, 600, n).astype(np.int64) * 1_000_000_000
+    ts = 1_700_000_000_000_000_000 + np.cumsum(gaps)
+    y = rng.normal(0, 0.01, n)
+    y[0] = np.nan
+    y[137] = np.nan
+    y[1024] = np.nan  # chunk head at chunk_rows=512
+    exact = S.ewmst(ts, y, 30 * 60 * 1e9)
+    df = spark.createDataFrame(
+        [(int(t), None if np.isnan(v) else float(v)) for t, v in zip(ts, y)],
+        "ts_ns long, r double",
+    )
+    got = S.ewmst_parallel(df, "ts_ns", "r", 30 * 60 * 1e9, chunk_rows=512)
+    gm = {r["ts_ns"]: r["ewmst"] for r in got.collect()}
+    gv = np.array([np.nan if gm[int(t)] is None else gm[int(t)] for t in ts])
+    mask = ~np.isnan(exact)
+    assert ((~np.isnan(gv)) == mask).all()
+    err = np.nanmax(np.abs(gv[mask] - exact[mask]) / np.maximum(np.abs(exact[mask]), 1e-15))
+    assert err < 1e-11, err
+
+
 def test_parallel_plan_has_no_single_partition(spark):
     ts, x = _series(1000)
     df = spark.createDataFrame(
