@@ -62,6 +62,18 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
+    def timed_safe(df, runs: int = 5) -> float | None:
+        """A broken synthetic must not zero out the whole bench JSON."""
+        try:
+            return timed(df, runs)
+        except Exception:  # noqa: BLE001
+            return None
+
+    def tput(n: int, sec: float | None, **extra):
+        if sec is None:
+            return {"rows": n, "sec": None, "rows_per_sec": None, **extra}
+        return {"rows": n, "sec": round(sec, 3), "rows_per_sec": int(n / sec), **extra}
+
     # --- synthetic throughputs FIRST: measured in a clean JVM, before the
     # headline suite accumulates codegen classes / Python workers ---------
     from pyspark.sql import functions as F
@@ -80,7 +92,7 @@ def main():
         (1.0 + (F.col("id") % 5)).cast("double").alias("qty"),
     )
     syn_bars = B.bar_ohlcv(B.with_time_bar(syn, 60_000_000_000), by=None)
-    syn_sec = timed(syn_bars)
+    syn_sec = timed_safe(syn_bars)
 
     # multi-symbol feature stage: 100 symbols x 40k bars, six window
     # features per symbol. The measured path is the O(1)-per-row
@@ -96,7 +108,7 @@ def main():
         (1.0 + (F.col("id") % 7)).cast("double").alias("volume"),
     )
     feat = R.fast_feature_stage(fb, by="symbol")
-    feat_sec = timed(feat)
+    feat_sec = timed_safe(feat)
 
     from pyspark.sql import Window
 
@@ -111,7 +123,7 @@ def main():
         R.vwap_distance("close", "volume", 20, w).alias("vd"),
         R.bollinger_percent_b("close", 20, w).alias("bb"),
     )
-    feat_exact_sec = timed(feat_exact)
+    feat_exact_sec = timed_safe(feat_exact)
 
     # single-symbol chunked flagship: 4M bars of ONE symbol through the
     # full 12-feature flagship window block — the workload that is a
@@ -131,21 +143,27 @@ def main():
         (F.col("id") % 50 + 1).alias("trades"),
     )
     flag = flagship_feature_stage(fbars, persist=False)
-    flag_sec = timed(flag)
+    flag_sec = timed_safe(flag)
     spark.catalog.clearCache()
 
     # --- headline queries (best-of-2: first pass includes plan+codegen
     # warmup; shared-host timing noise often exceeds 2x) -------------------
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in suite.QUERIES:
             continue
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            suite.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 4)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                suite.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001
+            # one broken query must not zero out the whole bench signal
+            # (round 2 lost its entire bench to a single source error)
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(times.values()), 4)
     print(
@@ -155,30 +173,12 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                **({"query_errors": errors} if errors else {}),
                 "sf": sf,
-                "synthetic_bar_build": {
-                    "rows": n_syn,
-                    "sec": round(syn_sec, 3),
-                    "rows_per_sec": int(n_syn / syn_sec),
-                },
-                "synthetic_feature_windows": {
-                    "rows": n_feat,
-                    "features": 6,
-                    "sec": round(feat_sec, 3),
-                    "rows_per_sec": int(n_feat / feat_sec),
-                },
-                "synthetic_feature_windows_exact_frames": {
-                    "rows": n_feat,
-                    "features": 6,
-                    "sec": round(feat_exact_sec, 3),
-                    "rows_per_sec": int(n_feat / feat_exact_sec),
-                },
-                "synthetic_chunked_flagship_single_symbol": {
-                    "rows": n_flag,
-                    "features": 12,
-                    "sec": round(flag_sec, 3),
-                    "rows_per_sec": int(n_flag / flag_sec),
-                },
+                "synthetic_bar_build": tput(n_syn, syn_sec),
+                "synthetic_feature_windows": tput(n_feat, feat_sec, features=6),
+                "synthetic_feature_windows_exact_frames": tput(n_feat, feat_exact_sec, features=6),
+                "synthetic_chunked_flagship_single_symbol": tput(n_flag, flag_sec, features=12),
             }
         )
     )
