@@ -542,6 +542,120 @@ def ewmst_parallel(
     return outdf.select(*by_cols, ts_col, filled.alias(out))
 
 
+def rsi_parallel(
+    df: DataFrame,
+    close_col: str,
+    n: int,
+    order_col: str = "ts_ns",
+    chunk_rows: int = 4096,
+    out: str = "rsi",
+    rn_col: str | None = None,
+    coarse_span: int = 86_400_000_000_000,
+) -> DataFrame:
+    """EXACT parallel Wilder RSI — same two-pass closed-combine scan as
+    :func:`ewma_parallel`, single symbol, zero truncation.
+
+    After its SMA seed, each Wilder average is one linear recurrence
+    avg_t = q·avg_{t−1} + x_t/n (q = (n−1)/n). Chunk 0 runs the true
+    seeded recurrence sequentially (the seed never crosses a chunk:
+    ``chunk_rows`` must exceed n); later chunks compute local decayed
+    sums at C speed, and the carry is the usual triangular combine —
+    chunk 0's summary contribution is its true seeded end state, so
+    the expansion reproduces the seeded recurrence everywhere. Each
+    chunk reads ONE warmup row (previous close) for its first diff via
+    ``chunked_window.with_row_chunks(warmup=1)``.
+
+    ``rn_col`` optionally exposes the exact global row number (for
+    warmup filtering downstream). Parity vs :func:`rsi_wilder` is float
+    reassociation only.
+    """
+    from .chunked_window import CHUNK, GLOBAL_RN, WARM, with_row_chunks
+
+    if chunk_rows <= n + 1:
+        raise ValueError(f"chunk_rows ({chunk_rows}) must exceed n+1 ({n + 1})")
+    q = (n - 1.0) / n
+    d = with_row_chunks(
+        df, order_col, warmup=1, chunk_rows=chunk_rows, coarse_span=coarse_span
+    )
+
+    def local_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(GLOBAL_RN).reset_index(drop=True)
+        close = pdf[close_col].to_numpy(dtype=np.float64)
+        warm = pdf[WARM].to_numpy(dtype=bool)
+        ck = int(pdf[CHUNK].iloc[0])
+        diff = np.diff(close, prepend=np.nan)
+        gain = np.where(diff > 0, diff, 0.0)
+        loss = np.where(diff < 0, -diff, 0.0)
+        real = ~warm
+        g, l = gain[real], loss[real]
+        m = len(g)
+        if ck == 0:
+            ag = np.full(m, np.nan)
+            al = np.full(m, np.nan)
+            if m > n:
+                a_g = g[1 : n + 1].mean()
+                a_l = l[1 : n + 1].mean()
+                ag[n], al[n] = a_g, a_l
+                for i in range(n + 1, m):
+                    a_g = ((n - 1) * a_g + g[i]) / n
+                    a_l = ((n - 1) * a_l + l[i]) / n
+                    ag[i], al[i] = a_g, a_l
+        else:
+            p = np.arange(1, m + 1, dtype=np.float64)
+            scale = 1.0 - q**p
+            ag = pd.Series(g).ewm(alpha=1.0 / n, adjust=True).mean().to_numpy() * scale
+            al = pd.Series(l).ewm(alpha=1.0 / n, adjust=True).mean().to_numpy() * scale
+        return pd.DataFrame(
+            {
+                order_col: pdf[order_col].to_numpy()[real],
+                "_rng": pdf[GLOBAL_RN].to_numpy()[real],
+                "_ck": ck,
+                "_pos": np.arange(1, m + 1),
+                "_lg": ag,
+                "_ll": al,
+            }
+        )
+
+    sch = ", ".join(
+        [
+            f"`{order_col}` {df.schema[order_col].dataType.simpleString()}",
+            "`_rng` long",
+            "`_ck` long",
+            "`_pos` long",
+            "`_lg` double",
+            "`_ll` double",
+        ]
+    )
+    scanned = d.groupBy(CHUNK).applyInPandas(local_scan, schema=sch)
+
+    summary = scanned.groupBy("_ck").agg(
+        F.max_by("_lg", "_pos").alias("_lgl"),
+        F.max_by("_ll", "_pos").alias("_lll"),
+    )
+    a = summary.select("_ck")
+    b = summary.select(
+        F.col("_ck").alias("_ckb"), "_lgl", "_lll"
+    )
+    gap = (F.col("_ck") - F.col("_ckb") - 1) * chunk_rows
+    carries = (
+        a.join(b, F.col("_ckb") < F.col("_ck"), "left")
+        .groupBy("_ck")
+        .agg(
+            F.coalesce(F.sum(F.col("_lgl") * F.pow(F.lit(q), gap)), F.lit(0.0)).alias("_cg"),
+            F.coalesce(F.sum(F.col("_lll") * F.pow(F.lit(q), gap)), F.lit(0.0)).alias("_cl"),
+        )
+    )
+    outdf = scanned.join(F.broadcast(carries), ["_ck"])
+    qp = F.pow(F.lit(q), F.col("_pos"))
+    ag = F.col("_lg") + qp * F.col("_cg")
+    al = F.col("_ll") + qp * F.col("_cl")
+    rsi = F.when(al == 0, F.lit(100.0)).otherwise(100.0 - 100.0 / (1.0 + ag / al))
+    cols = [order_col, rsi.alias(out)]
+    if rn_col:
+        cols.insert(1, F.col("_rng").alias(rn_col))
+    return outdf.select(*cols)
+
+
 # --- Wilder recurrences -----------------------------------------------------
 
 def rsi_wilder(close: np.ndarray, n: int) -> np.ndarray:

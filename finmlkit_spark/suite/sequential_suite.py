@@ -318,6 +318,46 @@ def seq_rsi_wilder(spark, sf_dir):
 
 
 @query(
+    "seq_rsi_parallel",
+    _B
+    + f"""
+, d AS (
+  SELECT bar_close_ns, brn,
+         greatest(close - lag(close) OVER (ORDER BY bar_close_ns), 0) AS gain,
+         greatest(lag(close) OVER (ORDER BY bar_close_ns) - close, 0) AS loss
+  FROM b
+),
+lg AS (
+  SELECT bar_close_ns, brn,
+         list(gain) OVER (ORDER BY bar_close_ns ROWS BETWEEN {KW - 1} PRECEDING AND CURRENT ROW) AS lgain,
+         list(loss) OVER (ORDER BY bar_close_ns ROWS BETWEEN {KW - 1} PRECEDING AND CURRENT ROW) AS lloss
+  FROM d
+),
+sm AS (
+  SELECT bar_close_ns, brn,
+         list_sum(list_transform(lgain, (x, i) -> x * pow({WD}, len(lgain) - i))) / {N_W} AS ag,
+         list_sum(list_transform(lloss, (x, i) -> x * pow({WD}, len(lloss) - i))) / {N_W} AS al
+  FROM lg
+)
+SELECT bar_close_ns,
+       CASE WHEN al = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi_14
+FROM sm WHERE brn > {MIN_BRN}""",
+)
+def seq_rsi_parallel(spark, sf_dir):
+    """The SAME Wilder RSI as seq_rsi_wilder via the chunk-parallel
+    closed-combine scan (``sequential.rsi_parallel``): chunk 0 seeds
+    sequentially, later chunks fold one linear recurrence per Wilder
+    average — parity with the sequential kernel to ~1e-15, same
+    beyond-the-mixing-horizon oracle."""
+    bars = bars_1m(spark, sf_dir, seq=False)
+    out = S.rsi_parallel(
+        bars, "close", N_W, order_col="bar_close_ns", chunk_rows=512,
+        out="rsi_14", rn_col="brn",
+    )
+    return out.where(F.col("brn") > MIN_BRN).drop("brn")
+
+
+@query(
     "seq_atr_ema",
     _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""

@@ -87,6 +87,26 @@ def test_ewmst_parallel_matches_sequential(spark):
     assert err < 1e-11, err
 
 
+def test_rsi_parallel_matches_sequential(spark):
+    """Wilder RSI: chunk 0 carries the SMA seed; later chunks fold the
+    linear recurrence — NaN head pattern and values must match."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    ts = 1_700_000_000_000_000_000 + np.arange(n) * 60_000_000_000
+    close = 100 + np.cumsum(rng.normal(0, 0.5, n))
+    exact = S.rsi_wilder(close, 14)
+    df = spark.createDataFrame(
+        list(zip(ts.tolist(), close.tolist())), "ts_ns long, close double"
+    )
+    got = S.rsi_parallel(df, "close", 14, order_col="ts_ns", chunk_rows=256)
+    gm = {r["ts_ns"]: r["rsi"] for r in got.collect()}
+    gv = np.array([np.nan if gm[int(t)] is None else gm[int(t)] for t in ts])
+    mask = ~np.isnan(exact)
+    assert ((~np.isnan(gv)) == mask).all()
+    err = np.nanmax(np.abs(gv[mask] - exact[mask]) / np.maximum(np.abs(exact[mask]), 1e-12))
+    assert err < 1e-11, err
+
+
 def test_parallel_plan_has_no_single_partition(spark):
     ts, x = _series(1000)
     df = spark.createDataFrame(
