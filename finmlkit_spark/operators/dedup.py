@@ -188,6 +188,20 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # size-ratio prefilter (prefix-filtering lemma): the arrays are
+    # distinct sets, so J <= min(na,nb)/max(na,nb) — pairs below the
+    # threshold on sizes alone CANNOT pass. Applied via narrow scalar
+    # joins AFTER the distinct (so the exploded join stays thin) and
+    # BEFORE the arrays ride any shuffle. Output provably unchanged
+    # (no oracle mirror needed); on size-diverse real corpora this
+    # drops most candidates, on uniform synthetic ones it's a no-op.
+    nsz = d.select("doc", "n_sh")
+    cand = (
+        cand.join(nsz.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(nsz.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .where(F.least("na", "nb").cast("double") / F.greatest("na", "nb") >= threshold)
+        .select("doc_a", "doc_b")
+    )
     cand = cand.join(
         d.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
     ).join(d.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

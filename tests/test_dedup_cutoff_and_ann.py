@@ -77,3 +77,26 @@ def test_ann_ivf_recall_vs_brute(spark):
     # IVF nprobe=1 on random embeddings: recall floor documented by this
     # golden — regressions below it mean the bucketing broke
     assert recall >= 0.25, recall
+
+
+def test_size_ratio_prefilter_preserves_results(spark):
+    """The prefix-filtering size check must be invisible in results:
+    bounded-path output on a size-DIVERSE corpus equals the unbounded
+    brute path (which has no prefilter)."""
+    texts = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        # widely varying lengths: 1x to 12x the base phrase
+        reps = 1 + (i % 12)
+        texts.append((i, " ".join([base] * reps) + f" tail{i % 5}"))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    bounded = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=64).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=None).collect()
+    }
+    assert bounded  # non-trivial corpus: repeated phrases produce pairs
+    assert bounded == full
