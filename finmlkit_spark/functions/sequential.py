@@ -656,6 +656,100 @@ def rsi_parallel(
     return outdf.select(*cols)
 
 
+def atr_ema_parallel(
+    df: DataFrame,
+    n: int,
+    order_col: str = "ts_ns",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    chunk_rows: int = 4096,
+    out: str = "atr",
+    rn_col: str | None = None,
+    coarse_span: int = 86_400_000_000_000,
+) -> DataFrame:
+    """EXACT parallel Wilder EMA ATR — the single-recurrence sibling of
+    :func:`rsi_parallel`: chunk 0 runs the true SMA-seeded fold, later
+    chunks fold the linear recurrence atr_t = q·atr_{t−1} + tr_t/n via
+    local decayed sums + triangular carries; each chunk reads ONE
+    warmup row for its first true-range's previous close. Rows where
+    the sequential kernel emits NaN (the first n) are dropped, matching
+    the registry query's non-null contract.
+    """
+    from .chunked_window import CHUNK, GLOBAL_RN, WARM, with_row_chunks
+
+    if chunk_rows <= n + 1:
+        raise ValueError(f"chunk_rows ({chunk_rows}) must exceed n+1 ({n + 1})")
+    q = (n - 1.0) / n
+    d = with_row_chunks(
+        df, order_col, warmup=1, chunk_rows=chunk_rows, coarse_span=coarse_span
+    )
+
+    def local_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(GLOBAL_RN).reset_index(drop=True)
+        tr_all = true_range_np(
+            pdf[high_col].to_numpy(dtype=np.float64),
+            pdf[low_col].to_numpy(dtype=np.float64),
+            pdf[close_col].to_numpy(dtype=np.float64),
+        )
+        warm = pdf[WARM].to_numpy(dtype=bool)
+        ck = int(pdf[CHUNK].iloc[0])
+        tr = tr_all[~warm]
+        m = len(tr)
+        if ck == 0:
+            vals = np.full(m, np.nan)
+            if m > n:
+                a = 0.0
+                for i in range(1, n + 1):
+                    a = a + tr[i]
+                a = a / n
+                vals[n] = a
+                for i in range(n + 1, m):
+                    a = ((n - 1) * a + tr[i]) / n
+                    vals[i] = a
+        else:
+            p = np.arange(1, m + 1, dtype=np.float64)
+            vals = (
+                pd.Series(tr).ewm(alpha=1.0 / n, adjust=True).mean().to_numpy()
+                * (1.0 - q**p)
+            )
+        return pd.DataFrame(
+            {
+                order_col: pdf[order_col].to_numpy()[~warm],
+                "_rng": pdf[GLOBAL_RN].to_numpy()[~warm],
+                "_ck": ck,
+                "_pos": np.arange(1, m + 1),
+                "_lt": vals,
+            }
+        )
+
+    sch = ", ".join(
+        [
+            f"`{order_col}` {df.schema[order_col].dataType.simpleString()}",
+            "`_rng` long",
+            "`_ck` long",
+            "`_pos` long",
+            "`_lt` double",
+        ]
+    )
+    scanned = d.groupBy(CHUNK).applyInPandas(local_scan, schema=sch)
+    summary = scanned.groupBy("_ck").agg(F.max_by("_lt", "_pos").alias("_ltl"))
+    a = summary.select("_ck")
+    b = summary.select(F.col("_ck").alias("_ckb"), "_ltl")
+    gap = (F.col("_ck") - F.col("_ckb") - 1) * chunk_rows
+    carries = (
+        a.join(b, F.col("_ckb") < F.col("_ck"), "left")
+        .groupBy("_ck")
+        .agg(F.coalesce(F.sum(F.col("_ltl") * F.pow(F.lit(q), gap)), F.lit(0.0)).alias("_ct"))
+    )
+    outdf = scanned.join(F.broadcast(carries), ["_ck"])
+    atr = F.col("_lt") + F.pow(F.lit(q), F.col("_pos")) * F.col("_ct")
+    cols = [order_col, atr.alias(out)]
+    if rn_col:
+        cols.insert(1, F.col("_rng").alias(rn_col))
+    return outdf.select(*cols).where(F.col(out).isNotNull() & ~F.isnan(out))
+
+
 # --- Wilder recurrences -----------------------------------------------------
 
 def rsi_wilder(close: np.ndarray, n: int) -> np.ndarray:

@@ -27,8 +27,8 @@ from . import developing_suite  # noqa: F401
 # ngram_jaccard_full (deferred from this window for space; their
 # families — text_stats/c4_filter/ngram_jaccard — are all green),
 # seq_ewma_parallel / seq_ewms_parallel / seq_ewmst_parallel /
-# seq_rsi_parallel (added after the window was frozen; locally green
-# vs the corresponding sequential-query oracles),
+# seq_rsi_parallel / seq_atr_parallel (added after the window was
+# frozen; locally green vs the corresponding sequential-query oracles),
 # plus anything new in round 4.
 # Front-load exactly those next round.
 _PRIORITY = [

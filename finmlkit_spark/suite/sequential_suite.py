@@ -406,6 +406,41 @@ def seq_atr_ema(spark, sf_dir):
 
 
 @query(
+    "seq_atr_parallel",
+    _BH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, trq AS MATERIALIZED (
+  SELECT bar_close_ns, brn,
+         greatest(high - low,
+                  abs(high - lag(close) OVER (ORDER BY bar_close_ns)),
+                  abs(low - lag(close) OVER (ORDER BY bar_close_ns))) AS tr
+  FROM b
+),
+rec AS (
+  SELECT brn, bar_close_ns, CAST(0.0 AS DOUBLE) AS acc, CAST(NULL AS DOUBLE) AS atr
+  FROM trq WHERE brn = 1
+  UNION ALL
+  SELECT nb.brn, nb.bar_close_ns,
+         CASE WHEN nb.brn <= {N_W + 1} THEN rec.acc + nb.tr ELSE rec.acc END,
+         CASE WHEN nb.brn = {N_W + 1} THEN (rec.acc + nb.tr) / {N_W}
+              WHEN nb.brn > {N_W + 1} THEN (({N_W} - 1) * rec.atr + nb.tr) / {N_W}
+         END
+  FROM rec JOIN trq nb ON nb.brn = rec.brn + 1
+)
+SELECT bar_close_ns, atr AS atr_ema_14 FROM rec WHERE atr IS NOT NULL""",
+)
+def seq_atr_parallel(spark, sf_dir):
+    """The SAME Wilder EMA ATR as seq_atr_ema via the chunk-parallel
+    closed-combine scan (``sequential.atr_ema_parallel``) — seeded
+    chunk 0, linear-recurrence carries beyond; parity ~1e-15 vs the
+    sequential fold, same recursive-CTE replay oracle."""
+    bars = bars_1h(spark, sf_dir)
+    return S.atr_ema_parallel(
+        bars, N_W, order_col="bar_close_ns", chunk_rows=256, out="atr_ema_14"
+    )
+
+
+@query(
     "seq_adx",
     _B
     + f"""

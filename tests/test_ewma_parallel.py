@@ -107,6 +107,27 @@ def test_rsi_parallel_matches_sequential(spark):
     assert err < 1e-11, err
 
 
+def test_atr_parallel_matches_sequential(spark):
+    rng = np.random.default_rng(9)
+    n = 2500
+    ts = 1_700_000_000_000_000_000 + np.arange(n) * 60_000_000_000
+    close = 100 + np.cumsum(rng.normal(0, 0.5, n))
+    high = close + np.abs(rng.normal(0, 0.3, n))
+    low = close - np.abs(rng.normal(0, 0.3, n))
+    exact = S.atr_ema(high, low, close, 14)
+    df = spark.createDataFrame(
+        list(zip(ts.tolist(), high.tolist(), low.tolist(), close.tolist())),
+        "ts_ns long, high double, low double, close double",
+    )
+    got = S.atr_ema_parallel(df, 14, order_col="ts_ns", chunk_rows=256)
+    gm = {r["ts_ns"]: r["atr"] for r in got.collect()}
+    mask = ~np.isnan(exact)
+    assert set(gm) == set(ts[mask].tolist())
+    gv = np.array([gm[int(t)] for t in ts[mask]])
+    err = np.nanmax(np.abs(gv - exact[mask]) / np.maximum(np.abs(exact[mask]), 1e-12))
+    assert err < 1e-11, err
+
+
 def test_parallel_plan_has_no_single_partition(spark):
     ts, x = _series(1000)
     df = spark.createDataFrame(
