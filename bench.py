@@ -40,6 +40,10 @@ HEADLINE = [
     "segment_dedup",
     "simhash_near_pairs",
     "ngram_jaccard",
+    # NOT here: the seq_*_parallel closed-combine scans — their fixed
+    # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
+    # scale measurement is the 16M-row single-symbol probe recorded in
+    # SCALE.md, where the parallel form wins and keeps scaling.
 ]
 
 
