@@ -56,10 +56,13 @@ def with_global_row_number(
     tiebreak_cols: tuple[str, ...] = (),
     coarse_span: int = DAY_NS,
     rn_col: str = GLOBAL_RN,
+    keep_total: bool = False,
 ) -> DataFrame:
     """Exact global row number by (order_col, *tiebreak_cols) with no
     single-partition exchange (scalable zipWithIndex in pure DataFrame
-    ops — stays one lazy Catalyst plan, no mid-build action)."""
+    ops — stays one lazy Catalyst plan, no mid-build action).
+    ``keep_total=True`` also attaches ``_cw_total`` (the global row
+    count) to every row, for callers that need the end of the axis."""
     order = [order_col, *tiebreak_cols]
     d = df.withColumn("_cw_bkt", F.floor(F.col(order_col) / F.lit(coarse_span)))
     wb = Window.partitionBy("_cw_bkt").orderBy(*order)
@@ -76,6 +79,15 @@ def with_global_row_number(
         .groupBy("_cw_bkt")
         .agg(F.coalesce(F.sum("_cw_cnt_b"), F.lit(0)).alias("_cw_off"))
     )
+    if keep_total:
+        # total row count, derived from the tiny counts table. NOTE this
+        # plans a scalar-agg Exchange SinglePartition over the <=k partial
+        # rows — harmless at any scale, but callers that must keep a
+        # strictly SinglePartition-free plan (the flagship) should not
+        # request it.
+        offsets = offsets.crossJoin(
+            F.broadcast(counts.agg(F.sum("_cw_cnt").alias("_cw_total")))
+        )
     d = d.join(F.broadcast(offsets), "_cw_bkt")
     return d.withColumn(rn_col, F.col("_cw_off") + F.col("_cw_rnw")).drop(
         "_cw_bkt", "_cw_rnw", "_cw_off"
@@ -100,6 +112,17 @@ def with_row_chunks(
     evaluating the window expressions). ``chunk_rows`` must exceed
     ``warmup``; every chunk except the last is exactly full, so warmup
     coverage never starves on sparse stretches of the time axis.
+
+    CONTRACT — the phantom trailing chunk: the last real chunk's tail
+    rows are still duplicated into chunk id base+1, producing one extra
+    chunk that contains ONLY ``_warm`` rows (suppressing it would need
+    the global row count, i.e. a scalar-agg SinglePartition exchange —
+    deliberately not paid; ``finish()`` drops the rows anyway). Every
+    grouped consumer (``applyInPandas`` over ``_chunk``) MUST therefore
+    tolerate a group whose rows are all warmup: emit rows normally and
+    let the ``_warm`` filter discard them (the seeded-carry scans in
+    ``functions.sequential`` do this), or return an empty frame. Guarded
+    by ``tests/test_chunked_window.py::test_all_warm_phantom_chunk``.
 
     Warmup rows are produced by an ``explode`` of a 1- or 2-element
     chunk-id array, NOT a union of two branches — the upstream subtree

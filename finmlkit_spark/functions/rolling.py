@@ -258,18 +258,23 @@ def time_cues(ts) -> dict[str, Column]:
 
     ts is long ns UTC. Sessions (reference hours): Asia 00-08, EU 07-15,
     US 13-21; session_transition = top minute of hours 0/7/13.
+
+    The four trig columns are evaluated by the shared-text polynomial in
+    ``functions.dettrig`` (libm sin/cos differ cross-engine in the last
+    ulp; the polynomial is IEEE add/mul/div only, bit-identical between
+    Spark and any IEEE SQL engine evaluating the same expression text).
     """
+    from . import dettrig as DT
+
     sec_of_day = (F.col(ts) / F.lit(1_000_000_000)).cast("long") % 86400
-    frac = sec_of_day.cast("double") / 86400.0
-    # days since epoch Thu 1970-01-01 -> dow 0=Mon
-    day = F.floor(F.col(ts) / F.lit(86_400_000_000_000))
-    dow = ((day + 3) % 7).cast("double")
+    t_tod = DT.frac_of_day_sql(ts)
+    t_dow = f"(CAST({DT.dow_sql(ts)} AS DOUBLE) / 7.0e0)"
     hour = F.floor(sec_of_day / 3600).cast("int")
     return {
-        "tod_sin": F.sin(2 * math.pi * frac),
-        "tod_cos": F.cos(2 * math.pi * frac),
-        "dow_sin": F.sin(2 * math.pi * dow / 7.0),
-        "dow_cos": F.cos(2 * math.pi * dow / 7.0),
+        "tod_sin": F.expr(DT.sin2pi_sql(t_tod)),
+        "tod_cos": F.expr(DT.cos2pi_sql(t_tod)),
+        "dow_sin": F.expr(DT.sin2pi_sql(t_dow)),
+        "dow_cos": F.expr(DT.cos2pi_sql(t_dow)),
         "asia_session": ((hour >= 0) & (hour < 8)).cast("int"),
         "eu_session": ((hour >= 7) & (hour < 15)).cast("int"),
         "us_session": ((hour >= 13) & (hour < 21)).cast("int"),
@@ -366,6 +371,190 @@ def fast_feature_stage(
             (F.col(close) - (mean - 2.0 * std)) / (4.0 * std),
         ).alias("bb"),
     )
+
+
+# --- tick-exact fast stage (cross-engine deterministic) ---------------------
+#
+# The float form above differences large double cumulants, whose fold order
+# differs between engines (Spark folds left-to-right, DuckDB uses a segment
+# tree), so its values are only ~1e-15-reproducible — enough for training,
+# not for a bit-exact oracle hash. The tick form quantizes price to integer
+# ticks and volume to integer units FIRST; integer sums are order-independent
+# and bit-identical on every engine, and each derived double below is a fixed
+# chain of IEEE-correctly-rounded ops shared as expression TEXT between the
+# Spark columns (F.expr) and the DuckDB oracle. All literals use e-notation
+# to force DOUBLE typing on both engines (bare decimals are DECIMAL-typed).
+#
+# Range envelope (documented, not enforced): with price < ~1e4 and the 1e4
+# tick scale, ci < 1e8 and ci*ci < 1e16, so the Spark-side cumulative BIGINT
+# sum of ci*ci overflows only past ~900 rows*  (*per partition at price 1e4;
+# at the testdata's price < 600, ci < 6e6 and the cum overflows past ~2.5e5
+# rows per partition — partition by symbol/day at scale, as the callers do).
+
+FAST_TICK_MEAN = "(CAST({s} AS DOUBLE) / {n}.0e0)"
+FAST_TICK_STD = (
+    "sqrt(greatest(((CAST({s2} AS DOUBLE) - (({n}.0e0 * {mean}) * {mean}))"
+    " / {n_1}.0e0), 0.0e0))"
+)
+FAST_TICK_FEATURES = {
+    "sma": "({mean} / {ps}.0e0)",
+    "z": "((CAST({ci} AS DOUBLE) - {mean}) / {std})",
+    "k": "((100.0e0 * CAST(({ci} - {lo}) AS DOUBLE)) / CAST(({hi} - {lo}) AS DOUBLE))",
+    "roc": "((CAST(({ci} - {base}) AS DOUBLE) / CAST({base} AS DOUBLE)) * 100.0e0)",
+    "vd": "((CAST({ci} AS DOUBLE) / (CAST({sv} AS DOUBLE) / CAST({sw} AS DOUBLE))) - 1.0e0)",
+    "bb": "((CAST({ci} AS DOUBLE) - ({mean} - (2.0e0 * {std}))) / (4.0e0 * {std}))",
+}
+
+
+def _tick_sql(col: str, scale: int) -> str:
+    """floor(x*scale + 1/2) — explicit half-up so both engines agree even
+    when x*scale lands exactly on .5 (round() half-mode differs)."""
+    return f"CAST(floor(({col} * {scale}.0e0) + 0.5e0) AS BIGINT)"
+
+
+def fast_feature_stage_ticks(
+    df,
+    by: str | None = None,
+    order_col: str = "bar_close_ns",
+    close: str = "close",
+    high: str = "high",
+    low: str = "low",
+    volume: str = "volume",
+    n_ma: int = 20,
+    n_st: int = 14,
+    n_roc: int = 5,
+    price_scale: int = 10_000,
+):
+    """Tick-exact ``fast_feature_stage``: same six features, same O(1)/row
+    cum−lag plan, but every compared double is derived from exact integer
+    window sums by the shared-text IEEE expressions above — bit-identical
+    to any engine evaluating the same text (see module comment)."""
+    part = [by] if by else []
+    w = (
+        Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+    ).orderBy(order_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    d0 = df.select(
+        *part,
+        order_col,
+        F.expr(_tick_sql(close, price_scale)).alias("ci"),
+        F.expr(_tick_sql(high, price_scale)).alias("hi_t"),
+        F.expr(_tick_sql(low, price_scale)).alias("lo_t"),
+        F.expr(f"CAST(floor({volume} + 0.5e0) AS BIGINT)").alias("vi"),
+    )
+    ci, vi = F.col("ci"), F.col("vi")
+    zero = F.lit(0).cast("long")
+    d1 = d0.select(
+        *part,
+        order_col,
+        "ci",
+        F.row_number().over(w).alias("brn"),
+        F.sum(ci).over(wc).alias("_cs"),
+        F.sum(ci * ci).over(wc).alias("_cs2"),
+        F.sum(ci * vi).over(wc).alias("_cv"),
+        F.sum(vi).over(wc).alias("_vv"),
+        F.min("lo_t").over(w.rowsBetween(-(n_st - 1), 0)).alias("lo"),
+        F.max("hi_t").over(w.rowsBetween(-(n_st - 1), 0)).alias("hi"),
+        F.lag("ci", n_roc).over(w).alias("base"),
+    )
+    d2 = d1.select(
+        *part,
+        order_col,
+        "ci",
+        "brn",
+        "lo",
+        "hi",
+        "base",
+        (F.col("_cs") - F.coalesce(F.lag("_cs", n_ma).over(w), zero)).alias("s"),
+        (F.col("_cs2") - F.coalesce(F.lag("_cs2", n_ma).over(w), zero)).alias("s2"),
+        (F.col("_cv") - F.coalesce(F.lag("_cv", n_ma).over(w), zero)).alias("sv"),
+        (F.col("_vv") - F.coalesce(F.lag("_vv", n_ma).over(w), zero)).alias("sw"),
+    )
+    d3 = d2.withColumn(
+        "mean_t", F.expr(FAST_TICK_MEAN.format(s="s", n=n_ma))
+    ).withColumn(
+        "std_t",
+        F.expr(FAST_TICK_STD.format(s2="s2", n=n_ma, mean="mean_t", n_1=n_ma - 1)),
+    )
+    fargs = dict(
+        ci="ci", mean="mean_t", std="std_t", lo="lo", hi="hi", base="base",
+        sv="sv", sw="sw", ps=price_scale,
+    )
+    T = {k: t.format(**fargs) for k, t in FAST_TICK_FEATURES.items()}
+    full_ma = F.col("brn") >= n_ma
+    full_st = F.col("brn") >= n_st
+    std_nz = F.col("std_t") != 0.0
+    return d3.select(
+        *part,
+        order_col,
+        F.when(full_ma, F.expr(T["sma"])).alias("sma"),
+        F.when(full_ma & std_nz, F.expr(T["z"])).alias("z"),
+        F.when(full_st & (F.col("hi") != F.col("lo")), F.expr(T["k"])).alias("k"),
+        F.expr(T["roc"]).alias("roc"),
+        F.when(full_ma, F.expr(T["vd"])).alias("vd"),
+        F.when(full_ma & std_nz, F.expr(T["bb"])).alias("bb"),
+    )
+
+
+def fast_stage_ticks_oracle_sql(
+    bars_cte: str = "b",
+    order_col: str = "bar_close_ns",
+    n_ma: int = 20,
+    n_st: int = 14,
+    n_roc: int = 5,
+    price_scale: int = 10_000,
+    by: str | None = None,
+) -> str:
+    """DuckDB oracle tail for ``fast_feature_stage_ticks``: direct
+    bounded-window integer sums (exact, so equal to Spark's cum−lag
+    integers) + the SAME float expression text. Append after a CTE named
+    ``bars_cte`` providing (order_col, close, high, low, volume); pass
+    ``by`` for the partition-parallel form."""
+    f = FAST_TICK_FEATURES
+    fargs = dict(
+        ci="ci", mean="mean_t", std="std_t", lo="lo", hi="hi", base="base",
+        sv="sv", sw="sw", ps=price_scale,
+    )
+    pb = f"PARTITION BY {by} " if by else ""
+    sel_by = f"{by}, " if by else ""
+    return f"""
+, tq AS (
+  SELECT {sel_by}{order_col},
+         {_tick_sql('close', price_scale)} AS ci,
+         {_tick_sql('high', price_scale)} AS hi_t,
+         {_tick_sql('low', price_scale)} AS lo_t,
+         CAST(floor(volume + 0.5e0) AS BIGINT) AS vi
+  FROM {bars_cte}
+),
+tw AS (
+  SELECT {sel_by}{order_col}, ci,
+         row_number() OVER wo AS brn,
+         CAST(sum(ci) OVER wn AS BIGINT) AS s,
+         CAST(sum(ci * ci) OVER wn AS BIGINT) AS s2,
+         CAST(sum(ci * vi) OVER wn AS BIGINT) AS sv,
+         CAST(sum(vi) OVER wn AS BIGINT) AS sw,
+         min(lo_t) OVER ws AS lo,
+         max(hi_t) OVER ws AS hi,
+         lag(ci, {n_roc}) OVER wo AS base
+  FROM tq
+  WINDOW wo AS ({pb}ORDER BY {order_col}),
+         wn AS ({pb}ORDER BY {order_col} ROWS BETWEEN {n_ma - 1} PRECEDING AND CURRENT ROW),
+         ws AS ({pb}ORDER BY {order_col} ROWS BETWEEN {n_st - 1} PRECEDING AND CURRENT ROW)
+),
+tm AS (
+  SELECT *, {FAST_TICK_MEAN.format(s='s', n=n_ma)} AS mean_t FROM tw
+),
+tf AS (
+  SELECT *, {FAST_TICK_STD.format(s2='s2', n=n_ma, mean='mean_t', n_1=n_ma - 1)} AS std_t FROM tm
+)
+SELECT {sel_by}{order_col},
+       CASE WHEN brn >= {n_ma} THEN {f['sma'].format(**fargs)} END AS sma,
+       CASE WHEN brn >= {n_ma} AND std_t <> 0.0e0 THEN {f['z'].format(**fargs)} END AS z,
+       CASE WHEN brn >= {n_st} AND hi <> lo THEN {f['k'].format(**fargs)} END AS k,
+       {f['roc'].format(**fargs)} AS roc,
+       CASE WHEN brn >= {n_ma} THEN {f['vd'].format(**fargs)} END AS vd,
+       CASE WHEN brn >= {n_ma} AND std_t <> 0.0e0 THEN {f['bb'].format(**fargs)} END AS bb
+FROM tf"""
 
 
 def candle_shape(open_, high, low, close, vwap) -> dict[str, Column]:

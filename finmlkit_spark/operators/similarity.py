@@ -141,11 +141,15 @@ def kmeans_assign(
     the update is a per-(cluster, dimension) hash aggregate (k·dim rows,
     tiny) re-assembled into arrays. Determinism: seeding takes the first
     ``k`` vectors by id, assignment ties break toward the lower cluster
-    id, and updated centroid components are rounded to ``ndigits`` so
-    both engines iterate from bit-identical state (float mean order
-    differs across engines; rounding re-synchronizes each iteration —
-    same rationale as TimeCues). Empty clusters drop out (standard
-    Lloyd); the final row set is one assignment per vector.
+    id, and the centroid mean is computed as an INTEGER-scaled sum
+    (component quantized to 1e-``ndigits`` units as BIGINT, summed
+    exactly — order-independent — then divided by the count): both
+    engines, and repeated Spark runs with different partition orders,
+    iterate from bit-identical state. The previous ``round(avg, 6)``
+    re-synchronization carried a residual flake: a mean within an ulp of
+    a rounding-digit boundary rounds differently per fold order. Empty
+    clusters drop out (standard Lloyd); the final row set is one
+    assignment per vector.
     """
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
     cent = e.where(F.col("vid") < k).select(
@@ -172,11 +176,19 @@ def kmeans_assign(
             .select("vid", "v", F.col("best.cid").alias("cid"), F.col("best.sim").alias("sim"))
         )
 
+    scale = 10 ** ndigits
     for _ in range(iters):
         a = assign(cent)
         dims = a.select("cid", F.posexplode("v").alias("pos", "val"))
         upd = dims.groupBy("cid", "pos").agg(
-            F.round(F.avg("val"), ndigits).alias("val")
+            F.sum(F.expr(f"CAST(floor((val * {scale}.0e0) + 0.5e0) AS BIGINT)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        ).select(
+            "cid",
+            "pos",
+            F.expr(
+                f"((CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE)) / {scale}.0e0)"
+            ).alias("val"),
         )
         cent = upd.groupBy("cid").agg(
             F.transform(
@@ -193,10 +205,13 @@ def kmeans_assign(
         cent = cent.localCheckpoint()
 
     out = assign(cent)
+    # no output rounding: sim is deterministic (sequential dot-product
+    # fold over bit-identical centroids), and cross-engine round() is
+    # itself not guaranteed identical at digit boundaries
     return out.select(
         F.col("vid").alias(id_col),
         F.col("cid").alias("cluster_id"),
-        F.round("sim", ndigits).alias("cos_sim"),
+        F.col("sim").alias("cos_sim"),
     )
 
 
@@ -240,27 +255,43 @@ def semantic_dup_pairs(
     # Skew: one task per cluster — k is the cluster-size knob (paper's
     # own posture); the row-block keeps peak memory at block×dim.
     guard = threshold - 1e-6
+    id_type = dict(emb_df.dtypes)[id_col]
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n_rows = len(pdf)
         if n_rows < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+            return pd.DataFrame(
+                {
+                    "id_a": pdf["id"].iloc[:0],
+                    "id_b": pdf["id"].iloc[:0],
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
             )
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         X = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
         nrm = np.sqrt((X * X).cumsum(axis=1)[:, -1])
-        ia, ib = np.triu_indices(n_rows, k=1)
+        # pair indices are generated INCREMENTALLY per anchor block (never
+        # np.triu_indices over the whole cluster: those index arrays alone
+        # are O(n^2) int64 — a 125k-row cluster would need ~125 GB before
+        # any cosine math). Block size adapts so each round materializes
+        # ~200k pairs; peak memory is pairs_per_block x dim, independent
+        # of cluster size.
         oa, ob, oc = [], [], []
-        for s in range(0, len(ia), 200_000):
-            sa, sb = ia[s : s + 200_000], ib[s : s + 200_000]
-            cos = (X[sa] * X[sb]).cumsum(axis=1)[:, -1] / (nrm[sa] * nrm[sb])
-            keep = cos >= guard
-            oa.append(ids[sa][keep])
-            ob.append(ids[sb][keep])
-            oc.append(cos[keep])
+        blk = max(1, 200_000 // (n_rows - 1))
+        for s in range(0, n_rows - 1, blk):
+            e = min(s + blk, n_rows - 1)
+            anchors = np.arange(s, e)
+            ia = np.repeat(anchors, (n_rows - 1) - anchors)
+            ib = np.concatenate([np.arange(i + 1, n_rows) for i in anchors])
+            for t in range(0, len(ia), 200_000):
+                sa, sb = ia[t : t + 200_000], ib[t : t + 200_000]
+                cos = (X[sa] * X[sb]).cumsum(axis=1)[:, -1] / (nrm[sa] * nrm[sb])
+                keep = cos >= guard
+                oa.append(ids[sa][keep])
+                ob.append(ids[sb][keep])
+                oc.append(cos[keep])
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(oa),
@@ -270,8 +301,10 @@ def semantic_dup_pairs(
         )
 
     pairs = m.groupBy("cluster_id").applyInPandas(
-        _pairs, "id_a long, id_b long, cos_raw double"
+        _pairs, f"id_a {id_type}, id_b {id_type}, cos_raw double"
     )
+    # raw threshold compare, no rounding: cos_raw reproduces the
+    # sequential fold exactly, so both engines filter identical values
     return pairs.select(
-        "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim")
+        "id_a", "id_b", F.col("cos_raw").alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)

@@ -44,10 +44,46 @@ def normalize_ts(df: DataFrame, col: str) -> DataFrame:
     raise TypeError(f"{col}: unsupported dtype {dt!r}")
 
 
+#: session confs this module REQUIRES (contract, not a per-read whim):
+#: UTC wall-time semantics for every ts conversion (oracle bit-parity)
+#: and long-ns reads of TIMESTAMP(NANOS) parquet. ``session.get_spark``
+#: sets both at session build; externally-built sessions (the driver's)
+#: are aligned here — loudly, not silently, if they conflict.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Idempotently align the session with ``_REQUIRED_CONFS``; warn when
+    overriding a conflicting caller setting instead of silently clobbering
+    it (the timezone affects unrelated timestamp expressions session-wide)."""
+    import warnings
+
+    for k, want in _REQUIRED_CONFS.items():
+        try:
+            have = spark.conf.get(k)
+        except Exception:
+            have = None
+        if have != want:
+            if have is not None:
+                warnings.warn(
+                    f"finmlkit_spark.sources.tables: overriding session conf "
+                    f"{k}={have!r} with {want!r} (required for timestamp "
+                    f"normalization; see module docstring)",
+                    stacklevel=3,
+                )
+            spark.conf.set(k, want)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a driver table with event-time columns normalized."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Read a driver table with event-time columns normalized.
+
+    Contract: requires the UTC session timezone and nanosAsLong confs
+    (``_REQUIRED_CONFS``); aligns them with a warning if the session
+    disagrees."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_COLS.get(name, ()):
         if c in df.columns:

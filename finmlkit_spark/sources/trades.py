@@ -45,17 +45,38 @@ BINANCE_CSV_SCHEMA = T.StructType(
 )
 
 
+def _ts_unit_multiplier(median_ts: float) -> int:
+    """Infer the epoch unit of a timestamp column from its magnitude and
+    return the multiplier to nanoseconds (reference
+    ``data_model.py:399-418``): newer Binance dumps switched ms -> µs,
+    so a hardcoded *1e6 would silently produce timestamps 1000x off.
+    Present-era epochs: s ~2e9, ms ~2e12, µs ~2e15, ns ~2e18."""
+    if median_ts >= 1e17:
+        return 1
+    if median_ts >= 1e14:
+        return 1_000
+    if median_ts >= 1e11:
+        return 1_000_000
+    return 1_000_000_000
+
+
 def read_binance_csv(spark: SparkSession, path: str, symbol: str = "UNKNOWN") -> DataFrame:
     """Binance trade-dump CSV -> canonical trades.
 
-    ``time`` is epoch *milliseconds* in the dumps; side convention:
+    ``time`` unit is inferred from magnitude (ms in classic dumps, µs in
+    newer ones — see :func:`_ts_unit_multiplier`); side convention:
     ``is_buyer_maker=True`` means the aggressor was a seller.
-    Header rows are tolerated (the reference sniffs them; we filter the
-    non-numeric first row instead).
+    Header rows are tolerated (the reference sniffs them; Spark's
+    ``comment`` only applies at line start, so it safely drops the
+    'id,price,...' header and nothing else).
     """
     raw = spark.read.csv(path, schema=BINANCE_CSV_SCHEMA, header=False, comment="i")
+    # scalar config inference from a bounded sample (SURVEY §7 sanction:
+    # same class as preprocess.infer_time_unit)
+    sample = [r[0] for r in raw.select("time").limit(1024).collect() if r[0] is not None]
+    mult = _ts_unit_multiplier(float(sorted(sample)[len(sample) // 2])) if sample else 1_000_000
     return raw.select(
-        (F.col("time") * F.lit(1_000_000)).alias("ts_ns"),
+        (F.col("time") * F.lit(mult)).alias("ts_ns"),
         F.col("id").alias("trade_id"),
         "price",
         "qty",
@@ -94,15 +115,26 @@ def read_binance_zip(spark: SparkSession, path: str, symbol: str = "UNKNOWN") ->
                     for name in zf.namelist():
                         if not name.endswith(".csv"):
                             continue
+                        data = zf.read(name)
+                        # header sniff by first field numeric-ness, as the
+                        # reference does — NOT pandas comment='i', which
+                        # truncates the remainder of ANY line containing
+                        # an 'i' mid-line (unlike Spark's line-start rule)
+                        first = data.split(b"\n", 1)[0].split(b",")[0].strip()
+                        skip = 0 if first.isdigit() else 1
                         raw = pd.read_csv(
-                            io.BytesIO(zf.read(name)),
+                            io.BytesIO(data),
                             header=None,
                             names=[f.name for f in BINANCE_CSV_SCHEMA.fields],
-                            comment="i",  # tolerate the 'id,price,...' header row
+                            skiprows=skip,
                         )
+                        if not len(raw):
+                            continue
+                        # per-file unit inference (ms vs µs dumps coexist)
+                        mult = _ts_unit_multiplier(float(raw["time"].median()))
                         yield pd.DataFrame(
                             {
-                                "ts_ns": raw["time"].astype("int64") * 1_000_000,
+                                "ts_ns": raw["time"].astype("int64") * mult,
                                 "trade_id": raw["id"].astype("int64"),
                                 "price": raw["price"].astype("float64"),
                                 "qty": raw["qty"].astype("float64"),
@@ -148,8 +180,9 @@ def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) ->
     under a UTC session zone (bit-identical to the oracle's
     ``epoch_us(ts) * 1000``).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_dtype = dict(ev.dtypes)["ts"]
     if ts_dtype.startswith("timestamp"):

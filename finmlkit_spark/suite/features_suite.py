@@ -502,34 +502,41 @@ def feat_dir_run_len(spark, sf_dir):
     return df.select("bar_close_ns", "run_len")
 
 
-@query(
-    "feat_time_cues",
-    _B
-    + """SELECT bar_close_ns,
-       round(sin(2 * pi() * ((bar_close_ns // 1000000000) % 86400) / 86400.0), 6) AS tod_sin,
-       round(cos(2 * pi() * ((bar_close_ns // 1000000000) % 86400) / 86400.0), 6) AS tod_cos,
-       round(sin(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0), 6) AS dow_sin,
-       round(cos(2 * pi() * CAST(((bar_close_ns // 86400000000000) + 3) % 7 AS DOUBLE) / 7.0), 6) AS dow_cos,
+def _time_cues_oracle() -> str:
+    """Oracle trig columns share the exact polynomial expression TEXT the
+    Spark side evaluates (functions/dettrig.py) — IEEE add/mul/div only,
+    so the bits match and no round() equalizer is needed."""
+    from ..functions import dettrig as DT
+
+    t_tod = DT.frac_of_day_sql("bar_close_ns")
+    t_dow = f"(CAST({DT.dow_sql('bar_close_ns')} AS DOUBLE) / 7.0e0)"
+    return (
+        _B
+        + f"""SELECT bar_close_ns,
+       {DT.sin2pi_sql(t_tod)} AS tod_sin,
+       {DT.cos2pi_sql(t_tod)} AS tod_cos,
+       {DT.sin2pi_sql(t_dow)} AS dow_sin,
+       {DT.cos2pi_sql(t_dow)} AS dow_cos,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 < 8 AS INT) AS asia_session,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 7 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 15 AS INT) AS eu_session,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 >= 13 AND ((bar_close_ns // 1000000000) % 86400) // 3600 < 21 AS INT) AS us_session,
        CAST(((bar_close_ns // 1000000000) % 86400) // 3600 IN (0, 7, 13)
             AND (bar_close_ns // 1000000000) % 3600 < 60 AS INT) AS session_transition,
        CAST((bar_close_ns // 1000000000) % 3600 < 60 AS INT) AS top_of_hour
-FROM b""",
-)
+FROM b"""
+    )
+
+
+@query("feat_time_cues", _time_cues_oracle())
 def feat_time_cues(spark, sf_dir):
     """TimeCues: cyclic time-of-day/day-of-week + session flags (core/time.py:5-62).
 
-    The four trig columns are rounded to 6 decimals on BOTH engines: JVM
-    Math.sin/cos and DuckDB libm differ in the last ulp, which fails a
-    bit-exact hash even though values agree to ~1e-15.
+    Trig is the dettrig shared-text polynomial on BOTH engines — see
+    functions/dettrig.py for the bit-identity argument. No rounding.
     """
     cues = R.time_cues("bar_close_ns")
-    trig = {"tod_sin", "tod_cos", "dow_sin", "dow_cos"}
     return bars_1m(spark, sf_dir).select(
-        "bar_close_ns",
-        *[(F.round(c, 6) if k in trig else c).alias(k) for k, c in cues.items()],
+        "bar_close_ns", *[c.alias(k) for k, c in cues.items()]
     )
 
 

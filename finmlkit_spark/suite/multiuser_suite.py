@@ -250,11 +250,13 @@ def user_tbm_labels(spark, sf_dir):
     )
 
 
-@query(
-    "user_fast_features",
-    "WITH "
-    + _UTRADES.strip()
-    + f""",
+def _user_fast_oracle() -> str:
+    from ..functions import rolling as _R
+
+    return (
+        "WITH "
+        + _UTRADES.strip()
+        + f""",
 t AS (
   SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id) AS rn,
          (CAST(floor(ts_ns / {HOUR_NS}) AS BIGINT) + 1) * {HOUR_NS} AS bar_close_ns
@@ -265,62 +267,22 @@ b AS (
          max(price) AS high, min(price) AS low,
          arg_max(price, rn) AS close, sum(qty) AS volume
   FROM t GROUP BY symbol, bar_close_ns
-),
-c AS (
-  SELECT symbol, bar_close_ns, close,
-         row_number() OVER wo AS brn,
-         sum(close) OVER wc AS cs,
-         sum(close * close) OVER wc AS cs2,
-         sum(close * volume) OVER wc AS cv,
-         sum(volume) OVER wc AS vv,
-         min(low) OVER (PARTITION BY symbol ORDER BY bar_close_ns
-                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo,
-         max(high) OVER (PARTITION BY symbol ORDER BY bar_close_ns
-                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi
-  FROM b
-  WINDOW wo AS (PARTITION BY symbol ORDER BY bar_close_ns),
-         wc AS (PARTITION BY symbol ORDER BY bar_close_ns
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-d AS (
-  SELECT symbol, bar_close_ns, close, brn, lo, hi,
-         cs - coalesce(lag(cs, 20) OVER wo, 0.0) AS s,
-         cs2 - coalesce(lag(cs2, 20) OVER wo, 0.0) AS s2,
-         cv - coalesce(lag(cv, 20) OVER wo, 0.0) AS sv,
-         vv - coalesce(lag(vv, 20) OVER wo, 0.0) AS sw,
-         lag(close, 5) OVER wo AS base
-  FROM c
-  WINDOW wo AS (PARTITION BY symbol ORDER BY bar_close_ns)
-),
-e AS (
-  SELECT symbol, bar_close_ns, close, brn, lo, hi, s, sv, sw, base,
-         s / 20.0 AS mean,
-         sqrt(greatest((s2 - 20.0 * (s / 20.0) * (s / 20.0)) / 19.0, 0.0)) AS std
-  FROM d
-)
-SELECT symbol, bar_close_ns,
-       round(CASE WHEN brn >= 20 THEN mean END, 4) AS sma,
-       round(CASE WHEN brn >= 20 AND std <> 0 THEN (close - mean) / std END, 4) AS z,
-       round(CASE WHEN brn >= 14 AND hi <> lo THEN 100.0 * (close - lo) / (hi - lo) END, 4) AS k,
-       round((close - base) / base * 100.0, 4) AS roc,
-       round(CASE WHEN brn >= 20 THEN close / (sv / sw) - 1 END, 4) AS vd,
-       round(CASE WHEN brn >= 20 AND std <> 0 THEN (close - (mean - 2.0 * std)) / (4.0 * std) END, 4) AS bb
-FROM e""",
-)
+)"""
+        + _R.fast_stage_ticks_oracle_sql(by="symbol")
+    )
+
+
+@query("user_fast_features", _user_fast_oracle())
 def user_fast_features(spark, sf_dir):
     """The prefix-sum feature stage on the PARTITION-PARALLEL path: per
     user/symbol hourly bars, all window passes keyed by hash(symbol) —
-    the oracle-verified form of the 100 TB shape (rolling.fast_feature_stage
-    with by="symbol"). Rounded to 4 decimals on both engines (DuckDB's
-    segment-tree cumulative sums vs Spark's incremental fold)."""
+    the oracle-verified form of the 100 TB shape. Tick-exact variant
+    (rolling.fast_feature_stage_ticks): integer window sums + shared
+    IEEE expression text, no round() equalizer."""
     from ..functions import rolling as R
 
     tr = events_to_trades(spark, sf_dir, by_user=True)
     df = B.with_time_bar(tr, HOUR_NS)
     bars = B.bar_ohlcv(df, key="bar_close_ns", by="symbol")
-    out = R.fast_feature_stage(bars, by="symbol", order_col="bar_close_ns")
-    return out.select(
-        "symbol",
-        "bar_close_ns",
-        *[F.round(F.col(c), 4).alias(c) for c in ["sma", "z", "k", "roc", "vd", "bb"]],
-    )
+    out = R.fast_feature_stage_ticks(bars, by="symbol", order_col="bar_close_ns")
+    return out.select("symbol", "bar_close_ns", "sma", "z", "k", "roc", "vd", "bb")

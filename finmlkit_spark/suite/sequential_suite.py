@@ -583,61 +583,20 @@ def seq_volume_bars_exact(spark, sf_dir):
     return S.apply_sequential(bars, kernel, "bar_close_ns long, bar_id long", order=("bar_close_ns",))
 
 
-@query(
-    "feat_fast_stage",
-    _BH
-    + """
-, c AS (
-  SELECT bar_close_ns, close, brn,
-         sum(close) OVER wc AS cs,
-         sum(close * close) OVER wc AS cs2,
-         sum(close * volume) OVER wc AS cv,
-         sum(volume) OVER wc AS vv,
-         min(low) OVER (ORDER BY bar_close_ns ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo,
-         max(high) OVER (ORDER BY bar_close_ns ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi
-  FROM b
-  WINDOW wc AS (ORDER BY bar_close_ns ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-d AS (
-  SELECT bar_close_ns, close, brn, lo, hi,
-         cs - coalesce(lag(cs, 20) OVER wo, 0.0) AS s,
-         cs2 - coalesce(lag(cs2, 20) OVER wo, 0.0) AS s2,
-         cv - coalesce(lag(cv, 20) OVER wo, 0.0) AS sv,
-         vv - coalesce(lag(vv, 20) OVER wo, 0.0) AS sw,
-         lag(close, 5) OVER wo AS base
-  FROM c
-  WINDOW wo AS (ORDER BY bar_close_ns)
-),
-e AS (
-  SELECT bar_close_ns, close, brn, lo, hi, s, sv, sw, base,
-         s / 20.0 AS mean,
-         sqrt(greatest((s2 - 20.0 * (s / 20.0) * (s / 20.0)) / 19.0, 0.0)) AS std
-  FROM d
-)
-SELECT bar_close_ns,
-       round(CASE WHEN brn >= 20 THEN mean END, 4) AS sma,
-       round(CASE WHEN brn >= 20 AND std <> 0 THEN (close - mean) / std END, 4) AS z,
-       round(CASE WHEN brn >= 14 AND hi <> lo THEN 100.0 * (close - lo) / (hi - lo) END, 4) AS k,
-       round((close - base) / base * 100.0, 4) AS roc,
-       round(CASE WHEN brn >= 20 THEN close / (sv / sw) - 1 END, 4) AS vd,
-       round(CASE WHEN brn >= 20 AND std <> 0 THEN (close - (mean - 2.0 * std)) / (4.0 * std) END, 4) AS bb
-FROM e""",
-)
+@query("feat_fast_stage", _BH + R.fast_stage_ticks_oracle_sql())
 def feat_fast_stage(spark, sf_dir):
-    """Prefix-sum sliding-aggregate feature stage (rolling.fast_feature_stage)
-    on hourly bars: six features in O(1)/row via cum − lag(cum, n).
+    """Prefix-sum sliding-aggregate feature stage on hourly bars: six
+    features in O(1)/row via cum − lag(cum, n), tick-exact form.
 
-    Rounded to 4 decimals on BOTH engines: DuckDB evaluates cumulative
-    window sums in segment-tree order while Spark folds left-to-right, so
-    the cumulants differ at ~1e-15 relative; rounding removes the noise
-    while still checking 4-decimal agreement of every feature value.
-    """
+    Prices/volume are quantized to integer ticks BEFORE the prefix sums
+    (rolling.fast_feature_stage_ticks): integer sums are fold-order-
+    independent so Spark's cum−lag equals DuckDB's windowed sum bit-for-
+    bit, and every derived double is shared IEEE expression text — no
+    round() equalizer (the previous round(…,4) still flaked when a value
+    sat within an ulp of a rounding-digit boundary)."""
     bars = bars_1h(spark, sf_dir)
-    out = R.fast_feature_stage(bars, by=None, order_col="bar_close_ns")
-    return out.select(
-        "bar_close_ns",
-        *[F.round(F.col(c), 4).alias(c) for c in ["sma", "z", "k", "roc", "vd", "bb"]],
-    )
+    out = R.fast_feature_stage_ticks(bars, by=None, order_col="bar_close_ns")
+    return out.select("bar_close_ns", "sma", "z", "k", "roc", "vd", "bb")
 
 
 CT_W = 100

@@ -1050,13 +1050,18 @@ def _km_sim(v: str, c: str) -> str:
 
 def _km_iter(i: int) -> str:
     """One Lloyd iteration: assign to max-cosine centroid, then per-dim
-    rounded mean update (mirrors similarity.kmeans_assign)."""
+    INTEGER-scaled mean update (mirrors similarity.kmeans_assign):
+    components quantized to 1e-6 units as BIGINT, summed exactly
+    (order-independent), divided by the count — bit-identical to the
+    Spark iteration regardless of fold order."""
     p = i - 1
     return f"""
 s{i} AS (SELECT e.vec_id, e.v, c.cid, {_km_sim('e.v', 'c.cv')} AS sim FROM e, c{p} c),
 a{i} AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s{i}),
 b{i} AS (SELECT vec_id, v, cid FROM a{i} WHERE rk = 1),
-u{i} AS (SELECT cid, i, round(avg(v[CAST(i AS INT)]), 6) AS val
+u{i} AS (SELECT cid, i,
+                ((CAST(sum(CAST(floor((v[CAST(i AS INT)] * 1000000.0e0) + 0.5e0) AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) / 1000000.0e0) AS val
          FROM b{i}, range(1, 65) t(i) GROUP BY cid, i),
 c{i} AS (SELECT cid, list(val ORDER BY i) AS cv FROM u{i} GROUP BY cid)"""
 
@@ -1071,13 +1076,13 @@ c{i} AS (SELECT cid, list(val ORDER BY i) AS cv FROM u{i} GROUP BY cid)"""
     + f""",
 sf AS (SELECT e.vec_id, c.cid, {_km_sim('e.v', 'c.cv')} AS sim FROM e, c2 c),
 af AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM sf)
-SELECT vec_id, cid AS cluster_id, round(sim, 6) AS cos_sim FROM af WHERE rk = 1""",
+SELECT vec_id, cid AS cluster_id, sim AS cos_sim FROM af WHERE rk = 1""",
 )
 def kmeans_clusters_q(spark, sf_dir):
     """Lloyd k-means (k=8, 2 iterations, max-cosine assignment) over the
     embeddings table — the trained coarse quantizer for IVF search.
-    Centroid components round to 6 decimals each iteration so both
-    engines iterate from bit-identical state."""
+    Centroid updates use integer-scaled sums (order-independent) so both
+    engines iterate from bit-identical state; no output rounding."""
     return SIM.kmeans_assign(_embs(spark, sf_dir), k=8, iters=2)
 
 
@@ -1159,7 +1164,7 @@ af AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) 
 m AS (SELECT vec_id, v, cid FROM af WHERE rk = 1),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round({_km_sim('a.v', 'b.v')}, 6) AS cos_sim
+         {_km_sim('a.v', 'b.v')} AS cos_sim
   FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4""",

@@ -138,3 +138,29 @@ def test_row_chunks_empty_and_single_row(spark):
     one = spark.createDataFrame([(5, 1.0)], "ts long, x double")
     out = CW.finish(CW.with_row_chunks(one, "ts", warmup=3, chunk_rows=8)).collect()
     assert len(out) == 1 and out[0]["ts"] == 5
+
+
+def test_all_warm_phantom_chunk(spark):
+    """The documented phantom-trailing-chunk contract: when the last real
+    chunk's tail rows sit in the warmup band, they are duplicated into a
+    chunk id past the end that contains ONLY warm rows. That group must
+    exist (so grouped consumers see it and must tolerate it), and
+    finish() must still return exactly the original rows."""
+    df = spark.createDataFrame(
+        [(i * 100, float(i)) for i in range(10)], "ts long, x double"
+    )
+    ch = CW.with_row_chunks(df, "ts", warmup=2, chunk_rows=5, coarse_span=10**9)
+    rows = ch.select(CW.CHUNK, CW.WARM, "ts").collect()
+    by_chunk = {}
+    for r in rows:
+        by_chunk.setdefault(r[CW.CHUNK], []).append(r)
+    # chunk 2 is the phantom: only the duplicated tail of chunk 1
+    assert sorted(by_chunk) == [0, 1, 2]
+    assert all(r[CW.WARM] for r in by_chunk[2]), by_chunk[2]
+    assert len(by_chunk[2]) == 2
+    # grouped consumption tolerates the all-warm group end-to-end
+    w = CW.chunk_window("ts")
+    out = CW.finish(
+        ch.select(CW.CHUNK, CW.WARM, "ts", F.sum("x").over(w.rowsBetween(-2, 0)).alias("s"))
+    ).collect()
+    assert sorted(r["ts"] for r in out) == [i * 100 for i in range(10)]
