@@ -79,18 +79,35 @@ def with_volume_bar_approx(df: DataFrame, threshold: float, by: str | None = "sy
 # Aggregations
 # ---------------------------------------------------------------------------
 
-def bar_ohlcv(df: DataFrame, key: str = "bar_close_ns", by: str | None = None) -> DataFrame:
+def bar_ohlcv(
+    df: DataFrame,
+    key: str = "bar_close_ns",
+    by: str | None = None,
+    id_ordered: bool = True,
+) -> DataFrame:
     """OHLCV aggregation (``base.py:306-407``).
 
-    open/close are min_by/max_by on the (ts_ns, trade_id) struct — a
-    deterministic ordering key that needs NO window/sort: the whole build
-    is one hash aggregation with map-side partial combine (at 20M rows
-    this is ~20× the row_number formulation, which forces a global sort).
+    open/close are min_by/max_by on a single LONG ordering key — by
+    default ``trade_id``, which the canonical trades contract declares
+    monotonically increasing within a symbol stream (module docstring of
+    ``sources.trades``; Binance et al. assign exchange sequence numbers,
+    and ``preprocess.sort_trades`` restores the invariant after ingest).
+    A primitive-long min_by buffer keeps the whole build ONE hash
+    aggregation with map-side partial combine (``HashAggregateExec``);
+    a struct key — the ``id_ordered=False`` fallback for sources whose
+    ids do NOT follow time — is not hash-buffer-mutable and silently
+    degrades the plan to Sort + SortAggregate on both shuffle sides
+    (~20× slower at 20M rows, and an extra global sort at 100 TB).
     vwap = Σ(p·q)/Σq; median_trade_size = exact interpolated median.
     Emits only non-empty bars; see ``fill_empty_bars`` for the
     calendar-filled variant (``base.py:352-361`` fills with last close).
     """
-    ord_ = F.col("rn") if "rn" in df.columns else F.struct("ts_ns", "trade_id")
+    if "rn" in df.columns:
+        ord_ = F.col("rn")
+    elif id_ordered:
+        ord_ = F.col("trade_id")
+    else:
+        ord_ = F.struct("ts_ns", "trade_id")
     keys = ([by] if by else []) + [key]
     return df.groupBy(*keys).agg(
         F.min_by("price", ord_).alias("open"),

@@ -43,10 +43,10 @@ sided AS (
 
 _OHLCV_SELECT = """
 SELECT {key},
-       arg_min(price, rn) AS open,
+       arg_min(price, trade_id) AS open,
        max(price) AS high,
        min(price) AS low,
-       arg_max(price, rn) AS close,
+       arg_max(price, trade_id) AS close,
        sum(qty) AS volume,
        sum(price * qty) / sum(qty) AS vwap,
        count(*) AS trades,
@@ -131,8 +131,7 @@ def merge_split_trades_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TRADES
     + f""",
 t AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ns, trade_id) AS rn,
-         (CAST(floor(ts_ns / {MIN_NS}) AS BIGINT) + 1) * {MIN_NS} AS bar_close_ns
+  SELECT *, (CAST(floor(ts_ns / {MIN_NS}) AS BIGINT) + 1) * {MIN_NS} AS bar_close_ns
   FROM trades
 )
 """
@@ -150,8 +149,7 @@ def time_bars_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TRADES
     + f""",
 t AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ns, trade_id) AS rn,
-         CAST(floor((row_number() OVER (ORDER BY ts_ns, trade_id) - 1) / {TICK_N}) AS BIGINT) AS bar_id
+  SELECT *, CAST(floor((row_number() OVER (ORDER BY ts_ns, trade_id) - 1) / {TICK_N}) AS BIGINT) AS bar_id
   FROM trades
 )
 """
@@ -168,8 +166,7 @@ def tick_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TRADES
     + f""",
 t AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ns, trade_id) AS rn,
-         CAST(floor(sum(price * qty) OVER (ORDER BY ts_ns, trade_id
+  SELECT *, CAST(floor(sum(price * qty) OVER (ORDER BY ts_ns, trade_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / {DOLLAR_THR}) AS BIGINT) AS bar_id
   FROM trades
 )
@@ -187,8 +184,7 @@ def dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TRADES
     + f""",
 t AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ns, trade_id) AS rn,
-         CAST(floor(sum(qty) OVER (ORDER BY ts_ns, trade_id
+  SELECT *, CAST(floor(sum(qty) OVER (ORDER BY ts_ns, trade_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / {VOLUME_THR}) AS BIGINT) AS bar_id
   FROM trades
 )

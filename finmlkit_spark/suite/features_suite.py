@@ -13,6 +13,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import chunked_window as CW
 from ..functions import rolling as R
 from ..operators import bars as B
 from ..operators import preprocess as P
@@ -23,8 +24,35 @@ MIN_NS = 60_000_000_000
 HOUR_NS = 3_600_000_000_000
 DAY_NS = 86_400_000_000_000
 
+#: warmup depth for the chunk-partitioned demo tier: covers the deepest
+#: lookback in any §2.5 query — the 1h RANGE frames (≤ 61 rows on a 1-min
+#: grid: return_t/bar_rate) and the longest lag chain (close→r→r4→30-row
+#: frame = 33 rows, feat_variance_ratio)
+FEAT_WARMUP = 64
+
+
 def _w():
-    return Window.orderBy("bar_close_ns")
+    """Per-chunk window for the demo-tier feature queries. Every bounded
+    frame evaluated over it is bit-identical to the global
+    ``Window.orderBy(bar_close_ns)`` (warmup-row duplication, see
+    ``functions.chunked_window``) but runs partition-parallel — no
+    ``Exchange SinglePartition`` anywhere in the §2.5 tier."""
+    return CW.chunk_window("bar_close_ns")
+
+
+def _cb(spark: SparkSession, sf_dir: str, directional: bool = False) -> DataFrame:
+    """Chunk-partitioned 1m bars with ``r`` (1-bar log return, chunk-local
+    lag — exact on every non-warmup row) and ``brn`` (exact global row
+    number from the chunk machinery, no single-partition row_number)."""
+    bars = bars_1m(spark, sf_dir, directional=directional, seq=False)
+    ch = CW.with_row_chunks(bars, "bar_close_ns", warmup=FEAT_WARMUP)
+    ch = ch.withColumn("brn", F.col(CW.GLOBAL_RN))
+    return ch.withColumn("r", F.log(F.col("close") / F.lag("close").over(_w())))
+
+
+def _sel(df: DataFrame, *cols) -> DataFrame:
+    """Project feature columns, then drop warmup duplicates + helpers."""
+    return CW.finish(df.select(CW.CHUNK, CW.WARM, CW.GLOBAL_RN, *cols))
 
 
 def bars_1m(
@@ -40,9 +68,11 @@ def bars_1m(
     if directional:
         tr = P.with_trade_side(tr, by=None)
     df = B.with_time_bar(tr, MIN_NS)
-    # struct ordering key instead of a row_number: no global sort of the
-    # trade stream; the bar build stays a pure hash aggregation
-    ord_ = F.struct("ts_ns", "trade_id")
+    # single-long ordering key (canonical contract: trade_id monotone in
+    # ts within a stream): min_by/max_by keep a primitive agg buffer, so
+    # the bar build plans as ONE HashAggregate — a struct key degrades to
+    # Sort + SortAggregate on both shuffle sides
+    ord_ = F.col("trade_id")
     aggs = [
         F.min_by("price", ord_).alias("open"),
         F.max("price").alias("high"),
@@ -61,8 +91,11 @@ def bars_1m(
     bars = df.groupBy("bar_close_ns").agg(*aggs)
     if not seq:
         return bars
-    bars = bars.withColumn("brn", F.row_number().over(_w()))
-    bars = bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(_w())))
+    # global-window form kept for the sequential/demo callers that need a
+    # single ordered stream; the partition-parallel §2.5 tier uses _cb()
+    wg = Window.orderBy("bar_close_ns")
+    bars = bars.withColumn("brn", F.row_number().over(wg))
+    bars = bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(wg)))
     return bars
 
 
@@ -73,13 +106,12 @@ _B = (
     + EVENTS_TRADES_CTE.strip()
     + f""",
 t AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ns, trade_id) AS rn,
-         (CAST(floor(ts_ns / {MIN_NS}) AS BIGINT) + 1) * {MIN_NS} AS bar_close_ns
+  SELECT *, (CAST(floor(ts_ns / {MIN_NS}) AS BIGINT) + 1) * {MIN_NS} AS bar_close_ns
   FROM trades
 ),
 bars AS (
-  SELECT bar_close_ns, arg_min(price, rn) AS open, max(price) AS high,
-         min(price) AS low, arg_max(price, rn) AS close, sum(qty) AS volume,
+  SELECT bar_close_ns, arg_min(price, trade_id) AS open, max(price) AS high,
+         min(price) AS low, arg_max(price, trade_id) AS close, sum(qty) AS volume,
          sum(price * qty) / sum(qty) AS vwap, count(*) AS trades,
          min(ts_ns) AS first_ts_ns
   FROM t GROUP BY bar_close_ns
@@ -140,7 +172,7 @@ def _guard(n: int, expr: str) -> str:
 )
 def feat_return_log(spark, sf_dir):
     """Return(1, log) (transforms.py:120)."""
-    return bars_1m(spark, sf_dir).select("bar_close_ns", R.ret("close", 1, _w()).alias("ret_1"))
+    return _sel(_cb(spark, sf_dir),"bar_close_ns", R.ret("close", 1, _w()).alias("ret_1"))
 
 
 @query(
@@ -152,7 +184,7 @@ FROM b""",
 )
 def feat_roc(spark, sf_dir):
     """ROC(5) (core/momentum.py:6-22)."""
-    return bars_1m(spark, sf_dir).select("bar_close_ns", R.roc("close", 5, _w()).alias("roc_5"))
+    return _sel(_cb(spark, sf_dir),"bar_close_ns", R.roc("close", 5, _w()).alias("roc_5"))
 
 
 @query(
@@ -165,7 +197,7 @@ FROM b""",
 )
 def feat_pct_change(spark, sf_dir):
     """PctChange(5) with base>0 guard (core/utils.py:110-124)."""
-    return bars_1m(spark, sf_dir).select("bar_close_ns", R.pct_change("close", 5, _w()).alias("pct_5"))
+    return _sel(_cb(spark, sf_dir),"bar_close_ns", R.pct_change("close", 5, _w()).alias("pct_5"))
 
 
 @query(
@@ -179,7 +211,7 @@ FROM b""",
 def feat_return_t(spark, sf_dir):
     """ReturnT(1h): return vs latest bar ≤ t−1h on the irregular close-time
     axis (core/utils.py:12-64, searchsorted ≙ range-window last)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.return_t("close", "bar_close_ns", HOUR_NS, _w()).alias("ret_1h")
     )
 
@@ -189,7 +221,7 @@ def feat_return_t(spark, sf_dir):
 @query("feat_sma", _B + f"SELECT bar_close_ns, {_guard(20, f'avg(close) OVER {_wf(20)}')} AS sma_20 FROM b")
 def feat_sma(spark, sf_dir):
     """SMA(20) (core/ma.py:46-62)."""
-    return bars_1m(spark, sf_dir).select("bar_close_ns", R.sma("close", 20, _w()).alias("sma_20"))
+    return _sel(_cb(spark, sf_dir),"bar_close_ns", R.sma("close", 20, _w()).alias("sma_20"))
 
 
 @query(
@@ -201,7 +233,7 @@ FROM b""",
 )
 def feat_zscore(spark, sf_dir):
     """ZScore(20, ddof=1) (core/utils.py:67-90)."""
-    return bars_1m(spark, sf_dir).select("bar_close_ns", R.zscore("close", 20, _w()).alias("zscore_20"))
+    return _sel(_cb(spark, sf_dir),"bar_close_ns", R.zscore("close", 20, _w()).alias("zscore_20"))
 
 
 @query(
@@ -213,7 +245,7 @@ FROM b""",
 )
 def feat_stoch_k(spark, sf_dir):
     """StochK(14) (core/momentum.py:68-112)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.stoch_k("close", "high", "low", 14, _w()).alias("stoch_k_14")
     )
 
@@ -227,7 +259,7 @@ FROM b""",
 )
 def feat_bollinger_b(spark, sf_dir):
     """BollingerPercentB(20, k=2) (volatility.py:289-338)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.bollinger_percent_b("close", 20, _w(), 2.0).alias("boll_b_20")
     )
 
@@ -237,8 +269,9 @@ def feat_bollinger_b(spark, sf_dir):
     _B + "SELECT bar_close_ns, pow(ln(high / low), 2) / (4.0 * ln(2.0)) AS parkinson FROM b",
 )
 def feat_parkinson(spark, sf_dir):
-    """ParkinsonRange (volatility.py:341-349)."""
-    return bars_1m(spark, sf_dir).select(
+    """ParkinsonRange (volatility.py:341-349). Pure projection — no
+    window, so the plan is scan → hash-agg → project, fully parallel."""
+    return bars_1m(spark, sf_dir, seq=False).select(
         "bar_close_ns", R.parkinson_range("high", "low").alias("parkinson")
     )
 
@@ -259,8 +292,8 @@ FROM trq""",
 )
 def feat_atr_sma(spark, sf_dir):
     """ATR(14), SMA smoothing (volatility.py:352-437,222-253)."""
-    df = bars_1m(spark, sf_dir).withColumn("tr", R.true_range("high", "low", "close", _w()))
-    return df.select("bar_close_ns", R.atr_sma("tr", 14, _w()).alias("atr_14"))
+    df = _cb(spark, sf_dir).withColumn("tr", R.true_range("high", "low", "close", _w()))
+    return _sel(df, "bar_close_ns", R.atr_sma("tr", 14, _w()).alias("atr_14"))
 
 
 @query(
@@ -272,7 +305,7 @@ FROM b""",
 )
 def feat_vwap_distance(spark, sf_dir):
     """VWAPDistance(20) over bar closes/volumes (core/reversion.py:9-56)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.vwap_distance("close", "volume", 20, _w()).alias("vwap_dist_20")
     )
 
@@ -286,7 +319,7 @@ FROM b""",
 )
 def feat_realized_vol(spark, sf_dir):
     """RealizedVolatility(20) over 1-bar log returns (volatility.py:256-286)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.realized_vol("r", 20, _w()).alias("rv_20")
     )
 
@@ -301,7 +334,7 @@ FROM b""",
 def feat_burst_ratio(spark, sf_dir):
     """BurstRatio(20) on volume (core/utils.py:92-108); exact interpolated
     rolling median via sorted frame list."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.burst_ratio("volume", 20, _w()).alias("burst_20")
     )
 
@@ -322,11 +355,11 @@ FROM r4q""",
 )
 def feat_variance_ratio(spark, sf_dir):
     """VarianceRatio14(30) (volatility.py:481-540)."""
-    df = bars_1m(spark, sf_dir).withColumn(
+    df = _cb(spark, sf_dir).withColumn(
         "r4",
         F.col("r") + F.lag("r", 1).over(_w()) + F.lag("r", 2).over(_w()) + F.lag("r", 3).over(_w()),
     )
-    return df.select("bar_close_ns", R.variance_ratio_1_4("r", "r4", 30, _w()).alias("vr14_30"))
+    return _sel(df, "bar_close_ns", R.variance_ratio_1_4("r", "r4", 30, _w()).alias("vr14_30"))
 
 
 @query(
@@ -343,7 +376,7 @@ FROM b""",
 )
 def feat_kurtosis(spark, sf_dir):
     """Rolling excess kurtosis (30), population moments (transforms.py:900)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.kurtosis_rolling("close", 30, _w()).alias("kurt_30")
     )
 
@@ -363,10 +396,10 @@ FROM pq""",
 )
 def feat_bipower(spark, sf_dir):
     """BiPowerVariation(20) (transforms.py:1551)."""
-    df = bars_1m(spark, sf_dir).withColumn(
+    df = _cb(spark, sf_dir).withColumn(
         "prod", F.abs(F.col("r")) * F.abs(F.lag("r", 1).over(_w()))
     )
-    return df.select("bar_close_ns", R.bipower_variation("prod", 20, _w()).alias("bipower_20"))
+    return _sel(df, "bar_close_ns", R.bipower_variation("prod", 20, _w()).alias("bipower_20"))
 
 
 # --- flow / volume ----------------------------------------------------------
@@ -382,7 +415,7 @@ FROM b""",
 )
 def feat_flow_accel(spark, sf_dir):
     """FlowAcceleration(n=20, r=5) (core/volume.py:572-607)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.flow_acceleration("volume", 20, 5, _w()).alias("flow_accel")
     )
 
@@ -396,8 +429,9 @@ FROM b""",
 )
 def feat_vpin(spark, sf_dir):
     """VPIN(20) over per-bar buy/sell volume splits (core/volume.py:610-641)."""
-    return bars_1m(spark, sf_dir, directional=True).select(
-        "bar_close_ns", R.vpin("volume_buy", "volume_sell", 20, _w()).alias("vpin_20")
+    return _sel(
+        _cb(spark, sf_dir, directional=True),
+        "bar_close_ns", R.vpin("volume_buy", "volume_sell", 20, _w()).alias("vpin_20"),
     )
 
 
@@ -411,7 +445,7 @@ FROM b""",
 def feat_pv_corr(spark, sf_dir):
     """PriceVolumeCorrelation(20) (core/correlation.py:9-111; hardcoded
     test shortcuts in the reference kernel deliberately not replicated)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.price_volume_corr("r", "volume", 20, _w()).alias("pv_corr_20")
     )
 
@@ -431,7 +465,7 @@ FROM b""",
 )
 def feat_trend_slope(spark, sf_dir):
     """TrendSlope(20) in degrees (transforms.py:936)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.trend_slope("close", "brn", 20, _w()).alias("slope_deg_20")
     )
 
@@ -445,7 +479,7 @@ FROM b""",
 )
 def feat_mean_reversion_z(spark, sf_dir):
     """MeanReversionZScore(30) (transforms.py:1033)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.mean_reversion_z("close", 30, _w()).alias("mrz_30")
     )
 
@@ -460,7 +494,7 @@ FROM b""",
 def feat_bar_duration(spark, sf_dir):
     """BarDuration(1) in seconds (transforms.py:1511) — on non-empty bars
     the close-time axis is irregular, so this is informative."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.bar_duration("bar_close_ns", 1, _w()).alias("dur_1")
     )
 
@@ -474,7 +508,7 @@ FROM b""",
 )
 def feat_bar_rate(spark, sf_dir):
     """BarRate(1h): bars per hour in a trailing range window (transforms.py:1210)."""
-    return bars_1m(spark, sf_dir).select(
+    return _sel(_cb(spark, sf_dir),
         "bar_close_ns", R.bar_rate("bar_close_ns", HOUR_NS, _w()).alias("bars_per_hour")
     )
 
@@ -497,7 +531,12 @@ SELECT bar_close_ns,
 FROM h""",
 )
 def feat_dir_run_len(spark, sf_dir):
-    """DirRunLen: same-sign return streak length (transforms.py:1605)."""
+    """DirRunLen: same-sign return streak length (transforms.py:1605).
+
+    Gaps-and-islands needs an UNBOUNDED cumulative group id, so this one
+    demo query keeps the global ordered window (chunk duplication cannot
+    bound it). The scale path is ``with_dir_run_len(part_cols=[symbol])``
+    — per-symbol streams partition naturally, as in the multiuser tier."""
     df = R.with_dir_run_len(bars_1m(spark, sf_dir), "r", ["bar_close_ns"], out="run_len")
     return df.select("bar_close_ns", "run_len")
 
@@ -535,7 +574,7 @@ def feat_time_cues(spark, sf_dir):
     functions/dettrig.py for the bit-identity argument. No rounding.
     """
     cues = R.time_cues("bar_close_ns")
-    return bars_1m(spark, sf_dir).select(
+    return bars_1m(spark, sf_dir, seq=False).select(
         "bar_close_ns", *[c.alias(k) for k, c in cues.items()]
     )
 
@@ -553,7 +592,7 @@ FROM b""",
 def feat_candle_shape(spark, sf_dir):
     """CandleShape ratios (transforms.py:1273)."""
     shape = R.candle_shape("open", "high", "low", "close", "vwap")
-    return bars_1m(spark, sf_dir).select(
+    return bars_1m(spark, sf_dir, seq=False).select(
         "bar_close_ns", *[c.alias(k) for k, c in shape.items()]
     )
 
@@ -564,7 +603,7 @@ def feat_candle_shape(spark, sf_dir):
     + f""",
 d AS (
   SELECT CAST(floor((bar_close_ns - 1) / {DAY_NS}) AS BIGINT) AS day_id,
-         arg_min(open, brn) AS day_open, arg_max(close, brn) AS day_close
+         arg_min(open, bar_close_ns) AS day_open, arg_max(close, bar_close_ns) AS day_close
   FROM b GROUP BY 1
 )
 SELECT day_id,
@@ -575,11 +614,18 @@ def feat_daily_gap(spark, sf_dir):
     """DailyGap: (first open of UTC day − last close of prev day)/prev close
     (transforms.py:1065 — the reference's version carries a known NaN bug;
     we implement the documented semantics)."""
-    b = bars_1m(spark, sf_dir)
+    b = bars_1m(spark, sf_dir, seq=False)
+    # ordering by bar_close_ns (the sort key brn ranks) keeps the day agg
+    # a pure HashAggregate — no global row_number needed; the remaining
+    # ordered window runs over the k-row day table (k = days), which is
+    # tiny at any scale
     d = (
         b.withColumn("day_id", F.floor((F.col("bar_close_ns") - 1) / F.lit(DAY_NS)))
         .groupBy("day_id")
-        .agg(F.min_by("open", "brn").alias("day_open"), F.max_by("close", "brn").alias("day_close"))
+        .agg(
+            F.min_by("open", "bar_close_ns").alias("day_open"),
+            F.max_by("close", "bar_close_ns").alias("day_close"),
+        )
     )
     wd = Window.orderBy("day_id")
     prev = F.lag("day_close").over(wd)
@@ -615,7 +661,7 @@ WHERE di.day_idx > 60""",
 def feat_orb_break(spark, sf_dir):
     """ORBBreak: opening-range (first 60 bars of UTC day) breakout flags
     (transforms.py:1122). The OR aggregate is tiny -> broadcast join."""
-    b = bars_1m(spark, sf_dir).withColumn(
+    b = bars_1m(spark, sf_dir, seq=False).withColumn(
         "day_id", F.floor((F.col("bar_close_ns") - 1) / F.lit(DAY_NS))
     )
     b = b.withColumn(

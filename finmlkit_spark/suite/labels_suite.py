@@ -142,7 +142,14 @@ def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = events_to_trades(spark, sf_dir)
-    spans = _labels(spark, sf_dir).select("event_id", "event_ts_ns", "touch_ts_ns")
+    # storage boundary: spans (3 narrow columns, ~1 row per 97 trades)
+    # feed BOTH the concurrency sweep and the span interval join — without
+    # it the whole triple-barrier range join + agg runs twice per action
+    spans = (
+        _labels(spark, sf_dir)
+        .select("event_id", "event_ts_ns", "touch_ts_ns")
+        .persist()
+    )
     return L.concurrency(spans, tr), tr, spans
 
 

@@ -34,15 +34,14 @@ trades AS (
     + _UTRADES.strip()
     + f""",
 t AS (
-  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id) AS rn,
-         (CAST(floor(ts_ns / {HOUR_NS}) AS BIGINT) + 1) * {HOUR_NS} AS bar_close_ns
+  SELECT *, (CAST(floor(ts_ns / {HOUR_NS}) AS BIGINT) + 1) * {HOUR_NS} AS bar_close_ns
   FROM trades
 )
 SELECT symbol, bar_close_ns,
-       arg_min(price, rn) AS open,
+       arg_min(price, trade_id) AS open,
        max(price) AS high,
        min(price) AS low,
-       arg_max(price, rn) AS close,
+       arg_max(price, trade_id) AS close,
        sum(qty) AS volume,
        sum(price * qty) / sum(qty) AS vwap,
        count(*) AS trades,
@@ -258,14 +257,13 @@ def _user_fast_oracle() -> str:
         + _UTRADES.strip()
         + f""",
 t AS (
-  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts_ns, trade_id) AS rn,
-         (CAST(floor(ts_ns / {HOUR_NS}) AS BIGINT) + 1) * {HOUR_NS} AS bar_close_ns
+  SELECT *, (CAST(floor(ts_ns / {HOUR_NS}) AS BIGINT) + 1) * {HOUR_NS} AS bar_close_ns
   FROM trades
 ),
 b AS (
   SELECT symbol, bar_close_ns,
          max(price) AS high, min(price) AS low,
-         arg_max(price, rn) AS close, sum(qty) AS volume
+         arg_max(price, trade_id) AS close, sum(qty) AS volume
   FROM t GROUP BY symbol, bar_close_ns
 )"""
         + _R.fast_stage_ticks_oracle_sql(by="symbol")

@@ -38,7 +38,8 @@ def bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = events_to_trades(spark, sf_dir)
     df = B.with_time_bar(tr, HOUR_NS)
-    ord_ = F.struct("ts_ns", "trade_id")
+    # long key -> HashAggregate (see operators.bars.bar_ohlcv)
+    ord_ = F.col("trade_id")
     bars = df.groupBy("bar_close_ns").agg(
         F.min_by("price", ord_).alias("open"),
         F.max("price").alias("high"),

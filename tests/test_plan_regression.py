@@ -1,0 +1,75 @@
+"""Plan-regression guard: the §2.5 demo tier (and the flagship) must stay
+free of ``Exchange SinglePartition`` on row-scale data.
+
+A global ``Window.orderBy(...)`` with no partition key silently plans a
+single-partition exchange — one task walks every row, the one node that
+cannot scale past a core at 100 TB. The chunked-window machinery
+(``functions.chunked_window``) removes it; this test pins that property
+so a future registry query can't quietly reintroduce the wrong plan.
+
+Exceptions, each a documented tiny-cardinality or inherently-sequential
+surface (see the query docstrings):
+
+- ``feat_dir_run_len``: unbounded gaps-and-islands — global by design,
+  scale path is per-symbol partitioning;
+- ``feat_daily_gap``: ordered window over the k-row day table (k = days);
+- ``feat_vpin``: tick-rule side carry over the raw trade stream
+  (§2.2 preprocessing, not a bar window; partitioned form =
+  ``with_trade_side(by='symbol')``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from finmlkit_spark.suite import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+#: demo-tier queries that must plan with ZERO single-partition exchanges
+GUARDED = [
+    "pipeline_1m_features",
+    "feat_return_log",
+    "feat_roc",
+    "feat_pct_change",
+    "feat_return_t",
+    "feat_sma",
+    "feat_zscore",
+    "feat_stoch_k",
+    "feat_bollinger_b",
+    "feat_parkinson",
+    "feat_atr_sma",
+    "feat_vwap_distance",
+    "feat_realized_vol",
+    "feat_burst_ratio",
+    "feat_variance_ratio",
+    "feat_kurtosis",
+    "feat_bipower",
+    "feat_flow_accel",
+    "feat_pv_corr",
+    "feat_trend_slope",
+    "feat_mean_reversion_z",
+    "feat_bar_duration",
+    "feat_bar_rate",
+    "feat_time_cues",
+    "feat_candle_shape",
+    "feat_orb_break",
+]
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_no_single_partition_exchange(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, (
+        f"{name}: plan regressed to a single-partition exchange:\n{plan}"
+    )
+
+
+def test_guard_covers_current_feat_tier():
+    """Every feat_* registry query is either guarded or an explicit,
+    documented exception — adding a new one forces a decision here."""
+    exceptions = {"feat_dir_run_len", "feat_daily_gap", "feat_vpin", "feat_fast_stage"}
+    feat = {n for n in QUERIES if n.startswith("feat_")}
+    unaccounted = feat - set(GUARDED) - exceptions
+    assert not unaccounted, f"new feat_* queries need a guard decision: {unaccounted}"
