@@ -180,6 +180,91 @@ def streaming_run_bars(
     )
 
 
+LATE_STATE_SCHEMA = "max_ts long, n_total long, n_late_total long"
+LATE_OUT_SCHEMA = (
+    "symbol string, batch_max_ts_ns long, n_rows long, n_out_of_order long, "
+    "n_late long, n_late_total long, max_lag_ns long"
+)
+
+
+def streaming_late_data_metrics(
+    stream: DataFrame, lateness_ns: int, ts_col: str = "ts_ns"
+) -> DataFrame:
+    """Dropped-late / watermark-lag metrics stream (SURVEY §2.10) — the
+    streaming analog of the reference's timestamp-order and gap integrity
+    report (``data_model.py:294-324``).
+
+    Emits one row per (symbol, micro-batch):
+
+    - ``n_out_of_order``: rows behind the running per-symbol max event
+      time (any regression — the reference's out-of-order count);
+    - ``n_late`` / ``n_late_total``: rows more than ``lateness_ns``
+      behind it — exactly the rows a downstream watermarked aggregation
+      with the matching delay would silently drop, surfaced instead of
+      lost;
+    - ``max_lag_ns``: worst observed event-time regression, for sizing
+      the watermark.
+
+    Run it as a second sink next to ``streaming_time_bars`` (same source,
+    two queries): the bar query keeps its exactly-once append output, and
+    this one makes the drop behavior observable. State per symbol is three
+    scalars, so the operator adds no meaningful state pressure."""
+    import numpy as np
+
+    def fn(key, pdfs, state: GroupState):
+        max_ts, n_total, n_late_total = state.get if state.exists else (-(2**62), 0, 0)
+        n_rows = n_ooo = n_late = 0
+        batch_max = max_ts
+        max_lag = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf[ts_col].to_numpy(dtype=np.int64)
+            # running max INCLUDING earlier rows of this batch: prefix
+            # cummax seeded with the carried state
+            run_max = np.maximum.accumulate(np.concatenate(([max_ts], ts)))[:-1]
+            lag = run_max - ts
+            n_rows += len(ts)
+            n_ooo += int((lag > 0).sum())
+            n_late += int((lag > lateness_ns).sum())
+            max_lag = max(max_lag, int(lag.max()) if len(lag) else 0)
+            max_ts = max(max_ts, int(ts.max()))
+            batch_max = max_ts
+        n_total += n_rows
+        n_late_total += n_late
+        state.update((max_ts, n_total, n_late_total))
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    int(batch_max),
+                    int(n_rows),
+                    int(n_ooo),
+                    int(n_late),
+                    int(n_late_total),
+                    int(max_lag),
+                )
+            ],
+            columns=[
+                "symbol",
+                "batch_max_ts_ns",
+                "n_rows",
+                "n_out_of_order",
+                "n_late",
+                "n_late_total",
+                "max_lag_ns",
+            ],
+        )
+
+    return stream.groupBy("symbol").applyInPandasWithState(
+        fn,
+        outputStructType=LATE_OUT_SCHEMA,
+        stateStructType=LATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 CUSUM_STATE_SCHEMA = "sp double, sn double, last_price double"
 CUSUM_OUT_SCHEMA = "symbol string, ts long, flag int"
 

@@ -253,3 +253,54 @@ def test_streaming_run_bars_parity(spark, stream_dir):
     exp = dict(zip(pdf["ts"].to_numpy().tolist(), expected.tolist()))
     assert len(got) == len(exp)
     assert sum(1 for k in exp if got.get(k) != exp[k]) == 0
+
+
+def test_streaming_late_data_metrics(spark, tmp_path):
+    """Out-of-order input across two micro-batches: the metrics stream
+    counts regressions and would-be-dropped late rows instead of losing
+    them silently (SURVEY §2.10 late-data surface)."""
+    import pandas as pd
+
+    from finmlkit_spark.streaming.bars import streaming_late_data_metrics
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    sec = 1_000_000_000
+    # batch 1: ordered except one small regression (2s back, not late)
+    pd.DataFrame(
+        {"symbol": ["A"] * 4, "ts_ns": [10 * sec, 20 * sec, 18 * sec, 30 * sec]}
+    ).to_parquet(d / "b1.parquet")
+    # batch 2: one on-time row, one LATE row (300s behind max=40s... i.e.
+    # lag = 40-5 = 35s > 30s lateness) and one mild regression
+    pd.DataFrame(
+        {"symbol": ["A"] * 3, "ts_ns": [40 * sec, 5 * sec, 39 * sec]}
+    ).to_parquet(d / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema("symbol string, ts_ns long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_late_data_metrics(stream, lateness_ns=30 * sec)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("select * from late_metrics").collect(),
+        key=lambda r: r["batch_max_ts_ns"],
+    )
+    assert len(rows) == 2
+    b1, b2 = rows
+    assert b1["n_rows"] == 4 and b1["n_out_of_order"] == 1 and b1["n_late"] == 0
+    assert b1["max_lag_ns"] == 2 * sec
+    assert b2["n_rows"] == 3
+    # 5s row lags 35s behind the carried 40s max -> out of order AND late;
+    # 39s row is a 1s regression only
+    assert b2["n_out_of_order"] == 2
+    assert b2["n_late"] == 1 and b2["n_late_total"] == 1
+    assert b2["max_lag_ns"] == 35 * sec
