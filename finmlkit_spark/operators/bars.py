@@ -197,9 +197,42 @@ def bar_directional_features(df: DataFrame, key: str = "bar_close_ns", by: str |
 
     Requires columns: ts_ns, trade_id, price, qty, side.
     """
-    if "rn" not in df.columns:
-        df = _wrn(df, by)
     w = _w(by)
+    flip = (F.col("side") != F.lag("side").over(w)).cast("double")
+    spread = F.abs(F.col("price") - F.lag("price").over(w))
+    df = df.withColumn("_flip_spread", F.when(flip == 1.0, spread))
+    return _directional_bar_agg(df, key, by)
+
+
+def bar_directional_features_chunked(
+    df: DataFrame, key: str = "bar_close_ns", chunk_rows: int = 1 << 18
+) -> DataFrame:
+    """Single-stream form of :func:`bar_directional_features` with ZERO
+    single-partition exchanges: tick-rule side (cross-chunk sign carry,
+    see ``preprocess.with_trade_side_chunked``) and the flip spreads are
+    evaluated per row-chunk with 1-row warmup duplication — the warm
+    duplicate's side is exact (its nonzero sign is in the prior chunk's
+    carry summary), so every real row's lag(side)/lag(price) matches the
+    global window bit-for-bit. Requires (ts_ns, trade_id, price, qty)
+    plus the ``key`` column (e.g. from ``with_time_bar``); warm
+    duplicates are dropped before the bar aggregation, so nothing
+    double-counts.
+    """
+    from ..functions import chunked_window as CW
+    from .preprocess import chunked_side_frame
+
+    d, w = chunked_side_frame(df, chunk_rows=chunk_rows)
+    flip = (F.col("side") != F.lag("side").over(w)).cast("double")
+    spread = F.abs(F.col("price") - F.lag("price").over(w))
+    d = d.withColumn("_flip_spread", F.when(flip == 1.0, spread))
+    d = CW.finish(d).drop("_raw", "_cin", "_carry")
+    return _directional_bar_agg(d, key, None)
+
+
+def _directional_bar_agg(df: DataFrame, key: str, by: str | None) -> DataFrame:
+    """Shared per-bar directional aggregation: intra-bar cumulative
+    windows (partitioned by the bar key — always parallel) + one hash
+    aggregation. Expects ``side`` and ``_flip_spread`` columns."""
     wb = (
         Window.partitionBy(*([by] if by else []), key)
         .orderBy("ts_ns", "trade_id")
@@ -207,12 +240,8 @@ def bar_directional_features(df: DataFrame, key: str = "bar_close_ns", by: str |
     )
     is_buy = (F.col("side") == 1).cast("double")
     is_sell = (F.col("side") == -1).cast("double")
-    flip = (F.col("side") != F.lag("side").over(w)).cast("double")
-    spread = F.abs(F.col("price") - F.lag("price").over(w))
-
     df = (
-        df.withColumn("_flip_spread", F.when(flip == 1.0, spread))
-        .withColumn("_cum_ticks", F.sum(F.col("side").cast("double")).over(wb))
+        df.withColumn("_cum_ticks", F.sum(F.col("side").cast("double")).over(wb))
         .withColumn("_cum_vol", F.sum(F.col("side") * F.col("qty")).over(wb))
         .withColumn("_cum_dollar", F.sum(F.col("side") * F.col("qty") * F.col("price")).over(wb))
     )

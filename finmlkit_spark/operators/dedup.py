@@ -344,7 +344,7 @@ def dedup_clusters(
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(
                 labels.select(F.col("id").alias("b"), F.col("label").alias("nl")), "b"
@@ -357,14 +357,21 @@ def dedup_clusters(
             .select("id", F.least("label", F.coalesce("mnl", "label")).alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.select("id", F.col("label").alias("old")), "id")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        # convergence probe every 2nd iteration: min-label propagation is
+        # monotone, so skipping a check never changes the fixpoint — it
+        # just trades at most one extra (cheap, already-converged)
+        # iteration for half the driver-side count jobs on deep components
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new.join(labels.select("id", F.col("label").alias("old")), "id")
+                .where(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            labels = new
     comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     if docs is None:
         return comp

@@ -124,6 +124,71 @@ def with_trade_side(df: DataFrame, by: str | None = "symbol") -> DataFrame:
     return df.withColumn("side", F.coalesce(carried, F.lit(1.0)).cast("int"))
 
 
+def with_trade_side_chunked(df: DataFrame, chunk_rows: int = 1 << 18) -> DataFrame:
+    """Tick-rule side for a SINGLE un-partitioned stream without the
+    global window that ``with_trade_side(by=None)`` plans as an
+    ``Exchange SinglePartition``.
+
+    Chunk-partitioned evaluation (``functions.chunked_window``): the
+    sign(Δprice) lag is exact via 1-row warmup duplication; the carry of
+    the last nonzero sign crosses chunks through a per-chunk summary
+    (last nonzero sign per chunk — k rows for k chunks) prefix-joined
+    back, so every row's side equals the global form bit-for-bit
+    (signs are exact −1/0/+1 integers; no float accumulation).
+    Multi-symbol data should keep using ``with_trade_side(by='symbol')``
+    — hash partitioning is cheaper than chunk machinery.
+    """
+    from ..functions import chunked_window as CW
+
+    d, _ = chunked_side_frame(df, chunk_rows=chunk_rows)
+    return CW.finish(d).drop("_raw", "_cin", "_carry")
+
+
+def chunked_side_frame(df: DataFrame, chunk_rows: int = 1 << 18):
+    """Internal: chunked frame with ``side`` plus the chunk helper
+    columns still attached, and the per-chunk WindowSpec — for callers
+    that stack more warmup-1 window expressions (e.g.
+    ``bars.bar_directional_features_chunked``'s flip spreads) before
+    dropping the warm duplicates. Warm rows carry their exact side (a
+    nonzero boundary sign is in the prior chunk's carry summary), so a
+    lag over them is exact on every real row."""
+    from ..functions import chunked_window as CW
+
+    d = CW.with_row_chunks(
+        df, "ts_ns", warmup=1, chunk_rows=chunk_rows, tiebreak_cols=("trade_id",)
+    )
+    w = CW.chunk_window("ts_ns", "trade_id")
+    d = d.withColumn("_raw", F.signum(F.col("price") - F.lag("price").over(w)))
+    d = d.withColumn(
+        "_cin",
+        F.last(F.when(F.col("_raw") != 0, F.col("_raw")), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # last nonzero sign per chunk (warm duplicates excluded: their _raw is
+    # null in the target chunk and they already count in their own chunk)
+    summ = (
+        d.where(~F.col(CW.WARM) & (F.col("_raw") != 0))
+        .groupBy(CW.CHUNK)
+        .agg(F.max_by("_raw", CW.GLOBAL_RN).alias("_lastnz"))
+    )
+    # carry into chunk k = last nonzero sign of the latest prior chunk
+    # that has one (triangular join over the tiny chunk table)
+    chunks = d.select(F.col(CW.CHUNK)).distinct()
+    carry = (
+        chunks.join(
+            summ.select(F.col(CW.CHUNK).alias("_ckb"), "_lastnz"),
+            F.col("_ckb") < F.col(CW.CHUNK),
+            "left",
+        )
+        .groupBy(CW.CHUNK)
+        .agg(F.max_by("_lastnz", "_ckb").alias("_carry"))
+    )
+    d = d.join(F.broadcast(carry), CW.CHUNK)
+    side = F.coalesce(F.col("_cin"), F.col("_carry"), F.lit(1.0)).cast("int")
+    return d.withColumn("side", side), w
+
+
 def infer_tick_size(df: DataFrame, sample: int = 10_000) -> float:
     """Tick = GCD of unique price diffs over a head sample
     (``bar/utils.py:49-81``). Scalar config value -> driver side.

@@ -485,6 +485,25 @@ class FeatureKit:
     def topological_order(self) -> list[str]:
         return [f.name for f in self.features]
 
+    def visualize(self) -> str:
+        """ASCII rendering of the computation DAG (UX parity with the
+        reference's ``ComputationGraph.visualize``,
+        ``feature/utils.py:339-357``): one ``src -> [dest, ...]`` line
+        per source, raw columns as ``input:<col>`` nodes, plus
+        feature→feature edges when one feature requires another's
+        output."""
+        outputs = {f.name for f in self.features}
+        edges: dict[str, set[str]] = {}
+        for f in self.features:
+            for r in f.requires:
+                src = r if r in outputs else f"input:{r}"
+                if src != f.name:
+                    edges.setdefault(src, set()).add(f.name)
+        lines = ["ComputationGraph:"]
+        for src in sorted(edges):
+            lines.append(f"  {src} -> [{', '.join(sorted(edges[src]))}]")
+        return "\n".join(lines)
+
     # -- serialization ------------------------------------------------------
     def to_config(self) -> dict[str, Any]:
         return {

@@ -81,8 +81,9 @@ def _ohlcv_cols(df: DataFrame, key: str) -> DataFrame:
 
 @query("trades_side", _SIDED + "SELECT * FROM sided")
 def trades_side(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tick-rule side inference (reference ``bar/utils.py:10-46``)."""
-    return P.with_trade_side(_trades(spark, sf_dir), by=None).select(
+    """Tick-rule side inference (reference ``bar/utils.py:10-46``) —
+    chunk-parallel carry form, no single-partition window."""
+    return P.with_trade_side_chunked(_trades(spark, sf_dir)).select(
         "ts_ns", "trade_id", "price", "qty", "side"
     )
 
@@ -243,9 +244,8 @@ def bar_directional_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deviation from the reference noted: spread pairs may straddle a bar
     boundary (attributed to the latter trade's bar)."""
-    df = P.with_trade_side(_trades(spark, sf_dir), by=None)
-    df = B.with_time_bar(df, MIN_NS)
-    return B.bar_directional_features(df, key="bar_close_ns", by=None)
+    df = B.with_time_bar(_trades(spark, sf_dir), MIN_NS)
+    return B.bar_directional_features_chunked(df, key="bar_close_ns")
 
 
 @query(

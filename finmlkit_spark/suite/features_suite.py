@@ -66,7 +66,7 @@ def bars_1m(
     ``pipeline_suite.pipeline_1m_features``)."""
     tr = events_to_trades(spark, sf_dir)
     if directional:
-        tr = P.with_trade_side(tr, by=None)
+        tr = P.with_trade_side_chunked(tr)
     df = B.with_time_bar(tr, MIN_NS)
     # single-long ordering key (canonical contract: trade_id monotone in
     # ts within a stream): min_by/max_by keep a primitive agg buffer, so

@@ -44,7 +44,7 @@ _FPH = _FP.replace(str(BAR5_NS), str(HOUR_NS))
 
 
 def _fp_spark(spark: SparkSession, sf_dir: str, interval_ns: int = BAR5_NS):
-    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+    tr = P.with_trade_side_chunked(events_to_trades(spark, sf_dir))
     tr = B.with_time_bar(tr, interval_ns)
     return FP.footprint_long(tr, tick=0.01)
 
@@ -125,7 +125,7 @@ def footprint_features_q(spark, sf_dir):
     cancellations whose residual (~1e-11 absolute) exceeds the true
     value on single-level bars, so raw doubles differ between engines
     in exactly the rows where the value is ~0."""
-    tr = P.with_trade_side(events_to_trades(spark, sf_dir), by=None)
+    tr = P.with_trade_side_chunked(events_to_trades(spark, sf_dir))
     tr = B.with_time_bar(tr, BAR5_NS)
     fp = FP.footprint_long(tr, tick=0.01)
     bv = tr.groupBy("bar_close_ns").agg(

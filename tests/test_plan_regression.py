@@ -12,10 +12,7 @@ surface (see the query docstrings):
 
 - ``feat_dir_run_len``: unbounded gaps-and-islands — global by design,
   scale path is per-symbol partitioning;
-- ``feat_daily_gap``: ordered window over the k-row day table (k = days);
-- ``feat_vpin``: tick-rule side carry over the raw trade stream
-  (§2.2 preprocessing, not a bar window; partitioned form =
-  ``with_trade_side(by='symbol')``).
+- ``feat_daily_gap``: ordered window over the k-row day table (k = days).
 """
 
 from __future__ import annotations
@@ -46,6 +43,7 @@ GUARDED = [
     "feat_kurtosis",
     "feat_bipower",
     "feat_flow_accel",
+    "feat_vpin",
     "feat_pv_corr",
     "feat_trend_slope",
     "feat_mean_reversion_z",
@@ -54,6 +52,11 @@ GUARDED = [
     "feat_time_cues",
     "feat_candle_shape",
     "feat_orb_break",
+    # §2.2/§2.4 single-stream forms converted to the chunked-carry plan
+    "trades_side",
+    "bar_directional_1m",
+    "footprint_long",
+    "footprint_features",
 ]
 
 
@@ -69,7 +72,7 @@ def test_no_single_partition_exchange(spark, name):
 def test_guard_covers_current_feat_tier():
     """Every feat_* registry query is either guarded or an explicit,
     documented exception — adding a new one forces a decision here."""
-    exceptions = {"feat_dir_run_len", "feat_daily_gap", "feat_vpin", "feat_fast_stage"}
+    exceptions = {"feat_dir_run_len", "feat_daily_gap", "feat_fast_stage"}
     feat = {n for n in QUERIES if n.startswith("feat_")}
     unaccounted = feat - set(GUARDED) - exceptions
     assert not unaccounted, f"new feat_* queries need a guard decision: {unaccounted}"

@@ -123,3 +123,12 @@ def test_profile_report(spark):
     times = kit.profile(df, BuildContext("bar_close_ns"))
     assert set(times) == {"close_sma3", "close_zscore3"}
     assert all(t >= 0 for t in times.values())
+
+
+def test_featurekit_visualize(spark):
+    from finmlkit_spark.plans.api import FeatureKit, Rolling
+
+    kit = FeatureKit([Rolling("sma", "close", 5, name="sma5")], retain=["ts_ns"])
+    viz = kit.visualize()
+    assert viz.splitlines()[0] == "ComputationGraph:"
+    assert "input:close -> [sma5]" in viz

@@ -46,3 +46,27 @@ def test_binance_csv_reader(spark, tmp_path):
     assert out[0]["ts_ns"] == 1_700_000_000_000_000_000
     assert out[0]["side"] == -1 and out[1]["side"] == 1
     assert out[0]["symbol"] == "BTCUSDT"
+
+
+def test_trade_side_chunked_matches_global(spark):
+    """with_trade_side_chunked == with_trade_side(by=None) row-for-row,
+    with small chunks forcing many cross-chunk carries, and no
+    single-partition exchange in the chunked plan."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import preprocess as P
+    from finmlkit_spark.sources.trades import events_to_trades
+
+    tr = events_to_trades(spark, "/root/testdata/sf0.001")
+    glob = {
+        r["trade_id"]: r["side"]
+        for r in P.with_trade_side(tr, by=None).select("trade_id", "side").collect()
+    }
+    chunked = P.with_trade_side_chunked(tr, chunk_rows=257)
+    got = {
+        r["trade_id"]: r["side"]
+        for r in chunked.select("trade_id", "side").collect()
+    }
+    assert got == glob and len(got) >= 1000
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
