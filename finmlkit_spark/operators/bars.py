@@ -205,27 +205,36 @@ def bar_directional_features(df: DataFrame, key: str = "bar_close_ns", by: str |
 
 
 def bar_directional_features_chunked(
-    df: DataFrame, key: str = "bar_close_ns", chunk_rows: int = 1 << 18
+    df: DataFrame, key: str = "bar_close_ns", chunk_ns: int | None = None
 ) -> DataFrame:
     """Single-stream form of :func:`bar_directional_features` with ZERO
-    single-partition exchanges: tick-rule side (cross-chunk sign carry,
-    see ``preprocess.with_trade_side_chunked``) and the flip spreads are
-    evaluated per row-chunk with 1-row warmup duplication — the warm
-    duplicate's side is exact (its nonzero sign is in the prior chunk's
-    carry summary), so every real row's lag(side)/lag(price) matches the
-    global window bit-for-bit. Requires (ts_ns, trade_id, price, qty)
-    plus the ``key`` column (e.g. from ``with_time_bar``); warm
-    duplicates are dropped before the bar aggregation, so nothing
-    double-counts.
+    single-partition exchanges: tick-rule side AND the flip spreads ride
+    the same time-chunked window pass (``preprocess.chunked_side_frame``).
+    Cross-chunk lags come from the per-chunk summary: each chunk's first
+    row compares against ``_prev_last_p`` (previous chunk's last price)
+    and ``coalesce(_carry, 1)`` (previous chunk's last row's side), so
+    every row's flip/spread matches the global window bit-for-bit — the
+    globally-first row keeps NULL flip (no predecessor), exactly as
+    ``lag`` yields. Requires (ts_ns, trade_id, price, qty) plus the
+    ``key`` column (e.g. from ``with_time_bar``).
     """
-    from ..functions import chunked_window as CW
-    from .preprocess import chunked_side_frame
+    from .preprocess import SIDE_HELPERS, chunked_side_frame
 
-    d, w = chunked_side_frame(df, chunk_rows=chunk_rows)
-    flip = (F.col("side") != F.lag("side").over(w)).cast("double")
-    spread = F.abs(F.col("price") - F.lag("price").over(w))
-    d = d.withColumn("_flip_spread", F.when(flip == 1.0, spread))
-    d = CW.finish(d).drop("_raw", "_cin", "_carry")
+    kwargs = {} if chunk_ns is None else {"chunk_ns": chunk_ns}
+    d, w = chunked_side_frame(df, **kwargs)
+    lag_side = F.lag("side").over(w)
+    lag_price = F.lag("price").over(w)
+    prev_exists = F.col("_prev_last_p").isNotNull()
+    prev_side = F.coalesce(F.col("_carry"), F.lit(1.0)).cast("int")
+    flip = (
+        F.when(lag_price.isNotNull(), (F.col("side") != lag_side).cast("double"))
+        .otherwise(F.when(prev_exists, (F.col("side") != prev_side).cast("double")))
+    )
+    spread = F.coalesce(
+        F.abs(F.col("price") - lag_price),
+        F.abs(F.col("price") - F.col("_prev_last_p")),
+    )
+    d = d.withColumn("_flip_spread", F.when(flip == 1.0, spread)).drop(*SIDE_HELPERS)
     return _directional_bar_agg(d, key, None)
 
 

@@ -124,68 +124,111 @@ def with_trade_side(df: DataFrame, by: str | None = "symbol") -> DataFrame:
     return df.withColumn("side", F.coalesce(carried, F.lit(1.0)).cast("int"))
 
 
-def with_trade_side_chunked(df: DataFrame, chunk_rows: int = 1 << 18) -> DataFrame:
+#: helper columns attached by :func:`chunked_side_frame`
+SIDE_HELPERS = ("_ck", "_raw", "_cin", "_bnz", "_carry", "_prev_last_p")
+
+DAY_NS = 86_400_000_000_000
+
+
+def with_trade_side_chunked(df: DataFrame, chunk_ns: int = DAY_NS) -> DataFrame:
     """Tick-rule side for a SINGLE un-partitioned stream without the
     global window that ``with_trade_side(by=None)`` plans as an
     ``Exchange SinglePartition``.
 
-    Chunk-partitioned evaluation (``functions.chunked_window``): the
-    sign(Δprice) lag is exact via 1-row warmup duplication; the carry of
-    the last nonzero sign crosses chunks through a per-chunk summary
-    (last nonzero sign per chunk — k rows for k chunks) prefix-joined
-    back, so every row's side equals the global form bit-for-bit
-    (signs are exact −1/0/+1 integers; no float accumulation).
+    Time-bucket evaluation in ONE window pass over the data (vs the two
+    shuffle+sort passes a row-chunk warmup-duplication design costs):
+    rows partition by coarse time chunk; all cross-chunk state — the
+    boundary Δprice sign and the carried last-nonzero sign — travels
+    through a per-chunk summary table (k rows for k chunks) combined
+    with triangular prefix joins and broadcast back. Signs are exact
+    −1/0/+1 integers, so the result equals ``with_trade_side(by=None)``
+    bit-for-bit. ``chunk_ns`` trades parallelism against skew: a chunk
+    is one task's window work, so pick it so the busiest chunk fits a
+    task (the reference data is a single month → daily chunks; at 100 TB
+    an hourly grid gives ~9k chunks/year — still a tiny summary table).
     Multi-symbol data should keep using ``with_trade_side(by='symbol')``
     — hash partitioning is cheaper than chunk machinery.
     """
-    from ..functions import chunked_window as CW
-
-    d, _ = chunked_side_frame(df, chunk_rows=chunk_rows)
-    return CW.finish(d).drop("_raw", "_cin", "_carry")
+    d, _ = chunked_side_frame(df, chunk_ns=chunk_ns)
+    return d.drop(*SIDE_HELPERS)
 
 
-def chunked_side_frame(df: DataFrame, chunk_rows: int = 1 << 18):
-    """Internal: chunked frame with ``side`` plus the chunk helper
-    columns still attached, and the per-chunk WindowSpec — for callers
-    that stack more warmup-1 window expressions (e.g.
-    ``bars.bar_directional_features_chunked``'s flip spreads) before
-    dropping the warm duplicates. Warm rows carry their exact side (a
-    nonzero boundary sign is in the prior chunk's carry summary), so a
-    lag over them is exact on every real row."""
-    from ..functions import chunked_window as CW
+def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
+    """Internal: the time-chunked frame with ``side`` plus the
+    ``SIDE_HELPERS`` columns still attached, and the per-chunk
+    WindowSpec — for callers that stack more lag-1 window expressions
+    on the same pass (``bars.bar_directional_features_chunked``'s flip
+    spreads). Cross-chunk lag state for such callers:
 
-    d = CW.with_row_chunks(
-        df, "ts_ns", warmup=1, chunk_rows=chunk_rows, tiebreak_cols=("trade_id",)
-    )
-    w = CW.chunk_window("ts_ns", "trade_id")
+    - ``_prev_last_p``: last price of the latest earlier non-empty
+      chunk (NULL only for the globally-first chunk — callers use it
+      both as the boundary lag(price) and as the "a predecessor row
+      exists" marker);
+    - ``coalesce(_carry, 1)``: the side of the previous chunk's last
+      row (the carry accumulates every earlier chunk's last nonzero
+      sign, which is exactly that row's side).
+    """
+    ck = F.col("_ck")
+    d = df.withColumn("_ck", F.floor(F.col("ts_ns") / F.lit(int(chunk_ns))))
+    w = Window.partitionBy("_ck").orderBy("ts_ns", "trade_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # in-chunk tick signs; NULL on each chunk's first row (boundary sign
+    # is reconstructed from the summary table below)
     d = d.withColumn("_raw", F.signum(F.col("price") - F.lag("price").over(w)))
     d = d.withColumn(
         "_cin",
-        F.last(F.when(F.col("_raw") != 0, F.col("_raw")), ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        F.last(F.when(F.col("_raw") != 0, F.col("_raw")), ignorenulls=True).over(wcum),
     )
-    # last nonzero sign per chunk (warm duplicates excluded: their _raw is
-    # null in the target chunk and they already count in their own chunk)
-    summ = (
-        d.where(~F.col(CW.WARM) & (F.col("_raw") != 0))
-        .groupBy(CW.CHUNK)
-        .agg(F.max_by("_raw", CW.GLOBAL_RN).alias("_lastnz"))
+    # per-chunk summary: first/last price (trade_id-keyed min_by/max_by —
+    # the canonical id-monotone contract, hash-aggregable) + last nonzero
+    # in-chunk sign and its position
+    summ = d.groupBy("_ck").agg(
+        F.min_by("price", "trade_id").alias("_first_p"),
+        F.max_by("price", "trade_id").alias("_last_p"),
+        F.max_by(
+            F.when(F.col("_raw") != 0, F.col("_raw")),
+            F.when(F.col("_raw") != 0, F.col("trade_id")),
+        ).alias("_lastnz_excl"),
     )
-    # carry into chunk k = last nonzero sign of the latest prior chunk
-    # that has one (triangular join over the tiny chunk table)
-    chunks = d.select(F.col(CW.CHUNK)).distinct()
-    carry = (
-        chunks.join(
-            summ.select(F.col(CW.CHUNK).alias("_ckb"), "_lastnz"),
-            F.col("_ckb") < F.col(CW.CHUNK),
+    # boundary sign of chunk k = sign(first_p_k − last_p of the latest
+    # earlier non-empty chunk); triangular prefix join over the k-row table
+    prevp = (
+        summ.select(ck)
+        .join(
+            summ.select(ck.alias("_ckb"), F.col("_last_p").alias("_lpb")),
+            F.col("_ckb") < ck,
             "left",
         )
-        .groupBy(CW.CHUNK)
-        .agg(F.max_by("_lastnz", "_ckb").alias("_carry"))
+        .groupBy("_ck")
+        .agg(F.max_by("_lpb", "_ckb").alias("_prev_last_p"))
     )
-    d = d.join(F.broadcast(carry), CW.CHUNK)
-    side = F.coalesce(F.col("_cin"), F.col("_carry"), F.lit(1.0)).cast("int")
+    s2 = summ.join(prevp, "_ck").select(
+        "_ck",
+        "_prev_last_p",
+        F.when(
+            F.signum(F.col("_first_p") - F.col("_prev_last_p")) != 0,
+            F.signum(F.col("_first_p") - F.col("_prev_last_p")),
+        ).alias("_bnz"),
+        "_lastnz_excl",
+    )
+    # a chunk's last nonzero sign overall = in-chunk one, else boundary
+    s2 = s2.withColumn("_nz", F.coalesce("_lastnz_excl", "_bnz"))
+    # carry into chunk k = _nz of the latest earlier chunk that has one
+    carry = (
+        s2.select(ck)
+        .join(
+            s2.where(F.col("_nz").isNotNull()).select(ck.alias("_ckb"), "_nz"),
+            F.col("_ckb") < ck,
+            "left",
+        )
+        .groupBy("_ck")
+        .agg(F.max_by("_nz", "_ckb").alias("_carry"))
+    )
+    small = s2.select("_ck", "_prev_last_p", "_bnz").join(carry, "_ck")
+    d = d.join(F.broadcast(small), "_ck")
+    # last nonzero sign at row i = in-chunk prefix, else this chunk's
+    # boundary sign, else the carry; default +1 (reference seeds +1)
+    side = F.coalesce(F.col("_cin"), F.col("_bnz"), F.col("_carry"), F.lit(1.0)).cast("int")
     return d.withColumn("side", side), w
 
 

@@ -62,7 +62,9 @@ def test_trade_side_chunked_matches_global(spark):
         r["trade_id"]: r["side"]
         for r in P.with_trade_side(tr, by=None).select("trade_id", "side").collect()
     }
-    chunked = P.with_trade_side_chunked(tr, chunk_rows=257)
+    # hourly chunks over a month of sparse data: many chunks, some empty,
+    # single-row chunks — every cross-chunk carry path gets exercised
+    chunked = P.with_trade_side_chunked(tr, chunk_ns=3_600_000_000_000)
     got = {
         r["trade_id"]: r["side"]
         for r in chunked.select("trade_id", "side").collect()
