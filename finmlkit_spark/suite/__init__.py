@@ -15,75 +15,79 @@ from . import developing_suite  # noqa: F401
 
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
-# ROUND-3 WINDOW: positions 1-29 are the 29 queries that ERRed in round 2
-# solely on the events_to_trades timestamp-dtype drift (fixed this round
-# at sources/trades.py — each must now flip to a green driver row);
-# positions 30-50 are 21 queries with no driver row in any round: the
-# never-checked families from the round-2 rotation note plus this
-# round's new simhash_near_pairs. Everything green in r1/r2 moves behind
-# position 50 (its evidence stands).
-# ROUND-4 ROTATION NOTE: the only registered queries that will still
-# lack a driver row after round 3 are: token_counts, doc_fingerprint,
-# ngram_jaccard_full (deferred from this window for space; their
-# families — text_stats/c4_filter/ngram_jaccard — are all green),
-# seq_ewma_parallel / seq_ewms_parallel / seq_ewmst_parallel /
-# seq_rsi_parallel / seq_atr_parallel (added after the window was
-# frozen; locally green vs the corresponding sequential-query oracles),
-# plus anything new in round 4.
-# Front-load exactly those next round.
+# ROUND-4 WINDOW:
+# 1-2: the two rows red in round 3 (libm/fold-order hash flakes) — now
+#      deterministic via shared-text trig (functions/dettrig.py) and
+#      integer-tick prefix sums; each must flip green;
+# 3-10: the 8 queries with no driver row in any round (round-3 rotation
+#       note): token_counts / doc_fingerprint / ngram_jaccard_full and
+#       the five seq_*_parallel closed-combine scans;
+# 11-13: the k-means family — green in r1 but re-derived this round on
+#        integer-scaled centroid updates (bit-determinism rework);
+# 14-50: every query whose IMPLEMENTATION changed in round 4 and
+#        therefore needs fresh external evidence: trade_id-keyed
+#        hash-aggregable bar builds, the chunk-parallel §2.5 demo tier,
+#        the time-bucket tick-rule side (directional/footprint paths),
+#        and the persisted-span labels pipeline.
+# Still-green-and-unchanged queries sit behind position 50; their r1/r3
+# evidence stands. Converted-but-overflowed (feat_bar_duration,
+# feat_bar_rate, feat_candle_shape, feat_daily_gap, feat_orb_break,
+# bars_resample_15m) are next round's front-load along with anything new.
 _PRIORITY = [
-    # -- the 29 adapter-ERR queries from CORRECTNESS_r02 ---------------------
+    # -- red in r3, de-flaked ------------------------------------------------
     "feat_time_cues",
-    "seq_atr_ema",
-    "tbm_meta",
     "feat_fast_stage",
-    "time_decay",
-    "class_balance",
-    "footprint_long",
-    "footprint_features",
-    "vp_profile",
-    "vp_poc",
-    "vp_hva_lva",
-    "footprint_packed",
-    "bars_resample_15m",
-    "store_inspector",
-    "time_bars_filled",
-    "seq_cusum_bars",
-    "seq_bar_duration_ewma",
-    "hurst_exponent",
-    "approx_entropy",
-    "imbalance_bars",
-    "run_bars",
-    "final_weights",
-    "zscore_peak_events",
-    "asof_sigma",
-    "asof_tolerance",
+    # -- never driver-checked ------------------------------------------------
+    "token_counts",
+    "doc_fingerprint",
+    "ngram_jaccard_full",
+    "seq_ewma_parallel",
+    "seq_ewms_parallel",
+    "seq_ewmst_parallel",
+    "seq_rsi_parallel",
+    "seq_atr_parallel",
+    # -- k-means family on the new integer-scaled updates --------------------
+    "kmeans_clusters",
+    "semantic_dedup",
+    "ann_ivf",
+    # -- implementation changed in round 4 -----------------------------------
     "pipeline_1m_features",
     "featurekit_build",
+    "time_bars_1m",
+    "tick_bars",
+    "dollar_bars",
+    "volume_bars_approx",
     "user_hourly_bars",
-    "user_sessions",
-    # -- 21 first-time queries (no driver row in any round) ------------------
-    "simhash_near_pairs",
-    "quality_score",
-    "lang_id",
-    "emb_lsh_pairs",
-    "frame_offsets",
-    "corpus_report",
-    "stratified_sample",
-    "hash_split",
-    "doc_quality_signals",
-    "decontamination",
-    "dup_spans",
-    "vocab_topk",
-    "tfidf_keywords",
-    "doc_chunks",
-    "dedup_keep_best",
-    "user_trade_side",
-    "user_ewma",
-    "user_tbm_labels",
     "user_fast_features",
-    "priority_fill_rate",
-    "vp_developing",
+    "trades_side",
+    "bar_directional_1m",
+    "footprint_long",
+    "footprint_features",
+    "footprint_packed",
+    "feat_vpin",
+    "tbm_labels",
+    "avg_uniqueness",
+    "event_concurrency",
+    "feat_return_log",
+    "feat_roc",
+    "feat_pct_change",
+    "feat_return_t",
+    "feat_sma",
+    "feat_zscore",
+    "feat_stoch_k",
+    "feat_bollinger_b",
+    "feat_parkinson",
+    "feat_atr_sma",
+    "feat_vwap_distance",
+    "feat_realized_vol",
+    "feat_burst_ratio",
+    "feat_variance_ratio",
+    "feat_kurtosis",
+    "feat_bipower",
+    "feat_flow_accel",
+    "feat_pv_corr",
+    "feat_trend_slope",
+    "feat_mean_reversion_z",
 ]
 
 
