@@ -179,6 +179,11 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
         "_cin",
         F.last(F.when(F.col("_raw") != 0, F.col("_raw")), ignorenulls=True).over(wcum),
     )
+    # storage boundary: BOTH the per-chunk summary and the main output
+    # consume the window pass above — without it the scan+shuffle+sort
+    # evaluates twice per action (Spark plans are trees). The frame is
+    # the input plus three narrow columns, so this is cheap at any scale.
+    d = d.persist()
     # per-chunk summary: first/last price (trade_id-keyed min_by/max_by —
     # the canonical id-monotone contract, hash-aggregable) + last nonzero
     # in-chunk sign and its position
