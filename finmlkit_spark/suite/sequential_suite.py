@@ -269,8 +269,20 @@ def seq_ewmst_parallel(spark, sf_dir):
 
 N_W = 14
 WD = 1.0 - 1.0 / N_W  # 13/14
-KW = 350  # (13/14)^350 ≈ 5.6e-12
-MIN_BRN = 420
+#: truncation depth of the weighted-sum oracle. (13/14)^650 ≈ 1e-21 —
+#: BELOW double epsilon relative to the smoothed averages, so the only
+#: Spark-vs-oracle residual left is reassociation ulps (~1e-15 rel) plus
+#: the decayed seed at the comparison threshold (q^(MIN_BRN−15) ≈ 9e-14):
+#: a round-6 boundary hit then needs a value within ~1e-13 of a digit
+#: boundary — ~2e-7 per value, ~1e-3 per full run. At the previous
+#: KW=350 the truncation alone was ~5.6e-12, which put ~0.2 EXPECTED
+#: boundary flips in every 8.5k-row driver hash — a coin-flip red row.
+KW = 650
+#: comparison threshold: the SMA seed's weight at brn is q^(brn−15) —
+#: 1.1e-15 relative at 480, i.e. at the reassociation floor. Bounded
+#: above by the sf0.001 suite: seq_adx compares brn > 2·MIN_BRN and
+#: sf0.001 has ~988 bars, so MIN_BRN must stay under ~490 to keep rows.
+MIN_BRN = 480
 
 
 @query(
