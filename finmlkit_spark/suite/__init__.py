@@ -30,9 +30,12 @@ from . import developing_suite  # noqa: F401
 #        the time-bucket tick-rule side (directional/footprint paths),
 #        and the persisted-span labels pipeline.
 # Still-green-and-unchanged queries sit behind position 50; their r1/r3
-# evidence stands. Converted-but-overflowed (feat_bar_duration,
-# feat_bar_rate, feat_candle_shape, feat_daily_gap, feat_orb_break,
-# bars_resample_15m) are next round's front-load along with anything new.
+# evidence stands. ROUND-5 FRONT-LOAD: the converted-but-overflowed
+# queries (feat_bar_duration, feat_bar_rate, feat_candle_shape,
+# feat_daily_gap, feat_orb_break, bars_resample_15m) plus the five new
+# round-4 analytics queries (unshipped_revenue, returned_item_report,
+# promo_revenue, order_size_histogram, supplier_nation_volume) and
+# anything new in round 5.
 _PRIORITY = [
     # -- red in r3, de-flaked ------------------------------------------------
     "feat_time_cues",

@@ -124,6 +124,160 @@ def priority_fill_rate(spark, sf_dir):
     )
 
 
+@query(
+    "unshipped_revenue",
+    """
+SELECT o.o_orderpriority,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       sum(l.l_extendedprice * (1 - l.l_discount)) / 1000000.0 AS revenue_m
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY o.o_orderpriority""",
+)
+def unshipped_revenue(spark, sf_dir):
+    """TPC-H Q3-shaped: revenue still unshipped at a date for one market
+    segment, by priority. The segment filter prunes customer BEFORE the
+    broadcast, and both date predicates push to the fact scans. (No
+    float-ordered top-k: a revenue-ordered LIMIT would make the selected
+    row set depend on last-ulp sum differences across engines.)"""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    d = F.lit("1995-03-15").cast("timestamp")
+    j = (
+        li.where(F.col("l_shipdate") > d)
+        .join(F.broadcast(o.where(F.col("o_orderdate") < d)), li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e6).alias("revenue_m"),
+    )
+
+
+@query(
+    "returned_item_report",
+    """
+SELECT n.n_name AS nation,
+       count(*) AS n_items,
+       sum(l.l_extendedprice * (1 - l.l_discount)) / 1000000.0 AS lost_revenue_m
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY n.n_name""",
+)
+def returned_item_report(spark, sf_dir):
+    """TPC-H Q10-shaped: revenue lost to returned items by customer
+    nation. Return-flag filter on the fact scan; dims broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_items"),
+        (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e6).alias(
+            "lost_revenue_m"
+        ),
+    )
+
+
+@query(
+    "promo_revenue",
+    """
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(month(l.l_shipdate) AS BIGINT) AS ship_month,
+       100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2""",
+)
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: monthly share of promo-part revenue. The part
+    dim broadcasts; the conditional sum folds into the same aggregation
+    pass as the denominator (one scan, one shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    promo = F.when(
+        F.col("p_type").like("PROMO%"),
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    ).otherwise(0.0)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+    ).agg(
+        (
+            100.0
+            * F.sum(promo)
+            / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "order_size_histogram",
+    """
+SELECT n_items, count(*) AS n_orders
+FROM (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+) GROUP BY n_items""",
+)
+def order_size_histogram(spark, sf_dir):
+    """TPC-H Q13-shaped distribution: orders bucketed by line count —
+    two chained hash aggregations, the second over an already-tiny
+    domain (AQE coalesces its shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return per.groupBy("n_items").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "supplier_nation_volume",
+    """
+SELECT n.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       sum(l.l_extendedprice * (1 - l.l_discount)) / 1000000.0 AS volume_m
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2""",
+)
+def supplier_nation_volume(spark, sf_dir):
+    """TPC-H Q7/Q9-shaped: shipped volume by supplier nation and year.
+    Supplier and nation dims broadcast; lineitem shuffles once for the
+    final group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    return j.groupBy(
+        F.col("n_name").alias("supp_nation"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(
+        (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e6).alias("volume_m")
+    )
+
+
 # --- beyond-reference information bars --------------------------------------
 #
 # Oracled on the hourly series (side = sign of the hourly return, size =
