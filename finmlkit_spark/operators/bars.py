@@ -157,20 +157,56 @@ def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int
     )
 
 
-def fill_empty_bars(bars: DataFrame, interval_ns: int, key: str = "bar_close_ns") -> DataFrame:
+def fill_empty_bars(
+    bars: DataFrame,
+    interval_ns: int,
+    key: str = "bar_close_ns",
+    chunk_bars: int = 1440,
+) -> DataFrame:
     """Re-create empty bars on the wall-clock grid, filling OHLC with the
     previous close and zero volume (``base.py:352-361``).
 
     Generates the calendar with ``sequence()`` from min to max close —
-    distributed explode, no driver loop.
+    distributed explode, no driver loop. The previous-close forward fill
+    runs partition-parallel: time chunks of ``chunk_bars`` grid slots
+    (default one day of 1-min bars), within-chunk cumulative
+    last-non-null, and a k-row per-chunk summary (last real close per
+    chunk) prefix-combined with a triangular join and broadcast back —
+    the same carry construction as ``preprocess.chunked_side_frame``,
+    exact because the fill only COPIES values. The remaining
+    single-partition node is the 1-row min/max bounds aggregate.
     """
     bounds = bars.agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
     cal = bounds.select(
         F.explode(F.sequence("lo", "hi", F.lit(interval_ns))).alias(key)
     )
     joined = cal.join(bars, key, "left")
-    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
-    prev_close = F.last("close", ignorenulls=True).over(w)
+    chunk_ns = int(interval_ns) * int(chunk_bars)
+    joined = joined.withColumn("_fck", F.floor(F.col(key) / F.lit(chunk_ns)))
+    w = (
+        Window.partitionBy("_fck")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cin = F.last("close", ignorenulls=True).over(w)
+    joined = joined.withColumn("_cin", cin)
+    summ = joined.groupBy("_fck").agg(
+        F.max_by("close", F.when(F.col("close").isNotNull(), F.col(key))).alias("_lastc")
+    )
+    carry = (
+        summ.select("_fck")
+        .join(
+            summ.where(F.col("_lastc").isNotNull()).select(
+                F.col("_fck").alias("_fckb"), "_lastc"
+            ),
+            F.col("_fckb") < F.col("_fck"),
+            "left",
+        )
+        .groupBy("_fck")
+        .agg(F.max_by("_lastc", "_fckb").alias("_carry"))
+    )
+    joined = joined.join(F.broadcast(carry), "_fck")
+    prev_close = F.coalesce("_cin", "_carry")
     return joined.select(
         key,
         F.coalesce("open", prev_close).alias("open"),

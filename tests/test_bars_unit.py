@@ -103,3 +103,18 @@ def test_salted_ohlcv_matches_unsalted(spark):
         for c in ["open", "high", "low", "close", "volume", "trades"]:
             assert plain[k][c] == salted[k][c], (k, c)
         assert abs(plain[k]["vwap"] - salted[k]["vwap"]) < 1e-9
+
+
+def test_fill_empty_bars_cross_chunk_carry(spark):
+    """Gap spanning several fill chunks (chunk_bars=2): every empty chunk
+    in between must inherit the close through the triangular carry."""
+    df = _trades(spark, [(10, 100.0, 1.0), (700, 130.0, 1.0)])
+    bars = B.bar_ohlcv(B.with_time_bar(df, 60 * SEC))
+    filled = {
+        r["bar_close_ns"] // (60 * SEC): r.asDict()
+        for r in B.fill_empty_bars(bars, 60 * SEC, chunk_bars=2).collect()
+    }
+    assert sorted(filled) == list(range(1, 12 + 1))
+    for m in range(2, 12):
+        assert filled[m]["close"] == 100.0 and filled[m]["volume"] == 0.0
+    assert filled[12]["close"] == 130.0 and filled[12]["open"] == 130.0
