@@ -179,21 +179,42 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
         "_cin",
         F.last(F.when(F.col("_raw") != 0, F.col("_raw")), ignorenulls=True).over(wcum),
     )
-    # storage boundary: BOTH the per-chunk summary and the main output
-    # consume the window pass above — without it the scan+shuffle+sort
-    # evaluates twice per action (Spark plans are trees). The frame is
-    # the input plus three narrow columns, so this is cheap at any scale.
-    d = d.persist()
-    # per-chunk summary: first/last price (trade_id-keyed min_by/max_by —
-    # the canonical id-monotone contract, hash-aggregable) + last nonzero
-    # in-chunk sign and its position
-    summ = d.groupBy("_ck").agg(
+    # per-chunk summary from the RAW stream — two hash-agg passes over a
+    # 3-column projection with k-row shuffles — NOT from the window pass
+    # above: deriving it there would either persist the full windowed
+    # frame (a 100 TB cache) or evaluate the shuffle+sort twice (Spark
+    # plans are trees). Column-pruned re-scans beat both, and keep the
+    # whole operator cache-free.
+    base = df.select(
+        F.floor(F.col("ts_ns") / F.lit(int(chunk_ns))).alias("_ck"), "price", "trade_id"
+    )
+    # first/last price per chunk (trade_id-keyed min_by/max_by — the
+    # canonical id-monotone contract, hash-aggregable)
+    s1 = base.groupBy("_ck").agg(
         F.min_by("price", "trade_id").alias("_first_p"),
         F.max_by("price", "trade_id").alias("_last_p"),
-        F.max_by(
-            F.when(F.col("_raw") != 0, F.col("_raw")),
-            F.when(F.col("_raw") != 0, F.col("trade_id")),
-        ).alias("_lastnz_excl"),
+    )
+    # last nonzero IN-CHUNK delta sign without the window: every row
+    # after the chunk's final price-change point trades at _last_p, so
+    # that change is from p_m — the last row priced differently — to
+    # _last_p, giving sign(_last_p − p_m). The changed-to row is at
+    # least the chunk's second row, so this never captures the boundary
+    # delta; NULL when the whole chunk trades at one price.
+    pm = (
+        base.join(F.broadcast(s1.select("_ck", "_last_p")), "_ck")
+        .where(F.col("price") != F.col("_last_p"))
+        .groupBy("_ck")
+        .agg(F.max_by("price", "trade_id").alias("_pm"))
+    )
+    # k rows for k chunks; persisted because every triangular prefix
+    # join below references it on BOTH sides — without a storage
+    # boundary each reference re-runs the scans+aggs (plans are trees).
+    # Unlike caching the windowed stream this is bounded at ANY data
+    # scale: one row per time chunk (~9k/year on an hourly grid).
+    summ = (
+        s1.join(pm, "_ck", "left")
+        .withColumn("_lastnz_excl", F.signum(F.col("_last_p") - F.col("_pm")))
+        .persist()
     )
     # boundary sign of chunk k = sign(first_p_k − last_p of the latest
     # earlier non-empty chunk); triangular prefix join over the k-row table
@@ -217,7 +238,8 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
         "_lastnz_excl",
     )
     # a chunk's last nonzero sign overall = in-chunk one, else boundary
-    s2 = s2.withColumn("_nz", F.coalesce("_lastnz_excl", "_bnz"))
+    # (persisted: the carry join below reads it twice)
+    s2 = s2.withColumn("_nz", F.coalesce("_lastnz_excl", "_bnz")).persist()
     # carry into chunk k = _nz of the latest earlier chunk that has one
     carry = (
         s2.select(ck)

@@ -32,9 +32,11 @@ from . import developing_suite  # noqa: F401
 # Still-green-and-unchanged queries sit behind position 50; their r1/r3
 # evidence stands. ROUND-5 FRONT-LOAD: the converted-but-overflowed
 # queries (feat_bar_duration, feat_bar_rate, feat_candle_shape,
-# feat_daily_gap, feat_orb_break, bars_resample_15m) plus the five new
+# feat_daily_gap, feat_orb_break, bars_resample_15m) plus the eleven
 # round-4 analytics queries (unshipped_revenue, returned_item_report,
-# promo_revenue, order_size_histogram, supplier_nation_volume) and
+# promo_revenue, order_size_histogram, supplier_nation_volume,
+# late_shipment_priority, large_volume_orders, discounted_part_revenue,
+# inactive_high_balance, top_supplier_revenue, forecast_revenue) and
 # anything new in round 5.
 _PRIORITY = [
     # -- red in r3, de-flaked ------------------------------------------------

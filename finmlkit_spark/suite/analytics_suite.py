@@ -449,3 +449,200 @@ def sql_shared_dialect(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SHARED_SQL)
+
+
+# --- round-4 additions: the remaining classic query shapes ------------------
+
+
+@query(
+    "late_shipment_priority",
+    """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority""",
+)
+def late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority check: EXISTS becomes a LEFT SEMI
+    join (one shuffle on the order key, lineitem never materializes into
+    the output), then a tiny-domain aggregate. All-integer output —
+    deterministic across engines."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
+@query(
+    "large_volume_orders",
+    """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       t.total_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) t ON o.o_orderkey = t.l_orderkey""",
+)
+def large_volume_orders(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume customers: HAVING over a per-order
+    quantity rollup (quantities are integer-valued doubles, so the sums
+    are exact on both engines), joined back to orders + customer. The
+    rollup prunes lineitem to 2 columns before its shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(t, o.o_orderkey == t.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "discounted_part_revenue",
+    """
+SELECT p.p_brand,
+       sum(l.l_extendedprice * (1 - l.l_discount)) / 1000.0 AS revenue_k,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand""",
+)
+def discounted_part_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive predicate join: three brand/size/
+    quantity clauses OR-ed across both sides of a part join. The
+    part-side conjuncts (brand IN, size ranges) are pushed below the
+    join; the residual disjunction evaluates post-join. Part scales with
+    lineitem (SF x 200k rows), so this stays a shuffle join at 100 TB —
+    no broadcast hint."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).groupBy("p_brand").agg(
+        (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e3).alias("revenue_k"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "inactive_high_balance",
+    """
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment""",
+)
+def inactive_high_balance(spark, sf_dir):
+    """TPC-H Q22-shaped dormant-account report: scalar-subquery
+    threshold (1-row broadcast cross join, no collect) + LEFT ANTI join
+    against recent orders, grouped by market segment. The anti join's
+    order side is date-pruned before the shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    thr = c.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    rich = c.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("_avg_bal"))
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    # balance sums in exact integer cents: order-independent on both
+    # engines, so the driver's value hash is deterministic
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        (F.sum(cents).cast("double") / 100.0).alias("total_bal"),
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    """
+WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""",
+)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: quarterly revenue rollup, max via
+    a 1-row broadcast cross join (no single-partition window), equality
+    filter back on the rollup. The max comparison is within-engine, so
+    row identity is stable; only the reported float sits at the
+    reassociation floor."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(F.col("total_rev") == F.col("_mx"))
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_rev"
+    )
+
+
+@query(
+    "forecast_revenue",
+    """
+SELECT sum(l_extendedprice * l_discount) / 1000.0 AS forecast_revenue_k,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24""",
+)
+def forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped revenue-change forecast: every predicate reaches
+    the parquet scan (date + discount + quantity all in DataFilters), a
+    2-column read, one partial+final aggregate — the canonical
+    pushdown/pruning demonstration."""
+    li = read_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (F.sum(F.col("l_extendedprice") * F.col("l_discount")) / 1e3).alias("forecast_revenue_k"),
+        F.count("*").alias("n_items"),
+    )

@@ -572,7 +572,7 @@ def ann_ivf(spark, sf_dir):
 
 @query(
     "token_counts",
-    """
+    r"""
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text,
