@@ -92,20 +92,22 @@ def triple_barrier(
     up_valid = (F.abs(up) != inf) & (up != 0.0) & ~F.isnan(up)
     dn_valid = (F.abs(dn) != inf) & (dn != 0.0) & ~F.isnan(dn)
     el = (F.col("ts_ns") - F.col("event_ts_ns")) >= F.lit(min_close_ns)
-    hit = el & ((r >= up) | (r <= dn))
-    # Window pre-pass (partitioned by event — no global sort): the ratio
-    # accumulators only see rows up to the first touch (tbm.py:109-132
-    # breaks the walk), which needs the touch ts visible per row.
-    w = Window.partitionBy("event_id")
-    j = (
-        j.withColumn("_r", r)
-        .withColumn("_el", el)
-        .withColumn("_hit", hit)
-        .withColumn("_touch0", F.min(F.when(F.col("_hit"), F.col("ts_ns"))).over(w))
-        .withColumn("_t1", F.max("ts_ns").over(w))
-    )
+    # The reference breaks the path walk at the first touch, so its
+    # ratio accumulators only see rows up to the touch (tbm.py:109-132).
+    # That prefix truncation is OBSERVATIONALLY IRRELEVANT, so no
+    # per-event window pre-pass is needed: max_urbr/max_lrbr feed
+    # barrier_ratio only in the `touch_ts == last_ts` branch below —
+    # i.e. no touch at all, or a touch on the path's final row — and in
+    # both cases "rows up to the touch" already means every eligible
+    # row. A touch strictly before the last row lands in the
+    # `.otherwise(1.0)` branch, where the accumulators are discarded.
+    # Dropping the window keeps the plan a pure join + hash aggregate:
+    # partial (map-side) aggregation collapses the joined path rows
+    # before the shuffle, so only ~|events| combine buffers move —
+    # the window form forced a full exchange+sort of every path row.
+    j = j.withColumn("_r", r).withColumn("_el", el)
     rr = F.col("_r")
-    inc = F.col("_el") & (F.col("ts_ns") <= F.coalesce("_touch0", "_t1"))
+    inc = F.col("_el")
     agg = j.groupBy(
         "event_id", "event_ts_ns", "entry_price", "target", "vert_ts_ns", "side"
     ).agg(
