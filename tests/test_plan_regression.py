@@ -69,6 +69,20 @@ def test_no_single_partition_exchange(spark, name):
     )
 
 
+def test_triple_barrier_is_pure_join_aggregate(spark):
+    """The TBM plan must stay a range join + hash aggregate with
+    map-side partial aggregation: no per-event Window operator (the old
+    _touch0 pre-pass forced a full exchange+sort of every joined path
+    row and disabled partial aggregation — see the case analysis in
+    ``operators/labels.py::triple_barrier``)."""
+    df = QUERIES["tbm_labels"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"tbm_labels: Window op reappeared:\n{plan}"
+    assert "partial_min" in plan, (
+        f"tbm_labels: partial (map-side) aggregation missing:\n{plan}"
+    )
+
+
 def test_guard_covers_current_feat_tier():
     """Every feat_* registry query is either guarded or an explicit,
     documented exception — adding a new one forces a decision here."""
