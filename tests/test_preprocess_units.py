@@ -72,3 +72,47 @@ def test_trade_side_chunked_matches_global(spark):
     assert got == glob and len(got) >= 1000
     plan = chunked._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_trade_side_chunked_plateaus_and_constant_chunks(spark):
+    """Adversarial stream for the raw-side chunk summary: the last
+    nonzero in-chunk delta is derived as sign(last_p - p_m) where p_m is
+    the last row priced differently from the chunk's final plateau —
+    exercise constant-price chunks (no p_m), chunks that END in long
+    plateaus, single-row chunks, and boundary deltas of every sign,
+    against the global-window tick rule."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import preprocess as P
+
+    MIN = 60_000_000_000  # put each group of trades in its own minute-chunk
+    rows = []
+    tid = 0
+
+    def add(minute, prices):
+        nonlocal tid
+        for i, p in enumerate(prices):
+            rows.append((minute * MIN + i * 1_000_000, tid, float(p)))
+            tid += 1
+
+    add(0, [100.0])                       # single-row first chunk
+    add(1, [100.0, 100.0, 100.0])         # constant chunk, equal to prev close
+    add(2, [100.0, 101.0, 101.0, 101.0])  # one change then trailing plateau
+    add(3, [101.0])                       # single row equal to prev close
+    add(5, [99.0])                        # empty chunk 4, then a down boundary
+    add(6, [99.0, 98.0, 99.0, 99.0])      # down then up, trailing plateau
+    add(7, [97.0, 97.0])                  # down boundary, constant chunk
+    add(9, [98.0, 97.0, 98.0])            # empty chunk 8; ends on up
+    add(10, [98.0, 98.0])                 # flat boundary, constant chunk
+
+    tr = spark.createDataFrame(rows, "ts_ns long, trade_id long, price double")
+    tr = tr.withColumn("qty", F.lit(1.0))
+    glob = {
+        r["trade_id"]: r["side"]
+        for r in P.with_trade_side(tr, by=None).select("trade_id", "side").collect()
+    }
+    got = {
+        r["trade_id"]: r["side"]
+        for r in P.with_trade_side_chunked(tr, chunk_ns=MIN).select("trade_id", "side").collect()
+    }
+    assert got == glob
