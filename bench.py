@@ -40,6 +40,14 @@ HEADLINE = [
     "segment_dedup",
     "simhash_near_pairs",
     "ngram_jaccard",
+    # general star-schema analytics (round-4 additions: the classic
+    # join/agg shapes — pushdown scan, semi-join, HAVING rollup,
+    # scalar-subquery max — measured alongside the domain operators)
+    "pricing_summary",
+    "forecast_revenue",
+    "late_shipment_priority",
+    "large_volume_orders",
+    "top_supplier_revenue",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in
