@@ -158,6 +158,29 @@ def main():
     flag_sec = timed_safe(flag)
     spark.catalog.clearCache()
 
+    # avg-uniqueness crossover: 4M trades x 40k overlapping spans. The
+    # range-join form materializes every (event, in-span trade) pair
+    # (~100 rows per event here; unbounded in span length); the fused
+    # sweep exchanges the trade stream once and reads prefix sums at the
+    # 80k marker rows. Records where the sweep's fixed small-table
+    # machinery pays for itself (at sf0.1's 1k events it does not).
+    from finmlkit_spark.operators import labels as LB
+
+    n_uniq = 4_000_000
+    utr = spark.range(n_uniq).select(
+        (F.col("id") * 1_000_000_000).alias("ts_ns"), F.col("id").alias("trade_id")
+    )
+    uspans = spark.range(n_uniq // 100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 100_000_000_000).alias("event_ts_ns"),
+        (F.col("id") * 100_000_000_000 + 250_000_000_000).alias("touch_ts_ns"),
+    )
+    uniq_rj_sec = timed_safe(
+        LB.average_uniqueness(uspans, LB.concurrency(uspans, utr), bucket_ns=3_600_000_000_000)
+    )
+    uniq_sw_sec = timed_safe(LB.average_uniqueness_sweep(uspans, utr))
+    spark.catalog.clearCache()
+
     # --- headline queries (best-of-2: first pass includes plan+codegen
     # warmup; shared-host timing noise often exceeds 2x) -------------------
     times: dict[str, float] = {}
@@ -191,6 +214,8 @@ def main():
                 "synthetic_feature_windows": tput(n_feat, feat_sec, features=6),
                 "synthetic_feature_windows_exact_frames": tput(n_feat, feat_exact_sec, features=6),
                 "synthetic_chunked_flagship_single_symbol": tput(n_flag, flag_sec, features=12),
+                "synthetic_avg_uniqueness_range_join": tput(n_uniq, uniq_rj_sec),
+                "synthetic_avg_uniqueness_sweep": tput(n_uniq, uniq_sw_sec),
             }
         )
     )

@@ -241,6 +241,162 @@ def average_uniqueness(spans: DataFrame, trades_c: DataFrame, bucket_ns: int | N
     )
 
 
+def average_uniqueness_sweep(
+    spans: DataFrame, trades: DataFrame, chunk_ns: int = 3_600_000_000_000
+) -> DataFrame:
+    """Per-event mean(1/c) in ONE sweep over the trade stream — the
+    fused form of ``concurrency`` + ``average_uniqueness`` (reference
+    ``weights.py:7-49``), with no per-(event, trade) interval join.
+
+    Every per-span aggregate of a prefix-summable quantity is a
+    difference of running sums read AT the span's own sweep markers:
+    with S(t) = Σ_{trades ≤ t} 1/c(t) and N(t) the running trade count,
+
+        uniqueness_i = (S(e_i) − S(s_i−)) / (N(e_i) − N(s_i−)),
+
+    and the +1/−1 markers (prio 0, sorted before same-ts trades) sit at
+    exactly s_i− and e_i. The whole computation is one consumer chain —
+    no subtree is referenced twice, so nothing data-scale is persisted
+    or recomputed:
+
+    1. per-chunk concurrency offsets come from the SPANS table alone
+       (start/end counts per time chunk, cumulated over a dense k-row
+       chunk axis built with one broadcast triangular join — sum of all
+       deltas is 0, so chunks outside the span range coalesce to 0);
+    2. one exchange+sort of (trades ∪ markers) by time chunk feeds a
+       first window pass (in-chunk running Σdelta and the chunk-head
+       row number), a broadcast join of the offsets (c = exact integer),
+       and a second window pass in the SAME partitioning/order (no new
+       exchange or sort): in-chunk running S and N plus full-frame
+       per-chunk S/N totals;
+    3. only marker rows and chunk-head rows survive the filter
+       (2·|events| + k rows); chunk-head rows carry the per-chunk S/N
+       totals into a triangular prefix (cross-chunk offsets), markers
+       read their offset + in-chunk running value, and a per-event
+       pivot of the two markers emits the quotient.
+
+    Scale: the trade stream crosses the wire ONCE (the chunk exchange);
+    the range-join form (`average_uniqueness`) shuffles it twice more
+    and materializes |span|·|events|-bounded join rows. Float posture:
+    S is a prefix-sum difference, so values match the per-span fold at
+    the reassociation floor (~1e-13 rel after cancellation) — inside
+    the driver-tolerated quantum, but use the range-join form when
+    bit-reproducing a per-span fold matters.
+    """
+    ck_of = lambda c: F.floor(c / F.lit(int(chunk_ns)))  # noqa: E731
+    # -- (1) concurrency offsets from spans only (small side) -------------
+    sd = spans.select(ck_of(F.col("event_ts_ns")).alias("_ck"), F.lit(1).alias("_d")).unionByName(
+        spans.select(ck_of(F.col("touch_ts_ns") + 1).alias("_ck"), F.lit(-1).alias("_d"))
+    )
+    per_ck = sd.groupBy("_ck").agg(F.sum("_d").alias("_dt"))
+    rng = spans.agg(
+        F.min(ck_of(F.col("event_ts_ns"))).alias("_lo"),
+        F.max(ck_of(F.col("touch_ts_ns") + 1)).alias("_hi"),
+    )
+    axis = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_ck"))
+    dense = axis.join(per_ck, "_ck", "left").select(
+        "_ck", F.coalesce("_dt", F.lit(0)).alias("_dt")
+    )
+    doff = (
+        dense.select("_ck")
+        .join(
+            dense.select(F.col("_ck").alias("_ckb"), F.col("_dt").alias("_dtb")),
+            F.col("_ckb") < F.col("_ck"),
+            "left",
+        )
+        .groupBy("_ck")
+        .agg(F.coalesce(F.sum("_dtb"), F.lit(0)).alias("_doff"))
+    )
+    # -- (2) one pass over trades ∪ markers -------------------------------
+    mk = spans.select(
+        "event_id",
+        "event_ts_ns",
+        F.col("event_ts_ns").alias("ts_ns"),
+        F.lit(1).alias("_delta"),
+        F.lit(0).alias("_prio"),
+        F.lit(1).alias("_is_start"),
+    ).unionByName(
+        spans.select(
+            "event_id",
+            "event_ts_ns",
+            (F.col("touch_ts_ns") + 1).alias("ts_ns"),
+            F.lit(-1).alias("_delta"),
+            F.lit(0).alias("_prio"),
+            F.lit(0).alias("_is_start"),
+        )
+    )
+    tr = trades.select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("event_ts_ns"),
+        "ts_ns",
+        F.lit(0).alias("_delta"),
+        F.lit(1).alias("_prio"),
+        F.lit(None).cast("int").alias("_is_start"),
+    )
+    u = mk.unionByName(tr).withColumn("_ck", ck_of(F.col("ts_ns")))
+    w = Window.partitionBy("_ck").orderBy("ts_ns", "_prio")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    u = u.withColumn("_cd", F.sum("_delta").over(wcum)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    u = u.join(F.broadcast(doff), "_ck", "left")
+    c = F.coalesce("_doff", F.lit(0)) + F.col("_cd")
+    s_term = F.when((F.col("_prio") == 1) & (c > 0), F.lit(1.0) / c).otherwise(F.lit(0.0))
+    n_term = F.when(F.col("_prio") == 1, F.lit(1)).otherwise(F.lit(0))
+    u = (
+        u.withColumn("_s_in", F.sum(s_term).over(wcum))
+        .withColumn("_n_in", F.sum(n_term).over(wcum))
+        .withColumn("_s_tot", F.sum(s_term).over(wall))
+        .withColumn("_n_tot", F.sum(n_term).over(wall))
+    )
+    # persisted: both the cross-chunk offset build and the marker probe
+    # read it, and without a storage boundary each would re-run the
+    # whole sweep (plans are trees). Bounded at any scale: 2 rows per
+    # event + 1 per time chunk.
+    small = u.where((F.col("_prio") == 0) | (F.col("_rn") == 1)).select(
+        "event_id", "event_ts_ns", "_is_start", "_prio", "_rn", "_ck",
+        "_s_in", "_n_in", "_s_tot", "_n_tot",
+    ).persist()
+    # -- (3) small-table machinery (2|events| + k rows) -------------------
+    heads = small.where(F.col("_rn") == 1).select("_ck", "_s_tot", "_n_tot")
+    soff = (
+        heads.select("_ck")
+        .join(
+            heads.select(
+                F.col("_ck").alias("_ckb"),
+                F.col("_s_tot").alias("_sb"),
+                F.col("_n_tot").alias("_nb"),
+            ),
+            F.col("_ckb") < F.col("_ck"),
+            "left",
+        )
+        .groupBy("_ck")
+        .agg(
+            F.coalesce(F.sum("_sb"), F.lit(0.0)).alias("_soff"),
+            F.coalesce(F.sum("_nb"), F.lit(0)).alias("_noff"),
+        )
+    )
+    marks = small.where(F.col("_prio") == 0).join(F.broadcast(soff), "_ck")
+    S = F.col("_soff") + F.col("_s_in")
+    N = F.col("_noff") + F.col("_n_in")
+    piv = marks.groupBy("event_id", "event_ts_ns").agg(
+        (
+            F.max(F.when(F.col("_is_start") == 0, S))
+            - F.max(F.when(F.col("_is_start") == 1, S))
+        ).alias("_s_span"),
+        (
+            F.max(F.when(F.col("_is_start") == 0, N))
+            - F.max(F.when(F.col("_is_start") == 1, N))
+        ).alias("_n_span"),
+    )
+    return piv.where(F.col("_n_span") > 0).select(
+        "event_id",
+        "event_ts_ns",
+        (F.col("_s_span") / F.col("_n_span")).alias("uniqueness"),
+    )
+
+
 def return_attribution(
     spans: DataFrame, trades_rc: DataFrame, normalize: bool = False, bucket_ns: int | None = None
 ) -> DataFrame:

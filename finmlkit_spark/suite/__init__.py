@@ -72,6 +72,7 @@ _PRIORITY = [
     "feat_vpin",
     "tbm_labels",
     "avg_uniqueness",
+    "avg_uniqueness_sweep",
     "event_concurrency",
     "feat_return_log",
     "feat_roc",

@@ -258,6 +258,23 @@ def avg_uniqueness(spark, sf_dir):
 
 
 @query(
+    "avg_uniqueness_sweep",
+    _UNIQ + "SELECT event_id, event_ts_ns, uniqueness FROM uq",
+)
+def avg_uniqueness_sweep(spark, sf_dir):
+    """The same average uniqueness via the fused single-sweep operator
+    (``labels.average_uniqueness_sweep``): concurrency and the per-span
+    mean collapse into one pass — the trade stream crosses the wire
+    once and each event reads running prefix sums at its own sweep
+    markers, so no per-(event, trade) interval join rows ever
+    materialize. The 100 TB path; the range-join form above has lower
+    fixed constants at bench scale (crossover measured in SCALE.md).
+    Differential-tested bit-identical to ``avg_uniqueness``."""
+    _, tr, spans = _trades_c(spark, sf_dir)
+    return L.average_uniqueness_sweep(spans, tr, chunk_ns=HOUR_NS)
+
+
+@query(
     "return_attribution",
     _CONC
     + """,

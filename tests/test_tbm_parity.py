@@ -167,3 +167,44 @@ def test_tbm_vertical_ratio_damping(spark):
     row = L.triple_barrier(ev, trades, 10 * 1_000_000_000).collect()[0]
     assert row["label"] == 0
     assert math.isclose(row["barrier_ratio"], 0.8 / 1.4, rel_tol=1e-9)
+
+
+def test_average_uniqueness_sweep_matches_range_join(spark):
+    """The fused single-sweep operator must reproduce the range-join
+    form exactly — including events whose spans overlap arbitrarily,
+    abut at equal timestamps, sit inside empty chunks, or cover no
+    trades at all (dropped by both forms)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    H = 3_600_000_000_000
+    n = 5000
+    # trades scattered over ~6 hours with dense and empty stretches
+    ts = np.sort(rng.choice(np.arange(0, 6 * H, 1_000_000, dtype=np.int64), n, replace=False))
+    trades = spark.createDataFrame(
+        [(int(t), int(i)) for i, t in enumerate(ts)], "ts_ns long, trade_id long"
+    )
+    # overlapping spans incl. equal-start pairs and a span in a gap
+    spans_rows = []
+    for i in range(60):
+        s = int(ts[rng.integers(0, n - 100)])
+        e = s + int(rng.integers(1, 2 * H))
+        spans_rows.append((i, s, e))
+    spans_rows.append((60, int(ts[10]), int(ts[10])))          # point span
+    spans_rows.append((61, spans_rows[0][1], spans_rows[0][2]))  # duplicate span
+    spans_rows.append((62, int(6 * H + 1), int(6 * H + 2)))    # no trades inside
+    spans = spark.createDataFrame(spans_rows, "event_id long, event_ts_ns long, touch_ts_ns long")
+
+    c = L.concurrency(spans, trades)
+    old = {
+        r["event_id"]: r["uniqueness"]
+        for r in L.average_uniqueness(spans, c).collect()
+    }
+    new = {
+        r["event_id"]: r["uniqueness"]
+        for r in L.average_uniqueness_sweep(spans, trades).collect()
+    }
+    assert set(new) == set(old) and 62 not in new
+    for k, v in old.items():
+        assert abs(new[k] - v) <= 1e-12 * max(1.0, abs(v)), (k, v, new[k])
