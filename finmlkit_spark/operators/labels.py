@@ -241,12 +241,20 @@ def average_uniqueness(spans: DataFrame, trades_c: DataFrame, bucket_ns: int | N
     )
 
 
-def average_uniqueness_sweep(
-    spans: DataFrame, trades: DataFrame, chunk_ns: int = 3_600_000_000_000
+def span_sweep(
+    spans: DataFrame,
+    trades: DataFrame,
+    val_col: str | None = None,
+    chunk_ns: int = 3_600_000_000_000,
 ) -> DataFrame:
-    """Per-event mean(1/c) in ONE sweep over the trade stream — the
-    fused form of ``concurrency`` + ``average_uniqueness`` (reference
-    ``weights.py:7-49``), with no per-(event, trade) interval join.
+    """Per-event (Σ val/c, trade count) over each span in ONE sweep of
+    the trade stream — the fused core behind
+    ``average_uniqueness_sweep`` (val ≡ 1) and
+    ``return_attribution_sweep`` (val = per-trade log return), with no
+    per-(event, trade) interval join. Returns
+    ``(event_id, event_ts_ns, s_span, n_span)``; null ``val`` rows
+    contribute nothing to ``s_span`` (matching a SQL SUM) but do count
+    in ``n_span``.
 
     Every per-span aggregate of a prefix-summable quantity is a
     difference of running sums read AT the span's own sweep markers:
@@ -294,8 +302,14 @@ def average_uniqueness_sweep(
         F.max(ck_of(F.col("touch_ts_ns") + 1)).alias("_hi"),
     )
     axis = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_ck"))
-    dense = axis.join(per_ck, "_ck", "left").select(
-        "_ck", F.coalesce("_dt", F.lit(0)).alias("_dt")
+    # persisted (k rows): the triangular prefix below references it on
+    # both sides, and without a storage boundary every reference
+    # re-runs the spans scan + scalar bounds aggregate — the plan tree
+    # replicated that subtree ~20x before this cut
+    dense = (
+        axis.join(per_ck, "_ck", "left")
+        .select("_ck", F.coalesce("_dt", F.lit(0)).alias("_dt"))
+        .persist()
     )
     doff = (
         dense.select("_ck")
@@ -325,6 +339,7 @@ def average_uniqueness_sweep(
             F.lit(0).alias("_is_start"),
         )
     )
+    val = F.col(val_col) if val_col is not None else F.lit(1.0)
     tr = trades.select(
         F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("long").alias("event_ts_ns"),
@@ -332,7 +347,9 @@ def average_uniqueness_sweep(
         F.lit(0).alias("_delta"),
         F.lit(1).alias("_prio"),
         F.lit(None).cast("int").alias("_is_start"),
+        val.cast("double").alias("_val"),
     )
+    mk = mk.withColumn("_val", F.lit(None).cast("double"))
     u = mk.unionByName(tr).withColumn("_ck", ck_of(F.col("ts_ns")))
     w = Window.partitionBy("_ck").orderBy("ts_ns", "_prio")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -342,12 +359,13 @@ def average_uniqueness_sweep(
     )
     u = u.join(F.broadcast(doff), "_ck", "left")
     c = F.coalesce("_doff", F.lit(0)) + F.col("_cd")
-    s_term = F.when((F.col("_prio") == 1) & (c > 0), F.lit(1.0) / c).otherwise(F.lit(0.0))
+    # null _val -> null term -> skipped by SUM (SQL semantics)
+    s_term = F.when((F.col("_prio") == 1) & (c > 0), F.col("_val") / c)
     n_term = F.when(F.col("_prio") == 1, F.lit(1)).otherwise(F.lit(0))
     u = (
-        u.withColumn("_s_in", F.sum(s_term).over(wcum))
+        u.withColumn("_s_in", F.coalesce(F.sum(s_term).over(wcum), F.lit(0.0)))
         .withColumn("_n_in", F.sum(n_term).over(wcum))
-        .withColumn("_s_tot", F.sum(s_term).over(wall))
+        .withColumn("_s_tot", F.coalesce(F.sum(s_term).over(wall), F.lit(0.0)))
         .withColumn("_n_tot", F.sum(n_term).over(wall))
     )
     # persisted: both the cross-chunk offset build and the marker probe
@@ -390,11 +408,52 @@ def average_uniqueness_sweep(
             - F.max(F.when(F.col("_is_start") == 1, N))
         ).alias("_n_span"),
     )
-    return piv.where(F.col("_n_span") > 0).select(
+    return piv.select(
         "event_id",
         "event_ts_ns",
-        (F.col("_s_span") / F.col("_n_span")).alias("uniqueness"),
+        F.col("_s_span").alias("s_span"),
+        F.col("_n_span").alias("n_span"),
     )
+
+
+def average_uniqueness_sweep(
+    spans: DataFrame, trades: DataFrame, chunk_ns: int = 3_600_000_000_000
+) -> DataFrame:
+    """Per-event mean(1/c) via :func:`span_sweep` (reference
+    ``weights.py:7-49``) — identical output to ``average_uniqueness``
+    (differential-tested), one exchange of the trade stream."""
+    s = span_sweep(spans, trades, val_col=None, chunk_ns=chunk_ns)
+    return s.where(F.col("n_span") > 0).select(
+        "event_id",
+        "event_ts_ns",
+        (F.col("s_span") / F.col("n_span")).alias("uniqueness"),
+    )
+
+
+def return_attribution_sweep(
+    spans: DataFrame,
+    trades_r: DataFrame,
+    normalize: bool = False,
+    chunk_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Per-event |Σ r/c| via :func:`span_sweep` (reference
+    ``weights.py:52-103``) — identical output to ``return_attribution``
+    without materializing the interval join; ``trades_r``:
+    ``(ts_ns, r)`` with r the per-trade log return (null on the first
+    trade, skipped like SQL SUM)."""
+    s = span_sweep(spans, trades_r, val_col="r", chunk_ns=chunk_ns)
+    out = s.where(F.col("n_span") > 0).select(
+        "event_id", "event_ts_ns", F.abs(F.col("s_span")).alias("attribution")
+    )
+    if normalize:
+        tot = out.agg(F.sum("attribution").alias("_tot"))
+        n = out.crossJoin(F.broadcast(tot))
+        out = n.select(
+            "event_id",
+            "event_ts_ns",
+            (F.col("attribution") / F.col("_tot")).alias("attribution"),
+        )
+    return out
 
 
 def return_attribution(

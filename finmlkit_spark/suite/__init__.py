@@ -73,6 +73,7 @@ _PRIORITY = [
     "tbm_labels",
     "avg_uniqueness",
     "avg_uniqueness_sweep",
+    "return_attribution_sweep",
     "event_concurrency",
     "feat_return_log",
     "feat_roc",

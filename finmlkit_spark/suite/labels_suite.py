@@ -302,6 +302,39 @@ def return_attribution_q(spark, sf_dir):
 
 
 @query(
+    "return_attribution_sweep",
+    _CONC
+    + """,
+tr_r AS (
+  SELECT ts_ns, ln(price / lag(price) OVER (ORDER BY ts_ns, trade_id)) AS r
+  FROM trades
+),
+trc AS (
+  SELECT t.ts_ns, t.r, c.c FROM tr_r t JOIN conc c ON c.ts_ns = t.ts_ns
+)
+SELECT l.event_id, l.event_ts_ns, abs(sum(t.r / t.c)) AS attribution
+FROM lab l JOIN trc t ON t.ts_ns >= l.event_ts_ns AND t.ts_ns <= l.touch_ts_ns
+GROUP BY l.event_id, l.event_ts_ns""",
+)
+def return_attribution_sweep_q(spark, sf_dir):
+    """The same attribution via the fused span sweep
+    (``labels.return_attribution_sweep``): one exchange of the trade
+    stream, no interval-join rows, AND no global-window log return —
+    per-trade r comes from the chunk-parallel lag (cross-chunk previous
+    price rides the ``chunked_side_frame`` carry table), so the whole
+    plan is SinglePartition-free, unlike the demo form above."""
+    from ..operators import preprocess as P
+
+    _, tr, spans = _trades_c(spark, sf_dir)
+    d, w = P.chunked_side_frame(tr)
+    r = F.log(
+        F.col("price") / F.coalesce(F.lag("price").over(w), F.col("_prev_last_p"))
+    )
+    tr_r = d.select("ts_ns", r.alias("r"))
+    return L.return_attribution_sweep(spans, tr_r, chunk_ns=HOUR_NS)
+
+
+@query(
     "time_decay",
     _UNIQ
     + """,

@@ -208,3 +208,59 @@ def test_average_uniqueness_sweep_matches_range_join(spark):
     assert set(new) == set(old) and 62 not in new
     for k, v in old.items():
         assert abs(new[k] - v) <= 1e-12 * max(1.0, abs(v)), (k, v, new[k])
+
+
+def test_return_attribution_sweep_matches_range_join(spark):
+    """|Σ r/c| via the fused sweep == the range-join form on an
+    adversarial stream (overlaps, equal-ts trades sharing one c, nulls
+    on the first return), and its full plan — including the
+    chunk-parallel log return — has no single-partition exchange."""
+    import numpy as np
+    from pyspark.sql import functions as F, Window
+
+    rng = np.random.default_rng(11)
+    H = 3_600_000_000_000
+    n = 4000
+    ts = np.sort(rng.choice(np.arange(0, 5 * H, 2_000_000, dtype=np.int64), n, replace=False))
+    ts[100] = ts[99]  # equal-ts pair sharing one concurrency value
+    price = 100.0 * np.exp(np.cumsum(rng.normal(0, 1e-4, n)))
+    trades = spark.createDataFrame(
+        [(int(t), int(i), float(p)) for i, (t, p) in enumerate(zip(ts, price))],
+        "ts_ns long, trade_id long, price double",
+    )
+    spans = spark.createDataFrame(
+        [(i, int(ts[rng.integers(0, n - 200)]), int(rng.integers(1, H))) for i in range(40)],
+        "event_id long, event_ts_ns long, dur long",
+    ).select("event_id", "event_ts_ns", (F.col("event_ts_ns") + F.col("dur")).alias("touch_ts_ns"))
+
+    c = L.concurrency(spans, trades)
+    wg = Window.orderBy("ts_ns", "trade_id")
+    tr_r = trades.select(
+        "ts_ns", F.log(F.col("price") / F.lag("price").over(wg)).alias("r")
+    )
+    old = {
+        r["event_id"]: r["attribution"]
+        for r in L.return_attribution(spans, tr_r.join(c.dropDuplicates(["ts_ns"]), "ts_ns")).collect()
+    }
+
+    from finmlkit_spark.operators import preprocess as P
+
+    d, w = P.chunked_side_frame(trades, chunk_ns=H)
+    rr = F.log(F.col("price") / F.coalesce(F.lag("price").over(w), F.col("_prev_last_p")))
+    sweep_df = L.return_attribution_sweep(spans, d.select("ts_ns", rr.alias("r")), chunk_ns=H)
+    new = {r["event_id"]: r["attribution"] for r in sweep_df.collect()}
+    assert set(new) == set(old)
+    for k, v in old.items():
+        assert abs(new[k] - v) <= 1e-9 * max(1.0, abs(v)), (k, v, new[k])
+    plan = sweep_df._jdf.queryExecution().executedPlan().toString()
+    # the only single-partition exchanges allowed are scalar aggregates
+    # (the min/max chunk-bounds over the SPANS table — map-side
+    # partials reduce them to one row per task first, benign at any
+    # scale; the cached axis subtree prints several copies). Any other
+    # one means the global-window log return or a global sort crept
+    # back into the trade-stream path.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            ctx = " ".join(lines[max(0, i - 2): i])
+            assert "HashAggregate(keys=[]" in ctx, f"non-scalar SinglePartition:\n{ctx}\n{line}"
