@@ -425,6 +425,72 @@ def decontaminate(
     return hits.select(F.col("doc").alias(id_col), "n_shared")
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    num_bits: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — IDENTICAL output to
+    :func:`decontaminate`, different scale envelope.
+
+    ``decontaminate`` broadcasts the benchmark's exploded shingle set:
+    right when the benchmark is eval-set-sized, impossible when it is
+    itself corpus-scale (e.g. stripping one corpus from another). Here
+    the benchmark folds into a Bloom filter expressed in pure DataFrame
+    algebra (OSS Spark does not register ``bloom_filter_agg`` in the
+    SQL function registry, so the bitset is its relational dual): the
+    "set bits" are the DISTINCT values of ``j`` hash probes modulo
+    ``num_bits`` — a table of AT MOST ``num_bits`` ints no matter how
+    many benchmark rows fold in — broadcast once; a corpus shingle is a
+    candidate only if ALL ``j`` of its probe positions hit (classic
+    Bloom AND-semantics, fpp ≈ load^j), and only candidates — a
+    vanishing fraction when the filter is sized sanely — take the
+    exact shingle join that establishes the real ``n_shared``.
+    Exactness does NOT depend on the filter size: false positives only
+    grow the verify join, false negatives cannot happen (probe i of a
+    present shingle is by construction in the distinct-position set) —
+    property-tested with a deliberately saturated 64-position filter.
+
+    Size ``num_bits`` ≈ 10·|benchmark shingles| for ~1% fpp at j=2.
+    """
+    j = 2
+    d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
+    bsh = benchmark.select(F.explode(shingle_hashes(text_col)).alias("g"))
+
+    def probe(i: int):
+        return F.pmod(F.xxhash64(F.col("g"), F.lit(i)), F.lit(num_bits))
+
+    bits = (
+        bsh.select(F.explode(F.array(*[probe(i) for i in range(j)])).alias("pos"))
+        .distinct()
+    )
+    e = d.select("doc", F.explode("sh").alias("g"))
+    probes = e.select(
+        "doc", "g", F.explode(F.array(*[probe(i) for i in range(j)])).alias("pos")
+    )
+    cand = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == j)
+        .select("doc", "g")
+    )
+    # exact verify on the candidates: plain equi-join (no broadcast
+    # hint — the benchmark shingle set may be corpus-scale; AQE picks
+    # the strategy). distinct on the benchmark side keeps n_shared =
+    # number of distinct shared shingles, matching decontaminate().
+    hits = (
+        cand.join(bsh.distinct(), "g")
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return hits.select(F.col("doc").alias(id_col), "n_shared")
+
+
 def dup_span_fraction(
     docs: DataFrame,
     text_col: str = "text",

@@ -32,7 +32,11 @@ from . import developing_suite  # noqa: F401
 # Still-green-and-unchanged queries sit behind position 50; their r1/r3
 # evidence stands. ROUND-5 FRONT-LOAD: the converted-but-overflowed
 # queries (feat_bar_duration, feat_bar_rate, feat_candle_shape,
-# feat_daily_gap, feat_orb_break, bars_resample_15m) plus the eleven
+# feat_daily_gap, feat_orb_break, bars_resample_15m, and — pushed past
+# position 50 by the round-4 sweep/bloom insertions — feat_pv_corr,
+# feat_trend_slope, feat_mean_reversion_z; the chunk-conversion
+# mechanism they share is already covered by 14 in-window siblings)
+# plus the eleven
 # round-4 analytics queries (unshipped_revenue, returned_item_report,
 # promo_revenue, order_size_histogram, supplier_nation_volume,
 # late_shipment_priority, large_volume_orders, discounted_part_revenue,
@@ -74,6 +78,7 @@ _PRIORITY = [
     "avg_uniqueness",
     "avg_uniqueness_sweep",
     "return_attribution_sweep",
+    "decontamination_bloom",
     "event_concurrency",
     "feat_return_log",
     "feat_roc",

@@ -760,6 +760,31 @@ def decontamination_q(spark, sf_dir):
 
 
 @query(
+    "decontamination_bloom",
+    _SHQ
+    + """
+, bmk AS (SELECT DISTINCT unnest(sh) AS g FROM shq WHERE doc_id % 97 = 0),
+e AS (SELECT doc_id, unnest(sh) AS g FROM shq WHERE doc_id % 97 <> 0)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM e JOIN bmk USING (g)
+GROUP BY e.doc_id
+HAVING count(*) >= 1""",
+)
+def decontamination_bloom_q(spark, sf_dir):
+    """The same decontamination through a fixed-size Bloom sketch
+    (``dedup.decontaminate_bloom``): the benchmark folds into a
+    ``bloom_filter_agg`` binary (bounded bytes however large the
+    benchmark), corpus shingles prefilter via ``might_contain``, and
+    only survivors take the exact verify join — identical output to
+    `decontamination` (same oracle), usable when the benchmark side is
+    itself corpus-scale and cannot broadcast."""
+    docs = _docs(spark, sf_dir)
+    bmk = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.decontaminate_bloom(train, bmk, min_shared=1)
+
+
+@query(
     "mixture_sample",
     f"""
 WITH h AS (SELECT doc_id, source, {_PH_TEXT} AS ph FROM documents),

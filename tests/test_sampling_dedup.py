@@ -212,3 +212,31 @@ def test_keep_best_per_cluster(spark):
         for r in D.keep_best_per_cluster(clusters, quality).collect()
     }
     assert out == {1: 2, 3: 3, 4: 4}  # cluster 4: quality tie -> lowest id
+
+
+def test_decontaminate_bloom_exact_even_when_saturated(spark):
+    """A deliberately tiny (64-position) filter makes almost every
+    corpus shingle a Bloom candidate — the exact verify join must still
+    produce output identical to the broadcast-exact decontaminate()."""
+    from finmlkit_spark.operators import dedup as D
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "the quick brown fox naps all day long"),
+        (3, "completely unrelated sentence about spark plans"),
+        (4, "jumps over the lazy dog again and again"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    bmk = docs.where("doc_id = 0")
+    train = docs.where("doc_id <> 0")
+    exact = {
+        r["doc_id"]: r["n_shared"] for r in D.decontaminate(train, bmk).collect()
+    }
+    for bits in (64, 1 << 20):
+        got = {
+            r["doc_id"]: r["n_shared"]
+            for r in D.decontaminate_bloom(train, bmk, num_bits=bits).collect()
+        }
+        assert got == exact, (bits, got, exact)
+    assert exact  # the fixture must actually share shingles
