@@ -264,3 +264,48 @@ def test_return_attribution_sweep_matches_range_join(spark):
         if "Exchange SinglePartition" in line:
             ctx = " ".join(lines[max(0, i - 2): i])
             assert "HashAggregate(keys=[]" in ctx, f"non-scalar SinglePartition:\n{ctx}\n{line}"
+
+
+def test_span_sweep_matches_bruteforce_numpy(spark):
+    """Independent ground truth: span_sweep's per-event (Σ 1/c, count)
+    vs a brute-force numpy evaluation of the sweep-line definition —
+    not impl-vs-impl, so a shared bug in the two Spark forms cannot
+    hide. Several seeds, spans crossing chunk boundaries both ways."""
+    import numpy as np
+
+    H = 3_600_000_000_000
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 1500
+        ts = np.sort(
+            rng.choice(np.arange(0, 4 * H, 5_000_000, dtype=np.int64), n, replace=False)
+        )
+        spans_np = []
+        for i in range(25):
+            s = int(ts[rng.integers(0, n - 50)])
+            spans_np.append((i, s, s + int(rng.integers(1, int(1.5 * H)))))
+        # brute force: c(t) = #spans with s <= t <= e; per-span stats
+        expected = {}
+        c = np.zeros(n, dtype=np.int64)
+        for _, s, e in spans_np:
+            c += (ts >= s) & (ts <= e)
+        for i, s, e in spans_np:
+            m = (ts >= s) & (ts <= e)
+            if m.any():
+                expected[i] = (float(np.sum(1.0 / c[m])), int(m.sum()))
+        trades = spark.createDataFrame(
+            [(int(t), int(k)) for k, t in enumerate(ts)], "ts_ns long, trade_id long"
+        )
+        spans = spark.createDataFrame(
+            spans_np, "event_id long, event_ts_ns long, touch_ts_ns long"
+        )
+        got = {
+            r["event_id"]: (r["s_span"], r["n_span"])
+            for r in L.span_sweep(spans, trades).collect()
+            if r["n_span"] > 0
+        }
+        assert set(got) == set(expected), seed
+        for k, (s_exp, n_exp) in expected.items():
+            s_got, n_got = got[k]
+            assert n_got == n_exp, (seed, k)
+            assert abs(s_got - s_exp) <= 1e-9 * max(1.0, abs(s_exp)), (seed, k)
