@@ -37,6 +37,7 @@ HEADLINE = [
     # tier's scale claims get measured, not asserted)
     "semantic_dedup",
     "dedup_clusters",
+    "dedup_clusters_star",
     "segment_dedup",
     "simhash_near_pairs",
     "ngram_jaccard",

@@ -33,9 +33,10 @@ from . import developing_suite  # noqa: F401
 # evidence stands. ROUND-5 FRONT-LOAD: the converted-but-overflowed
 # queries (feat_bar_duration, feat_bar_rate, feat_candle_shape,
 # feat_daily_gap, feat_orb_break, bars_resample_15m, and — pushed past
-# position 50 by the round-4 sweep/bloom insertions — feat_pv_corr,
-# feat_trend_slope, feat_mean_reversion_z; the chunk-conversion
-# mechanism they share is already covered by 14 in-window siblings)
+# position 50 by the round-4 sweep/bloom/star insertions —
+# feat_flow_accel, feat_pv_corr, feat_trend_slope,
+# feat_mean_reversion_z; the chunk-conversion mechanism they share is
+# already covered by 13 in-window siblings)
 # plus the eleven
 # round-4 analytics queries (unshipped_revenue, returned_item_report,
 # promo_revenue, order_size_histogram, supplier_nation_volume,
@@ -79,6 +80,7 @@ _PRIORITY = [
     "avg_uniqueness_sweep",
     "return_attribution_sweep",
     "decontamination_bloom",
+    "dedup_clusters_star",
     "event_concurrency",
     "feat_return_log",
     "feat_roc",

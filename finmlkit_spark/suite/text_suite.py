@@ -19,7 +19,7 @@ from ..operators import sampling as SMP
 from ..operators import similarity as SIM
 from ..operators import text as TX
 from ..sources.tables import read_table
-from ._registry import query
+from ._registry import ORACLES, query
 
 # --- shared DuckDB fragments ------------------------------------------------
 
@@ -704,6 +704,19 @@ def dedup_clusters_q(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     return D.dedup_clusters(pairs, docs)
+
+
+@query("dedup_clusters_star", ORACLES["dedup_clusters"])
+def dedup_clusters_star_q(spark, sf_dir):
+    """The same component mapping via alternating large-star/small-star
+    rounds (``dedup.dedup_clusters_star``, Kiveris et al. SoCC'14):
+    O(log n) rounds instead of diameter-many — the escalation for deep
+    near-dup chains, verified against the identical recursive-closure
+    oracle and a union-find ground truth (incl. a 300-link chain that
+    exhausts min-label propagation's round cap)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return D.dedup_clusters_star(pairs, docs)
 
 
 @query(

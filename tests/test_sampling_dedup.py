@@ -240,3 +240,70 @@ def test_decontaminate_bloom_exact_even_when_saturated(spark):
         }
         assert got == exact, (bits, got, exact)
     assert exact  # the fixture must actually share shingles
+
+
+def _union_find_components(pairs, all_ids):
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp_min = {}
+    for i in all_ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return {i: comp_min[find(i)] for i in all_ids}
+
+
+def test_dedup_clusters_star_matches_union_find(spark):
+    """Large-star/small-star CC vs a union-find ground truth on random
+    graphs, and on a 300-link CHAIN — the deep-component case where
+    30 rounds of min-label propagation cannot finish but star rounds
+    converge in O(log n)."""
+    import numpy as np
+
+    from finmlkit_spark.operators import dedup as D
+
+    cases = []
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        ids = list(range(120))
+        pairs = [
+            (int(rng.integers(0, 120)), int(rng.integers(0, 120))) for _ in range(90)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        cases.append((ids, pairs))
+    # the killer: one path 0-1-2-...-299 (diameter 299)
+    cases.append((list(range(300)), [(i, i + 1) for i in range(299)]))
+
+    for ids, pairs in cases:
+        exp = _union_find_components(pairs, ids)
+        pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.dedup_clusters_star(pdf, docs).collect()
+        }
+        assert got == exp, (len(ids), len(pairs))
+
+
+def test_dedup_clusters_star_matches_propagation_on_shallow(spark):
+    import numpy as np
+
+    from finmlkit_spark.operators import dedup as D
+
+    rng = np.random.default_rng(9)
+    pairs = [(int(a), int(a + rng.integers(1, 5))) for a in rng.integers(0, 60, 40)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in range(70)], "doc_id long")
+    a = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pdf, docs).collect()}
+    b = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters_star(pdf, docs).collect()}
+    assert a == b
