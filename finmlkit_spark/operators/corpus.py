@@ -99,12 +99,19 @@ def segment_dedup(
     later occurrences are cut and the surviving segments are re-joined in
     order into a cleaned document.
 
-    Plan: explode segments (fan-out bounded by doc length / seg_tokens),
-    one hash aggregate on the segment MD5 to elect the first occurrence
-    (the shuffle carries only the 16-byte digest + two longs, never
-    text), a semi-join back on (digest, doc, seg_no), then one per-doc
-    aggregate to reassemble. The reassembly groupBy is keyed on doc_id,
-    so segment text only shuffles once, partitioned by its own document.
+    Plan: explode segments ONCE (fan-out bounded by doc length /
+    seg_tokens), elect first occurrences with a single
+    ``row_number() OVER (PARTITION BY digest ORDER BY doc, seg_no)``
+    pass — segment text crosses the wire exactly once on the digest key
+    (the groupBy-then-join-back alternative shuffles the text on the
+    same key for the join AND re-derives the exploded subtree per
+    consumer, so the window form does strictly less work at any scale) —
+    then one per-doc aggregate to reassemble. ``n_segments`` needs no
+    explode at all: it is ``ceil(len(tokens)/seg_tokens)`` straight off
+    the document, so the totals branch is a narrow projection of the
+    (column-pruned) doc scan. The first-occurrence digest is xxhash64
+    (8-byte shuffle key) rather than md5's 32-char hex; collision odds
+    are the same class and only equality is consumed.
     """
     t = tokens(text_col)
     nseg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
@@ -118,14 +125,9 @@ def segment_dedup(
                 ),
             )
         ).alias("seg_no", "seg"),
-    ).withColumn("digest", F.md5("seg"))
-    first = segs.groupBy("digest").agg(
-        F.min(F.struct("doc", "seg_no")).alias("first_occ")
-    )
-    kept = segs.join(first, "digest").where(
-        (F.col("doc") == F.col("first_occ.doc"))
-        & (F.col("seg_no") == F.col("first_occ.seg_no"))
-    )
+    ).withColumn("digest", F.xxhash64("seg"))
+    w = Window.partitionBy("digest").orderBy("doc", "seg_no")
+    kept = segs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
     out = kept.groupBy("doc").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.md5(
@@ -138,7 +140,9 @@ def segment_dedup(
             )
         ).alias("clean_md5"),
     )
-    totals = segs.groupBy("doc").agg(F.count("*").cast("long").alias("n_segments"))
+    totals = docs.select(
+        F.col(id_col).alias("doc"), nseg.cast("long").alias("n_segments")
+    )
     return (
         totals.join(out, "doc", "left")
         .select(
