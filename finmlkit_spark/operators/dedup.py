@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import shingle_hashes_from_tokens, shingles, token_hashes  # noqa: F401 (shingles kept for API)
@@ -158,8 +158,9 @@ def ngram_jaccard_pairs(
     # once; RDD storage (localCheckpoint), NOT cache(): the columnar
     # cache pathologically serializes array columns (SCALE.md lesson 2)
     d = d.localCheckpoint(eager=False)
-    e = d.select("doc", "n_sh", F.explode("sh").alias("g")).cache()
+    e = d.select("doc", "n_sh", F.explode("sh").alias("g"))
     if max_doc_freq is None:
+        e = e.cache()  # feeds both sides of the unbounded self-join
         l = e.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
         r = e.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
         pairs = (
@@ -173,34 +174,40 @@ def ngram_jaccard_pairs(
             F.col("jaccard") >= threshold
         )
     # bounded-fan-out path: candidates from below-cutoff shingles only,
-    # then exact verification on the full arrays (as in minhash_lsh_pairs)
-    rare = (
-        e.groupBy("g")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") <= max_doc_freq)
-        .select("g")
-    )
-    er = e.join(rare, "g")
-    cand = (
-        er.select(F.col("doc").alias("doc_a"), "g")
-        .join(er.select(F.col("doc").alias("doc_b"), "g"), "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # then exact verification on the full arrays (as in minhash_lsh_pairs).
+    # The document frequency is a count-only window over the shingle key —
+    # ONE exchange of the exploded rows, which the self-join on the same
+    # key then reuses (the groupBy-df + join-back alternative shuffles the
+    # exploded rows on g anyway for the join, plus an extra exchange for
+    # the df table; a hot boilerplate shingle lands on a single task in
+    # either form and is dropped right after counting here).
+    er = e.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("g"))
+    ).where(F.col("_df") <= max_doc_freq)
     # size-ratio prefilter (prefix-filtering lemma): the arrays are
     # distinct sets, so J <= min(na,nb)/max(na,nb) — pairs below the
-    # threshold on sizes alone CANNOT pass. Applied via narrow scalar
-    # joins AFTER the distinct (so the exploded join stays thin) and
-    # BEFORE the arrays ride any shuffle. Output provably unchanged
-    # (no oracle mirror needed); on size-diverse real corpora this
-    # drops most candidates, on uniform synthetic ones it's a no-op.
-    nsz = d.select("doc", "n_sh")
+    # threshold on sizes alone CANNOT pass. n_sh already rides every
+    # exploded row, so the sizes flow through the candidate join as two
+    # ints and the filter applies before the distinct — no scalar
+    # side-joins, and the arrays still never ride a shuffle until the
+    # surviving pairs fetch them. Output provably unchanged (no oracle
+    # mirror needed); on size-diverse real corpora this drops most
+    # candidates, on uniform synthetic ones it's a no-op.
     cand = (
-        cand.join(nsz.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(nsz.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .where(F.least("na", "nb").cast("double") / F.greatest("na", "nb") >= threshold)
+        er.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
+        .join(
+            er.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g"),
+            "g",
+        )
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+                >= threshold
+            )
+        )
         .select("doc_a", "doc_b")
+        .distinct()
     )
     cand = cand.join(
         d.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"

@@ -130,21 +130,34 @@ def shingle_hashes_from_tokens(th: Column, k: int = 3, mod: int = MOD) -> Column
     """Distinct k-gram shingle hashes combined from a token-hash array:
     h = fold(h·31 + th[i+j]) % mod — one step per token, not per char.
 
-    Implementation note: built from k shifted ``slice``s folded with
-    ``zip_with`` (linear). The naive ``transform(sequence, i ->
-    element_at(th, i+j))`` form re-inlines and re-evaluates the ENTIRE
-    token-hash expression per element under Catalyst's lambda evaluation
-    — O(n²·chars) per document."""
-    n = F.size(th)
-    m = n - (k - 1)  # number of shingles
-    acc = F.slice(th, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc, F.slice(th, j + 1, m), lambda a, b: (a * 31 + b) % F.lit(mod)
+    Implementation notes:
+
+    - built from k shifted ``slice``s folded with ``zip_with`` (linear).
+      The naive ``transform(sequence, i -> element_at(th, i+j))`` form
+      re-inlines and re-evaluates the ENTIRE token-hash expression per
+      element under Catalyst's lambda evaluation — O(n²·chars) per doc.
+    - the input expression is LET-BOUND via a one-element-array
+      ``transform`` before the slices read it: ``th`` appears k+2 times
+      below (size guard + k slices), and Catalyst duplicates the whole
+      expression tree per appearance — with ``token_hashes`` (a per-char
+      aggregate fold per token, interpreted HOF) as input that
+      re-evaluation was a measured 10× slowdown on the document table.
+      The binding evaluates the input once per row; the inner lambdas
+      only reference the bound variable."""
+
+    def _body(thv: Column) -> Column:
+        n = F.size(thv)
+        m = n - (k - 1)  # number of shingles
+        acc = F.slice(thv, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(thv, j + 1, m), lambda a, b: (a * 31 + b) % F.lit(mod)
+            )
+        return F.when(n >= k, F.array_distinct(acc)).otherwise(
+            F.array().cast("array<long>")
         )
-    return F.when(n >= k, F.array_distinct(acc)).otherwise(
-        F.array().cast("array<long>")
-    )
+
+    return F.get(F.transform(F.array(th), _body), 0)
 
 
 def shingles(col: str = "text", k: int = 3) -> Column:
