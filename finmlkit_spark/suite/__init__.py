@@ -33,10 +33,12 @@ from . import developing_suite  # noqa: F401
 # evidence stands. ROUND-5 FRONT-LOAD: the converted-but-overflowed
 # queries (feat_bar_duration, feat_bar_rate, feat_candle_shape,
 # feat_daily_gap, feat_orb_break, bars_resample_15m, and — pushed past
-# position 50 by the round-4 sweep/bloom/star insertions —
-# feat_flow_accel, feat_pv_corr, feat_trend_slope,
-# feat_mean_reversion_z; the chunk-conversion mechanism they share is
-# already covered by 13 in-window siblings)
+# position 50 by the round-4 sweep/bloom/star insertions and the
+# late-round minhash/ngram/segment rewrites —
+# feat_variance_ratio, feat_kurtosis, feat_bipower, feat_flow_accel,
+# feat_pv_corr, feat_trend_slope, feat_mean_reversion_z; the
+# chunk-conversion mechanism they share is already covered by 12
+# in-window siblings)
 # plus the eleven
 # round-4 analytics queries (unshipped_revenue, returned_item_report,
 # promo_revenue, order_size_histogram, supplier_nation_volume,
@@ -94,6 +96,14 @@ _PRIORITY = [
     "feat_atr_sma",
     "feat_vwap_distance",
     "feat_realized_vol",
+    # -- rewritten late in round 4 (let-bound shingle building; window
+    # df-cutoff ngram path; single-pass segment dedup) — three DISTINCT
+    # mechanisms, each needs fresh external evidence; the displaced
+    # feat_* rows share the chunk-conversion mechanism with 12 in-window
+    # siblings and move to the round-5 front-load with the rest --------------
+    "minhash_lsh",
+    "ngram_jaccard",
+    "segment_dedup",
     "feat_burst_ratio",
     "feat_variance_ratio",
     "feat_kurtosis",
