@@ -100,3 +100,50 @@ def test_size_ratio_prefilter_preserves_results(spark):
     }
     assert bounded  # non-trivial corpus: repeated phrases produce pairs
     assert bounded == full
+
+
+def _py_shingle_hashes(text: str, k: int = 3, mod: int = 1_000_000_007) -> list[int]:
+    """Independent Python reference for text.shingle_hashes: per-token
+    polynomial char hash, k-token fold, order-preserving distinct."""
+    toks = text.strip().split()
+    th = []
+    for t in toks:
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % mod
+        th.append(acc)
+    if len(th) < k:
+        return []
+    out, seen = [], set()
+    for i in range(len(th) - k + 1):
+        acc = 0
+        for j in range(k):
+            acc = (acc * 31 + th[i + j]) % mod
+        if acc not in seen:
+            seen.add(acc)
+            out.append(acc)
+    return out
+
+
+def test_shingle_hashes_match_python_reference(spark):
+    """Locks the let-bound slice/zip_with shingle builder (SCALE.md
+    lesson 1) to an independent per-char/per-token reference, covering
+    the short-doc guard, distinct collapse, and whitespace trimming."""
+    docs = [
+        (0, ""),                               # empty -> no tokens
+        (1, "one"),                            # below k
+        (2, "two tokens only"),                # exactly k -> 1 shingle
+        (3, "a b c a b c a b c"),              # repeated shingles collapse
+        (4, "  padded   with   spaces  "),     # trim + multi-space split
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "x " * 50),                        # one distinct shingle from 48
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from finmlkit_spark.operators.dedup import shingle_hashes
+
+    got = {
+        r["doc_id"]: list(r["sh"])
+        for r in df.select("doc_id", shingle_hashes("text").alias("sh")).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == _py_shingle_hashes(text), f"doc {doc_id}"
