@@ -30,6 +30,17 @@ def tokens(col: str = "text") -> Column:
     return F.split(F.trim(F.col(col)), " +")
 
 
+def let_bind(expr: Column, body) -> Column:
+    """Relational let: evaluate ``expr`` ONCE per row and hand ``body`` a
+    lambda variable bound to the result. Catalyst re-inlines an
+    expression tree per textual reference (SCALE.md lesson 1), so any
+    non-trivial expression consumed by 2+ sub-expressions of one
+    projection should be bound with this before fan-out. Implemented as
+    a one-element-array ``transform`` — the inner references are
+    NamedLambdaVariable reads, not tree copies."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def token_count(col: str = "text") -> Column:
     return F.size(tokens(col)).cast("long")
 
@@ -53,57 +64,93 @@ def char_count(col: str = "text") -> Column:
     return F.length(col).cast("long")
 
 
-def avg_token_len(col: str = "text") -> Column:
-    t = tokens(col)
+def _avg_token_len_of(t: Column) -> Column:
     return F.aggregate(
         F.transform(t, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
     ) / F.size(t)
 
 
-def stopword_ratio(col: str = "text", words: list[str] | None = None) -> Column:
-    words = words or STOPWORDS
+def avg_token_len(col: str = "text") -> Column:
+    return let_bind(tokens(col), _avg_token_len_of)
+
+
+def _stopword_ratio_of(t: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
-    t = tokens(col)
     hits = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
     return hits.cast("double") / F.size(t)
 
 
+def stopword_ratio(col: str = "text", words: list[str] | None = None) -> Column:
+    return let_bind(tokens(col), lambda t: _stopword_ratio_of(t, words or STOPWORDS))
+
+
 def quality_score(col: str = "text") -> Column:
     """Composite quality heuristic: length band + mean token length band +
-    stopword presence (the classic Gopher-style rule shape)."""
+    stopword presence (the classic Gopher-style rule shape). The token
+    array and the mean token length are let-bound — each is consumed by
+    multiple band predicates below."""
     n = token_count(col)
-    atl = avg_token_len(col)
-    sw = stopword_ratio(col)
-    return (
-        F.when((n >= 10) & (n <= 100_000), 0.4).otherwise(0.0)
-        + F.when((atl >= 2.0) & (atl <= 12.0), 0.3).otherwise(0.0)
-        + F.when(sw > 0.0, 0.3).otherwise(0.0)
-    ).alias("quality")
+
+    def body(t: Column) -> Column:
+        sw = _stopword_ratio_of(t, STOPWORDS)
+        return let_bind(
+            _avg_token_len_of(t),
+            lambda atl: F.when((n >= 10) & (n <= 100_000), 0.4).otherwise(0.0)
+            + F.when((atl >= 2.0) & (atl <= 12.0), 0.3).otherwise(0.0)
+            + F.when(sw > 0.0, 0.3).otherwise(0.0),
+        )
+
+    return let_bind(tokens(col), body).alias("quality")
+
+
+def _lang_score_of(t: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("long")
 
 
 def lang_scores(col: str = "text") -> dict[str, Column]:
     """Per-language stopword hit counts (n-gram heuristic lang-ID)."""
-    t = tokens(col)
-    out = {}
-    for lang, words in LANG_WORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("long")
-    return out
+
+    # NB: a `lambda t, w=words:` default-arg closure would give the
+    # lambda arity 2, which F.transform interprets as (element, index)
+    def _scorer(words: list[str]):
+        return lambda t: _lang_score_of(t, words)
+
+    return {
+        lang: let_bind(tokens(col), _scorer(words))
+        for lang, words in LANG_WORDS.items()
+    }
 
 
 def lang_guess(col: str = "text") -> Column:
     """argmax language by stopword hits, 'und' (undetermined) when all 0.
-    Deterministic tie-break by language name order in LANG_WORDS."""
-    scores = lang_scores(col)
-    best_name, best_score = None, None
-    for lang, s in scores.items():
-        if best_name is None:
-            best_name, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best_name = F.when(cond, F.lit(lang)).otherwise(best_name)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best_name).otherwise(F.lit("und"))
+    Deterministic tie-break by language name order in LANG_WORDS.
+
+    Shape note: argmax over an array of (score, -index) structs. The
+    naive when-chain fold (best = when(s_i > best, ...) over languages)
+    nests every earlier score expression inside each later branch —
+    Catalyst re-inlines the duplicated trees and the tokenize+filter
+    work grows combinatorially with the language count (measured 2.1 s
+    -> 0.25 s on 5k docs for 4 languages). array_max compares structs
+    field-by-field: highest score wins, ties resolve to the SMALLEST
+    index via the negated-index second field — identical semantics to
+    the strictly-greater-replaces loop."""
+    langs = list(LANG_WORDS)
+
+    def body(t: Column) -> Column:
+        entries = [
+            F.struct(
+                _lang_score_of(t, words).alias("s"), F.lit(-i).alias("ni")
+            )
+            for i, (_, words) in enumerate(LANG_WORDS.items())
+        ]
+        best = F.array_max(F.array(*entries))
+        names = F.array(*[F.lit(lang) for lang in langs])
+        return F.when(
+            best["s"] > 0, F.element_at(names, (-best["ni"] + 1).cast("int"))
+        ).otherwise(F.lit("und"))
+
+    return let_bind(tokens(col), body)
 
 
 def poly_hash(expr: Column | str, mod: int = MOD) -> Column:

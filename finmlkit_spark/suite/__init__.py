@@ -34,8 +34,8 @@ from . import developing_suite  # noqa: F401
 # queries (feat_bar_duration, feat_bar_rate, feat_candle_shape,
 # feat_daily_gap, feat_orb_break, bars_resample_15m, and — pushed past
 # position 50 by the round-4 sweep/bloom/star insertions and the
-# late-round minhash/ngram/segment rewrites —
-# feat_variance_ratio, feat_kurtosis, feat_bipower, feat_flow_accel,
+# late-round minhash/ngram/segment/lang/quality rewrites —
+# feat_burst_ratio, feat_variance_ratio, feat_kurtosis, feat_bipower, feat_flow_accel,
 # feat_pv_corr, feat_trend_slope, feat_mean_reversion_z; the
 # chunk-conversion mechanism they share is already covered by 12
 # in-window siblings)
@@ -104,6 +104,8 @@ _PRIORITY = [
     "minhash_lsh",
     "ngram_jaccard",
     "segment_dedup",
+    "lang_id",
+    "quality_score",
     "feat_burst_ratio",
     "feat_variance_ratio",
     "feat_kurtosis",
