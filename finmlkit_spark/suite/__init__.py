@@ -95,7 +95,6 @@ _PRIORITY = [
     "feat_parkinson",
     "feat_atr_sma",
     "feat_vwap_distance",
-    "feat_realized_vol",
     # -- rewritten late in round 4 (let-bound shingle building; window
     # df-cutoff ngram path; single-pass segment dedup) — three DISTINCT
     # mechanisms, each needs fresh external evidence; the displaced
@@ -106,6 +105,7 @@ _PRIORITY = [
     "segment_dedup",
     "lang_id",
     "quality_score",
+    "feat_realized_vol",
     "feat_burst_ratio",
     "feat_variance_ratio",
     "feat_kurtosis",
