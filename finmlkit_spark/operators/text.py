@@ -225,21 +225,25 @@ def repetition_ratio(col: str = "text", n: int = 3) -> Column:
     """Within-document repetition: 1 − distinct/total token n-grams — the
     Gopher/RefinedWeb duplicated-n-gram quality signal. 0.0 for docs too
     short to form an n-gram. Pure HOF projection (scale-free)."""
-    t = tokens(col)
-    m = F.size(t) - (n - 1)
-    mm = F.greatest(m, F.lit(1))
     # slice+zip_with, NOT transform(sequence, element_at): element_at
     # under Catalyst's lambda re-inlines the whole split per element
-    # (O(n²·chars) per doc — see shingle_hashes_from_tokens)
-    grams = F.slice(t, 1, mm)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(t, j + 1, mm), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.when(
-        m >= 1,
-        1.0 - F.size(F.array_distinct(grams)).cast("double") / m,
-    ).otherwise(F.lit(0.0))
+    # (O(n²·chars) per doc — see shingle_hashes_from_tokens). The token
+    # array is let-bound — it feeds the size guard plus n slices
+    # (measured 2× on the document table).
+    def body(t: Column) -> Column:
+        m = F.size(t) - (n - 1)
+        mm = F.greatest(m, F.lit(1))
+        grams = F.slice(t, 1, mm)
+        for j in range(1, n):
+            grams = F.zip_with(
+                grams, F.slice(t, j + 1, mm), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.when(
+            m >= 1,
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / m,
+        ).otherwise(F.lit(0.0))
+
+    return let_bind(tokens(col), body)
 
 
 # Patterns kept to the regex subset with identical semantics in Java
