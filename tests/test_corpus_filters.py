@@ -116,3 +116,26 @@ def test_semantic_dup_pairs_within_cluster_only(spark):
     assert pairs == {(0, 2), (1, 3)}
     for r in out:
         assert r["cos_sim"] >= 0.9
+
+
+def test_lang_guess_argmax_semantics(spark):
+    """Locks the array_max struct argmax (round-4 rewrite of the
+    when-chain fold) to the documented semantics: highest stopword-hit
+    count wins, ties resolve to the EARLIEST language in LANG_WORDS
+    order, all-zero scores give 'und'."""
+    from finmlkit_spark.operators import text as TX
+
+    rows = [
+        (0, "el que los la de"),            # clear es
+        (1, "the el"),                      # en/es tie -> en (earliest)
+        (2, "zzz qqq www"),                 # no hits -> und
+        (3, "der die das the a of and"),    # en 4 beats de 3
+        (4, "une est le les et"),           # clear fr
+        (5, "und ist the a"),               # en/de tie (2 each) -> en (earliest)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", TX.lang_guess("text").alias("lang")).collect()
+    }
+    assert got == {0: "es", 1: "en", 2: "und", 3: "en", 4: "fr", 5: "en"}
