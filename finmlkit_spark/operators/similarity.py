@@ -49,6 +49,8 @@ def cosine_batch(a: Column, b: Column) -> Column:
 
     @F.pandas_udf("double")
     def _cos(va, vb):
+        if len(va) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
         A = np.stack(va.values).astype(np.float64)
         B = np.stack(vb.values).astype(np.float64)
         dots = (A * B).cumsum(axis=1)[:, -1]
@@ -161,9 +163,13 @@ def kmeans_assign(
         # partial max_by collapses the broadcast-join fan-out (n·k rows)
         # before the shuffle, so only n rows move — the window form
         # sort-shuffles all n·k. Tie-break toward the lower cid via the
-        # (sim, -cid) ordering struct.
+        # (sim, -cid) ordering struct. The pair similarity runs through
+        # cosine_batch (Arrow/numpy, bit-identical sequential fold): the
+        # interpreted HOF cosine costs ~µs/element and the n·k·dim fan-out
+        # made the assignment pass the dominant kmeans cost (SCALE.md
+        # lesson 3).
         j = e.crossJoin(F.broadcast(c)).select(
-            "vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+            "vid", "v", "cid", cosine_batch(F.col("v"), F.col("cv")).alias("sim")
         )
         return (
             j.groupBy("vid")
