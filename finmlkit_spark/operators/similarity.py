@@ -133,6 +133,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     ndigits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd k-means over the embedding column by max-cosine assignment —
     the trainable coarse quantizer for IVF search (``ann_ivf`` uses fixed
@@ -152,6 +153,10 @@ def kmeans_assign(
     a rounding-digit boundary rounds differently per fold order. Empty
     clusters drop out (standard Lloyd); the final row set is one
     assignment per vector.
+
+    ``dim`` (probed from the first row when omitted) assumes FIXED-width
+    embeddings — the wide per-dimension aggregate reads ``element_at``
+    up to ``dim``, so ragged inputs must be padded upstream.
     """
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
     cent = e.where(F.col("vid") < k).select(
@@ -183,25 +188,37 @@ def kmeans_assign(
         )
 
     scale = 10 ** ndigits
+    if dim is None:
+        # one-row probe for the embedding width (driver-side scalar
+        # config inference, the SURVEY §7-sanctioned pattern) — enables
+        # the single-shuffle wide-aggregate update below for any input
+        first = emb_df.select(F.size(emb_col).alias("d")).head(1)
+        dim = int(first[0]["d"]) if first else 0
     for _ in range(iters):
         a = assign(cent)
-        dims = a.select("cid", F.posexplode("v").alias("pos", "val"))
-        upd = dims.groupBy("cid", "pos").agg(
-            F.sum(F.expr(f"CAST(floor((val * {scale}.0e0) + 0.5e0) AS BIGINT)")).alias("_s"),
-            F.count(F.lit(1)).alias("_n"),
-        ).select(
-            "cid",
-            "pos",
-            F.expr(
-                f"((CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE)) / {scale}.0e0)"
-            ).alias("val"),
+        # centroid update as ONE hash aggregate: a per-dimension
+        # integer-scaled sum per agg (dim sums wide, k rows out) — the
+        # posexplode + groupBy(cid,pos) + collect_list re-assembly
+        # alternative pushes n·dim exploded rows through TWO exchanges;
+        # this moves k·dim partial sums through one. Integer sums keep
+        # the update order-independent (bit-identical across engines and
+        # partition orders), as before. The dim-wide expression lists
+        # are built as TWO server-parsed SQL strings: per-Column py4j
+        # construction costs ~1 s of DRIVER time per iteration at
+        # dim=64 (measured), the single F.expr round-trip is ~ms.
+        sums = ", ".join(
+            f"sum(CAST(floor((element_at(v, {i + 1}) * {scale}.0e0) + 0.5e0) AS BIGINT))"
+            f" AS s{i}"
+            for i in range(dim)
         )
-        cent = upd.groupBy("cid").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "val"))),
-                lambda s: s["val"],
-            ).alias("cv")
+        upd = a.groupBy("cid").agg(
+            F.expr(f"struct({sums}, count(1) AS n)").alias("st")
         )
+        means = ", ".join(
+            f"(CAST(st.s{i} AS DOUBLE) / CAST(st.n AS DOUBLE)) / {scale}.0e0"
+            for i in range(dim)
+        )
+        cent = upd.select("cid", F.expr(f"array({means})").alias("cv"))
         # materialize the k-row centroid table: without this each
         # iteration NESTS the previous assignment cross-join in its
         # lineage, and the final plan re-executes the whole chain once
