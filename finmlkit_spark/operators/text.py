@@ -208,17 +208,25 @@ def shingle_hashes_from_tokens(th: Column, k: int = 3, mod: int = MOD) -> Column
 
 
 def shingles(col: str = "text", k: int = 3) -> Column:
-    """Distinct token k-gram shingles (the unit set for MinHash/Jaccard)."""
-    t = tokens(col)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
-    )
-    # sequence(1, x) runs DESCENDING when x < 1 -> guard short docs
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct token k-gram shingle STRINGS (the readable variant of
+    the hash-based unit set used by MinHash/Jaccard). Linear slice +
+    zip_with over a let-bound token array — the
+    ``transform(sequence, element_at)`` form re-inlines the tokenizer
+    per element (SCALE.md lesson 1)."""
+
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        m = n - (k - 1)
+        grams = F.slice(t, 1, m)
+        for j in range(1, k):
+            grams = F.zip_with(
+                grams, F.slice(t, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.when(n >= k, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_bind(tokens(col), body)
 
 
 def repetition_ratio(col: str = "text", n: int = 3) -> Column:
