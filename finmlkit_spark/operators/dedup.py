@@ -17,7 +17,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import shingle_hashes_from_tokens, shingles, token_hashes  # noqa: F401 (shingles kept for API)
+from .text import let_bind, shingle_hashes_from_tokens, shingles, token_hashes  # noqa: F401 (shingles kept for API)
 
 MOD = 1_000_000_007
 MH_P = 4_294_967_311  # prime > 2^32; a*h+b stays < 2^63 for h < MOD
@@ -206,17 +206,24 @@ def ngram_jaccard_pairs(
                 >= threshold
             )
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
     cand = cand.join(
         d.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
     ).join(d.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return cand.select(
-        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    # the shingle arrays are distinct sets, so |A ∪ B| = na + nb − |∩|:
+    # the sizes already ride the candidate rows and the union array never
+    # needs building — half the per-pair array work of intersect+union.
+    # |∩| feeds both the numerator and the denominator, so it is
+    # let-bound (Catalyst re-inlines per reference; SCALE.md lesson 1)
+    jac = let_bind(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        lambda i: i.cast("double") / (F.col("na") + F.col("nb") - i),
+    )
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def _bit(h: Column, i: Column) -> Column:
