@@ -118,11 +118,14 @@ def minhash_lsh_pairs(
     cand = cand.join(
         sh_tbl.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
     ).join(sh_tbl.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    out = cand.select(
-        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+    # distinct sets: |A ∪ B| = |A| + |B| − |∩| (array sizes are O(1)
+    # header reads), so the union array is never built; |∩| is let-bound
+    # into both sides of the division (SCALE.md lesson 1)
+    jac = let_bind(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        lambda i: i.cast("double") / (F.size("sh_a") + F.size("sh_b") - i),
     )
+    out = cand.select("doc_a", "doc_b", jac.alias("jaccard"))
     return out.where(F.col("jaccard") >= threshold)
 
 
