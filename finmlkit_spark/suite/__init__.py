@@ -35,9 +35,10 @@ from . import developing_suite  # noqa: F401
 # feat_daily_gap, feat_orb_break, bars_resample_15m, and — pushed past
 # position 50 by the round-4 sweep/bloom/star insertions and the
 # late-round minhash/ngram/segment/lang/quality rewrites —
-# feat_burst_ratio, feat_variance_ratio, feat_kurtosis, feat_bipower, feat_flow_accel,
+# feat_realized_vol, feat_burst_ratio, feat_variance_ratio,
+# feat_kurtosis, feat_bipower, feat_flow_accel,
 # feat_pv_corr, feat_trend_slope, feat_mean_reversion_z; the
-# chunk-conversion mechanism they share is already covered by 12
+# chunk-conversion mechanism they share is already covered by 11
 # in-window siblings)
 # plus the eleven
 # round-4 analytics queries (unshipped_revenue, returned_item_report,
