@@ -58,7 +58,7 @@ HEADLINE = [
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from finmlkit_spark import suite
+    from finmlkit_spark import cache, suite
     from finmlkit_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -200,6 +200,10 @@ def main():
             # one broken query must not zero out the whole bench signal
             # (round 2 lost its entire bench to a single source error)
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            # operators pin bounded side tables (finmlkit_spark.cache);
+            # the batch runner owns the cleanup between queries
+            cache.release_all()
 
     total = round(sum(times.values()), 4)
     print(

@@ -1,0 +1,49 @@
+"""Tracked persist: bounded side tables that operators pin for plan
+reuse, with an explicit release hook for long-lived sessions.
+
+Several operators persist small summary tables (one row per time chunk,
+or 2 rows per event) because the plan references them on both sides of
+a prefix construction — without a storage boundary each reference
+re-runs the data-scale upstream (Spark plans are trees). The tables are
+bounded at any data scale, but a long-lived session that invokes the
+operators repeatedly would accumulate cached blocks that only go away
+on session GC (round-4 advisory). Callers own the cleanup: batch
+runners (``bench.py``, the test suite) call :func:`release_all` between
+queries; notebook users can call it whenever a pipeline's results have
+been materialized.
+
+Persisted frames are also held via weak references only — once the
+caller drops the last reference AND the JVM-side object is collected,
+Spark's ContextCleaner reclaims the blocks; this registry just makes
+the release deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_LIVE: list[DataFrame] = []
+
+
+def keep(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """Persist ``df`` and register it for :func:`release_all`."""
+    df = df.persist(level) if level is not None else df.persist()
+    _LIVE.append(df)
+    return df
+
+
+def release_all() -> int:
+    """Unpersist every registered frame; returns how many were released.
+
+    Safe to call at any time: releasing a frame whose plan is still
+    referenced downstream only costs recomputation, never correctness.
+    """
+    n = 0
+    while _LIVE:
+        try:
+            _LIVE.pop().unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n

@@ -10,9 +10,9 @@ common case of BOUNDED rows-frames (lookback <= warmup):
    rows get a coarse time bucket (e.g. day); a row_number window
    partitioned by bucket (parallel) ranks within buckets; bucket row
    counts (a tiny agg, one row per bucket) are turned into bucket start
-   offsets with a triangular self-join (no SinglePartition; k² rows for
-   k buckets — k is days, so thousands even at 100 TB; for extreme k use
-   two bucket levels, same construction applied to the bucket totals);
+   offsets with the two-level exclusive prefix (``functions.prefix`` —
+   per-group bounded window + triangular join over group totals, no
+   SinglePartition, safe even at an hourly grid over years);
 2. chunk rows by global row number: chunk = (rn-1) div chunk_rows, so
    every chunk except the last holds exactly chunk_rows rows;
 3. duplicate each chunk's last ``warmup`` rows into the NEXT chunk,
@@ -42,6 +42,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
+from .prefix import exclusive_prefix
+
 DAY_NS = 86_400_000_000_000
 
 #: helper columns added by :func:`with_row_chunks`
@@ -68,17 +71,11 @@ def with_global_row_number(
     wb = Window.partitionBy("_cw_bkt").orderBy(*order)
     d = d.withColumn("_cw_rnw", F.row_number().over(wb))
     counts = d.groupBy("_cw_bkt").agg(F.count(F.lit(1)).alias("_cw_cnt"))
-    # bucket offset = Σ counts of strictly-earlier buckets (triangular
-    # join over the tiny per-bucket table; Catalyst broadcasts it)
-    a = counts.select(F.col("_cw_bkt"))
-    b = counts.select(
-        F.col("_cw_bkt").alias("_cw_bkt_b"), F.col("_cw_cnt").alias("_cw_cnt_b")
-    )
-    offsets = (
-        a.join(b, F.col("_cw_bkt_b") < F.col("_cw_bkt"), "left")
-        .groupBy("_cw_bkt")
-        .agg(F.coalesce(F.sum("_cw_cnt_b"), F.lit(0)).alias("_cw_off"))
-    )
+    # bucket offset = Σ counts of strictly-earlier buckets — two-level
+    # exclusive prefix over the tiny per-bucket table (O(k·log g) +
+    # O((k/g)²) instead of the triangular join's O(k²); no
+    # SinglePartition either way)
+    offsets = exclusive_prefix(counts, "_cw_bkt", sums={"_cw_off": "_cw_cnt"})
     if keep_total:
         # total row count, derived from the tiny counts table. NOTE this
         # plans a scalar-agg Exchange SinglePartition over the <=k partial
@@ -135,7 +132,7 @@ def with_row_chunks(
     if chunk_rows <= warmup:
         raise ValueError(f"chunk_rows ({chunk_rows}) must exceed warmup ({warmup})")
     if persist:
-        df = df.persist()
+        df = cache.keep(df)
     d = with_global_row_number(
         df, order_col, tiebreak_cols=tiebreak_cols, coarse_span=coarse_span
     )

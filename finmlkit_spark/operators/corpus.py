@@ -109,9 +109,12 @@ def segment_dedup(
     then one per-doc aggregate to reassemble. ``n_segments`` needs no
     explode at all: it is ``ceil(len(tokens)/seg_tokens)`` straight off
     the document, so the totals branch is a narrow projection of the
-    (column-pruned) doc scan. The first-occurrence digest is xxhash64
-    (8-byte shuffle key) rather than md5's 32-char hex; collision odds
-    are the same class and only equality is consumed.
+    (column-pruned) doc scan. The first-occurrence digest is a 128-bit
+    struct of two independently-seeded xxhash64 values (16-byte shuffle
+    key vs md5's 32-char hex): for an EXACT dedup a single 64-bit key is
+    not enough — at ~1e11-1e12 distinct segments the 2^64 birthday bound
+    yields tens of thousands of expected collisions, each silently
+    deleting a unique segment, while 2^128 makes collisions negligible.
     """
     t = tokens(text_col)
     nseg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
@@ -125,7 +128,9 @@ def segment_dedup(
                 ),
             )
         ).alias("seg_no", "seg"),
-    ).withColumn("digest", F.xxhash64("seg"))
+    ).withColumn(
+        "digest", F.struct(F.xxhash64("seg"), F.xxhash64("seg", F.lit(1)))
+    )
     w = Window.partitionBy("digest").orderBy("doc", "seg_no")
     kept = segs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
     out = kept.groupBy("doc").agg(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
+from ..functions.prefix import exclusive_prefix
 from .joins import range_join
 
 
@@ -302,25 +304,19 @@ def span_sweep(
         F.max(ck_of(F.col("touch_ts_ns") + 1)).alias("_hi"),
     )
     axis = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_ck"))
-    # persisted (k rows): the triangular prefix below references it on
-    # both sides, and without a storage boundary every reference
-    # re-runs the spans scan + scalar bounds aggregate — the plan tree
-    # replicated that subtree ~20x before this cut
-    dense = (
-        axis.join(per_ck, "_ck", "left")
-        .select("_ck", F.coalesce("_dt", F.lit(0)).alias("_dt"))
-        .persist()
-    )
-    doff = (
-        dense.select("_ck")
-        .join(
-            dense.select(F.col("_ck").alias("_ckb"), F.col("_dt").alias("_dtb")),
-            F.col("_ckb") < F.col("_ck"),
-            "left",
+    # persisted (k rows, tracked-cache registry): the exclusive prefix
+    # below references it twice, and without a storage boundary every
+    # reference re-runs the spans scan + scalar bounds aggregate — the
+    # plan tree replicated that subtree ~20x before this cut
+    dense = cache.keep(
+        axis.join(per_ck, "_ck", "left").select(
+            "_ck", F.coalesce("_dt", F.lit(0)).alias("_dt")
         )
-        .groupBy("_ck")
-        .agg(F.coalesce(F.sum("_dtb"), F.lit(0)).alias("_doff"))
     )
+    # cross-chunk concurrency offset = Σ deltas of strictly-earlier
+    # chunks — two-level exclusive prefix (functions.prefix), not the
+    # O(k²) triangular join (k ~ 1e4-1e5 on an hourly grid over years)
+    doff = exclusive_prefix(dense, "_ck", sums={"_doff": "_dt"}, group=4096)
     # -- (2) one pass over trades ∪ markers -------------------------------
     mk = spans.select(
         "event_id",
@@ -368,32 +364,22 @@ def span_sweep(
         .withColumn("_s_tot", F.coalesce(F.sum(s_term).over(wall), F.lit(0.0)))
         .withColumn("_n_tot", F.sum(n_term).over(wall))
     )
-    # persisted: both the cross-chunk offset build and the marker probe
-    # read it, and without a storage boundary each would re-run the
-    # whole sweep (plans are trees). Bounded at any scale: 2 rows per
-    # event + 1 per time chunk.
-    small = u.where((F.col("_prio") == 0) | (F.col("_rn") == 1)).select(
-        "event_id", "event_ts_ns", "_is_start", "_prio", "_rn", "_ck",
-        "_s_in", "_n_in", "_s_tot", "_n_tot",
-    ).persist()
+    # persisted (tracked-cache registry): both the cross-chunk offset
+    # build and the marker probe read it, and without a storage boundary
+    # each would re-run the whole sweep (plans are trees). Bounded at
+    # any scale: 2 rows per event + 1 per time chunk.
+    small = cache.keep(
+        u.where((F.col("_prio") == 0) | (F.col("_rn") == 1)).select(
+            "event_id", "event_ts_ns", "_is_start", "_prio", "_rn", "_ck",
+            "_s_in", "_n_in", "_s_tot", "_n_tot",
+        )
+    )
     # -- (3) small-table machinery (2|events| + k rows) -------------------
     heads = small.where(F.col("_rn") == 1).select("_ck", "_s_tot", "_n_tot")
-    soff = (
-        heads.select("_ck")
-        .join(
-            heads.select(
-                F.col("_ck").alias("_ckb"),
-                F.col("_s_tot").alias("_sb"),
-                F.col("_n_tot").alias("_nb"),
-            ),
-            F.col("_ckb") < F.col("_ck"),
-            "left",
-        )
-        .groupBy("_ck")
-        .agg(
-            F.coalesce(F.sum("_sb"), F.lit(0.0)).alias("_soff"),
-            F.coalesce(F.sum("_nb"), F.lit(0)).alias("_noff"),
-        )
+    # cross-chunk S/N offsets: same two-level exclusive prefix over the
+    # k-row chunk-head table
+    soff = exclusive_prefix(
+        heads, "_ck", sums={"_soff": "_s_tot", "_noff": "_n_tot"}, group=4096
     )
     marks = small.where(F.col("_prio") == 0).join(F.broadcast(soff), "_ck")
     S = F.col("_soff") + F.col("_s_in")

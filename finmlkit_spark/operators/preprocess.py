@@ -21,6 +21,9 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
+from ..functions.prefix import exclusive_prefix
+
 NS_PER = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
 
@@ -140,7 +143,8 @@ def with_trade_side_chunked(df: DataFrame, chunk_ns: int = DAY_NS) -> DataFrame:
     rows partition by coarse time chunk; all cross-chunk state — the
     boundary Δprice sign and the carried last-nonzero sign — travels
     through a per-chunk summary table (k rows for k chunks) combined
-    with triangular prefix joins and broadcast back. Signs are exact
+    with the two-level exclusive prefix (``functions.prefix``) and
+    broadcast back. Signs are exact
     −1/0/+1 integers, so the result equals ``with_trade_side(by=None)``
     bit-for-bit. ``chunk_ns`` trades parallelism against skew: a chunk
     is one task's window work, so pick it so the busiest chunk fits a
@@ -206,28 +210,22 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
         .groupBy("_ck")
         .agg(F.max_by("price", "trade_id").alias("_pm"))
     )
-    # k rows for k chunks; persisted because every triangular prefix
-    # join below references it on BOTH sides — without a storage
-    # boundary each reference re-runs the scans+aggs (plans are trees).
-    # Unlike caching the windowed stream this is bounded at ANY data
-    # scale: one row per time chunk (~9k/year on an hourly grid).
-    summ = (
-        s1.join(pm, "_ck", "left")
-        .withColumn("_lastnz_excl", F.signum(F.col("_last_p") - F.col("_pm")))
-        .persist()
+    # k rows for k chunks; persisted (via the tracked-cache registry,
+    # see finmlkit_spark.cache) because the exclusive-prefix below
+    # references it twice — without a storage boundary each reference
+    # re-runs the scans+aggs (plans are trees). Unlike caching the
+    # windowed stream this is bounded at ANY data scale: one row per
+    # time chunk (~9k/year on an hourly grid).
+    summ = cache.keep(
+        s1.join(pm, "_ck", "left").withColumn(
+            "_lastnz_excl", F.signum(F.col("_last_p") - F.col("_pm"))
+        )
     )
     # boundary sign of chunk k = sign(first_p_k − last_p of the latest
-    # earlier non-empty chunk); triangular prefix join over the k-row table
-    prevp = (
-        summ.select(ck)
-        .join(
-            summ.select(ck.alias("_ckb"), F.col("_last_p").alias("_lpb")),
-            F.col("_ckb") < ck,
-            "left",
-        )
-        .groupBy("_ck")
-        .agg(F.max_by("_lpb", "_ckb").alias("_prev_last_p"))
-    )
+    # earlier non-empty chunk); two-level exclusive prefix over the
+    # k-row table (functions.prefix — O(k log g), no SinglePartition,
+    # no O(k²) triangular pairs even at an hourly grid over years)
+    prevp = exclusive_prefix(summ, "_ck", lasts={"_prev_last_p": "_last_p"})
     s2 = summ.join(prevp, "_ck").select(
         "_ck",
         "_prev_last_p",
@@ -238,19 +236,11 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
         "_lastnz_excl",
     )
     # a chunk's last nonzero sign overall = in-chunk one, else boundary
-    # (persisted: the carry join below reads it twice)
-    s2 = s2.withColumn("_nz", F.coalesce("_lastnz_excl", "_bnz")).persist()
+    # (persisted via the tracked registry: the carry prefix below reads
+    # it on both probe sides)
+    s2 = cache.keep(s2.withColumn("_nz", F.coalesce("_lastnz_excl", "_bnz")))
     # carry into chunk k = _nz of the latest earlier chunk that has one
-    carry = (
-        s2.select(ck)
-        .join(
-            s2.where(F.col("_nz").isNotNull()).select(ck.alias("_ckb"), "_nz"),
-            F.col("_ckb") < ck,
-            "left",
-        )
-        .groupBy("_ck")
-        .agg(F.max_by("_nz", "_ckb").alias("_carry"))
-    )
+    carry = exclusive_prefix(s2, "_ck", lasts={"_carry": "_nz"})
     small = s2.select("_ck", "_prev_last_p", "_bnz").join(carry, "_ck")
     d = d.join(F.broadcast(small), "_ck")
     # last nonzero sign at row i = in-chunk prefix, else this chunk's

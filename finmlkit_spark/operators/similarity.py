@@ -194,6 +194,16 @@ def kmeans_assign(
         # the single-shuffle wide-aggregate update below for any input
         first = emb_df.select(F.size(emb_col).alias("d")).head(1)
         dim = int(first[0]["d"]) if first else 0
+    if dim <= 0:
+        # empty input (or zero-width vectors): the f-string expression
+        # lists below would render "struct(, count(1) AS n)" — a
+        # ParseException at plan time. Degrade gracefully to an empty
+        # assignment frame instead, like the old posexplode form did.
+        return e.select(
+            F.col("vid").alias(id_col),
+            F.lit(0).cast("long").alias("cluster_id"),
+            F.lit(0.0).alias("cos_sim"),
+        ).where(F.lit(False))
     for _ in range(iters):
         a = assign(cent)
         # centroid update as ONE hash aggregate: a per-dimension

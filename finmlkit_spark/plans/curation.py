@@ -20,6 +20,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 from ..operators import corpus as CP
 from ..operators import dedup as D
 from ..operators import sampling as SMP
@@ -186,7 +188,7 @@ class CurationKit:
         for s in self.stages:
             out = s.apply(out)
             if s.kind in self.persist_after:
-                out = out.persist()
+                out = cache.keep(out)
         return out
 
     def report(self, docs: DataFrame) -> dict[str, int]:

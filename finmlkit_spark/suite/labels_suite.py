@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators import labels as L
 from ..sources.trades import EVENTS_TRADES_CTE, events_to_trades
 from ._registry import query
@@ -145,10 +146,8 @@ def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage boundary: spans (3 narrow columns, ~1 row per 97 trades)
     # feed BOTH the concurrency sweep and the span interval join — without
     # it the whole triple-barrier range join + agg runs twice per action
-    spans = (
-        _labels(spark, sf_dir)
-        .select("event_id", "event_ts_ns", "touch_ts_ns")
-        .persist()
+    spans = cache.keep(
+        _labels(spark, sf_dir).select("event_id", "event_ts_ns", "touch_ts_ns")
     )
     return L.concurrency(spans, tr), tr, spans
 
