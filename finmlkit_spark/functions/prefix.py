@@ -106,10 +106,10 @@ def exclusive_prefix(
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    for out, c in sums.items():
-        d = d.withColumn(f"_in_{out}", F.sum(c).over(w))
-    for out, c in lasts.items():
-        d = d.withColumn(f"_in_{out}", F.last(c, ignorenulls=True).over(w))
+    d = d.withColumns(
+        {f"_in_{out}": F.sum(c).over(w) for out, c in sums.items()}
+        | {f"_in_{out}": F.last(c, ignorenulls=True).over(w) for out, c in lasts.items()}
+    )
 
     # per-group totals from the RAW input (no dependency on the window
     # columns above — keeps the group-total subtree window-free)
@@ -137,12 +137,15 @@ def exclusive_prefix(
         .agg(*goff_aggs)
     )
     d = d.join(F.broadcast(goff), "_pg", "left")
-    for out in sums:
-        d = d.withColumn(
-            out,
-            F.coalesce(F.col(f"_go_{out}"), F.lit(0))
-            + F.coalesce(F.col(f"_in_{out}"), F.lit(0)),
-        )
-    for out in lasts:
-        d = d.withColumn(out, F.coalesce(F.col(f"_in_{out}"), F.col(f"_go_{out}")))
+    d = d.withColumns(
+        {
+            out: F.coalesce(F.col(f"_go_{out}"), F.lit(0))
+            + F.coalesce(F.col(f"_in_{out}"), F.lit(0))
+            for out in sums
+        }
+        | {
+            out: F.coalesce(F.col(f"_in_{out}"), F.col(f"_go_{out}"))
+            for out in lasts
+        }
+    )
     return d.select(key, *outs)

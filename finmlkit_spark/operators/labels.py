@@ -107,7 +107,7 @@ def triple_barrier(
     # partial (map-side) aggregation collapses the joined path rows
     # before the shuffle, so only ~|events| combine buffers move —
     # the window form forced a full exchange+sort of every path row.
-    j = j.withColumn("_r", r).withColumn("_el", el)
+    j = j.withColumns({"_r": r, "_el": el})
     rr = F.col("_r")
     inc = F.col("_el")
     agg = j.groupBy(
@@ -350,20 +350,18 @@ def span_sweep(
     w = Window.partitionBy("_ck").orderBy("ts_ns", "_prio")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    u = u.withColumn("_cd", F.sum("_delta").over(wcum)).withColumn(
-        "_rn", F.row_number().over(w)
-    )
+    u = u.withColumns({"_cd": F.sum("_delta").over(wcum), "_rn": F.row_number().over(w)})
     u = u.join(F.broadcast(doff), "_ck", "left")
     c = F.coalesce("_doff", F.lit(0)) + F.col("_cd")
     # null _val -> null term -> skipped by SUM (SQL semantics)
     s_term = F.when((F.col("_prio") == 1) & (c > 0), F.col("_val") / c)
     n_term = F.when(F.col("_prio") == 1, F.lit(1)).otherwise(F.lit(0))
-    u = (
-        u.withColumn("_s_in", F.coalesce(F.sum(s_term).over(wcum), F.lit(0.0)))
-        .withColumn("_n_in", F.sum(n_term).over(wcum))
-        .withColumn("_s_tot", F.coalesce(F.sum(s_term).over(wall), F.lit(0.0)))
-        .withColumn("_n_tot", F.sum(n_term).over(wall))
-    )
+    u = u.withColumns({
+        "_s_in": F.coalesce(F.sum(s_term).over(wcum), F.lit(0.0)),
+        "_n_in": F.sum(n_term).over(wcum),
+        "_s_tot": F.coalesce(F.sum(s_term).over(wall), F.lit(0.0)),
+        "_n_tot": F.sum(n_term).over(wall),
+    })
     # persisted (tracked-cache registry): both the cross-chunk offset
     # build and the marker probe read it, and without a storage boundary
     # each would re-run the whole sweep (plans are trees). Bounded at
