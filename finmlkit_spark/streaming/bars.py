@@ -306,3 +306,97 @@ def streaming_cusum_filter(stream: DataFrame, threshold: float) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CB_STATE_SCHEMA = (
+    "V double, V2 double, Sy double, Syy double, prev_t long, "
+    "last_price double, sp double, sn double, last_sig double, bar_id long"
+)
+CB_OUT_SCHEMA = "symbol string, ts long, bar_id long"
+
+
+def streaming_cusum_bars(
+    stream: DataFrame,
+    mult: float = 3.0,
+    floor_thr: float = 1e-4,
+    halflife_ns: float = 1_800_000_000_000.0,
+) -> DataFrame:
+    """Stateful CUSUM *bar* assignment with the EWMST-adaptive threshold
+    — the streaming form of ``sequential.cusum_bar_ids`` fed by
+    ``sequential.ewmst`` (reference ``bar/logic.py:152-221``: threshold
+    = max(mult·σ_t, floor), σ_t a time-decay EW std of log returns,
+    NaN σ carries the last valid value; the triggering row closes its
+    own bar). This was the last §2.10 asymmetry: batch covered the
+    adaptive-threshold indexer but streaming only had the constant-
+    threshold CUSUM *filter*.
+
+    State per symbol = the full EWMST recurrence (V, V2, Sy, Syy,
+    prev_t — O(1) per row, irregular Δt handled by the closed-form
+    decay) + the CUSUM machine (sp, sn, carried σ, bar counter) + the
+    previous price for the log return — all scalars, so the state row
+    is bounded regardless of stream length. Bit-identical to running
+    the batch kernels over the concatenated micro-batches in arrival
+    order (parity-tested in tests/test_streaming.py)."""
+    import math
+
+    lam = math.log(2.0) / halflife_ns
+
+    def fn(key: tuple, pdfs: Any, state: GroupState):
+        if state.exists:
+            V, V2, Sy, Syy, prev_t, last_price, sp, sn, last_sig, bar = state.get
+        else:
+            V = V2 = Sy = Syy = 0.0
+            prev_t = -1
+            last_price = float("nan")
+            sp = sn = 0.0
+            last_sig = floor_thr
+            bar = 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for ts, price in zip(pdf["ts_ns"], pdf["price"]):
+                r = (
+                    math.log(price / last_price)
+                    if last_price == last_price and last_price > 0
+                    else float("nan")
+                )
+                last_price = price
+                # EWMST update (sequential.ewmst): NaN return leaves the
+                # state untouched and re-emits the previous sigma
+                sig_val = float("nan")
+                if r == r:
+                    d = 1.0 if prev_t < 0 else math.exp(-lam * (ts - prev_t))
+                    V = 1.0 + d * V
+                    V2 = 1.0 + d * d * V2
+                    Sy = r + d * Sy
+                    Syy = r * r + d * Syy
+                    prev_t = int(ts)
+                    if V * V > V2:
+                        m = Sy / V
+                        var = max(Syy / V - m * m, 0.0) * (V * V) / (V * V - V2)
+                        sig_val = math.sqrt(var)
+                # CUSUM machine (sequential.cusum_bar_ids): NaN sigma
+                # carries the last valid one
+                if sig_val == sig_val:
+                    sig = sig_val
+                    last_sig = sig_val
+                else:
+                    sig = last_sig
+                thr = max(mult * sig, floor_thr)
+                x = 0.0 if r != r else r
+                sp = max(0.0, sp + x)
+                sn = min(0.0, sn + x)
+                rows.append((key[0], int(ts), int(bar)))
+                if sp >= thr or sn <= -thr:
+                    sp = sn = 0.0
+                    bar += 1
+        state.update((V, V2, Sy, Syy, prev_t, last_price, sp, sn, last_sig, bar))
+        yield pd.DataFrame(rows, columns=["symbol", "ts", "bar_id"])
+
+    return stream.groupBy("symbol").applyInPandasWithState(
+        fn,
+        outputStructType=CB_OUT_SCHEMA,
+        stateStructType=CB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -304,3 +304,46 @@ def test_streaming_late_data_metrics(spark, tmp_path):
     assert b2["n_out_of_order"] == 2
     assert b2["n_late"] == 1 and b2["n_late_total"] == 1
     assert b2["max_lag_ns"] == 35 * sec
+
+
+def test_streaming_cusum_bars_parity(spark, stream_dir):
+    """Adaptive-threshold CUSUM bar indexer (reference logic.py:152-221):
+    the stream must assign the exact bar ids the batch kernels produce
+    (ewmst sigma + cusum_bar_ids over the ordered series)."""
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import cusum_bar_ids, ewmst
+    from finmlkit_spark.streaming.bars import streaming_cusum_bars
+
+    HL = 3_600.0 * 1e9
+    MULT, FLOOR = 2.0, 1e-3
+
+    batch = spark.read.parquet(stream_dir)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .selectExpr("'EVT' as symbol", "ts as ts_ns", "value as price")
+    )
+    out = streaming_cusum_bars(stream, mult=MULT, floor_thr=FLOOR, halflife_ns=HL)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ts"]: r["bar_id"] for r in spark.sql("select * from cb_stream").collect()}
+
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    prices = pdf["value"].to_numpy()
+    ts = pdf["ts"].to_numpy().astype(np.int64)
+    r = np.concatenate([[np.nan], np.log(prices[1:] / prices[:-1])])
+    sigma = ewmst(ts, r, HL)
+    expected = cusum_bar_ids(r, sigma, mult=MULT, floor_thr=FLOOR)
+    exp = dict(zip(ts.tolist(), expected.tolist()))
+    assert len(got) == len(exp)
+    assert expected.max() > 2, "test data should close several bars"
+    mismatches = sum(1 for k in exp if got.get(k) != exp[k])
+    assert mismatches == 0
