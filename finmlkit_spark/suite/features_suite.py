@@ -677,3 +677,38 @@ def feat_orb_break(spark, sf_dir):
         (F.col("high") > F.col("or_high")).cast("int").alias("break_up"),
         (F.col("low") < F.col("or_low")).cast("int").alias("break_dn"),
     )
+
+
+@query(
+    "burst_ratio_trades",
+    "WITH "
+    + EVENTS_TRADES_CTE.strip().rstrip()
+    + """,
+m AS (
+  SELECT ts_ns, trade_id, price,
+         median(price) OVER w AS med,
+         count(*) OVER w AS cnt
+  FROM trades
+  WINDOW w AS (ORDER BY ts_ns, trade_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+)
+SELECT ts_ns, trade_id,
+       CASE WHEN cnt = 100 AND med <> 0 THEN price / med END AS burst_100
+FROM m""",
+)
+def burst_ratio_trades(spark, sf_dir):
+    """BurstRatio(100) on the raw TRADE stream (core/utils.py:92-108) —
+    the tick-scale form: exact interpolated rolling median via the
+    chunk-parallel pandas skip-list kernel
+    (``rolling.rolling_median_chunked``, O(log w) per row), not the
+    bar-scale per-row frame sort. Warmup rows (<100 predecessors) are
+    NULL, matching the reference's out[:w]=NaN convention."""
+    tr = events_to_trades(spark, sf_dir).select("ts_ns", "trade_id", "price")
+    med = R.rolling_median_chunked(
+        tr, "price", 100, order_col="ts_ns", tiebreak_cols=("trade_id",),
+        out_col="_med",
+    )
+    return med.select(
+        "ts_ns",
+        "trade_id",
+        F.when(F.col("_med") != 0, F.col("price") / F.col("_med")).alias("burst_100"),
+    )

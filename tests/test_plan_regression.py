@@ -54,6 +54,8 @@ GUARDED = [
     "feat_orb_break",
     # §2.2/§2.4 single-stream forms converted to the chunked-carry plan
     "trades_side",
+    # trade-scale skip-list rolling median (round-5: rolling_median_chunked)
+    "burst_ratio_trades",
     "bar_directional_1m",
     "footprint_long",
     "footprint_features",
