@@ -229,13 +229,17 @@ def kmeans_assign(
             for i in range(dim)
         )
         cent = upd.select("cid", F.expr(f"array({means})").alias("cv"))
-        # materialize the k-row centroid table: without this each
-        # iteration NESTS the previous assignment cross-join in its
-        # lineage, and the final plan re-executes the whole chain once
-        # per downstream reference (2-3x at iters=2). localCheckpoint,
-        # not cache(): the columnar cache pathologically serializes
-        # array columns (SCALE.md lesson 2); k rows, so the cut is free.
-        cent = cent.localCheckpoint()
+        # cut the lineage at the k-row centroid table: without this
+        # each iteration NESTS the previous assignment cross-join in
+        # its lineage, and the final plan re-executes the whole chain
+        # once per downstream reference (2-3x at iters=2).
+        # localCheckpoint, not cache(): the columnar cache
+        # pathologically serializes array columns (SCALE.md lesson 2).
+        # eager=False: the eager form ran one SYNCHRONOUS job per
+        # iteration at plan-build time (~0.3 s of fixed scheduling
+        # each); lazily the checkpoints materialize in sequence inside
+        # the first real action, same cut, no extra driver round-trips.
+        cent = cent.localCheckpoint(eager=False)
 
     out = assign(cent)
     # no output rounding: sim is deterministic (sequential dot-product
@@ -255,6 +259,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): Lloyd
     k-means partitions the embedding space, then cosine pairs are
@@ -269,7 +274,7 @@ def semantic_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    a = kmeans_assign(emb_df, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    a = kmeans_assign(emb_df, k=k, iters=iters, id_col=id_col, emb_col=emb_col, dim=dim)
     v = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
     m = a.select(F.col(id_col).alias("id"), "cluster_id").join(v, "id")
 

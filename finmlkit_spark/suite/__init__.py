@@ -15,97 +15,47 @@ from . import developing_suite  # noqa: F401
 
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
-# ROUND-4 WINDOW:
-# 1-2: the two rows red in round 3 (libm/fold-order hash flakes) — now
-#      deterministic via shared-text trig (functions/dettrig.py) and
-#      integer-tick prefix sums; each must flip green;
-# 3-10: the 8 queries with no driver row in any round (round-3 rotation
-#       note): token_counts / doc_fingerprint / ngram_jaccard_full and
-#       the five seq_*_parallel closed-combine scans;
-# 11-13: the k-means family — green in r1 but re-derived this round on
-#        integer-scaled centroid updates (bit-determinism rework);
-# 14-50: every query whose IMPLEMENTATION changed in round 4 and
-#        therefore needs fresh external evidence: trade_id-keyed
-#        hash-aggregable bar builds, the chunk-parallel §2.5 demo tier,
-#        the time-bucket tick-rule side (directional/footprint paths),
-#        and the persisted-span labels pipeline.
-# Still-green-and-unchanged queries sit behind position 50; their r1/r3
-# evidence stands. ROUND-5 FRONT-LOAD: the converted-but-overflowed
-# queries (feat_bar_duration, feat_bar_rate, feat_candle_shape,
-# feat_daily_gap, feat_orb_break, bars_resample_15m, and — pushed past
-# position 50 by the round-4 sweep/bloom/star insertions and the
-# late-round minhash/ngram/segment/lang/quality rewrites —
-# feat_realized_vol, feat_burst_ratio, feat_variance_ratio,
-# feat_kurtosis, feat_bipower, feat_flow_accel,
-# feat_pv_corr, feat_trend_slope, feat_mean_reversion_z; the
-# chunk-conversion mechanism they share is already covered by 11
-# in-window siblings)
-# plus the eleven
-# round-4 analytics queries (unshipped_revenue, returned_item_report,
-# promo_revenue, order_size_histogram, supplier_nation_volume,
-# late_shipment_priority, large_volume_orders, discounted_part_revenue,
-# inactive_high_balance, top_supplier_revenue, forecast_revenue) and
-# anything new in round 5.
+# ROUND-5 WINDOW:
+# 1-11: the eleven round-4 analytics queries with ZERO driver rows ever
+#       (they pass the local replica; this is the only gap between the
+#       repo and "every registered query driver-verified at least once");
+# 12-26: the round-4 rotation note's front-load list — converted to the
+#        chunk-parallel plan in r4 but displaced past position 50 before
+#        being externally checked;
+# 27: burst_ratio_trades — NEW in round 5 (trade-scale skip-list
+#     rolling median);
+# 28-42: every query whose IMPLEMENTATION changed in round 5: the
+#        128-bit segment-dedup election key; the chunked-carry side
+#        consumers on the shared exclusive-prefix helper (trades_side /
+#        directional / footprint tier, the chunk-window machinery behind
+#        the flagship and feat tier); the span-sweep two-level prefix
+#        (uniqueness/attribution sweeps); the batched-withColumns labels
+#        path; the kmeans empty-input guard family;
+# 43-50: labels/bars family re-evidence (oldest green rows, same modules
+#        as this round's edits).
+# Still-green-and-unchanged queries sit behind position 50; their prior
+# evidence stands. ROUND-6 FRONT-LOAD: anything new or changed in round
+# 6, then any query whose only green row predates round 4.
 _PRIORITY = [
-    # -- red in r3, de-flaked ------------------------------------------------
-    "feat_time_cues",
-    "feat_fast_stage",
-    # -- never driver-checked ------------------------------------------------
-    "token_counts",
-    "doc_fingerprint",
-    "ngram_jaccard_full",
-    "seq_ewma_parallel",
-    "seq_ewms_parallel",
-    "seq_ewmst_parallel",
-    "seq_rsi_parallel",
-    "seq_atr_parallel",
-    # -- k-means family on the new integer-scaled updates --------------------
-    "kmeans_clusters",
-    "semantic_dedup",
-    "ann_ivf",
-    # -- implementation changed in round 4 -----------------------------------
-    "pipeline_1m_features",
-    "featurekit_build",
-    "time_bars_1m",
-    "tick_bars",
-    "dollar_bars",
-    "volume_bars_approx",
-    "user_hourly_bars",
-    "user_fast_features",
-    "trades_side",
-    "bar_directional_1m",
-    "footprint_long",
-    "footprint_features",
-    "footprint_packed",
-    "feat_vpin",
-    "tbm_labels",
-    "avg_uniqueness",
-    "avg_uniqueness_sweep",
-    "return_attribution_sweep",
-    "decontamination_bloom",
-    "dedup_clusters_star",
-    "event_concurrency",
-    "feat_return_log",
-    "feat_roc",
-    "feat_pct_change",
-    "feat_return_t",
-    "feat_sma",
-    "feat_zscore",
-    "feat_stoch_k",
-    "feat_bollinger_b",
-    "feat_parkinson",
-    "feat_atr_sma",
-    "feat_vwap_distance",
-    # -- rewritten late in round 4 (let-bound shingle building; window
-    # df-cutoff ngram path; single-pass segment dedup) — three DISTINCT
-    # mechanisms, each needs fresh external evidence; the displaced
-    # feat_* rows share the chunk-conversion mechanism with 12 in-window
-    # siblings and move to the round-5 front-load with the rest --------------
-    "minhash_lsh",
-    "ngram_jaccard",
-    "segment_dedup",
-    "lang_id",
-    "quality_score",
+    # -- never driver-checked: round-4 analytics suite -----------------------
+    "forecast_revenue",
+    "late_shipment_priority",
+    "large_volume_orders",
+    "top_supplier_revenue",
+    "unshipped_revenue",
+    "returned_item_report",
+    "promo_revenue",
+    "order_size_histogram",
+    "supplier_nation_volume",
+    "discounted_part_revenue",
+    "inactive_high_balance",
+    # -- round-4 conversions displaced past the window before checking -------
+    "feat_bar_duration",
+    "feat_bar_rate",
+    "feat_candle_shape",
+    "feat_daily_gap",
+    "feat_orb_break",
+    "bars_resample_15m",
     "feat_realized_vol",
     "feat_burst_ratio",
     "feat_variance_ratio",
@@ -115,6 +65,33 @@ _PRIORITY = [
     "feat_pv_corr",
     "feat_trend_slope",
     "feat_mean_reversion_z",
+    # -- new in round 5 ------------------------------------------------------
+    "burst_ratio_trades",
+    # -- implementation changed in round 5 -----------------------------------
+    "segment_dedup",
+    "trades_side",
+    "bar_directional_1m",
+    "footprint_long",
+    "footprint_features",
+    "footprint_packed",
+    "pipeline_1m_features",
+    "tbm_labels",
+    "avg_uniqueness_sweep",
+    "return_attribution_sweep",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "user_fast_features",
+    "curation_pipeline",
+    "feat_fast_stage",
+    # -- same-module re-evidence ---------------------------------------------
+    "avg_uniqueness",
+    "return_attribution",
+    "event_concurrency",
+    "time_bars_1m",
+    "user_hourly_bars",
+    "ann_ivf",
+    "featurekit_build",
+    "seq_cusum_bars",
 ]
 
 

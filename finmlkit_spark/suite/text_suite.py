@@ -1121,7 +1121,9 @@ def kmeans_clusters_q(spark, sf_dir):
     embeddings table — the trained coarse quantizer for IVF search.
     Centroid updates use integer-scaled sums (order-independent) so both
     engines iterate from bit-identical state; no output rounding."""
-    return SIM.kmeans_assign(_embs(spark, sf_dir), k=8, iters=2)
+    # dim=64 (fixed-width embeddings table) skips the one-row probe
+    # job at plan-build time
+    return SIM.kmeans_assign(_embs(spark, sf_dir), k=8, iters=2, dim=64)
 
 
 @query(
@@ -1213,4 +1215,4 @@ def semantic_dedup_q(spark, sf_dir):
     candidates shrink from |corpus|^2 to sum(|cluster|^2). Threshold
     0.4 here because the synthetic embeddings are near-orthogonal
     (max pairwise cos ~0.51); production text embeddings use ~0.95."""
-    return SIM.semantic_dup_pairs(_embs(spark, sf_dir), k=8, iters=2, threshold=0.4)
+    return SIM.semantic_dup_pairs(_embs(spark, sf_dir), k=8, iters=2, threshold=0.4, dim=64)
