@@ -17,6 +17,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
 from .text import let_bind, shingle_hashes_from_tokens, shingles, token_hashes  # noqa: F401 (shingles kept for API)
 
 MOD = 1_000_000_007
@@ -187,6 +188,15 @@ def ngram_jaccard_pairs(
     er = e.withColumn(
         "_df", F.count("*").over(Window.partitionBy("g"))
     ).where(F.col("_df") <= max_doc_freq)
+    # storage boundary: er feeds BOTH sides of the candidate self-join,
+    # and Catalyst does not reuse the exchange across the two sides (the
+    # projections above it differ) — without the cut the explode +
+    # exchange + sort + window evaluates twice per action (measured 40%
+    # of the query). Three SCALAR columns, so the columnar cache is safe
+    # (SCALE.md lesson 2 bans it for array columns only) and cheaper
+    # than localCheckpoint, whose physical planning costs ~0.5 s of
+    # driver time per build; tracked for release via finmlkit_spark.cache.
+    er = cache.keep(er)
     # size-ratio prefilter (prefix-filtering lemma): the arrays are
     # distinct sets, so J <= min(na,nb)/max(na,nb) — pairs below the
     # threshold on sizes alone CANNOT pass. n_sh already rides every
