@@ -47,3 +47,25 @@ def release_all() -> int:
         except Exception:
             pass  # session already stopped
     return n
+
+
+def cut(df: DataFrame) -> DataFrame:
+    """Persist AND truncate lineage via ``localCheckpoint(eager=False)``,
+    registered for :func:`release_all` (released by reference-drop —
+    Spark's ContextCleaner reclaims the checkpoint blocks once the
+    objects are collected).
+
+    Use instead of :func:`keep` when the frame sits UNDER a deep
+    operator chain: every Dataset op re-analyzes its whole subtree
+    JVM-side, so ops stacked on a deep tree (triple barrier → sweep)
+    pay seconds of repeated analysis that a LogicalRDD plan truncates
+    to nothing (measured −37% end-to-end on return_attribution_sweep).
+    Costs one physical-planning pass up front and, unlike ``keep``,
+    does not CacheManager-match plan rebuilds — each fresh build
+    rematerializes. Scale note: checkpointed partitions are not
+    recomputable on executor loss; prefer :func:`keep` when fault
+    recomputation matters more than driver latency.
+    """
+    df = df.localCheckpoint(eager=False)
+    _LIVE.append(df)
+    return df

@@ -308,7 +308,7 @@ def span_sweep(
     # below references it twice, and without a storage boundary every
     # reference re-runs the spans scan + scalar bounds aggregate — the
     # plan tree replicated that subtree ~20x before this cut
-    dense = cache.keep(
+    dense = cache.cut(
         axis.join(per_ck, "_ck", "left").select(
             "_ck", F.coalesce("_dt", F.lit(0)).alias("_dt")
         )
@@ -366,7 +366,7 @@ def span_sweep(
     # build and the marker probe read it, and without a storage boundary
     # each would re-run the whole sweep (plans are trees). Bounded at
     # any scale: 2 rows per event + 1 per time chunk.
-    small = cache.keep(
+    small = cache.cut(
         u.where((F.col("_prio") == 0) | (F.col("_rn") == 1)).select(
             "event_id", "event_ts_ns", "_is_start", "_prio", "_rn", "_ck",
             "_s_in", "_n_in", "_s_tot", "_n_tot",

@@ -146,7 +146,12 @@ def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage boundary: spans (3 narrow columns, ~1 row per 97 trades)
     # feed BOTH the concurrency sweep and the span interval join — without
     # it the whole triple-barrier range join + agg runs twice per action
-    spans = cache.keep(
+    # cache.cut, not keep: every sweep/concurrency op stacked on spans
+    # re-analyzes the whole triple-barrier subtree JVM-side; the
+    # LogicalRDD truncation saves ~2 s of build per consumer query (and
+    # ~1 s at bench cadence even though, unlike keep, fresh builds do
+    # not CacheManager-match — measured across the four variants)
+    spans = cache.cut(
         _labels(spark, sf_dir).select("event_id", "event_ts_ns", "touch_ts_ns")
     )
     return L.concurrency(spans, tr), tr, spans
