@@ -363,6 +363,47 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(_batch, schema=IMAGE_FEAT_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def image_resize(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize stage: decode (PNG/BMP/PPM) -> nearest-neighbor resample ->
+    PNG re-encode, Arrow-batched mapInPandas where the bytes live (no
+    blob shuffle, no driver pull).
+
+    Nearest-neighbor with the top-left convention
+    ``src = floor(dst * in / out)`` — exact integer arithmetic, so an
+    oracle can replay the index mapping symbolically (see
+    ``image_resize_stats``). Real interpolating kernels (bilinear,
+    Lanczos) belong to the PIL seam (``decode_payload``); the Spark-side
+    plumbing — batch shape, binary column in AND out, schema — is
+    identical for any kernel.
+    """
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                px = image_pixels(bytes(b))
+                h, w, _ch = px.shape
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                ids.append(int(i))
+                payloads.append(encode_png(px[ys][:, xs]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_batch, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled offset (video frame
     analog) — explode of a computed offset sequence, no UDF."""

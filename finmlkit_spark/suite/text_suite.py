@@ -435,6 +435,65 @@ def image_decode_stats(spark, sf_dir):
 
 
 @query(
+    "image_resize_stats",
+    """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(i // 8 AS BIGINT) AS y,
+         CAST(i % 8 AS BIGINT) AS x,
+         -- nearest-neighbor replay: out (y,x) reads src (2y, 2x) of the
+         -- 8x16 source image whose pixel j is (doc_id*7 + j) % 256
+         CAST((d.doc_id * 7 + (2 * (i // 8)) * 16 + 2 * (i % 8)) % 256 AS DOUBLE) AS v
+  FROM documents d, (SELECT unnest(range(32)) AS i)
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       ROUND(AVG(v), 6) AS mean_lum,
+       ROUND(SQRT(AVG(v * v) - AVG(v) * AVG(v)), 6) AS std_lum
+FROM px
+GROUP BY doc_id""",
+)
+def image_resize_stats(spark, sf_dir):
+    """REAL resize through the engine: the same deterministic 8x16 PNG
+    per doc as ``image_decode_stats``, pushed through
+    ``multimodal.image_resize`` (decode -> nearest-neighbor 8x16 -> 4x8
+    -> PNG re-encode) and then ``image_features`` on the RESIZED
+    payloads. The oracle replays the nearest-neighbor index mapping
+    symbolically (out (y,x) <- src (2y, 2x)), so a hash match proves
+    decode -> resample -> encode -> decode -> reduce end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _encode(it):
+        from ..operators.multimodal import encode_png
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                i = np.arange(128, dtype=np.int64)
+                img = ((int(did) * 7 + i) % 256).astype(np.uint8).reshape(8, 16)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payload_df = docs.mapInPandas(_encode, schema="doc_id long, payload binary")
+    resized = MM.image_resize(payload_df, out_w=8, out_h=4)
+    feats = MM.image_features(resized)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_lum", 6).alias("mean_lum"),
+        F.round("std_lum", 6).alias("std_lum"),
+    )
+
+
+@query(
     "frame_offsets",
     """
 SELECT doc_id, unnest(range(0, CAST(greatest(octet_length(encode(text)), 1) AS BIGINT), 1024)) AS frame_offset

@@ -150,3 +150,33 @@ def test_bmp_ppm_pixels():
     px = M.image_pixels(bmp)
     assert px.shape == (9, 17, 3)
     assert int(px.sum()) == 0
+
+
+def test_image_resize_nearest_neighbor_exact(spark):
+    """Resize must implement src = floor(dst*in/out) exactly, for gray
+    and RGB payloads, including non-integer ratios."""
+    import numpy as np
+    import pandas as pd
+
+    from finmlkit_spark.operators.multimodal import (
+        encode_png,
+        image_pixels,
+        image_resize,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (10, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [encode_png(gray), encode_png(rgb)]})
+    )
+    out = {r["doc_id"]: bytes(r["payload"]) for r in image_resize(df, 4, 3).collect()}
+
+    for did, src_px in ((1, gray[:, :, None]), (2, rgb)):
+        got = image_pixels(out[did])
+        h, w, _ = src_px.shape
+        ys = (np.arange(3) * h) // 3
+        xs = (np.arange(4) * w) // 4
+        exp = src_px[ys][:, xs]
+        assert got.shape == exp.shape
+        assert (got == exp).all()
