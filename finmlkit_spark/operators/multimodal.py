@@ -257,6 +257,55 @@ def wav_samples(b: bytes) -> np.ndarray:
     raise ValueError("missing data chunk")
 
 
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder for int16 (n, channels) arrays —
+    the audio counterpart of :func:`encode_png` (real payloads without
+    external libs)."""
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+SPECTRAL_SCHEMA = "doc_id long, n_samples long, channels int, dominant_bin int"
+
+
+def audio_spectral(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Spectral feature-extract over WAV payloads: dominant rFFT bin of
+    the channel-mean signal (DC excluded), Arrow-batched numpy FFT in
+    mapInPandas — real DSP on the executors, no audio libs. For a pure
+    sine at integer bin k the dominant bin is exactly k (quantization
+    noise spreads across the spectrum; the tone's peak dominates), which
+    is what the ``audio_spectral_stats`` oracle replays symbolically."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                s = wav_samples(bytes(b))
+                mono = s.astype(np.float64).mean(axis=1)
+                if mono.size < 2:
+                    rows.append((int(i), s.shape[0], s.shape[1], 0))
+                    continue
+                mag = np.abs(np.fft.rfft(mono))
+                dom = int(np.argmax(mag[1:]) + 1)  # exclude DC
+                rows.append((int(i), s.shape[0], s.shape[1], dom))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "channels", "dominant_bin"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_batch, schema=SPECTRAL_SCHEMA)
+
+
 def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Demo payload: utf-8 bytes of the text as the opaque binary column
     (stands in for image/audio bytes; everything downstream is

@@ -494,6 +494,44 @@ def image_resize_stats(spark, sf_dir):
 
 
 @query(
+    "audio_spectral_stats",
+    """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(1 AS INT) AS channels,
+       CAST(doc_id % 100 + 5 AS INT) AS dominant_bin
+FROM documents""",
+)
+def audio_spectral_stats(spark, sf_dir):
+    """REAL audio DSP through the engine: a deterministic 256-sample
+    PCM16 sine at integer bin k = doc_id % 100 + 5 is WAV-encoded on
+    the executors (``multimodal.encode_wav``), then ``audio_spectral``
+    decodes it and takes the dominant rFFT bin — which for a pure
+    integer-bin tone is exactly k (the oracle replays k symbolically,
+    so a hash match proves WAV encode -> parse -> FFT end-to-end)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _encode(it):
+        from ..operators.multimodal import encode_wav
+
+        i = np.arange(256, dtype=np.float64)
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                k = int(did) % 100 + 5
+                pcm = (10000.0 * np.sin(2.0 * np.pi * k * i / 256.0)).astype(np.int16)
+                payloads.append(encode_wav(pcm))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payload_df = docs.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return MM.audio_spectral(payload_df)
+
+
+@query(
     "frame_offsets",
     """
 SELECT doc_id, unnest(range(0, CAST(greatest(octet_length(encode(text)), 1) AS BIGINT), 1024)) AS frame_offset

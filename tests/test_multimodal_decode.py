@@ -180,3 +180,29 @@ def test_image_resize_nearest_neighbor_exact(spark):
         exp = src_px[ys][:, xs]
         assert got.shape == exp.shape
         assert (got == exp).all()
+
+
+def test_audio_spectral_dominant_bin(spark):
+    """Dominant rFFT bin of a pure integer-bin sine is that bin, for
+    mono and stereo payloads."""
+    import numpy as np
+    import pandas as pd
+
+    from finmlkit_spark.operators.multimodal import audio_spectral, encode_wav
+
+    i = np.arange(512, dtype=np.float64)
+    mono = (8000 * np.sin(2 * np.pi * 13 * i / 512)).astype(np.int16)
+    stereo = np.stack(
+        [
+            (8000 * np.sin(2 * np.pi * 31 * i / 512)).astype(np.int16),
+            (4000 * np.sin(2 * np.pi * 31 * i / 512)).astype(np.int16),
+        ],
+        axis=1,
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [encode_wav(mono), encode_wav(stereo)]})
+    )
+    got = {r["doc_id"]: r for r in audio_spectral(df).collect()}
+    assert got[1]["dominant_bin"] == 13 and got[1]["channels"] == 1
+    assert got[2]["dominant_bin"] == 31 and got[2]["channels"] == 2
+    assert got[1]["n_samples"] == 512
