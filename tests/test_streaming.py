@@ -347,3 +347,61 @@ def test_streaming_cusum_bars_parity(spark, stream_dir):
     assert expected.max() > 2, "test data should close several bars"
     mismatches = sum(1 for k in exp if got.get(k) != exp[k])
     assert mismatches == 0
+
+
+def test_streaming_cusum_bars_multibatch_state_carry(spark, stream_dir, tmp_path):
+    """State must carry across MICRO-BATCHES, not just within one: the
+    events stream is split into 4 time-ordered files processed one per
+    trigger, so the EWMST + CUSUM state crosses the batch boundary 3
+    times; bar ids must still equal the batch kernels' output."""
+    import os
+
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import cusum_bar_ids, ewmst
+    from finmlkit_spark.streaming.bars import streaming_cusum_bars
+
+    HL = 3_600.0 * 1e9
+    MULT, FLOOR = 2.0, 1e-3
+
+    batch = spark.read.parquet(stream_dir)
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    n = len(pdf)
+    d = tmp_path / "chunks"
+    d.mkdir()
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        part = pdf.iloc[bounds[i] : bounds[i + 1]]
+        path = str(d / f"part-{i}.parquet")
+        part.to_parquet(path)
+        # FileStreamSource orders files by modification time: pin an
+        # ascending mtime per chunk so batches follow event time
+        os.utime(path, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .selectExpr("'EVT' as symbol", "ts as ts_ns", "value as price")
+    )
+    out = streaming_cusum_bars(stream, mult=MULT, floor_thr=FLOOR, halflife_ns=HL)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cb_mb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    got = {r["ts"]: r["bar_id"] for r in spark.sql("select * from cb_mb_stream").collect()}
+
+    prices = pdf["value"].to_numpy()
+    ts = pdf["ts"].to_numpy().astype(np.int64)
+    r = np.concatenate([[np.nan], np.log(prices[1:] / prices[:-1])])
+    sigma = ewmst(ts, r, HL)
+    expected = cusum_bar_ids(r, sigma, mult=MULT, floor_thr=FLOOR)
+    exp = dict(zip(ts.tolist(), expected.tolist()))
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    assert len(got) == len(exp)
+    assert sum(1 for k in exp if got.get(k) != exp[k]) == 0
