@@ -405,3 +405,54 @@ def test_streaming_cusum_bars_multibatch_state_carry(spark, stream_dir, tmp_path
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
     assert len(got) == len(exp)
     assert sum(1 for k in exp if got.get(k) != exp[k]) == 0
+
+
+def test_streaming_volume_bars_multibatch_state_carry(spark, stream_dir, tmp_path):
+    """Exact-reset volume bars across 4 one-file micro-batches: the
+    (running volume, bar counter) state crosses 3 batch boundaries."""
+    import os
+
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import volume_bar_ids_exact
+    from finmlkit_spark.streaming.bars import streaming_volume_bars
+
+    batch = spark.read.parquet(stream_dir)
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    n = len(pdf)
+    d = tmp_path / "chunks_vb"
+    d.mkdir()
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        path = str(d / f"part-{i}.parquet")
+        pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .selectExpr(
+            "'EVT' as symbol",
+            "ts as ts_ns",
+            "cast(1 + (event_id % 5) as double) as qty",
+        )
+    )
+    out = streaming_volume_bars(stream, threshold=50.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vb_mb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    got = {r["ts"]: r["bar_id"] for r in spark.sql("select * from vb_mb_stream").collect()}
+
+    qty = (1 + pdf["event_id"].to_numpy() % 5).astype(float)
+    expected = volume_bar_ids_exact(qty, 50.0)
+    exp = dict(zip(pdf["ts"].to_numpy().tolist(), expected.tolist()))
+    assert n_batches >= 4
+    assert len(got) == len(exp)
+    assert sum(1 for k in exp if got.get(k) != exp[k]) == 0
