@@ -367,10 +367,12 @@ def dedup_clusters(
     id (the full corpus mapping a keep-one-per-cluster filter needs).
     """
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    # eager=False: the convergence-probe count is the materializing
+    # action; unchecked iterations chain into the next job (same cut)
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for it in range(max_iter):
         nbr_min = (
             edges.join(
@@ -382,7 +384,7 @@ def dedup_clusters(
         new = (
             labels.join(nbr_min.select(F.col("a").alias("id"), "mnl"), "id", "left")
             .select("id", F.least("label", F.coalesce("mnl", "label")).alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # convergence probe every 2nd iteration: min-label propagation is
         # monotone, so skipping a check never changes the fixpoint — it
@@ -442,7 +444,10 @@ def dedup_clusters_star(
     truth and against ``dedup_clusters`` on shallow graphs.
     """
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    e = e.where(F.col("u") != F.col("v")).localCheckpoint()
+    # eager=False everywhere in the loop: the per-round signature collect
+    # is the materializing action, so each round runs ONE job instead of
+    # two (checkpoint job + collect job) — same lineage cut
+    e = e.where(F.col("u") != F.col("v")).localCheckpoint(eager=False)
 
     def large_star(ed: DataFrame) -> DataFrame:
         both = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -479,7 +484,7 @@ def dedup_clusters_star(
 
     prev = None
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         cur = sig(e)
         if cur == prev:
             break
