@@ -106,7 +106,7 @@ def minhash_lsh_pairs(
     # band join + pair-dedup on bare ids (cheap shuffle), THEN join the
     # shingle arrays back only for surviving candidates — the arrays never
     # ride through the band join or the distinct
-    e = d_bk.select("doc", F.explode("bk").alias("key")).cache()
+    e = cache.keep(d_bk.select("doc", F.explode("bk").alias("key")))
     l = e.select(F.col("doc").alias("doc_a"), "key")
     r = e.select(F.col("doc").alias("doc_b"), "key")
     cand = (
@@ -164,7 +164,7 @@ def ngram_jaccard_pairs(
     d = d.localCheckpoint(eager=False)
     e = d.select("doc", "n_sh", F.explode("sh").alias("g"))
     if max_doc_freq is None:
-        e = e.cache()  # feeds both sides of the unbounded self-join
+        e = cache.keep(e)  # feeds both sides of the unbounded self-join
         l = e.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
         r = e.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
         pairs = (
@@ -315,10 +315,12 @@ def simhash_near_pairs(
     # (doc, fp) projection — two longs per row, scalar-only so the
     # columnar cache is safe — so the shingle fold + SimHash UDF run
     # once over the corpus, not once per join side
-    d = docs.select(
-        F.col(id_col).alias("doc"),
-        simhash(shingle_hashes(text_col), bits).alias("fp"),
-    ).cache()
+    d = cache.keep(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            simhash(shingle_hashes(text_col), bits).alias("fp"),
+        )
+    )
     keys = F.array(
         *[
             F.struct(
