@@ -92,6 +92,66 @@ def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
     )
 
 
+def _rp_weight(j, i, dim: int) -> Column:
+    """Deterministic integer projection weight in [-32768, 32768): the
+    same LCG family as ``_plane_weight``, kept INTEGER so the projection
+    sum is exact int64 arithmetic (order-independent, hence
+    bit-reproducible in plain SQL)."""
+    idx = (j * dim + i + 1).cast("long")
+    return (F.lit(1103515245).cast("long") * idx + 12345) % F.lit(65536) - F.lit(32768)
+
+
+def random_projection(
+    emb_df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims — the
+    dimensionality-reduction stage in front of ANN/clustering at scale
+    (project 100 TB of wide embeddings once, run candidate generation in
+    the narrow space, verify exact in the original space).
+
+    Exactness posture: components quantize to 1e-6 units (BIGINT), the
+    per-output-dim weighted sum runs entirely in int64 (|q|·|w|·dim ≤
+    ~4e12 ≪ 2^63 — no overflow, no float fold-order), and ONE terminal
+    division rescales to double — so Spark and any SQL engine produce
+    bit-identical projections regardless of summation order. Weights
+    come from a seeded integer LCG over the flat (out_dim × dim) index,
+    reproducible in plain SQL (``random_projection`` oracle).
+
+    Pure JVM higher-order-function expression: fine at out_dim·dim ≈ 1k
+    interpreted ops per row (SCALE.md lesson 3's threshold); swap the
+    inner fold for an Arrow matmul kernel if out_dim·dim grows 100×.
+    """
+    v = as_double(emb_col)
+    q = F.transform(v, lambda x: F.floor(x * 1e6 + 0.5).cast("long"))
+
+    def project(qb: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(out_dim - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    qb,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: _rp_weight(j, i, dim),
+                    ),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.lit(1e6 * 32768.0),
+        )
+
+    # let-bind the quantized array: it is referenced by all out_dim
+    # lambda bodies and Catalyst re-inlines per reference (lesson 1)
+    proj = F.get(F.transform(F.array(q), project), 0)
+    return emb_df.select(F.col(id_col), proj.alias("projection"))
+
+
 def ann_brute_topk(
     emb_df: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id", emb_col: str = "embedding"
 ) -> DataFrame:

@@ -22,18 +22,19 @@ from . import developing_suite  # noqa: F401
 # 12-26: the round-4 rotation note's front-load list — converted to the
 #        chunk-parallel plan in r4 but displaced past position 50 before
 #        being externally checked;
-# 27-29: NEW in round 5: burst_ratio_trades (trade-scale skip-list
+# 27-30: NEW in round 5: burst_ratio_trades (trade-scale skip-list
 #     rolling median), image_resize_stats (real decode -> nearest-
 #     neighbor resize -> re-encode round-trip), audio_spectral_stats
-#     (real WAV encode -> parse -> FFT dominant bin);
-# 30-44: every query whose IMPLEMENTATION changed in round 5: the
+#     (real WAV encode -> parse -> FFT dominant bin), random_projection
+#     (JL 64->16, exact integer-scaled sums);
+# 31-45: every query whose IMPLEMENTATION changed in round 5: the
 #        128-bit segment-dedup election key; the chunked-carry side
 #        consumers on the shared exclusive-prefix helper (trades_side /
 #        directional / footprint tier, the chunk-window machinery behind
 #        the flagship and feat tier); the span-sweep two-level prefix
 #        (uniqueness/attribution sweeps); the batched-withColumns labels
 #        path; the kmeans empty-input guard family;
-# 45-50: labels/bars family re-evidence (oldest green rows, same modules
+# 46-50: labels/bars family re-evidence (oldest green rows, same modules
 #        as this round's edits).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-6 FRONT-LOAD: anything new or changed in round
@@ -71,6 +72,7 @@ _PRIORITY = [
     "burst_ratio_trades",
     "image_resize_stats",
     "audio_spectral_stats",
+    "random_projection",
     # -- implementation changed in round 5 -----------------------------------
     "segment_dedup",
     "trades_side",
@@ -93,7 +95,6 @@ _PRIORITY = [
     "event_concurrency",
     "time_bars_1m",
     "user_hourly_bars",
-    "ann_ivf",
 ]
 
 

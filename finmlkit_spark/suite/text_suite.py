@@ -356,6 +356,36 @@ def emb_lsh_pairs(spark, sf_dir):
     return SIM.lsh_near_pairs(_embs(spark, sf_dir), threshold=0.3)
 
 
+@query(
+    "random_projection",
+    """
+WITH q AS (
+  SELECT vec_id, i.i AS i,
+         CAST(floor(embedding[i.i + 1] * 1e6 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range(64)) AS i) i
+),
+w AS (
+  SELECT j.j AS j, i.i AS i,
+         ((1103515245 * (j.j * 64 + i.i + 1) + 12345) % 65536) - 32768 AS wv
+  FROM (SELECT unnest(range(16)) AS j) j, (SELECT unnest(range(64)) AS i) i
+)
+SELECT q.vec_id, w.j,
+       CAST(SUM(q.qv * w.wv) AS DOUBLE) / (1e6 * 32768.0) AS proj
+FROM q JOIN w USING (i)
+GROUP BY q.vec_id, w.j""",
+)
+def random_projection_q(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 -> 16 dims
+    (``similarity.random_projection``): exact integer-scaled weighted
+    sums (order-independent int64, one terminal rescale), long-form
+    output so the driver hashes scalars. The oracle replays the LCG
+    weights and the quantized sum in plain SQL — bit-identical."""
+    out = SIM.random_projection(_embs(spark, sf_dir), out_dim=16)
+    return out.select(
+        "vec_id", F.posexplode("projection").alias("j", "proj")
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "proj")
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 @query(

@@ -147,3 +147,23 @@ def test_shingle_hashes_match_python_reference(spark):
     }
     for doc_id, text in docs:
         assert got[doc_id] == _py_shingle_hashes(text), f"doc {doc_id}"
+
+
+def test_random_projection_linearity_and_determinism(spark):
+    """JL projection: deterministic across runs, linear in the input
+    (projection of 2v equals 2*projection(v) up to the 1e-6 quantization
+    of the doubled vector)."""
+    import pandas as pd
+
+    from finmlkit_spark.operators.similarity import random_projection
+
+    v = [0.25 * ((i % 7) - 3) for i in range(64)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [v, [2 * x for x in v]]})
+    )
+    out = {r["vec_id"]: r["projection"] for r in random_projection(df, out_dim=8).collect()}
+    out2 = {r["vec_id"]: r["projection"] for r in random_projection(df, out_dim=8).collect()}
+    assert out == out2  # deterministic
+    for a, b in zip(out[1], out[2]):
+        assert abs(2 * a - b) < 1e-9, (a, b)
+    assert any(abs(x) > 1e-6 for x in out[1])  # non-degenerate
