@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
+
 DIM = 64
 N_PLANES = 16
 
@@ -167,6 +169,54 @@ def ann_brute_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ann_projected_topk(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 25,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: candidate generation by cosine in the
+    Johnson-Lindenstrauss PROJECTED space (:func:`random_projection`,
+    ``out_dim`` ≪ dim), exact re-scoring in the original space for the
+    shortlist only — the standard reduce-then-verify recipe: at 100 TB
+    the wide vectors are touched for |queries|·shortlist rows instead of
+    |queries|·|corpus|, and the projected scan is dim/out_dim× narrower.
+    Deterministic end-to-end: projections are bit-exact (integer-scaled
+    sums), both cosines fold sequentially, ties break toward the lower
+    candidate id at both stages.
+    """
+    proj = cache.keep(random_projection(emb_df, out_dim=out_dim, id_col=id_col, emb_col=emb_col))
+    base = proj.select(F.col(id_col).alias("cand_id"), F.col("projection").alias("pv"))
+    q = proj.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("projection").alias("qpv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qpv"), F.col("pv")).alias("psim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cand_id"))
+    cand = scored.withColumn("prank", F.row_number().over(w)).where(
+        F.col("prank") <= shortlist
+    )
+    # exact verify: wide vectors only for the shortlist
+    e = emb_df.select(F.col(id_col).alias("cand_id"), as_double(emb_col).alias("v"))
+    qe = emb_df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
+    )
+    exact = (
+        cand.select("query_id", "cand_id")
+        .join(e, "cand_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
 
 
 def lsh_near_pairs(

@@ -26,15 +26,16 @@ from . import developing_suite  # noqa: F401
 #     rolling median), image_resize_stats (real decode -> nearest-
 #     neighbor resize -> re-encode round-trip), audio_spectral_stats
 #     (real WAV encode -> parse -> FFT dominant bin), random_projection
-#     (JL 64->16, exact integer-scaled sums);
-# 31-45: every query whose IMPLEMENTATION changed in round 5: the
+#     (JL 64->16, exact integer-scaled sums) + ann_projected_topk
+#     (reduce-then-verify ANN on it);
+# 32-46: every query whose IMPLEMENTATION changed in round 5: the
 #        128-bit segment-dedup election key; the chunked-carry side
 #        consumers on the shared exclusive-prefix helper (trades_side /
 #        directional / footprint tier, the chunk-window machinery behind
 #        the flagship and feat tier); the span-sweep two-level prefix
 #        (uniqueness/attribution sweeps); the batched-withColumns labels
 #        path; the kmeans empty-input guard family;
-# 46-50: labels/bars family re-evidence (oldest green rows, same modules
+# 47-50: labels/bars family re-evidence (oldest green rows, same modules
 #        as this round's edits).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-6 FRONT-LOAD: anything new or changed in round
@@ -73,6 +74,7 @@ _PRIORITY = [
     "image_resize_stats",
     "audio_spectral_stats",
     "random_projection",
+    "ann_projected_topk",
     # -- implementation changed in round 5 -----------------------------------
     "segment_dedup",
     "trades_side",
@@ -94,7 +96,6 @@ _PRIORITY = [
     "return_attribution",
     "event_concurrency",
     "time_bars_1m",
-    "user_hourly_bars",
 ]
 
 

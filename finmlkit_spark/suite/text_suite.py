@@ -386,6 +386,60 @@ def random_projection_q(spark, sf_dir):
     ).select("vec_id", F.col("j").cast("long").alias("j"), "proj")
 
 
+@query(
+    "ann_projected_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, i.i AS i,
+         CAST(floor(embedding[i.i + 1] * 1e6 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range(64)) AS i) i
+),
+wm AS (
+  SELECT j.j AS j, i.i AS i,
+         ((1103515245 * (j.j * 64 + i.i + 1) + 12345) % 65536) - 32768 AS wv
+  FROM (SELECT unnest(range(16)) AS j) j, (SELECT unnest(range(64)) AS i) i
+),
+pl AS (
+  SELECT qz.vec_id, wm.j,
+         CAST(SUM(qz.qv * wm.wv) AS DOUBLE) / (1e6 * 32768.0) AS p
+  FROM qz JOIN wm USING (i)
+  GROUP BY qz.vec_id, wm.j
+),
+pv AS (
+  SELECT vec_id, list(p ORDER BY j) AS pvec FROM pl GROUP BY vec_id
+),
+ps AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_dot_product(q.pvec, c.pvec)
+           / (sqrt(list_dot_product(q.pvec, q.pvec)) * sqrt(list_dot_product(c.pvec, c.pvec))) AS psim
+  FROM pv q, pv c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+sh AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY psim DESC, cand_id) AS prank FROM ps
+),
+ex AS (
+  SELECT s.query_id, s.cand_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+  FROM sh s JOIN e q ON q.vec_id = s.query_id JOIN e c ON c.vec_id = s.cand_id
+  WHERE s.prank <= 25
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank FROM ex)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def ann_projected_topk_q(spark, sf_dir):
+    """Reduce-then-verify ANN: JL-projected cosine shortlist (25) ->
+    exact cosine top-5 in the original space
+    (``similarity.ann_projected_topk``). Bit-exact projections make the
+    candidate sets — and therefore the final rows — identical across
+    engines."""
+    out = SIM.ann_projected_topk(_embs(spark, sf_dir), list(range(10)), k=5)
+    return out.select(
+        "query_id", "cand_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 @query(
