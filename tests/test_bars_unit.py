@@ -118,3 +118,36 @@ def test_fill_empty_bars_cross_chunk_carry(spark):
     for m in range(2, 12):
         assert filled[m]["close"] == 100.0 and filled[m]["volume"] == 0.0
     assert filled[12]["close"] == 130.0 and filled[12]["open"] == 130.0
+
+
+def test_bar_directional_by_symbol_matches_chunked_single_stream(spark):
+    """The by-symbol directional aggregation (multi-symbol API form)
+    must agree with the chunked single-stream form on one symbol."""
+    import pandas as pd
+
+    from finmlkit_spark.operators import bars as B
+    from finmlkit_spark.operators import preprocess as P
+
+    rows = []
+    price = 100.0
+    for i in range(400):
+        price += [-0.5, 0.0, 0.25, 0.5][i % 4]
+        rows.append(("S", 1_700_000_000_000_000_000 + i * 7_000_000_000, i, price, 1.0 + i % 3))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["symbol", "ts_ns", "trade_id", "price", "qty"])
+    )
+    sided = P.with_trade_side(df, by="symbol")
+    a = B.bar_directional_features(
+        B.with_time_bar(sided, 60_000_000_000), by=None
+    )
+    b = B.bar_directional_features_chunked(B.with_time_bar(df, 60_000_000_000))
+    da = {r["bar_close_ns"]: r.asDict() for r in a.collect()}
+    db = {r["bar_close_ns"]: r.asDict() for r in b.collect()}
+    assert set(da) == set(db) and len(da) > 3
+    for k in da:
+        for c in da[k]:
+            va, vb = da[k][c], db[k][c]
+            if isinstance(va, float):
+                assert abs(va - vb) < 1e-9, (k, c, va, vb)
+            else:
+                assert va == vb, (k, c, va, vb)

@@ -86,3 +86,46 @@ def test_events_adapter_nanos_long_path(spark, tmp_path):
     tr = events_to_trades(spark, str(d))
     got = sorted(r.ts_ns for r in tr.collect())
     assert got == sorted(t - t % 1000 for t in ns)
+
+
+def test_read_trades_parquet_pruned(spark, tmp_path):
+    """The pruned trades read: time filters reach the scan as pushed
+    predicates and the slice matches a manual filter."""
+    import pandas as pd
+
+    from finmlkit_spark.sources.trades import read_trades_parquet
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["S"] * 100,
+            "ts_ns": [1_700_000_000_000_000_000 + i * 10**9 for i in range(100)],
+            "trade_id": range(100),
+            "price": [100.0 + i for i in range(100)],
+            "qty": [1.0] * 100,
+        }
+    )
+    p = str(tmp_path / "trades.parquet")
+    pdf.to_parquet(p)
+    lo = 1_700_000_000_000_000_000 + 20 * 10**9
+    hi = 1_700_000_000_000_000_000 + 80 * 10**9
+    df = read_trades_parquet(spark, p, start_ns=lo, end_ns=hi)
+    assert df.count() == len(pdf[(pdf.ts_ns >= lo) & (pdf.ts_ns <= hi)])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ts_ns" in plan.split("PushedFilters")[1][:200]
+
+
+def test_simhash_dup_pairs_identical_docs(spark):
+    import pandas as pd
+
+    from finmlkit_spark.operators.dedup import simhash_dup_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["alpha beta gamma delta"] * 2 + ["something entirely different here"],
+            }
+        )
+    )
+    got = [(r["doc_a"], r["doc_b"]) for r in simhash_dup_pairs(docs).collect()]
+    assert got == [(1, 2)]
