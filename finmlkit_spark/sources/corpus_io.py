@@ -1,0 +1,71 @@
+"""Corpus sources/sinks for the LLM-curation tier.
+
+Documents arrive as JSONL (the lingua franca of web-scale text dumps)
+or parquet; curated output writes back partitioned by the columns a
+training run prunes on (split, lang) so downstream readers get
+partition pruning for free — the corpus analog of the trades store's
+(symbol, month) layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+#: canonical documents schema (matches the testdata documents table)
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOCUMENTS_SCHEMA,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """JSONL corpus scan with an EXPLICIT schema — schema inference on
+    100 TB of JSON is a full extra pass over the data and types drift
+    per shard; a declared schema makes the scan single-pass and the
+    contract loud. Rows whose JSON does not parse land in
+    ``_corrupt_record`` mode PERMISSIVE as all-null rows and are
+    dropped by the id filter (count them upstream if loss matters).
+    Synthesizes nothing: missing ``doc_id`` is an error row, not a
+    generated id (generated ids are not stable across re-reads)."""
+    df = spark.read.schema(schema).json(path)
+    return df.where(F.col(id_col).isNotNull())
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("split",),
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Partitioned parquet sink for curated documents.
+
+    Partition columns = the prune axes of a training run (split, lang);
+    ``maxRecordsPerFile`` bounds file sizes so a skewed partition (one
+    dominant language) still yields parallel-readable files. Overwrite
+    is DYNAMIC-partition only: re-curating one split does not clobber
+    the others."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_corpus(spark: SparkSession, path: str, **filters) -> DataFrame:
+    """Pruned corpus read: equality filters on partition columns become
+    partition pruning (no data files of other partitions are opened)."""
+    df = spark.read.parquet(path)
+    for col, val in filters.items():
+        df = df.where(F.col(col) == val)
+    return df

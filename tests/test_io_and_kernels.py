@@ -126,3 +126,41 @@ def test_bucketed_write_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS b_bars")
         spark.sql("DROP TABLE IF EXISTS b_feats")
+
+
+def test_corpus_jsonl_roundtrip_and_pruned_read(spark, tmp_path):
+    """JSONL ingest (explicit schema, corrupt rows dropped) -> curated
+    partitioned write (dynamic overwrite) -> pruned read."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.sources.corpus_io import (
+        read_corpus,
+        read_documents_jsonl,
+        write_corpus,
+    )
+
+    src = tmp_path / "in.jsonl"
+    lines = [json.dumps({"doc_id": i, "text": f"doc number {i}"}) for i in range(20)]
+    lines.insert(5, "{not valid json")
+    src.write_text("\n".join(lines))
+
+    docs = read_documents_jsonl(spark, str(src))
+    assert docs.count() == 20  # corrupt row dropped
+
+    out = docs.withColumn(
+        "split", F.when(F.col("doc_id") % 10 == 0, "test").otherwise("train")
+    )
+    dst = str(tmp_path / "corpus")
+    write_corpus(out, dst, partition_by=("split",))
+
+    train = read_corpus(spark, dst, split="train")
+    assert train.count() == 18
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:120]
+
+    # dynamic overwrite: rewriting only the test split leaves train intact
+    write_corpus(out.where(F.col("split") == "test"), dst, partition_by=("split",))
+    assert read_corpus(spark, dst, split="train").count() == 18
+    assert read_corpus(spark, dst, split="test").count() == 2
