@@ -109,7 +109,21 @@ def main() -> None:
     import json
 
     print(json.dumps(kit.to_config()))
-    print("kit-curated docs:", kit.run(docs).count())
+    curated = kit.run(docs)
+    print("kit-curated docs:", curated.count())
+
+    # 7. persist the curated corpus partitioned by split (pruned reads
+    #    downstream) — the round-5 corpus sink
+    import tempfile
+
+    from finmlkit_spark.sources.corpus_io import read_corpus, write_corpus
+
+    with tempfile.TemporaryDirectory() as td:
+        out = curated.withColumn(
+            "split", F.when(F.col("doc_id") % 10 == 0, "test").otherwise("train")
+        )
+        write_corpus(out, td, partition_by=("split",))
+        print("train partition rows:", read_corpus(spark, td, split="train").count())
 
 
 if __name__ == "__main__":
