@@ -161,7 +161,7 @@ def ngram_jaccard_pairs(
     # verification joins — cut the lineage so the HOF shingle fold runs
     # once; RDD storage (localCheckpoint), NOT cache(): the columnar
     # cache pathologically serializes array columns (SCALE.md lesson 2)
-    d = d.localCheckpoint(eager=False)
+    d = cache.cut(d)
     e = d.select("doc", "n_sh", F.explode("sh").alias("g"))
     if max_doc_freq is None:
         e = cache.keep(e)  # feeds both sides of the unbounded self-join
@@ -371,10 +371,10 @@ def dedup_clusters(
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # eager=False: the convergence-probe count is the materializing
     # action; unchecked iterations chain into the next job (same cut)
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
-    labels = (
+    edges = cache.cut(e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    labels = cache.cut(
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=False)
+    )
     for it in range(max_iter):
         nbr_min = (
             edges.join(
@@ -386,8 +386,8 @@ def dedup_clusters(
         new = (
             labels.join(nbr_min.select(F.col("a").alias("id"), "mnl"), "id", "left")
             .select("id", F.least("label", F.coalesce("mnl", "label")).alias("label"))
-            .localCheckpoint(eager=False)
         )
+        new = cache.cut(new)
         # convergence probe every 2nd iteration: min-label propagation is
         # monotone, so skipping a check never changes the fixpoint — it
         # just trades at most one extra (cheap, already-converged)
@@ -449,7 +449,7 @@ def dedup_clusters_star(
     # eager=False everywhere in the loop: the per-round signature collect
     # is the materializing action, so each round runs ONE job instead of
     # two (checkpoint job + collect job) — same lineage cut
-    e = e.where(F.col("u") != F.col("v")).localCheckpoint(eager=False)
+    e = cache.cut(e.where(F.col("u") != F.col("v")))
 
     def large_star(ed: DataFrame) -> DataFrame:
         both = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -486,7 +486,7 @@ def dedup_clusters_star(
 
     prev = None
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=False)
+        e = cache.cut(small_star(large_star(e)))
         cur = sig(e)
         if cur == prev:
             break
