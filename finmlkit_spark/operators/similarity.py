@@ -349,7 +349,7 @@ def kmeans_assign(
         # iteration at plan-build time (~0.3 s of fixed scheduling
         # each); lazily the checkpoints materialize in sequence inside
         # the first real action, same cut, no extra driver round-trips.
-        cent = cent.localCheckpoint(eager=False)
+        cent = cache.cut(cent)
 
     out = assign(cent)
     # no output rounding: sim is deterministic (sequential dot-product
