@@ -39,7 +39,15 @@ from . import developing_suite  # noqa: F401
 #        as this round's edits).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-6 FRONT-LOAD: anything new or changed in round
-# 6, then any query whose only green row predates round 4.
+# 6 first, then the 26 queries whose NEWEST driver-green row is r1-r2
+# (unchanged since, evidence old): integrity_report, merge_split_trades,
+# bar_trade_size_1m, feat_dir_run_len, seq_ewma, seq_ewms, seq_ewmst,
+# seq_rsi_wilder, seq_adx, seq_cusum_filter, seq_volume_bars_exact,
+# seq_cusum_test, text_stats, exact_dedup, simhash_fp, ann_topk,
+# multimodal_meta, image_decode_stats, sequence_packing, dedup_clusters,
+# mixture_sample, c4_filter, unigram_logprob, pricing_summary,
+# regional_revenue, sql_shared_dialect. (Every registered query has
+# been driver-green at least once as of round 5.)
 _PRIORITY = [
     # -- never driver-checked: round-4 analytics suite -----------------------
     "forecast_revenue",
