@@ -239,6 +239,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_span_ranges(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document duplicated token SPANS per document — the
+    distributed output analog of suffix-array substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): the character ranges that pipeline would cut. A position
+    is duplicated when its k-gram occurs in at least one OTHER document;
+    runs of duplicated positions merge into maximal spans
+    (gaps-and-islands per doc: a new span starts when the next
+    duplicated k-gram begins after the previous span's end + 1).
+
+    Returns (doc_id, span_start, span_end, n_grams): token positions
+    [span_start, span_end] inclusive, n_grams = duplicated k-gram
+    starts inside the span. Plan: positional shingle explode (fan-out =
+    tokens per doc), ONE exchange on the k-gram key for the min/max-doc
+    window (boilerplate k-grams land on one task and are marked, never
+    fanned out pairwise), one per-doc window for the island merge —
+    integers end-to-end, so the SQL oracle matches exactly.
+    """
+    from .text import positional_shingle_hashes, token_hashes
+
+    g = positional_shingle_hashes(token_hashes(text_col), k)
+    e = docs.select(
+        F.col(id_col).alias("doc"), F.posexplode(g).alias("p", "g")
+    )
+    w = Window.partitionBy("g")
+    dup = (
+        e.withColumn("_mn", F.min("doc").over(w))
+        .withColumn("_mx", F.max("doc").over(w))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("doc", "p")
+    )
+    wd = Window.partitionBy("doc").orderBy("p")
+    isl = dup.withColumn(
+        "_new",
+        F.when(F.col("p") > F.lag("p").over(wd) + k, 1).otherwise(0),
+    ).withColumn(
+        "_isl", F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return isl.groupBy("doc", "_isl").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + (k - 1)).alias("span_end"),
+        F.count("*").cast("long").alias("n_grams"),
+    ).select(
+        F.col("doc").alias(id_col), "span_start", "span_end", "n_grams"
+    )
+
+
 def _bit(h: Column, i: Column) -> Column:
     """(h >> i) & 1 with a Column shift count (shiftright needs a literal):
     floor(h / 2^i) % 2 — exact for h < 2^53 in double space."""

@@ -207,6 +207,27 @@ def shingle_hashes_from_tokens(th: Column, k: int = 3, mod: int = MOD) -> Column
     return F.get(F.transform(F.array(th), _body), 0)
 
 
+def positional_shingle_hashes(th: Column, k: int = 3, mod: int = MOD) -> Column:
+    """Per-POSITION k-gram shingle hashes: element i is the hash of the
+    k-gram starting at token i — the positional sibling of
+    :func:`shingle_hashes_from_tokens` (same fold, NO distinct), for
+    span-level dedup where the location of a duplicated k-gram matters,
+    not just its membership. Same let-binding discipline (the input
+    fans into k+2 sub-expressions)."""
+
+    def _body(thv: Column) -> Column:
+        n = F.size(thv)
+        m = n - (k - 1)
+        acc = F.slice(thv, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(thv, j + 1, m), lambda a, b: (a * 31 + b) % F.lit(mod)
+            )
+        return F.when(n >= k, acc).otherwise(F.array().cast("array<long>"))
+
+    return F.get(F.transform(F.array(th), _body), 0)
+
+
 def shingles(col: str = "text", k: int = 3) -> Column:
     """Distinct token k-gram shingle STRINGS (the readable variant of
     the hash-based unit set used by MinHash/Jaccard). Linear slice +

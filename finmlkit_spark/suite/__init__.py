@@ -27,15 +27,16 @@ from . import developing_suite  # noqa: F401
 #     neighbor resize -> re-encode round-trip), audio_spectral_stats
 #     (real WAV encode -> parse -> FFT dominant bin), random_projection
 #     (JL 64->16, exact integer-scaled sums) + ann_projected_topk
-#     (reduce-then-verify ANN on it);
-# 32-46: every query whose IMPLEMENTATION changed in round 5: the
+#     (reduce-then-verify ANN on it), dup_span_ranges (suffix-array-
+#     dedup span output analog);
+# 33-47: every query whose IMPLEMENTATION changed in round 5: the
 #        128-bit segment-dedup election key; the chunked-carry side
 #        consumers on the shared exclusive-prefix helper (trades_side /
 #        directional / footprint tier, the chunk-window machinery behind
 #        the flagship and feat tier); the span-sweep two-level prefix
 #        (uniqueness/attribution sweeps); the batched-withColumns labels
 #        path; the kmeans empty-input guard family;
-# 47-50: labels/bars family re-evidence (oldest green rows, same modules
+# 48-50: labels/bars family re-evidence (oldest green rows, same modules
 #        as this round's edits).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-6 FRONT-LOAD: anything new or changed in round
@@ -83,6 +84,7 @@ _PRIORITY = [
     "audio_spectral_stats",
     "random_projection",
     "ann_projected_topk",
+    "dup_span_ranges",
     # -- implementation changed in round 5 -----------------------------------
     "segment_dedup",
     "trades_side",
@@ -103,7 +105,6 @@ _PRIORITY = [
     "avg_uniqueness",
     "return_attribution",
     "event_concurrency",
-    "time_bars_1m",
 ]
 
 

@@ -1035,6 +1035,52 @@ def dup_spans_q(spark, sf_dir):
 
 
 @query(
+    "dup_span_ranges",
+    _TOKS
+    + """
+, thq AS (SELECT doc_id, """
+    + _TH
+    + """ AS th FROM toks),
+pl AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+           i -> ((((th[i] * 31 + th[i + 1]) % 1000000007) * 31 + th[i + 2]) % 1000000007)) AS gl
+  FROM thq
+),
+pe AS (
+  SELECT doc_id, unnest(gl) AS g, generate_subscripts(gl, 1) - 1 AS p FROM pl
+),
+dg AS (SELECT g FROM pe GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+dp AS (SELECT doc_id, p FROM pe WHERE g IN (SELECT g FROM dg)),
+il AS (
+  SELECT doc_id, p,
+         CASE WHEN p > lag(p) OVER w + 3 THEN 1 ELSE 0 END AS nw
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+ic AS (
+  SELECT doc_id, p,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS isl
+  FROM il
+)
+SELECT doc_id, MIN(p) AS span_start, MAX(p) + 2 AS span_end,
+       COUNT(*) AS n_grams
+FROM ic GROUP BY doc_id, isl""",
+)
+def dup_span_ranges_q(spark, sf_dir):
+    """Maximal cross-document duplicated token spans (the suffix-array-
+    dedup output analog, Lee et al. 2021) — positional trigram hashes,
+    one k-gram-key exchange to mark duplicated positions, per-doc
+    gaps-and-islands merge. Integer arithmetic end-to-end."""
+    out = D.dup_span_ranges(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_grams",
+    )
+
+
+@query(
     "vocab_topk",
     _TOKS
     + """

@@ -307,3 +307,33 @@ def test_dedup_clusters_star_matches_propagation_on_shallow(spark):
     a = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pdf, docs).collect()}
     b = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters_star(pdf, docs).collect()}
     assert a == b
+
+
+def test_dup_span_ranges_crafted(spark):
+    """Two docs share one 5-token phrase: each gets exactly one merged
+    span covering the phrase (trigram starts at its first 3 positions),
+    and a doc with unique text gets none."""
+    import pandas as pd
+
+    from finmlkit_spark.operators.dedup import dup_span_ranges
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"alpha beta {shared} gamma delta",
+                    f"zeta {shared} eta theta iota",
+                    "nothing in common with anything here at all",
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in dup_span_ranges(docs, k=3).collect()
+    }
+    # doc 1: phrase tokens at positions 2..6 -> trigram starts 2,3,4 ->
+    # span [2, 6]; doc 2: positions 1..5 -> starts 1,2,3 -> span [1, 5]
+    assert got == {1: (2, 6, 3), 2: (1, 5, 3)}
