@@ -48,6 +48,10 @@ HEADLINE = [
     # general star-schema analytics (round-4 additions: the classic
     # join/agg shapes — pushdown scan, semi-join, HAVING rollup,
     # scalar-subquery max — measured alongside the domain operators)
+    # round-5 additions: trade-scale median, span-level dedup, JL ANN
+    "burst_ratio_trades",
+    "dup_span_ranges",
+    "ann_projected_topk",
     "pricing_summary",
     "forecast_revenue",
     "late_shipment_priority",
