@@ -337,3 +337,64 @@ def test_dup_span_ranges_crafted(spark):
     # doc 1: phrase tokens at positions 2..6 -> trigram starts 2,3,4 ->
     # span [2, 6]; doc 2: positions 1..5 -> starts 1,2,3 -> span [1, 5]
     assert got == {1: (2, 6, 3), 2: (1, 5, 3)}
+
+
+def test_dup_span_ranges_random_vs_brute(spark):
+    """Randomized docs with injected shared phrases vs a pure-Python
+    brute force of the same semantics (k-gram in 2+ docs -> position
+    duplicated; merge runs with gap <= k)."""
+    import random
+
+    import pandas as pd
+
+    from finmlkit_spark.operators.dedup import dup_span_ranges
+
+    k = 3
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    phrases = [
+        ["p1a", "p1b", "p1c", "p1d"],
+        ["p2a", "p2b", "p2c"],
+    ]
+    docs = {}
+    for did in range(8):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 25))]
+        for ph in phrases:
+            if rng.random() < 0.5:
+                pos = rng.randint(0, len(toks))
+                toks[pos:pos] = ph
+        docs[did] = toks
+
+    # brute force
+    from collections import defaultdict
+
+    grams = defaultdict(set)
+    for did, toks in docs.items():
+        for p in range(len(toks) - k + 1):
+            grams[tuple(toks[p : p + k])].add(did)
+    expected = set()
+    for did, toks in docs.items():
+        dup_ps = sorted(
+            p
+            for p in range(len(toks) - k + 1)
+            if len(grams[tuple(toks[p : p + k])]) >= 2
+        )
+        spans = []
+        for p in dup_ps:
+            if spans and p <= spans[-1][1] - (k - 1) + k:
+                spans[-1] = (spans[-1][0], p + k - 1, spans[-1][2] + 1)
+            else:
+                spans.append((p, p + k - 1, 1))
+        for s, e, n in spans:
+            expected.add((did, s, e, n))
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(docs), "text": [" ".join(t) for t in docs.values()]}
+        )
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in dup_span_ranges(df, k=k).collect()
+    }
+    assert got == expected
