@@ -144,6 +144,13 @@ def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int
         F.min("ts_ns").alias("_ft"),
         F.max("ts_ns").alias("_lt"),
     )
+    # approx median via percentile_approx over the RE-AGGREGATED rows is
+    # NOT possible (the salt stage already collapsed them), so the
+    # sketch runs in the same stage-1 agg and merges in stage 2: Spark's
+    # QuantileSummaries is a mergeable sketch, which is exactly why it
+    # survives the salted two-stage shape while the exact interpolated
+    # median (order statistics over the full bucket) cannot. Bounded
+    # rank error eps = 1/accuracy (default 1e-4).
     return s1.groupBy(*keys).agg(
         F.min("_o")["price"].alias("open"),
         F.max("_hi").alias("high"),
@@ -152,6 +159,56 @@ def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int
         F.sum("_v").alias("volume"),
         (F.sum("_pv") / F.sum("_v")).alias("vwap"),
         F.sum("_n").cast("long").alias("trades"),
+        F.min("_ft").alias("first_ts_ns"),
+        F.max("_lt").alias("last_ts_ns"),
+    )
+
+
+def bar_ohlcv_salted_with_median(
+    df: DataFrame,
+    key: str = "bar_close_ns",
+    salt_buckets: int = 16,
+    by: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Salted OHLCV INCLUDING an approximate median trade size.
+
+    ``bar_ohlcv_salted`` omits the median because the exact interpolated
+    form needs full order statistics per bar — the one non-algebraic
+    aggregate, and on a hot key (one symbol-minute with millions of
+    prints) the single reducer buffers every value. This variant keeps
+    the two-stage salted shape and adds ``percentile_approx`` — Spark's
+    mergeable quantile sketch (bounded rank error 1/accuracy), computed
+    per salt bucket in stage 1; stage 2 takes the per-bucket medians'
+    median as the final estimate (each bucket is a uniform 1/salt_buckets
+    sample by trade_id, so bucket medians concentrate around the true
+    median; differential-tested within tolerance vs the exact form).
+    Exact-median consumers at moderate key cardinality use
+    ``bar_ohlcv``.
+    """
+    keys = ([by] if by else []) + [key]
+    salt = (F.col("trade_id") % F.lit(salt_buckets)).alias("_salt")
+    s1 = df.groupBy(*keys, salt).agg(
+        F.min(F.struct("ts_ns", "trade_id", "price")).alias("_o"),
+        F.max(F.struct("ts_ns", "trade_id", "price")).alias("_c"),
+        F.max("price").alias("_hi"),
+        F.min("price").alias("_lo"),
+        F.sum("qty").alias("_v"),
+        F.sum(F.col("price") * F.col("qty")).alias("_pv"),
+        F.count("*").alias("_n"),
+        F.percentile_approx("qty", 0.5, accuracy).alias("_med"),
+        F.min("ts_ns").alias("_ft"),
+        F.max("ts_ns").alias("_lt"),
+    )
+    return s1.groupBy(*keys).agg(
+        F.min("_o")["price"].alias("open"),
+        F.max("_hi").alias("high"),
+        F.min("_lo").alias("low"),
+        F.max("_c")["price"].alias("close"),
+        F.sum("_v").alias("volume"),
+        (F.sum("_pv") / F.sum("_v")).alias("vwap"),
+        F.sum("_n").cast("long").alias("trades"),
+        F.percentile_approx("_med", 0.5, accuracy).alias("median_trade_size_approx"),
         F.min("_ft").alias("first_ts_ns"),
         F.max("_lt").alias("last_ts_ns"),
     )

@@ -151,3 +151,42 @@ def test_bar_directional_by_symbol_matches_chunked_single_stream(spark):
                 assert abs(va - vb) < 1e-9, (k, c, va, vb)
             else:
                 assert va == vb, (k, c, va, vb)
+
+
+def test_salted_median_close_to_exact(spark):
+    """The mergeable-sketch median in the salted form must land within a
+    few percent of the exact interpolated median, and the other columns
+    must match the plain form exactly."""
+    import pandas as pd
+
+    from finmlkit_spark.operators import bars as B
+
+    rows = []
+    for i in range(4000):
+        rows.append(
+            (
+                1_700_000_000_000_000_000 + (i % 2) * 60_000_000_000 + (i // 2),
+                i,
+                100.0 + (i % 17) * 0.25,
+                float(1 + (i * 7919) % 100),
+            )
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts_ns", "trade_id", "price", "qty"])
+    )
+    exact = {
+        r["bar_close_ns"]: r.asDict()
+        for r in B.bar_ohlcv(B.with_time_bar(df, 60_000_000_000)).collect()
+    }
+    approx = {
+        r["bar_close_ns"]: r.asDict()
+        for r in B.bar_ohlcv_salted_with_median(
+            B.with_time_bar(df, 60_000_000_000)
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        med, ame = exact[k]["median_trade_size"], approx[k]["median_trade_size_approx"]
+        assert abs(ame - med) / med < 0.1, (k, med, ame)
+        for c in ("open", "high", "low", "close", "volume", "trades"):
+            assert exact[k][c] == approx[k][c], (k, c)
