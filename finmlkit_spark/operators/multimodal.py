@@ -459,3 +459,62 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     n = F.length("payload")
     offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
     return df.select("doc_id", F.explode(offsets).alias("frame_offset"))
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit perceptual hash of a decoded image: nearest-neighbor
+    32×32 luminance resample → 2D DCT-II (explicit matmul in float64 —
+    deterministic, no FFT library variance) → 8×8 low-frequency block
+    (DC excluded) → bit_i = coeff_i > median(coeffs). Classic pHash;
+    robust to resizing/re-encoding, so equal content hashes equal even
+    across codecs."""
+    lum = px.astype(np.float64).mean(axis=2)
+    h, w = lum.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    s = lum[ys][:, xs]
+    n = 32
+    k = np.arange(n)
+    # DCT-II basis: C[u, x] = cos(pi*(2x+1)*u/(2n))
+    C = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d = C @ s @ C.T
+    block = d[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # wrap into signed int64 domain for a Spark LongType column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual-hash stage over image payloads (PNG/BMP/PPM):
+    (doc_id, phash) via mapInPandas where the bytes live."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(i), phash64(image_pixels(bytes(b))))
+                for i, b in zip(pdf[id_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return df.select(id_col, "payload").mapInPandas(
+        _batch, schema="doc_id long, phash long"
+    )
+
+
+def phash_dup_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image exact-perceptual-duplicate pairs: equi-join on the 64-bit
+    pHash (one shuffle of 8-byte keys; near-dup with hamming tolerance
+    follows the ``simhash_near_pairs`` segment-banding recipe)."""
+    d = image_phash(df, id_col=id_col)
+    l = d.select(F.col("doc_id").alias("doc_a"), "phash")
+    r = d.select(F.col("doc_id").alias("doc_b"), "phash")
+    return (
+        l.join(r, "phash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "phash")
+    )

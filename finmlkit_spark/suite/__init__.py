@@ -28,15 +28,16 @@ from . import developing_suite  # noqa: F401
 #     (real WAV encode -> parse -> FFT dominant bin), random_projection
 #     (JL 64->16, exact integer-scaled sums) + ann_projected_topk
 #     (reduce-then-verify ANN on it), dup_span_ranges (suffix-array-
-#     dedup span output analog);
-# 33-47: every query whose IMPLEMENTATION changed in round 5: the
+#     dedup span output analog), image_phash_pairs (DCT perceptual-hash
+#     image dedup);
+# 34-48: every query whose IMPLEMENTATION changed in round 5: the
 #        128-bit segment-dedup election key; the chunked-carry side
 #        consumers on the shared exclusive-prefix helper (trades_side /
 #        directional / footprint tier, the chunk-window machinery behind
 #        the flagship and feat tier); the span-sweep two-level prefix
 #        (uniqueness/attribution sweeps); the batched-withColumns labels
 #        path; the kmeans empty-input guard family;
-# 48-50: labels/bars family re-evidence (oldest green rows, same modules
+# 49-50: labels/bars family re-evidence (oldest green rows, same modules
 #        as this round's edits).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-6 FRONT-LOAD: anything new or changed in round
@@ -85,6 +86,7 @@ _PRIORITY = [
     "random_projection",
     "ann_projected_topk",
     "dup_span_ranges",
+    "image_phash_pairs",
     # -- implementation changed in round 5 -----------------------------------
     "segment_dedup",
     "trades_side",
@@ -104,7 +106,6 @@ _PRIORITY = [
     # -- same-module re-evidence ---------------------------------------------
     "avg_uniqueness",
     "return_attribution",
-    "event_concurrency",
 ]
 
 

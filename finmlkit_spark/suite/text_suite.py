@@ -616,6 +616,44 @@ def audio_spectral_stats(spark, sf_dir):
 
 
 @query(
+    "image_phash_pairs",
+    """
+WITH c AS (SELECT doc_id, doc_id % 250 AS cls FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM c a JOIN c b ON a.cls = b.cls AND a.doc_id < b.doc_id""",
+)
+def image_phash_pairs(spark, sf_dir):
+    """Image-level perceptual dedup end-to-end: a deterministic 24x32
+    image per doc (pixel formula keyed on doc_id % 250, verified
+    collision-free across the 250 classes) is PNG-encoded executor-side;
+    ``multimodal.phash_dup_pairs`` decodes, computes the 32x32-DCT
+    perceptual hash, and equi-joins on it. The oracle lists same-class
+    pairs symbolically — a hash match proves decode -> resample -> DCT
+    -> bit-pack -> join finds exactly the true duplicate pairs (and no
+    false ones) at any sf."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _encode(it):
+        from ..operators.multimodal import encode_png
+
+        i = np.arange(24 * 32, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                cls = int(did) % 250
+                img = (((cls * 31 + 7) * i + cls * cls) % 256).astype(np.uint8).reshape(24, 32)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payload_df = docs.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return MM.phash_dup_pairs(payload_df).select("doc_a", "doc_b")
+
+
+@query(
     "frame_offsets",
     """
 SELECT doc_id, unnest(range(0, CAST(greatest(octet_length(encode(text)), 1) AS BIGINT), 1024)) AS frame_offset

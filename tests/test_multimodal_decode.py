@@ -206,3 +206,40 @@ def test_audio_spectral_dominant_bin(spark):
     assert got[1]["dominant_bin"] == 13 and got[1]["channels"] == 1
     assert got[2]["dominant_bin"] == 31 and got[2]["channels"] == 2
     assert got[1]["n_samples"] == 512
+
+
+def test_phash_invariance_and_discrimination(spark):
+    """pHash: identical content at 2x scale hashes equal (0 hamming);
+    different content differs in many bits; the pair join finds exactly
+    the duplicate pair."""
+    import numpy as np
+    import pandas as pd
+
+    from finmlkit_spark.operators.multimodal import (
+        encode_png,
+        image_pixels,
+        phash64,
+        phash_dup_pairs,
+    )
+
+    i = np.arange(48 * 64, dtype=np.int64)
+    img = ((i * 13) % 256).astype(np.uint8).reshape(48, 64)
+    big = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+    other = ((i * 97 + 31) % 256).astype(np.uint8).reshape(48, 64)
+
+    h_img = phash64(image_pixels(encode_png(img)))
+    h_big = phash64(image_pixels(encode_png(big)))
+    h_oth = phash64(image_pixels(encode_png(other)))
+    assert h_img == h_big
+    assert bin((h_img ^ h_oth) & ((1 << 64) - 1)).count("1") > 10
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [encode_png(img), encode_png(big), encode_png(other)],
+            }
+        )
+    )
+    pairs = [(r["doc_a"], r["doc_b"]) for r in phash_dup_pairs(df).collect()]
+    assert pairs == [(1, 2)]
