@@ -361,8 +361,6 @@ def simhash_near_pairs(
         raise ValueError(
             f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands})"
         )
-    seg = bits // bands
-    mask = (1 << seg) - 1
     # fingerprints feed BOTH sides of the band self-join; cache the
     # (doc, fp) projection — two longs per row, scalar-only so the
     # columnar cache is safe — so the shingle fold + SimHash UDF run
@@ -373,6 +371,22 @@ def simhash_near_pairs(
             simhash(shingle_hashes(text_col), bits).alias("fp"),
         )
     )
+    return hamming_near_pairs(d, bits=bits, bands=bands, max_hamming=max_hamming)
+
+
+def hamming_near_pairs(
+    d: DataFrame, bits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole-banded hamming near-pair join over a (doc, fp) frame:
+    any pair within hamming ``bands − 1`` agrees exactly on at least one
+    of the ``bands`` contiguous bit segments, so candidates come from a
+    (band, segment)-keyed equi-join — never all pairs — then exact
+    ``bit_count(xor)`` verification. Fingerprint-agnostic: SimHash text
+    fingerprints and pHash image fingerprints reuse it unchanged
+    (arithmetic shiftright is safe — the segment mask truncates the
+    sign-extension of 64-bit fingerprints)."""
+    seg = bits // bands
+    mask = (1 << seg) - 1
     keys = F.array(
         *[
             F.struct(

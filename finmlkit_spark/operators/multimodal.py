@@ -506,10 +506,29 @@ def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image NEAR-duplicate pairs: pHash fingerprints through the shared
+    pigeonhole banding (``dedup.hamming_near_pairs``) — candidates from
+    a (band, 8-bit segment) equi-join, exact popcount(xor) verify.
+    Catches re-encoded / slightly-filtered copies that the exact join
+    misses."""
+    from .dedup import hamming_near_pairs
+
+    d = image_phash(df, id_col=id_col).select(
+        F.col("doc_id").alias("doc"), F.col("phash").alias("fp")
+    )
+    return hamming_near_pairs(d, bits=64, bands=bands, max_hamming=max_hamming)
+
+
 def phash_dup_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Image exact-perceptual-duplicate pairs: equi-join on the 64-bit
-    pHash (one shuffle of 8-byte keys; near-dup with hamming tolerance
-    follows the ``simhash_near_pairs`` segment-banding recipe)."""
+    pHash (one shuffle of 8-byte keys; near-dup with hamming tolerance:
+    :func:`phash_near_pairs`)."""
     d = image_phash(df, id_col=id_col)
     l = d.select(F.col("doc_id").alias("doc_a"), "phash")
     r = d.select(F.col("doc_id").alias("doc_b"), "phash")

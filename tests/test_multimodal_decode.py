@@ -243,3 +243,29 @@ def test_phash_invariance_and_discrimination(spark):
     )
     pairs = [(r["doc_a"], r["doc_b"]) for r in phash_dup_pairs(df).collect()]
     assert pairs == [(1, 2)]
+
+
+def test_phash_near_pairs_catches_noised_copy(spark):
+    """A lightly-noised copy (few flipped low bits) lands within the
+    hamming tolerance; unrelated images do not."""
+    import numpy as np
+    import pandas as pd
+
+    from finmlkit_spark.operators.multimodal import encode_png, phash_near_pairs
+
+    i = np.arange(48 * 64, dtype=np.int64)
+    base = ((i * 13) % 256).astype(np.uint8).reshape(48, 64)
+    noised = base.copy()
+    noised[::16, ::16] = np.clip(noised[::16, ::16].astype(int) + 4, 0, 255).astype(np.uint8)
+    other = ((i * 97 + 31) % 256).astype(np.uint8).reshape(48, 64)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [encode_png(base), encode_png(noised), encode_png(other)],
+            }
+        )
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in phash_near_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
