@@ -202,6 +202,36 @@ def main():
     uniq_sw_sec = timed_safe(LB.average_uniqueness_sweep(uspans, utr))
     spark.catalog.clearCache()
 
+    # MinHash+LSH dedup at 10x the sf0.1 corpus: 50k synthetic docs
+    # (~45 tokens each from a modular vocabulary; doc i and i+25000
+    # share the same token stream except one word, i.e. guaranteed
+    # near-dups) -> signature, band join, exact-Jaccard verify. The
+    # measured scale claim behind the headline minhash_lsh number.
+    from finmlkit_spark.operators import dedup as DD
+
+    n_docs = 50_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(44)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (((F.col("id") % 25_000) * 37 + i * 11) % 2203).cast("string"),
+        ),
+    )
+    docs_syn = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(words, F.array(F.concat(F.lit("u"), (F.col("id") >= 25_000).cast("int").cast("string")))),
+        ).alias("text"),
+    )
+    dedup_syn_sec = timed_safe(
+        DD.minhash_lsh_pairs(docs_syn, threshold=0.5), runs=2
+    )
+    from finmlkit_spark import cache as _cache
+
+    _cache.release_all()
+    spark.catalog.clearCache()
+
     # --- headline queries (warm best-of-3: shared-host timing noise
     # often exceeds 2x, and the round-4 record showed cold best-of-2
     # reporting phantom 30-70% regressions on untouched queries — see
@@ -251,6 +281,7 @@ def main():
                 "synthetic_chunked_flagship_single_symbol": tput(n_flag, flag_sec, features=12),
                 "synthetic_avg_uniqueness_range_join": tput(n_uniq, uniq_rj_sec),
                 "synthetic_avg_uniqueness_sweep": tput(n_uniq, uniq_sw_sec),
+                "synthetic_minhash_lsh_50k_docs": tput(n_docs, dedup_syn_sec),
             }
         )
     )
