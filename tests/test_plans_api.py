@@ -132,3 +132,29 @@ def test_featurekit_visualize(spark):
     viz = kit.visualize()
     assert viz.splitlines()[0] == "ComputationGraph:"
     assert "input:close -> [sma5]" in viz
+
+
+def test_unary_conveniences_and_roundtrip(spark):
+    """square/clip (the reference Feature's convenience surface,
+    kit.py:324-427): values and JSON round-trip."""
+    import json
+
+    from finmlkit_spark.plans.api import from_config
+
+    df = _bars(spark)
+    sq = Input("close").square()
+    cl = Input("close").clip(103.0, 107.0)
+    kit = FeatureKit([sq, cl], retain=["bar_close_ns"])
+    out = kit.build(df, BuildContext("bar_close_ns"))
+    rows = {r["bar_close_ns"]: r for r in out.collect()}
+    assert rows[10][sq.name] == pytest.approx(110.0**2)
+    assert rows[1][cl.name] == pytest.approx(103.0)   # clipped low
+    assert rows[10][cl.name] == pytest.approx(107.0)  # clipped high
+    assert rows[5][cl.name] == pytest.approx(105.0)   # inside
+
+    rebuilt = from_config(json.loads(json.dumps(cl.to_config())))
+    out2 = FeatureKit([rebuilt], retain=["bar_close_ns"]).build(
+        df, BuildContext("bar_close_ns")
+    )
+    rows2 = {r["bar_close_ns"]: r for r in out2.collect()}
+    assert rows2[10][rebuilt.name] == rows[10][cl.name]
