@@ -22,7 +22,7 @@ from . import developing_suite  # noqa: F401
 # 12-26: the round-4 rotation note's front-load list — converted to the
 #        chunk-parallel plan in r4 but displaced past position 50 before
 #        being externally checked;
-# 27-30: NEW in round 5: burst_ratio_trades (trade-scale skip-list
+# 27-33: NEW in round 5: burst_ratio_trades (trade-scale skip-list
 #     rolling median), image_resize_stats (real decode -> nearest-
 #     neighbor resize -> re-encode round-trip), audio_spectral_stats
 #     (real WAV encode -> parse -> FFT dominant bin), random_projection
