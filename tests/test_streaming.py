@@ -456,3 +456,65 @@ def test_streaming_volume_bars_multibatch_state_carry(spark, stream_dir, tmp_pat
     assert n_batches >= 4
     assert len(got) == len(exp)
     assert sum(1 for k in exp if got.get(k) != exp[k]) == 0
+
+
+def _chunked_dir(pdf, tmp_path, name, n_files=4):
+    import os
+
+    d = tmp_path / name
+    d.mkdir()
+    n = len(pdf)
+    bounds = [i * n // n_files for i in range(n_files)] + [n]
+    for i in range(n_files):
+        path = str(d / f"part-{i}.parquet")
+        pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return str(d)
+
+
+def test_streaming_imbalance_and_run_bars_multibatch(spark, stream_dir, tmp_path):
+    """The EWMA-adaptive imbalance/run bar state (theta/expected or
+    buy/sell/expected) must carry across micro-batch boundaries."""
+    from finmlkit_spark.functions.sequential import imbalance_bar_ids, run_bar_ids
+    from finmlkit_spark.streaming.bars import (
+        streaming_imbalance_bars,
+        streaming_run_bars,
+    )
+
+    batch = spark.read.parquet(stream_dir)
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    d = _chunked_dir(pdf, tmp_path, "chunks_ibrun")
+    sel = [
+        "'EVT' as symbol",
+        "ts as ts_ns",
+        "cast(case when event_id % 3 = 0 then -1 else 1 end as double) as side",
+        "cast(1 + (event_id % 5) as double) as qty",
+    ]
+    side = ((pdf["event_id"].to_numpy() % 3 != 0) * 2 - 1).astype(float)
+    qty = (1 + pdf["event_id"].to_numpy() % 5).astype(float)
+    ts = pdf["ts"].to_numpy().tolist()
+
+    for tag, op, kernel in (
+        ("ib_mb", streaming_imbalance_bars, imbalance_bar_ids),
+        ("rb_mb", streaming_run_bars, run_bar_ids),
+    ):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .selectExpr(*sel)
+        )
+        out = op(stream, ewma_span=50.0, init_expected=200.0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(tag)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["ts"]: r["bar_id"] for r in spark.sql(f"select * from {tag}").collect()}
+        expected = kernel(side, qty, ewma_span=50.0, init_expected=200.0)
+        exp = dict(zip(ts, expected.tolist()))
+        assert len(got) == len(exp), tag
+        assert sum(1 for k in exp if got.get(k) != exp[k]) == 0, tag
