@@ -518,3 +518,36 @@ def test_streaming_imbalance_and_run_bars_multibatch(spark, stream_dir, tmp_path
         exp = dict(zip(ts, expected.tolist()))
         assert len(got) == len(exp), tag
         assert sum(1 for k in exp if got.get(k) != exp[k]) == 0, tag
+
+
+def test_streaming_cusum_filter_multibatch(spark, stream_dir, tmp_path):
+    """CUSUM filter state (sp, sn, last price) across micro-batches."""
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import cusum_filter_np
+    from finmlkit_spark.streaming.bars import streaming_cusum_filter
+
+    batch = spark.read.parquet(stream_dir)
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    d = _chunked_dir(pdf, tmp_path, "chunks_cf")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .selectExpr("'EVT' as symbol", "ts as ts_ns", "value as price")
+    )
+    out = streaming_cusum_filter(stream, threshold=1.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cf_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from cf_mb").count()
+
+    prices = pdf["value"].to_numpy()
+    r = np.concatenate([[np.nan], np.log(prices[1:] / prices[:-1])])
+    expected = int(cusum_filter_np(r, 1.0).sum())
+    assert got == expected and got > 0
