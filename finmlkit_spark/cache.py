@@ -12,10 +12,10 @@ runners (``bench.py``, the test suite) call :func:`release_all` between
 queries; notebook users can call it whenever a pipeline's results have
 been materialized.
 
-Persisted frames are also held via weak references only — once the
-caller drops the last reference AND the JVM-side object is collected,
-Spark's ContextCleaner reclaims the blocks; this registry just makes
-the release deterministic.
+The registry holds STRONG references: a registered frame's blocks
+stay pinned until :func:`release_all` runs (dropping your own handles
+is not enough). Long-lived sessions must call it; batch runners do so
+between queries.
 """
 
 from __future__ import annotations

@@ -123,17 +123,20 @@ def bar_ohlcv(
     )
 
 
-def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int = 16, by: str | None = None) -> DataFrame:
-    """Skew-safe OHLCV: two-stage salted aggregation for hot keys (one
-    symbol-minute receiving millions of prints). Stage 1 groups by
-    (key, salt) computing algebraic partials — open/close travel as
-    (ts, trade_id, price) structs so the merge stays exact; stage 2
-    merges salts. median_trade_size is NOT algebraic and is intentionally
-    absent here (use ``bar_ohlcv`` or a sketch when the median matters).
-    """
+def _salted_ohlcv(
+    df: DataFrame,
+    key: str,
+    salt_buckets: int,
+    by: str | None,
+    median_accuracy: int | None,
+) -> DataFrame:
+    """Shared two-stage salted OHLCV aggregation. ``median_accuracy``
+    set -> adds the mergeable percentile_approx sketch per salt bucket
+    in stage 1 and takes the bucket medians' median in stage 2 (each
+    bucket is a uniform 1/salt_buckets sample by trade_id)."""
     keys = ([by] if by else []) + [key]
     salt = (F.col("trade_id") % F.lit(salt_buckets)).alias("_salt")
-    s1 = df.groupBy(*keys, salt).agg(
+    s1_aggs = [
         F.min(F.struct("ts_ns", "trade_id", "price")).alias("_o"),
         F.max(F.struct("ts_ns", "trade_id", "price")).alias("_c"),
         F.max("price").alias("_hi"),
@@ -143,15 +146,8 @@ def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int
         F.count("*").alias("_n"),
         F.min("ts_ns").alias("_ft"),
         F.max("ts_ns").alias("_lt"),
-    )
-    # approx median via percentile_approx over the RE-AGGREGATED rows is
-    # NOT possible (the salt stage already collapsed them), so the
-    # sketch runs in the same stage-1 agg and merges in stage 2: Spark's
-    # QuantileSummaries is a mergeable sketch, which is exactly why it
-    # survives the salted two-stage shape while the exact interpolated
-    # median (order statistics over the full bucket) cannot. Bounded
-    # rank error eps = 1/accuracy (default 1e-4).
-    return s1.groupBy(*keys).agg(
+    ]
+    s2_aggs = [
         F.min("_o")["price"].alias("open"),
         F.max("_hi").alias("high"),
         F.min("_lo").alias("low"),
@@ -161,7 +157,30 @@ def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int
         F.sum("_n").cast("long").alias("trades"),
         F.min("_ft").alias("first_ts_ns"),
         F.max("_lt").alias("last_ts_ns"),
-    )
+    ]
+    if median_accuracy is not None:
+        s1_aggs.append(
+            F.percentile_approx("qty", 0.5, median_accuracy).alias("_med")
+        )
+        s2_aggs.append(
+            F.percentile_approx("_med", 0.5, median_accuracy).alias(
+                "median_trade_size_approx"
+            )
+        )
+    s1 = df.groupBy(*keys, salt).agg(*s1_aggs)
+    return s1.groupBy(*keys).agg(*s2_aggs)
+
+
+def bar_ohlcv_salted(df: DataFrame, key: str = "bar_close_ns", salt_buckets: int = 16, by: str | None = None) -> DataFrame:
+    """Skew-safe OHLCV: two-stage salted aggregation for hot keys (one
+    symbol-minute receiving millions of prints). Stage 1 groups by
+    (key, salt) computing algebraic partials — open/close travel as
+    (ts, trade_id, price) structs so the merge stays exact; stage 2
+    merges salts. median_trade_size is NOT algebraic and is intentionally
+    absent here (use ``bar_ohlcv`` at moderate key cardinality, or the
+    mergeable-sketch variant ``bar_ohlcv_salted_with_median``).
+    """
+    return _salted_ohlcv(df, key, salt_buckets, by, median_accuracy=None)
 
 
 def bar_ohlcv_salted_with_median(
@@ -173,45 +192,16 @@ def bar_ohlcv_salted_with_median(
 ) -> DataFrame:
     """Salted OHLCV INCLUDING an approximate median trade size.
 
-    ``bar_ohlcv_salted`` omits the median because the exact interpolated
-    form needs full order statistics per bar — the one non-algebraic
-    aggregate, and on a hot key (one symbol-minute with millions of
-    prints) the single reducer buffers every value. This variant keeps
-    the two-stage salted shape and adds ``percentile_approx`` — Spark's
-    mergeable quantile sketch (bounded rank error 1/accuracy), computed
-    per salt bucket in stage 1; stage 2 takes the per-bucket medians'
-    median as the final estimate (each bucket is a uniform 1/salt_buckets
-    sample by trade_id, so bucket medians concentrate around the true
-    median; differential-tested within tolerance vs the exact form).
-    Exact-median consumers at moderate key cardinality use
-    ``bar_ohlcv``.
-    """
-    keys = ([by] if by else []) + [key]
-    salt = (F.col("trade_id") % F.lit(salt_buckets)).alias("_salt")
-    s1 = df.groupBy(*keys, salt).agg(
-        F.min(F.struct("ts_ns", "trade_id", "price")).alias("_o"),
-        F.max(F.struct("ts_ns", "trade_id", "price")).alias("_c"),
-        F.max("price").alias("_hi"),
-        F.min("price").alias("_lo"),
-        F.sum("qty").alias("_v"),
-        F.sum(F.col("price") * F.col("qty")).alias("_pv"),
-        F.count("*").alias("_n"),
-        F.percentile_approx("qty", 0.5, accuracy).alias("_med"),
-        F.min("ts_ns").alias("_ft"),
-        F.max("ts_ns").alias("_lt"),
-    )
-    return s1.groupBy(*keys).agg(
-        F.min("_o")["price"].alias("open"),
-        F.max("_hi").alias("high"),
-        F.min("_lo").alias("low"),
-        F.max("_c")["price"].alias("close"),
-        F.sum("_v").alias("volume"),
-        (F.sum("_pv") / F.sum("_v")).alias("vwap"),
-        F.sum("_n").cast("long").alias("trades"),
-        F.percentile_approx("_med", 0.5, accuracy).alias("median_trade_size_approx"),
-        F.min("_ft").alias("first_ts_ns"),
-        F.max("_lt").alias("last_ts_ns"),
-    )
+    The exact interpolated median needs full order statistics per bar —
+    the one non-algebraic aggregate; on a hot key the single reducer
+    buffers every value. This variant keeps the two-stage salted shape
+    (same shared aggregation, ``_salted_ohlcv``) and adds
+    ``percentile_approx`` — Spark's mergeable quantile sketch (bounded
+    rank error 1/accuracy) per salt bucket; the final estimate is the
+    bucket medians' median (each bucket a uniform 1/salt_buckets sample
+    by trade_id, so bucket medians concentrate around the true median;
+    differential-tested within tolerance vs the exact form)."""
+    return _salted_ohlcv(df, key, salt_buckets, by, median_accuracy=accuracy)
 
 
 def fill_empty_bars(

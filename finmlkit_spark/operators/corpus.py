@@ -110,8 +110,9 @@ def segment_dedup(
     explode at all: it is ``ceil(len(tokens)/seg_tokens)`` straight off
     the document, so the totals branch is a narrow projection of the
     (column-pruned) doc scan. The first-occurrence digest is a 128-bit
-    struct of two independently-seeded xxhash64 values (16-byte shuffle
-    key vs md5's 32-char hex): for an EXACT dedup a single 64-bit key is
+    struct of two xxhash64 runs under genuinely different seeds (16-byte
+    shuffle key vs md5's 32-char hex; see the inline note on argument
+    order — seed chaining makes the naive two-arg form 64-bit): for an EXACT dedup a single 64-bit key is
     not enough — at ~1e11-1e12 distinct segments the 2^64 birthday bound
     yields tens of thousands of expected collisions, each silently
     deleting a unique segment, while 2^128 makes collisions negligible.
@@ -129,7 +130,14 @@ def segment_dedup(
             )
         ).alias("seg_no", "seg"),
     ).withColumn(
-        "digest", F.struct(F.xxhash64("seg"), F.xxhash64("seg", F.lit(1)))
+        # two XXH64 runs of the segment under DIFFERENT seeds:
+        # xxhash64(seg) = XXH64(seg, 42) and xxhash64(lit(1), seg) =
+        # XXH64(seg, seed=XXH64(1, 42)). NOT xxhash64(seg, lit(1)) —
+        # Spark folds multi-arg xxhash64 with the running hash as the
+        # seed, so hashing the literal AFTER the string yields a pure
+        # function of the first hash (a 64-bit key in disguise); hashing
+        # the literal FIRST changes the seed the string is hashed under.
+        "digest", F.struct(F.xxhash64("seg"), F.xxhash64(F.lit(1), "seg"))
     )
     w = Window.partitionBy("digest").orderBy("doc", "seg_no")
     kept = segs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)

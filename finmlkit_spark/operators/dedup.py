@@ -377,6 +377,12 @@ def simhash_near_pairs(
 def hamming_near_pairs(
     d: DataFrame, bits: int, bands: int, max_hamming: int
 ) -> DataFrame:
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
     """Pigeonhole-banded hamming near-pair join over a (doc, fp) frame:
     any pair within hamming ``bands − 1`` agrees exactly on at least one
     of the ``bands`` contiguous bit segments, so candidates come from a

@@ -190,7 +190,10 @@ def ann_projected_topk(
     sums), both cosines fold sequentially, ties break toward the lower
     candidate id at both stages.
     """
-    proj = cache.keep(random_projection(emb_df, out_dim=out_dim, id_col=id_col, emb_col=emb_col))
+    # cache.cut, not keep: the projection column is array<double>
+    # and the columnar cache serializes nested arrays pathologically
+    # (SCALE.md lesson 2); RDD storage via localCheckpoint instead
+    proj = cache.cut(random_projection(emb_df, out_dim=out_dim, id_col=id_col, emb_col=emb_col))
     base = proj.select(F.col(id_col).alias("cand_id"), F.col("projection").alias("pv"))
     q = proj.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("projection").alias("qpv")

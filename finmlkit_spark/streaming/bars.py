@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _ordered_batch(pdfs) -> pd.DataFrame:
+    """Concatenate a group's Arrow chunks and sort ONCE by event time.
+
+    A micro-batch larger than the Arrow batch size (default 10k rows)
+    reaches the state function as SEVERAL chunks; sorting each chunk
+    independently would feed the sequential state machines out-of-order
+    rows at chunk boundaries (diverging from the batch kernels). Memory:
+    buffers the group's micro-batch — the bound sequential semantics
+    already imply. Returns an empty frame when the group has no rows."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return pd.DataFrame()
+    return pd.concat(chunks, ignore_index=True).sort_values("ts_ns")
+
+
 def streaming_time_bars(
     stream: DataFrame,
     interval: str = "1 minute",
@@ -78,8 +93,8 @@ def streaming_volume_bars(stream: DataFrame, threshold: float) -> DataFrame:
     def fn(key, pdfs, state: GroupState):
         cum, bar = state.get if state.exists else (0.0, 0)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns")
+        pdf = _ordered_batch(pdfs)
+        if len(pdf):
             for ts, qty in zip(pdf["ts_ns"], pdf["qty"]):
                 cum += qty
                 rows.append((key[0], int(ts), int(bar)))
@@ -118,8 +133,8 @@ def streaming_imbalance_bars(
             state.get if state.exists else (0.0, float(init_expected), 0)
         )
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns")
+        pdf = _ordered_batch(pdfs)
+        if len(pdf):
             for ts, side, qty in zip(pdf["ts_ns"], pdf["side"], pdf["qty"]):
                 theta += side * qty
                 rows.append((key[0], int(ts), int(bar)))
@@ -155,8 +170,8 @@ def streaming_run_bars(
             state.get if state.exists else (0.0, 0.0, float(init_expected), 0)
         )
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns")
+        pdf = _ordered_batch(pdfs)
+        if len(pdf):
             for ts, side, qty in zip(pdf["ts_ns"], pdf["side"], pdf["qty"]):
                 if side > 0:
                     buy += qty
@@ -279,8 +294,8 @@ def streaming_cusum_filter(stream: DataFrame, threshold: float) -> DataFrame:
     ):
         sp, sn, last = state.get if state.exists else (0.0, 0.0, float("nan"))
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns")
+        pdf = _ordered_batch(pdfs)
+        if len(pdf):
             for ts, price in zip(pdf["ts_ns"], pdf["price"]):
                 if last == last and last > 0:  # not NaN
                     import math
@@ -352,8 +367,8 @@ def streaming_cusum_bars(
             last_sig = floor_thr
             bar = 0
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns")
+        pdf = _ordered_batch(pdfs)
+        if len(pdf):
             for ts, price in zip(pdf["ts_ns"], pdf["price"]):
                 r = (
                     math.log(price / last_price)

@@ -551,3 +551,54 @@ def test_streaming_cusum_filter_multibatch(spark, stream_dir, tmp_path):
     r = np.concatenate([[np.nan], np.log(prices[1:] / prices[:-1])])
     expected = int(cusum_filter_np(r, 1.0).sum())
     assert got == expected and got > 0
+
+
+def test_streaming_state_ops_survive_arrow_chunking(spark, stream_dir, tmp_path):
+    """A single micro-batch spanning MANY Arrow chunks with rows written
+    out of time order: the state functions must sort the whole batch
+    once (not per chunk) to match the batch kernels."""
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import volume_bar_ids_exact
+    from finmlkit_spark.streaming.bars import streaming_volume_bars
+
+    batch = spark.read.parquet(stream_dir)
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    # scramble arrival order so chunk boundaries interleave time
+    scrambled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    d = tmp_path / "scrambled"
+    d.mkdir()
+    scrambled.to_parquet(str(d / "part-0.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(str(d))
+            .selectExpr(
+                "'EVT' as symbol",
+                "ts as ts_ns",
+                "cast(1 + (event_id % 5) as double) as qty",
+            )
+        )
+        out = streaming_volume_bars(stream, threshold=50.0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("vb_chunked")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["ts"]: r["bar_id"] for r in spark.sql("select * from vb_chunked").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    qty = (1 + pdf["event_id"].to_numpy() % 5).astype(float)
+    expected = volume_bar_ids_exact(qty, 50.0)
+    exp = dict(zip(pdf["ts"].to_numpy().tolist(), expected.tolist()))
+    assert len(got) == len(exp)
+    assert sum(1 for k in exp if got.get(k) != exp[k]) == 0

@@ -49,16 +49,21 @@ def main() -> int:
             b = b.config(k, v)
         spark = b.getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
+        from finmlkit_spark import cache
+
         bad = []
         for n in names:
             try:
                 qs[n](spark, sf_dir).count()
             except Exception as ex:  # noqa: BLE001
                 bad.append((n, f"{type(ex).__name__}: {str(ex)[:150]}"))
+            finally:
+                cache.release_all()
         print(f"{mode}: {len(names) - len(bad)} ok, {len(bad)} fail")
         for n, m in bad:
             print(f"  FAIL {n}: {m}")
         any_bad = any_bad or bool(bad)
+        cache.release_all()
         spark.stop()
     return 1 if any_bad else 0
 
