@@ -269,3 +269,28 @@ def test_phash_near_pairs_catches_noised_copy(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in phash_near_pairs(df, max_hamming=6).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hamming_banding_validations(spark):
+    """The recall-guarantee guards live in the shared helper, so every
+    fingerprint family (simhash, phash) gets them."""
+    import pandas as pd
+    import pytest
+
+    from finmlkit_spark.operators.multimodal import encode_png, phash_near_pairs
+    import numpy as np
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "payload": [
+                    encode_png(np.zeros((8, 8), dtype=np.uint8))
+                ],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_near_pairs(df, bands=8, max_hamming=8)
+    with pytest.raises(ValueError, match="divisible"):
+        phash_near_pairs(df, bands=7, max_hamming=3)
