@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _LIVE: list[DataFrame] = []
+_CUT: list[DataFrame] = []
 
 
 def keep(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
@@ -34,7 +35,12 @@ def keep(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
 
 
 def release_all() -> int:
-    """Unpersist every registered frame; returns how many were released.
+    """Unpersist every registered :func:`keep` frame; returns how many
+    were actively unpersisted. :func:`cut` frames are NOT counted —
+    ``DataFrame.unpersist`` is a no-op for localCheckpoint storage, so
+    their blocks are reclaimed only by the ContextCleaner after this
+    registry drops its strong references (which this call does) and the
+    objects are garbage-collected.
 
     Safe to call at any time: releasing a frame whose plan is still
     referenced downstream only costs recomputation, never correctness.
@@ -46,6 +52,7 @@ def release_all() -> int:
             n += 1
         except Exception:
             pass  # session already stopped
+    _CUT.clear()  # drop strong refs; ContextCleaner reclaims post-GC
     return n
 
 
@@ -67,5 +74,5 @@ def cut(df: DataFrame) -> DataFrame:
     recomputation matters more than driver latency.
     """
     df = df.localCheckpoint(eager=False)
-    _LIVE.append(df)
+    _CUT.append(df)
     return df

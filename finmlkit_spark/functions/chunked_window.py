@@ -10,9 +10,11 @@ common case of BOUNDED rows-frames (lookback <= warmup):
    rows get a coarse time bucket (e.g. day); a row_number window
    partitioned by bucket (parallel) ranks within buckets; bucket row
    counts (a tiny agg, one row per bucket) are turned into bucket start
-   offsets with the two-level exclusive prefix (``functions.prefix`` —
-   per-group bounded window + triangular join over group totals, no
-   SinglePartition, safe even at an hourly grid over years);
+   offsets with ``functions.prefix.exclusive_prefix`` — flat triangular
+   mode for the default daily bucket axis (coarse by construction,
+   cheapest plan), auto-switching to the two-level O(k·log g) mode when
+   a caller picks a sub-day ``coarse_span`` (an hourly grid over years
+   would make the flat join O(k²)); neither mode plans SinglePartition;
 2. chunk rows by global row number: chunk = (rn-1) div chunk_rows, so
    every chunk except the last holds exactly chunk_rows rows;
 3. duplicate each chunk's last ``warmup`` rows into the NEXT chunk,
@@ -71,11 +73,17 @@ def with_global_row_number(
     wb = Window.partitionBy("_cw_bkt").orderBy(*order)
     d = d.withColumn("_cw_rnw", F.row_number().over(wb))
     counts = d.groupBy("_cw_bkt").agg(F.count(F.lit(1)).alias("_cw_cnt"))
-    # bucket offset = Σ counts of strictly-earlier buckets — two-level
-    # exclusive prefix over the tiny per-bucket table (O(k·log g) +
-    # O((k/g)²) instead of the triangular join's O(k²); no
-    # SinglePartition either way)
-    offsets = exclusive_prefix(counts, "_cw_bkt", sums={"_cw_off": "_cw_cnt"})
+    # bucket offset = Σ counts of strictly-earlier buckets. Day-or-
+    # coarser axes keep prefix's flat triangular mode (k is small by
+    # construction; cheapest plan — see functions/prefix.py); finer
+    # caller-chosen spans switch to the two-level O(k·log g) mode so an
+    # hourly grid over years never pays O(k²) pairs.
+    offsets = exclusive_prefix(
+        counts,
+        "_cw_bkt",
+        sums={"_cw_off": "_cw_cnt"},
+        group=None if coarse_span >= DAY_NS else 4096,
+    )
     if keep_total:
         # total row count, derived from the tiny counts table. NOTE this
         # plans a scalar-agg Exchange SinglePartition over the <=k partial

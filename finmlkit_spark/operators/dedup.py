@@ -377,12 +377,6 @@ def simhash_near_pairs(
 def hamming_near_pairs(
     d: DataFrame, bits: int, bands: int, max_hamming: int
 ) -> DataFrame:
-    if bits % bands != 0:
-        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
-    if max_hamming >= bands:
-        raise ValueError(
-            f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands})"
-        )
     """Pigeonhole-banded hamming near-pair join over a (doc, fp) frame:
     any pair within hamming ``bands − 1`` agrees exactly on at least one
     of the ``bands`` contiguous bit segments, so candidates come from a
@@ -391,6 +385,12 @@ def hamming_near_pairs(
     fingerprints and pHash image fingerprints reuse it unchanged
     (arithmetic shiftright is safe — the segment mask truncates the
     sign-extension of 64-bit fingerprints)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
     seg = bits // bands
     mask = (1 << seg) - 1
     keys = F.array(

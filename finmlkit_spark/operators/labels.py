@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cache
-from ..functions.prefix import exclusive_prefix
+from ..functions.sqlstage import sql_stage
 from .joins import range_join
 
 
@@ -293,111 +293,163 @@ def span_sweep(
     the driver-tolerated quantum, but use the range-join form when
     bit-reproducing a per-span fold matters.
     """
-    ck_of = lambda c: F.floor(c / F.lit(int(chunk_ns)))  # noqa: E731
-    # -- (1) concurrency offsets from spans only (small side) -------------
-    sd = spans.select(ck_of(F.col("event_ts_ns")).alias("_ck"), F.lit(1).alias("_d")).unionByName(
-        spans.select(ck_of(F.col("touch_ts_ns") + 1).alias("_ck"), F.lit(-1).alias("_d"))
-    )
-    per_ck = sd.groupBy("_ck").agg(F.sum("_d").alias("_dt"))
-    rng = spans.agg(
-        F.min(ck_of(F.col("event_ts_ns"))).alias("_lo"),
-        F.max(ck_of(F.col("touch_ts_ns") + 1)).alias("_hi"),
-    )
-    axis = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_ck"))
-    # persisted (k rows, tracked-cache registry): the exclusive prefix
-    # below references it twice, and without a storage boundary every
-    # reference re-runs the spans scan + scalar bounds aggregate — the
-    # plan tree replicated that subtree ~20x before this cut
-    dense = cache.cut(
-        axis.join(per_ck, "_ck", "left").select(
-            "_ck", F.coalesce("_dt", F.lit(0)).alias("_dt")
-        )
-    )
-    # cross-chunk concurrency offset = Σ deltas of strictly-earlier
-    # chunks — two-level exclusive prefix (functions.prefix), not the
-    # O(k²) triangular join (k ~ 1e4-1e5 on an hourly grid over years)
-    doff = exclusive_prefix(dense, "_ck", sums={"_doff": "_dt"}, group=4096)
-    # -- (2) one pass over trades ∪ markers -------------------------------
-    mk = spans.select(
-        "event_id",
-        "event_ts_ns",
-        F.col("event_ts_ns").alias("ts_ns"),
-        F.lit(1).alias("_delta"),
-        F.lit(0).alias("_prio"),
-        F.lit(1).alias("_is_start"),
-    ).unionByName(
-        spans.select(
-            "event_id",
-            "event_ts_ns",
-            (F.col("touch_ts_ns") + 1).alias("ts_ns"),
-            F.lit(-1).alias("_delta"),
-            F.lit(0).alias("_prio"),
-            F.lit(0).alias("_is_start"),
-        )
-    )
-    val = F.col(val_col) if val_col is not None else F.lit(1.0)
-    tr = trades.select(
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("long").alias("event_ts_ns"),
-        "ts_ns",
-        F.lit(0).alias("_delta"),
-        F.lit(1).alias("_prio"),
-        F.lit(None).cast("int").alias("_is_start"),
-        val.cast("double").alias("_val"),
-    )
-    mk = mk.withColumn("_val", F.lit(None).cast("double"))
-    u = mk.unionByName(tr).withColumn("_ck", ck_of(F.col("ts_ns")))
-    w = Window.partitionBy("_ck").orderBy("ts_ns", "_prio")
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    u = u.withColumns({"_cd": F.sum("_delta").over(wcum), "_rn": F.row_number().over(w)})
-    u = u.join(F.broadcast(doff), "_ck", "left")
-    c = F.coalesce("_doff", F.lit(0)) + F.col("_cd")
-    # null _val -> null term -> skipped by SUM (SQL semantics)
-    s_term = F.when((F.col("_prio") == 1) & (c > 0), F.col("_val") / c)
-    n_term = F.when(F.col("_prio") == 1, F.lit(1)).otherwise(F.lit(0))
-    u = u.withColumns({
-        "_s_in": F.coalesce(F.sum(s_term).over(wcum), F.lit(0.0)),
-        "_n_in": F.sum(n_term).over(wcum),
-        "_s_tot": F.coalesce(F.sum(s_term).over(wall), F.lit(0.0)),
-        "_n_tot": F.sum(n_term).over(wall),
-    })
+    ck = int(chunk_ns)
+    g = 4096  # two-level prefix group width (hourly axis over years is fine)
+    val_expr = val_col if val_col is not None else "1.0"
+    # -- (1) + (2): one server-parsed SQL stage (a single JVM analysis
+    # pass — the op-chained form of this stage cost ~0.9 s of pure
+    # driver-side eager analysis per build at sf0.1, SCALE.md item 10).
+    # Concurrency offsets come from the SPANS table alone (start/end
+    # deltas per time chunk over a dense explode(sequence) axis,
+    # cumulated with the two-level exclusive prefix — not the O(k²)
+    # triangular join; k ~ 1e4-1e5 on an hourly grid over years); the
+    # spans frame is referenced a handful of times and callers pass it
+    # through a storage boundary, so each reference is a cheap bounded
+    # re-scan, never a data-scale recompute. Then ONE exchange+sort of
+    # (trades ∪ markers) by time chunk feeds the in-chunk running
+    # Σdelta / row number, the broadcast offset join (c = exact
+    # integer), and a second window pass in the SAME partitioning/order
+    # (no new exchange): in-chunk running S and N plus full-frame
+    # per-chunk S/N totals. Null _val → null term → skipped by SUM
+    # (SQL semantics).
+    small_sql = f"""
+WITH per_ck AS (
+  SELECT _ck, sum(_d) AS _dt FROM (
+    SELECT floor(event_ts_ns / {ck}) AS _ck, 1 AS _d FROM {{spans}}
+    UNION ALL
+    SELECT floor((touch_ts_ns + 1) / {ck}) AS _ck, -1 AS _d FROM {{spans}}
+  ) GROUP BY _ck
+),
+axis AS (
+  SELECT explode(sequence(_lo, _hi)) AS _ck FROM (
+    SELECT min(_ck) AS _lo, max(_ck) AS _hi FROM per_ck
+  )
+),
+dense AS (
+  SELECT axis._ck, coalesce(_dt, 0) AS _dt
+  FROM axis LEFT JOIN per_ck ON axis._ck = per_ck._ck
+),
+dwin AS (
+  SELECT _ck, floor(_ck / {g}) AS _pg,
+         sum(_dt) OVER (PARTITION BY floor(_ck / {g}) ORDER BY _ck
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _in
+  FROM dense
+),
+dgt AS (
+  SELECT floor(_ck / {g}) AS _pg, sum(_dt) AS _gt FROM dense GROUP BY 1
+),
+dgoff AS (
+  SELECT /*+ BROADCAST(b) */ a._pg, sum(b._gt) AS _go
+  FROM dgt a LEFT JOIN dgt b ON b._pg < a._pg GROUP BY a._pg
+),
+doff AS (
+  SELECT /*+ BROADCAST(dgoff) */ dwin._ck,
+         coalesce(_go, 0) + coalesce(_in, 0) AS _doff
+  FROM dwin LEFT JOIN dgoff ON dwin._pg = dgoff._pg
+),
+mk AS (
+  SELECT event_id, event_ts_ns, event_ts_ns AS ts_ns,
+         1 AS _delta, 0 AS _prio, 1 AS _is_start,
+         CAST(NULL AS DOUBLE) AS _val
+  FROM {{spans}}
+  UNION ALL
+  SELECT event_id, event_ts_ns, touch_ts_ns + 1 AS ts_ns,
+         -1 AS _delta, 0 AS _prio, 0 AS _is_start,
+         CAST(NULL AS DOUBLE) AS _val
+  FROM {{spans}}
+),
+u AS (
+  SELECT *, floor(ts_ns / {ck}) AS _ck FROM (
+    SELECT * FROM mk
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS event_ts_ns,
+           ts_ns, 0 AS _delta, 1 AS _prio, CAST(NULL AS INT) AS _is_start,
+           CAST(({val_expr}) AS DOUBLE) AS _val
+    FROM {{trades}}
+  )
+),
+w1 AS (
+  SELECT *,
+         sum(_delta) OVER (PARTITION BY _ck ORDER BY ts_ns, _prio
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cd,
+         row_number() OVER (PARTITION BY _ck ORDER BY ts_ns, _prio) AS _rn
+  FROM u
+),
+terms AS (
+  SELECT /*+ BROADCAST(doff) */ w1.*,
+         CASE WHEN _prio = 1 AND coalesce(doff._doff, 0) + w1._cd > 0
+              THEN _val / (coalesce(doff._doff, 0) + w1._cd) END AS _s_term,
+         CASE WHEN _prio = 1 THEN 1 ELSE 0 END AS _n_term
+  FROM w1 LEFT JOIN doff ON w1._ck = doff._ck
+),
+w2 AS (
+  SELECT *,
+         coalesce(sum(_s_term) OVER (PARTITION BY _ck ORDER BY ts_ns, _prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0d) AS _s_in,
+         sum(_n_term) OVER (PARTITION BY _ck ORDER BY ts_ns, _prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _n_in,
+         coalesce(sum(_s_term) OVER (PARTITION BY _ck ORDER BY ts_ns, _prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 0.0d) AS _s_tot,
+         sum(_n_term) OVER (PARTITION BY _ck ORDER BY ts_ns, _prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS _n_tot
+  FROM terms
+)
+SELECT event_id, event_ts_ns, _is_start, _prio, _rn, _ck,
+       _s_in, _n_in, _s_tot, _n_tot
+FROM w2 WHERE _prio = 0 OR _rn = 1
+"""
     # persisted (tracked-cache registry): both the cross-chunk offset
-    # build and the marker probe read it, and without a storage boundary
-    # each would re-run the whole sweep (plans are trees). Bounded at
-    # any scale: 2 rows per event + 1 per time chunk.
-    small = cache.cut(
-        u.where((F.col("_prio") == 0) | (F.col("_rn") == 1)).select(
-            "event_id", "event_ts_ns", "_is_start", "_prio", "_rn", "_ck",
-            "_s_in", "_n_in", "_s_tot", "_n_tot",
-        )
-    )
-    # -- (3) small-table machinery (2|events| + k rows) -------------------
-    heads = small.where(F.col("_rn") == 1).select("_ck", "_s_tot", "_n_tot")
-    # cross-chunk S/N offsets: same two-level exclusive prefix over the
-    # k-row chunk-head table
-    soff = exclusive_prefix(
-        heads, "_ck", sums={"_soff": "_s_tot", "_noff": "_n_tot"}, group=4096
-    )
-    marks = small.where(F.col("_prio") == 0).join(F.broadcast(soff), "_ck")
-    S = F.col("_soff") + F.col("_s_in")
-    N = F.col("_noff") + F.col("_n_in")
-    piv = marks.groupBy("event_id", "event_ts_ns").agg(
-        (
-            F.max(F.when(F.col("_is_start") == 0, S))
-            - F.max(F.when(F.col("_is_start") == 1, S))
-        ).alias("_s_span"),
-        (
-            F.max(F.when(F.col("_is_start") == 0, N))
-            - F.max(F.when(F.col("_is_start") == 1, N))
-        ).alias("_n_span"),
-    )
-    return piv.select(
-        "event_id",
-        "event_ts_ns",
-        F.col("_s_span").alias("s_span"),
-        F.col("_n_span").alias("n_span"),
-    )
+    # build and the marker probe below read it, and without a storage
+    # boundary each reference would re-run the whole sweep (plans are
+    # trees — parameter references inline, no automatic reuse). Bounded
+    # at any scale: 2 rows per event + 1 per time chunk. cache.keep,
+    # not cut: with the build now 3 analysis passes instead of ~30
+    # Dataset ops, re-analyzing the subtree is cheap, and keep skips
+    # cut's up-front physical-planning pass (~0.3 s on this tree).
+    small = cache.cut(sql_stage(small_sql, spans=spans, trades=trades))
+    # -- (3) small-table machinery (2|events| + k rows): cross-chunk S/N
+    # offsets via the same two-level exclusive prefix over the k-row
+    # chunk-head table, markers read offset + in-chunk running value,
+    # and a per-event pivot of the two markers emits the span sums.
+    piv_sql = f"""
+WITH heads AS (
+  SELECT _ck, _s_tot, _n_tot FROM {{small}} WHERE _rn = 1
+),
+hwin AS (
+  SELECT _ck, floor(_ck / {g}) AS _pg,
+         sum(_s_tot) OVER (PARTITION BY floor(_ck / {g}) ORDER BY _ck
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _in_s,
+         sum(_n_tot) OVER (PARTITION BY floor(_ck / {g}) ORDER BY _ck
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _in_n
+  FROM heads
+),
+hgt AS (
+  SELECT floor(_ck / {g}) AS _pg, sum(_s_tot) AS _gt_s, sum(_n_tot) AS _gt_n
+  FROM heads GROUP BY 1
+),
+hgoff AS (
+  SELECT /*+ BROADCAST(b) */ a._pg, sum(b._gt_s) AS _go_s, sum(b._gt_n) AS _go_n
+  FROM hgt a LEFT JOIN hgt b ON b._pg < a._pg GROUP BY a._pg
+),
+soff AS (
+  SELECT /*+ BROADCAST(hgoff) */ hwin._ck,
+         coalesce(_go_s, 0) + coalesce(_in_s, 0) AS _soff,
+         coalesce(_go_n, 0) + coalesce(_in_n, 0) AS _noff
+  FROM hwin LEFT JOIN hgoff ON hwin._pg = hgoff._pg
+),
+marks AS (
+  SELECT /*+ BROADCAST(soff) */ m.*, soff._soff, soff._noff
+  FROM (SELECT * FROM {{small}} WHERE _prio = 0) m
+  JOIN soff ON m._ck = soff._ck
+)
+SELECT event_id, event_ts_ns,
+       max(CASE WHEN _is_start = 0 THEN _soff + _s_in END)
+         - max(CASE WHEN _is_start = 1 THEN _soff + _s_in END) AS s_span,
+       max(CASE WHEN _is_start = 0 THEN _noff + _n_in END)
+         - max(CASE WHEN _is_start = 1 THEN _noff + _n_in END) AS n_span
+FROM marks GROUP BY event_id, event_ts_ns
+"""
+    return sql_stage(piv_sql, small=small)
 
 
 def average_uniqueness_sweep(

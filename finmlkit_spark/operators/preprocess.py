@@ -143,7 +143,8 @@ def with_trade_side_chunked(df: DataFrame, chunk_ns: int = DAY_NS) -> DataFrame:
     rows partition by coarse time chunk; all cross-chunk state — the
     boundary Δprice sign and the carried last-nonzero sign — travels
     through a per-chunk summary table (k rows for k chunks) combined
-    with the two-level exclusive prefix (``functions.prefix``) and
+    with ``functions.prefix.exclusive_prefix`` (flat mode at the daily
+    default, two-level mode on finer caller-chosen axes) and
     broadcast back. Signs are exact
     −1/0/+1 integers, so the result equals ``with_trade_side(by=None)``
     bit-for-bit. ``chunk_ns`` trades parallelism against skew: a chunk
@@ -222,10 +223,15 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
         )
     )
     # boundary sign of chunk k = sign(first_p_k − last_p of the latest
-    # earlier non-empty chunk); two-level exclusive prefix over the
-    # k-row table (functions.prefix — O(k log g), no SinglePartition,
-    # no O(k²) triangular pairs even at an hourly grid over years)
-    prevp = exclusive_prefix(summ, "_ck", lasts={"_prev_last_p": "_last_p"})
+    # earlier non-empty chunk), via functions.prefix over the k-row
+    # table: flat triangular mode for day-or-coarser chunk_ns (k small
+    # by construction, cheapest plan), two-level O(k·log g) mode when
+    # the caller picks a finer axis (hourly grid over years ⇒ k ~ 1e5,
+    # where flat would be O(k²) pairs); no SinglePartition either way
+    pgrp = None if chunk_ns >= DAY_NS else 4096
+    prevp = exclusive_prefix(
+        summ, "_ck", lasts={"_prev_last_p": "_last_p"}, group=pgrp
+    )
     s2 = summ.join(prevp, "_ck").select(
         "_ck",
         "_prev_last_p",
@@ -240,7 +246,8 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
     # it on both probe sides)
     s2 = cache.keep(s2.withColumn("_nz", F.coalesce("_lastnz_excl", "_bnz")))
     # carry into chunk k = _nz of the latest earlier chunk that has one
-    carry = exclusive_prefix(s2, "_ck", lasts={"_carry": "_nz"})
+    # (same flat-vs-two-level mode choice as the boundary prefix above)
+    carry = exclusive_prefix(s2, "_ck", lasts={"_carry": "_nz"}, group=pgrp)
     small = s2.select("_ck", "_prev_last_p", "_bnz").join(carry, "_ck")
     d = d.join(F.broadcast(small), "_ck")
     # last nonzero sign at row i = in-chunk prefix, else this chunk's

@@ -37,7 +37,12 @@ def _ordered_batch(pdfs) -> pd.DataFrame:
     chunks = [p for p in pdfs if len(p)]
     if not chunks:
         return pd.DataFrame()
-    return pd.concat(chunks, ignore_index=True).sort_values("ts_ns")
+    out = pd.concat(chunks, ignore_index=True)
+    # stable mergesort + id tiebreak: equal-timestamp rows must keep the
+    # same deterministic order the batch kernels use (they disambiguate
+    # by trade_id/event_id), or parity diverges under chunked arrival
+    keys = ["ts_ns"] + [c for c in ("trade_id", "event_id") if c in out.columns]
+    return out.sort_values(keys, kind="stable")
 
 
 def streaming_time_bars(
