@@ -133,7 +133,26 @@ SIDE_HELPERS = ("_ck", "_raw", "_cin", "_bnz", "_carry", "_prev_last_p")
 DAY_NS = 86_400_000_000_000
 
 
-def with_trade_side_chunked(df: DataFrame, chunk_ns: int = DAY_NS) -> DataFrame:
+#: rows below which the single-exchange global window beats the
+#: chunk-carry machinery (whose fixed ~0.5 s of summary aggs + k-row
+#: prefix + broadcast a small stream cannot amortize — SCALE.md item 9
+#: documents the crossover; the two paths are bit-identical, so the
+#: switch is purely a cost decision)
+SIDE_SMALL_ROWS = 1_000_000
+
+#: test hook: force a side-path mode regardless of the caller's choice
+#: (the plan-regression suite pins "chunked" to assert the at-scale
+#: plan has zero SinglePartition even though the bench-scale inputs
+#: auto-select the global window)
+_FORCE_SIDE_MODE: str | None = None
+
+
+def with_trade_side_chunked(
+    df: DataFrame,
+    chunk_ns: int = DAY_NS,
+    mode: str = "auto",
+    small_rows: int = SIDE_SMALL_ROWS,
+) -> DataFrame:
     """Tick-rule side for a SINGLE un-partitioned stream without the
     global window that ``with_trade_side(by=None)`` plans as an
     ``Exchange SinglePartition``.
@@ -153,12 +172,23 @@ def with_trade_side_chunked(df: DataFrame, chunk_ns: int = DAY_NS) -> DataFrame:
     an hourly grid gives ~9k chunks/year — still a tiny summary table).
     Multi-symbol data should keep using ``with_trade_side(by='symbol')``
     — hash partitioning is cheaper than chunk machinery.
+
+    ``mode``: ``"chunked"`` (the zero-SinglePartition scale path),
+    ``"global"`` (one ordered window — faster below ``small_rows``
+    because the chunk-carry machinery's fixed cost disappears), or
+    ``"auto"`` (a column-pruned count picks the side of the measured
+    crossover). Both paths are bit-identical.
     """
-    d, _ = chunked_side_frame(df, chunk_ns=chunk_ns)
+    d, _ = chunked_side_frame(df, chunk_ns=chunk_ns, mode=mode, small_rows=small_rows)
     return d.drop(*SIDE_HELPERS)
 
 
-def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
+def chunked_side_frame(
+    df: DataFrame,
+    chunk_ns: int = DAY_NS,
+    mode: str = "auto",
+    small_rows: int = SIDE_SMALL_ROWS,
+):
     """Internal: the time-chunked frame with ``side`` plus the
     ``SIDE_HELPERS`` columns still attached, and the per-chunk
     WindowSpec — for callers that stack more lag-1 window expressions
@@ -172,7 +202,37 @@ def chunked_side_frame(df: DataFrame, chunk_ns: int = DAY_NS):
     - ``coalesce(_carry, 1)``: the side of the previous chunk's last
       row (the carry accumulates every earlier chunk's last nonzero
       sign, which is exactly that row's side).
+
+    ``mode="global"`` (or ``"auto"`` below ``small_rows``) evaluates
+    the same semantics over ONE global ordered window — a deliberate
+    ``Exchange SinglePartition`` that is the cheaper plan for bounded
+    inputs (SCALE.md item 9's crossover). The helper columns are still
+    attached (``_prev_last_p``/``_carry`` as typed NULLs — there is no
+    earlier chunk), so stacked-lag consumers work unchanged and remain
+    bit-identical across modes.
     """
+    if _FORCE_SIDE_MODE is not None:
+        mode = _FORCE_SIDE_MODE
+    if mode == "auto":
+        # column-pruned count: one cheap scan decides the crossover;
+        # callers that know their scale pass mode explicitly and skip it
+        mode = "global" if df.count() <= small_rows else "chunked"
+    if mode == "global":
+        w = Window.orderBy("ts_ns", "trade_id")
+        raw = F.signum(F.col("price") - F.lag("price").over(w))
+        carried = F.last(F.when(raw != 0, raw), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        d = df.withColumns(
+            {
+                "_prev_last_p": F.lit(None).cast("double"),
+                "_carry": F.lit(None).cast("double"),
+                "side": F.coalesce(carried, F.lit(1.0)).cast("int"),
+            }
+        )
+        return d, w
+    if mode != "chunked":
+        raise ValueError(f"mode must be auto|global|chunked, got {mode!r}")
     ck = F.col("_ck")
     d = df.withColumn("_ck", F.floor(F.col("ts_ns") / F.lit(int(chunk_ns))))
     w = Window.partitionBy("_ck").orderBy("ts_ns", "trade_id")

@@ -255,7 +255,11 @@ def kmeans_assign(
     Fully distributed, no driver-side model state: centroids live in a
     k-row DataFrame that is broadcast into the assignment cross join;
     the update is a per-(cluster, dimension) hash aggregate (k·dim rows,
-    tiny) re-assembled into arrays. Determinism: seeding takes the first
+    tiny) re-assembled into arrays. (Round-6 A/B note: both a fused
+    lazy iteration chain with no cuts and an MLlib-style driver
+    round-trip of the k·dim centroid scalars measured at-or-worse than
+    this per-iteration localCheckpoint form at sf0.1 within host noise
+    — the iteration constants are scheduling, not plan shape.) Determinism: seeding takes the first
     ``k`` vectors by id, assignment ties break toward the lower cluster
     id, and the centroid mean is computed as an INTEGER-scaled sum
     (component quantized to 1e-``ndigits`` units as BIGINT, summed
@@ -342,16 +346,6 @@ def kmeans_assign(
             for i in range(dim)
         )
         cent = upd.select("cid", F.expr(f"array({means})").alias("cv"))
-        # cut the lineage at the k-row centroid table: without this
-        # each iteration NESTS the previous assignment cross-join in
-        # its lineage, and the final plan re-executes the whole chain
-        # once per downstream reference (2-3x at iters=2).
-        # localCheckpoint, not cache(): the columnar cache
-        # pathologically serializes array columns (SCALE.md lesson 2).
-        # eager=False: the eager form ran one SYNCHRONOUS job per
-        # iteration at plan-build time (~0.3 s of fixed scheduling
-        # each); lazily the checkpoints materialize in sequence inside
-        # the first real action, same cut, no extra driver round-trips.
         cent = cache.cut(cent)
 
     out = assign(cent)

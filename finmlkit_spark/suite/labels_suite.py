@@ -323,10 +323,12 @@ GROUP BY l.event_id, l.event_ts_ns""",
 def return_attribution_sweep_q(spark, sf_dir):
     """The same attribution via the fused span sweep
     (``labels.return_attribution_sweep``): one exchange of the trade
-    stream, no interval-join rows, AND no global-window log return —
-    per-trade r comes from the chunk-parallel lag (cross-chunk previous
-    price rides the ``chunked_side_frame`` carry table), so the whole
-    plan is SinglePartition-free, unlike the demo form above."""
+    stream, no interval-join rows, AND no mandatory global-window log
+    return — per-trade r comes from the side-frame lag pass
+    (``chunked_side_frame``; at scale the chunk-parallel mode keeps the
+    plan SinglePartition-free, cross-chunk previous price riding the
+    carry table; below the crossover auto mode picks the cheaper global
+    window — bit-identical either way)."""
     from ..operators import preprocess as P
 
     _, tr, spans = _trades_c(spark, sf_dir)

@@ -64,8 +64,18 @@ GUARDED = [
 
 @pytest.mark.parametrize("name", GUARDED)
 def test_no_single_partition_exchange(spark, name):
-    df = QUERIES[name](spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # pin the at-scale side path: the tick-rule side auto-selects the
+    # (deliberately single-partition) global window below its measured
+    # crossover, so this guard forces the large-input mode to assert
+    # the plan a 100 TB stream would get
+    from finmlkit_spark.operators import preprocess as P
+
+    P._FORCE_SIDE_MODE = "chunked"
+    try:
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        P._FORCE_SIDE_MODE = None
     assert "Exchange SinglePartition" not in plan, (
         f"{name}: plan regressed to a single-partition exchange:\n{plan}"
     )

@@ -64,7 +64,7 @@ def test_trade_side_chunked_matches_global(spark):
     }
     # hourly chunks over a month of sparse data: many chunks, some empty,
     # single-row chunks — every cross-chunk carry path gets exercised
-    chunked = P.with_trade_side_chunked(tr, chunk_ns=3_600_000_000_000)
+    chunked = P.with_trade_side_chunked(tr, chunk_ns=3_600_000_000_000, mode="chunked")
     got = {
         r["trade_id"]: r["side"]
         for r in chunked.select("trade_id", "side").collect()
@@ -113,6 +113,6 @@ def test_trade_side_chunked_plateaus_and_constant_chunks(spark):
     }
     got = {
         r["trade_id"]: r["side"]
-        for r in P.with_trade_side_chunked(tr, chunk_ns=MIN).select("trade_id", "side").collect()
+        for r in P.with_trade_side_chunked(tr, chunk_ns=MIN, mode="chunked").select("trade_id", "side").collect()
     }
     assert got == glob

@@ -245,7 +245,7 @@ def test_return_attribution_sweep_matches_range_join(spark):
 
     from finmlkit_spark.operators import preprocess as P
 
-    d, w = P.chunked_side_frame(trades, chunk_ns=H)
+    d, w = P.chunked_side_frame(trades, chunk_ns=H, mode="chunked")
     rr = F.log(F.col("price") / F.coalesce(F.lag("price").over(w), F.col("_prev_last_p")))
     sweep_df = L.return_attribution_sweep(spans, d.select("ts_ns", rr.alias("r")), chunk_ns=H)
     new = {r["event_id"]: r["attribution"] for r in sweep_df.collect()}
