@@ -237,6 +237,8 @@ def main():
     # reporting phantom 30-70% regressions on untouched queries — see
     # tools/bench_guard.py) ------------------------------------------------
     times: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    execs: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in suite.QUERIES:
@@ -248,12 +250,21 @@ def main():
             # iterative operators — connected components, k-means — do
             # distributed work at build time via localCheckpoint, so an
             # execute-only clock would hide it); run 0 warms codegen
-            # and the tracked caches
+            # and the tracked caches. build/exec are recorded from the
+            # best-total run so the split always sums to the headline
+            # number (round-6 verdict item 1: make the plan-build clock
+            # visible).
             suite.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             for _ in range(3):
                 t0 = time.time()
-                suite.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                df = suite.QUERIES[name](spark, sf_dir)
+                t1 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.time()
+                if t2 - t0 < best:
+                    best = t2 - t0
+                    builds[name] = round(t1 - t0, 4)
+                    execs[name] = round(t2 - t1, 4)
             times[name] = round(best, 4)
         except Exception as e:  # noqa: BLE001
             # one broken query must not zero out the whole bench signal
@@ -272,6 +283,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_build": builds,
+                "queries_exec": execs,
                 **({"query_errors": errors} if errors else {}),
                 "sf": sf,
                 "query_floor_sec": round(floor_best, 4),

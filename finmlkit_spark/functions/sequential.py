@@ -830,39 +830,52 @@ def adx(high: np.ndarray, low: np.ndarray, close: np.ndarray, n: int) -> np.ndar
 
 # --- CUSUM state machines ---------------------------------------------------
 
-def cusum_filter_np(r: np.ndarray, threshold: float | np.ndarray) -> np.ndarray:
-    """Symmetric CUSUM filter on (log) returns (AFML snippet 2.4;
-    reference ``sampling/filters.py:6-70``): S± accumulate, reset on
-    trigger; returns 0/1 event flags."""
-    thr = np.broadcast_to(np.asarray(threshold, dtype=float), r.shape)
+def cusum_filter_state(
+    r: np.ndarray, thr: np.ndarray, sp: float, sn: float
+) -> tuple[np.ndarray, float, float]:
+    """:func:`cusum_filter_np` body with an explicit entry state —
+    the chunk-stitch building block. Returns (flags, sp_exit, sn_exit)."""
     out = np.zeros(len(r), dtype=np.int32)
-    sp = sn = 0.0
     for i in range(len(r)):
         if np.isnan(r[i]):
             continue
         sp = max(0.0, sp + r[i])
         sn = min(0.0, sn + r[i])
         # reference order/strictness (filters.py:48-55): negative side
-        # first, strict comparisons (both can never trigger in one step)
+        # first, strict comparisons (both can never trigger in one step —
+        # post-check invariants sp <= thr, sn >= -thr make a same-step
+        # double trigger need r > 0 and r < 0 at once)
         if sn < -thr[i]:
             out[i] = 1
             sn = 0.0
         elif sp > thr[i]:
             out[i] = 1
             sp = 0.0
-    return out
+    return out, sp, sn
 
 
-def cusum_bar_ids(
-    r: np.ndarray, sigma: np.ndarray, mult: float, floor_thr: float
-) -> np.ndarray:
-    """CUSUM bar indexer with adaptive threshold max(mult·σ_i, floor)
-    (reference ``logic.py:152-221``): NaN σ carries the last valid value;
-    bar id increments on trigger."""
+def cusum_filter_np(r: np.ndarray, threshold: float | np.ndarray) -> np.ndarray:
+    """Symmetric CUSUM filter on (log) returns (AFML snippet 2.4;
+    reference ``sampling/filters.py:6-70``): S± accumulate, reset on
+    trigger; returns 0/1 event flags."""
+    thr = np.broadcast_to(np.asarray(threshold, dtype=float), r.shape)
+    return cusum_filter_state(r, thr, 0.0, 0.0)[0]
+
+
+def cusum_bar_state(
+    r: np.ndarray,
+    sigma: np.ndarray,
+    mult: float,
+    floor_thr: float,
+    sp: float,
+    sn: float,
+    last_sig: float,
+) -> tuple[np.ndarray, float, float, float, int]:
+    """:func:`cusum_bar_ids` body with an explicit entry state — the
+    chunk-stitch building block. Local bar ids start at 0; returns
+    (local_ids, sp_exit, sn_exit, last_sig_exit, bars_closed)."""
     out = np.zeros(len(r), dtype=np.int64)
-    sp = sn = 0.0
     bar = 0
-    last_sig = floor_thr
     for i in range(len(r)):
         sig = sigma[i]
         if np.isnan(sig):
@@ -877,7 +890,16 @@ def cusum_bar_ids(
         if sp >= thr or sn <= -thr:
             sp = sn = 0.0
             bar += 1
-    return out
+    return out, sp, sn, last_sig, bar
+
+
+def cusum_bar_ids(
+    r: np.ndarray, sigma: np.ndarray, mult: float, floor_thr: float
+) -> np.ndarray:
+    """CUSUM bar indexer with adaptive threshold max(mult·σ_i, floor)
+    (reference ``logic.py:152-221``): NaN σ carries the last valid value;
+    bar id increments on trigger."""
+    return cusum_bar_state(r, sigma, mult, floor_thr, 0.0, 0.0, floor_thr)[0]
 
 
 def volume_bar_ids_exact(qty: np.ndarray, threshold: float) -> np.ndarray:
@@ -942,6 +964,419 @@ def run_bar_ids(
             buy = sell = 0.0
             bar += 1
     return out
+
+
+# --- chunked CUSUM scale-out (round 6) --------------------------------------
+#
+# The CUSUM family's reset state machines have no closed combine (the
+# round-4/5 escape hatch for EWMA/EWMS/EWMST/RSI/ATR), so one huge
+# symbol used to mean one task. The stitch: time-chunk the stream, run
+# every chunk's kernel in parallel from an ENTRY-STATE GUESS, collect
+# the k chunk exit states (k rows — scalar-tier driver traffic, the
+# connected-components precedent), chain them in chunk order on the
+# driver, and re-run only the chunks whose entry changed — a fixed
+# point that is provably reached in <= k rounds (chunk c's entry is
+# exact once chunks 1..c-1 are), and in practice in 2-3 because a reset
+# inside a chunk makes everything after it entry-independent. The
+# converged entries then feed ONE final flags/ids pass. Worst case
+# (a degenerate stream that never triggers) degrades to sequential-
+# equivalent total work spread over rounds; typical streams trigger
+# every few hundred rows and converge immediately.
+
+def _state_eq(a: tuple, b: tuple) -> bool:
+    """Elementwise state equality with NaN == NaN (states are exact
+    float/int replays, so bitwise-style equality is the right test)."""
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        if isinstance(x, float) and isinstance(y, float) \
+                and math.isnan(x) and math.isnan(y):
+            continue
+        return False
+    return True
+
+
+class _ChunkStitch:
+    """Entry-state fixed-point engine over time chunks of one stream.
+
+    ``d`` is a persisted projection carrying ``_ck`` (the time-chunk id)
+    plus the kernel's input columns. ``kernel(pdf, entry) -> (exit,
+    count)`` replays the sequential state machine over one chunk from an
+    explicit entry state. ``state_types`` gives each state field's Spark
+    type — exact-integer fields (e.g. the EWMST ``prev_t`` anchor, whose
+    ns magnitude exceeds double's 2^53 integer range) MUST be ``long``.
+
+    Round 1 runs EVERY chunk from the seed state in one job (this also
+    discovers the chunk list — no separate distinct() pass); each later
+    round chains the k exit states on the driver (k rows — scalar-tier
+    traffic, the connected-components precedent) and re-runs only chunks
+    whose entry changed. Chunk c's entry is exact once chunks 1..c-1
+    are, so <= k rounds always converge; in practice 2-3 because a reset
+    (or, for decayed moments, float absorption of the entry term) makes
+    a chunk's exit entry-independent. ``solve`` returns ordered
+    ``[(ck, converged_entry, count_prefix)]`` for the final output pass.
+    """
+
+    def __init__(self, d: DataFrame, order_col: str, state0: tuple,
+                 state_types: list[str], kernel):
+        self.d, self.order_col = d, order_col
+        self.state0, self.types, self.kernel = state0, state_types, kernel
+        self.spark = d.sparkSession
+        n = len(state0)
+        self.ent_sch = "_ck long, " + ", ".join(
+            f"_e{i} {t}" for i, t in enumerate(state_types))
+        self.out_sch = "_ck long, " + ", ".join(
+            f"_x{i} {t}" for i, t in enumerate(state_types)) + ", _nb long"
+        order, kern = order_col, kernel
+
+        def k(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order).reset_index(drop=True)
+            entry = tuple(pdf[f"_e{i}"].iloc[0].item() for i in range(n))
+            ex, nb = kern(pdf, entry)
+            row = {"_ck": [int(pdf["_ck"].iloc[0])], "_nb": [int(nb)]}
+            row.update({f"_x{i}": [ex[i]] for i in range(n)})
+            return pd.DataFrame(row)
+
+        self._k = k
+
+    def _coerce(self, state: tuple) -> tuple:
+        return tuple(
+            int(x) if t in ("long", "bigint", "int") else float(x)
+            for x, t in zip(state, self.types)
+        )
+
+    def with_entries(self, rows: list[tuple]) -> DataFrame:
+        """Join per-chunk entry rows (ck, *state[, extra]) onto ``d``."""
+        sch = self.ent_sch + (", _base long" if len(rows[0]) > len(self.types) + 1
+                              else "")
+        ent = self.spark.createDataFrame(rows, sch)
+        return self.d.join(F.broadcast(ent), "_ck")
+
+    def _run(self, stale, entries) -> dict:
+        if stale is None:  # round 1: every chunk from the seed state
+            lits = {
+                f"_e{i}": F.lit(x).cast(t)
+                for i, (x, t) in enumerate(zip(self._coerce(self.state0),
+                                               self.types))
+            }
+            dd = self.d.withColumns(lits)
+        else:
+            dd = self.with_entries(
+                [(int(ck), *self._coerce(entries[ck])) for ck in stale])
+        rows = dd.groupBy("_ck").applyInPandas(self._k, self.out_sch).collect()
+        n = len(self.state0)
+        return {r["_ck"]: (tuple(r[f"_x{i}"] for i in range(n)), r["_nb"])
+                for r in rows}
+
+    def solve(self) -> list[tuple[int, tuple, int]]:
+        got = self._run(None, {})
+        cks = sorted(got)
+        if not cks:
+            return []
+        cache = {ck: (self.state0, got[ck]) for ck in cks}
+        for _ in range(len(cks) + 1):
+            entries: dict[int, tuple] = {}
+            e = self.state0
+            stale: list[int] = []
+            for ck in cks:
+                entries[ck] = e
+                ent_used, (ex, _nb) = cache[ck]
+                if not _state_eq(ent_used, e):
+                    stale.append(ck)
+                # downstream chaining guess: the last computed exit —
+                # exact when this chunk's entry was, else refined next
+                # round
+                e = ex
+            if not stale:
+                base, out = 0, []
+                for ck in cks:
+                    out.append((ck, entries[ck], base))
+                    base += cache[ck][1][1]
+                return out
+            got = self._run(stale, entries)
+            for ck, exnb in got.items():
+                cache[ck] = (entries[ck], exnb)
+        raise RuntimeError("cusum chunk stitch did not converge "
+                           "(impossible: bounded by chunk count)")
+
+
+def _chunked_projection(df: DataFrame, order_col: str, cols: list[str],
+                        chunk_ns: int, persist: bool) -> DataFrame:
+    d = df.select(order_col, *cols).withColumn(
+        "_ck", F.floor(F.col(order_col) / F.lit(int(chunk_ns)))
+    )
+    if persist:
+        from .. import cache as _cache
+
+        d = _cache.keep(d)
+    return d
+
+
+def cusum_filter_chunked(
+    df: DataFrame,
+    threshold: float | None = None,
+    r_col: str = "r",
+    order_col: str = "ts_ns",
+    chunk_ns: int = 86_400_000_000_000,
+    thr_col: str | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Symmetric CUSUM filter (:func:`cusum_filter_np` semantics,
+    reference ``sampling/filters.py:6-70``) for ONE huge un-partitioned
+    stream: time-chunked parallel kernel runs + the driver-chained
+    entry-state fixed point (:class:`_ChunkStitch`) — bit-identical to
+    the single-task kernel (differential-tested). ``thr_col`` selects
+    the vector-threshold form; otherwise ``threshold`` is the constant
+    h. The projected input is persisted across the stitch rounds unless
+    ``persist=False``. Returns (order_col, flag)."""
+    if (threshold is None) == (thr_col is None):
+        raise ValueError("pass exactly one of threshold / thr_col")
+    cols = [r_col] + ([thr_col] if thr_col else [])
+    d = _chunked_projection(df, order_col, cols, chunk_ns, persist)
+
+    def _thr_arr(pdf):
+        if thr_col:
+            return pdf[thr_col].to_numpy(np.float64)
+        return np.full(len(pdf), float(threshold))
+
+    def kern(pdf, entry):
+        _, sp, sn = cusum_filter_state(
+            pdf[r_col].to_numpy(np.float64), _thr_arr(pdf), entry[0], entry[1]
+        )
+        return (sp, sn), 0
+
+    st = _ChunkStitch(d, order_col, (0.0, 0.0), ["double", "double"], kern)
+    solved = st.solve()
+    if not solved:
+        return d.select(order_col, F.lit(0).alias("flag")).where(F.lit(False))
+
+    def k_final(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        flags, _, _ = cusum_filter_state(
+            pdf[r_col].to_numpy(np.float64), _thr_arr(pdf),
+            float(pdf["_e0"].iloc[0]), float(pdf["_e1"].iloc[0]),
+        )
+        return pd.DataFrame({order_col: pdf[order_col], "flag": flags})
+
+    sch = f"`{order_col}` {df.schema[order_col].dataType.simpleString()}, flag int"
+    return (
+        st.with_entries([(int(ck), e[0], e[1]) for ck, e, _ in solved])
+        .groupBy("_ck")
+        .applyInPandas(k_final, sch)
+    )
+
+
+def cusum_bar_ids_chunked(
+    df: DataFrame,
+    mult: float,
+    floor_thr: float,
+    r_col: str = "r",
+    sigma_col: str = "sigma",
+    order_col: str = "ts_ns",
+    chunk_ns: int = 86_400_000_000_000,
+    persist: bool = True,
+) -> DataFrame:
+    """CUSUM bar indexer (:func:`cusum_bar_ids` semantics, reference
+    ``logic.py:152-221``) over a PRECOMPUTED sigma column, for one huge
+    stream via the chunk-entry fixed point; state = (sp, sn, last_sig).
+    Global bar ids = local ids + the exclusive prefix of converged
+    per-chunk bar counts (chained on the driver from the same k-row
+    exits). When sigma itself is the reference's EWMST estimate, use
+    :func:`cusum_adaptive_bars_chunked` — it carries the EWMST moments
+    in the same stitch, keeping the whole composition bit-exact.
+    Returns (order_col, bar_id)."""
+    d = _chunked_projection(df, order_col, [r_col, sigma_col], chunk_ns, persist)
+
+    def kern(pdf, entry):
+        _, sp, sn, sig, bars = cusum_bar_state(
+            pdf[r_col].to_numpy(np.float64),
+            pdf[sigma_col].to_numpy(np.float64),
+            mult, floor_thr, entry[0], entry[1], entry[2],
+        )
+        return (sp, sn, sig), bars
+
+    st = _ChunkStitch(d, order_col, (0.0, 0.0, float(floor_thr)),
+                      ["double"] * 3, kern)
+    solved = st.solve()
+    if not solved:
+        return d.select(order_col, F.lit(0).cast("long").alias("bar_id")).where(
+            F.lit(False)
+        )
+
+    def k_final(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        ids, *_ = cusum_bar_state(
+            pdf[r_col].to_numpy(np.float64),
+            pdf[sigma_col].to_numpy(np.float64),
+            mult, floor_thr,
+            float(pdf["_e0"].iloc[0]), float(pdf["_e1"].iloc[0]),
+            float(pdf["_e2"].iloc[0]),
+        )
+        return pd.DataFrame(
+            {order_col: pdf[order_col], "bar_id": ids + int(pdf["_base"].iloc[0])}
+        )
+
+    sch = f"`{order_col}` {df.schema[order_col].dataType.simpleString()}, bar_id long"
+    return (
+        st.with_entries([(int(ck), e[0], e[1], e[2], base) for ck, e, base in solved])
+        .groupBy("_ck")
+        .applyInPandas(k_final, sch)
+    )
+
+
+def ewmst_state(
+    ts_ns: np.ndarray,
+    y: np.ndarray,
+    halflife_ns: float,
+    V: float, V2: float, Sy: float, Syy: float,
+    prev_t: int, last_out: float,
+) -> tuple[np.ndarray, float, float, float, float, int, float]:
+    """:func:`ewmst` body with an explicit entry state — the chunk-
+    stitch building block. ``prev_t`` is the EXACT int64 ns anchor of
+    the last non-NaN sample (< 0 = none yet: ns epochs exceed double's
+    2^53 integer range, so it must never pass through a float);
+    ``last_out`` is the previous emitted std for the NaN-carry. Returns
+    (sigma, V, V2, Sy, Syy, prev_t, last_out) — bit-identical to the
+    sequential kernel given the exact entry state (same op order)."""
+    lam = math.log(2.0) / halflife_ns
+    out = np.full(len(y), np.nan)
+    for i in range(len(y)):
+        if np.isnan(y[i]):
+            if V != 0:
+                out[i] = out[i - 1] if i > 0 else last_out
+            continue
+        d = 1.0 if prev_t < 0 else math.exp(-lam * (ts_ns[i] - prev_t))
+        V = 1.0 + d * V
+        V2 = 1.0 + d * d * V2
+        Sy = y[i] + d * Sy
+        Syy = y[i] * y[i] + d * Syy
+        prev_t = int(ts_ns[i])
+        if V * V > V2:
+            m = Sy / V
+            var = max(Syy / V - m * m, 0.0) * (V * V) / (V * V - V2)
+            out[i] = math.sqrt(var)
+    if len(y):
+        last_out = float(out[-1])
+    return out, V, V2, Sy, Syy, prev_t, last_out
+
+
+def cusum_adaptive_bars_chunked(
+    df: DataFrame,
+    mult: float,
+    floor_thr: float,
+    halflife_ns: float,
+    r_col: str = "r",
+    order_col: str = "ts_ns",
+    chunk_ns: int = 604_800_000_000_000,
+    persist: bool = True,
+) -> DataFrame:
+    """The reference's full adaptive CUSUM bar indexer — σ = time-decay
+    EW std of returns (halflife), threshold max(mult·σ, floor)
+    (``bar/logic.py:152-221``) — for one huge stream, scaled out by
+    carrying the FUSED state (EWMST moments V,V2,Sy,Syy + exact prev_t
+    anchor + NaN-carry std + CUSUM sp,sn,last_sig) through the chunk
+    stitch, so the composition replays the sequential
+    ``ewmst -> cusum_bar_ids`` pipeline bit-for-bit. Convergence note:
+    beyond a trigger reset, the EWMST entry terms decay as
+    2^(−Δt/halflife) and are ABSORBED exactly by float addition once
+    below one ulp of the local sums — pick ``chunk_ns`` ≫ halflife
+    (default one week) and exits become entry-independent, so the fixed
+    point lands in 2-3 rounds. Returns (order_col, bar_id)."""
+    d = _chunked_projection(df, order_col, [r_col], chunk_ns, persist)
+    state0 = (0.0, 0.0, 0.0, 0.0, -1, float("nan"), 0.0, 0.0, float(floor_thr))
+    types = ["double"] * 4 + ["long"] + ["double"] * 4
+
+    def kern(pdf, entry):
+        V, V2, Sy, Syy, prev_t, last_out, sp, sn, last_sig = entry
+        ts = pdf[order_col].to_numpy(np.int64)
+        r = pdf[r_col].to_numpy(np.float64)
+        sigma, V, V2, Sy, Syy, prev_t, last_out = ewmst_state(
+            ts, r, halflife_ns, V, V2, Sy, Syy, int(prev_t), last_out
+        )
+        _, sp, sn, last_sig, bars = cusum_bar_state(
+            r, sigma, mult, floor_thr, sp, sn, last_sig
+        )
+        return (V, V2, Sy, Syy, prev_t, last_out, sp, sn, last_sig), bars
+
+    st = _ChunkStitch(d, order_col, state0, types, kern)
+    solved = st.solve()
+    if not solved:
+        return d.select(order_col, F.lit(0).cast("long").alias("bar_id")).where(
+            F.lit(False)
+        )
+
+    def k_final(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        ts = pdf[order_col].to_numpy(np.int64)
+        r = pdf[r_col].to_numpy(np.float64)
+        sigma, *_ = ewmst_state(
+            ts, r, halflife_ns,
+            float(pdf["_e0"].iloc[0]), float(pdf["_e1"].iloc[0]),
+            float(pdf["_e2"].iloc[0]), float(pdf["_e3"].iloc[0]),
+            int(pdf["_e4"].iloc[0]), float(pdf["_e5"].iloc[0]),
+        )
+        ids, *_ = cusum_bar_state(
+            r, sigma, mult, floor_thr,
+            float(pdf["_e6"].iloc[0]), float(pdf["_e7"].iloc[0]),
+            float(pdf["_e8"].iloc[0]),
+        )
+        return pd.DataFrame(
+            {order_col: pdf[order_col], "bar_id": ids + int(pdf["_base"].iloc[0])}
+        )
+
+    sch = f"`{order_col}` {df.schema[order_col].dataType.simpleString()}, bar_id long"
+    return (
+        st.with_entries(
+            [(int(ck), *st._coerce(e), base) for ck, e, base in solved]
+        )
+        .groupBy("_ck")
+        .applyInPandas(k_final, sch)
+    )
+
+
+def cusum_test_chunked(
+    df: DataFrame,
+    w: int,
+    warmup: int = 30,
+    y_col: str = "close",
+    order_col: str = "ts_ns",
+    chunk_rows: int = 8192,
+) -> DataFrame:
+    """Chu-Stinchcombe-White rolling CUSUM statistic
+    (:func:`cusum_test_rolling`, reference
+    ``core/structural_break/cusum.py:11-274``) for one huge stream —
+    NO fixed point needed: the statistic looks back exactly ``w`` rows
+    (plus one for the diff), so the warmup-overlap row-chunk machinery
+    (``functions.chunked_window``) reproduces the global kernel
+    bit-for-bit. Rows below the global ``warmup`` index are dropped,
+    exactly like the sequential form leaves them NaN-only.
+    Returns (order_col, cusum_stat)."""
+    from .chunked_window import CHUNK, GLOBAL_RN, WARM, with_row_chunks
+
+    d = with_row_chunks(
+        df.select(order_col, y_col), order_col, warmup=w + 1, chunk_rows=chunk_rows
+    )
+
+    def k(pdf):
+        pdf = pdf.sort_values(GLOBAL_RN).reset_index(drop=True)
+        y = pdf[y_col].to_numpy(np.float64)
+        # local warmup 1 skips only the frameless first row; the global
+        # warmup gate is applied on the exact global row number below
+        stat = cusum_test_rolling(y, w, warmup=min(1, len(y)))
+        out = pd.DataFrame(
+            {order_col: pdf[order_col], "cusum_stat": stat,
+             "_rn": pdf[GLOBAL_RN], "_warm": pdf[WARM]}
+        )
+        out = out[(~out["_warm"]) & (out["_rn"] > warmup)]
+        return out[[order_col, "cusum_stat"]]
+
+    sch = (
+        f"`{order_col}` {df.schema[order_col].dataType.simpleString()}, "
+        "cusum_stat double"
+    )
+    return d.groupBy(CHUNK).applyInPandas(k, sch)
 
 
 # --- complexity / long-memory estimators -----------------------------------

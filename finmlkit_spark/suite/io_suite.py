@@ -110,8 +110,7 @@ _CB_FLOOR = 0.5
 # materialized per-row threshold) is ~8x faster with bit-identical
 # output: sigma is a pure per-row function of the carried state, and
 # the NaN-carry in both kernels collapses into one last-non-null fill.
-@query(
-    "seq_cusum_bars",
+_CUSUM_BARS_SQL = (
     _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""
 , bm AS MATERIALIZED (SELECT brn, bar_close_ns, r FROM b),
@@ -171,8 +170,11 @@ cm AS (
     )
   )
 )
-SELECT bar_close_ns, bar_id FROM cm""",
+SELECT bar_close_ns, bar_id FROM cm"""
 )
+
+
+@query("seq_cusum_bars", _CUSUM_BARS_SQL)
 def seq_cusum_bars(spark, sf_dir):
     """CUSUM bar sampler with adaptive threshold max(mult·σ, floor)
     (reference ``logic.py:152-221``) on hourly bars; σ = time-decay EW
@@ -195,4 +197,24 @@ def seq_cusum_bars(spark, sf_dir):
 
     return S.apply_sequential(
         bars, kernel, "bar_close_ns long, bar_id long", order=("bar_close_ns",)
+    )
+
+
+@query("seq_cusum_bars_chunked", _CUSUM_BARS_SQL)
+def seq_cusum_bars_chunked(spark, sf_dir):
+    """The same adaptive CUSUM bar indexer via the round-6 fused chunk
+    stitch (sequential.cusum_adaptive_bars_chunked): the EWMST moments
+    (V, V2, Sy, Syy, exact int64 prev_t, NaN-carry std) and the CUSUM
+    machine (sp, sn, last_sig) ride ONE per-chunk entry state, chained
+    on the driver to a fixed point — 2-day chunks span ~96 sigma
+    halflives, so chunk exits are entry-independent by exact float
+    absorption and the stitch lands in 2-3 rounds. Bit-identical to the
+    sequential composition, checked against the same recursive-CTE
+    oracle."""
+    from .sequential_suite import DAY_NS, bars_1h
+
+    bars = bars_1h(spark, sf_dir)
+    return S.cusum_adaptive_bars_chunked(
+        bars, mult=_CB_MULT, floor_thr=_CB_FLOOR, halflife_ns=_CB_HL_NS,
+        r_col="r", order_col="bar_close_ns", chunk_ns=2 * DAY_NS,
     )

@@ -524,9 +524,11 @@ def seq_adx(spark, sf_dir):
 
 CUSUM_H = 1.0
 
+DAY_NS = 86_400_000_000_000
 
-@query(
-    "seq_cusum_filter",
+# shared by seq_cusum_filter and its chunk-stitched twin — the oracle
+# replays the exact reset machine either way
+_CUSUM_FILTER_SQL = (
     _BH.replace("WITH ", "WITH RECURSIVE ", 1)
     + f"""
 , bn AS MATERIALIZED (SELECT brn, bar_close_ns, r FROM b),
@@ -545,8 +547,11 @@ rec AS (
               ELSE least(0, rec.sn + nb.r) END
   FROM rec JOIN bn nb ON nb.brn = rec.brn + 1
 )
-SELECT bar_close_ns FROM rec WHERE flag = 1""",
+SELECT bar_close_ns FROM rec WHERE flag = 1"""
 )
+
+
+@query("seq_cusum_filter", _CUSUM_FILTER_SQL)
 def seq_cusum_filter(spark, sf_dir):
     """Symmetric CUSUM event filter, h=1.0 on hourly log returns
     (sampling/filters.py:6-70, AFML 2.4): emits event timestamps.
@@ -558,6 +563,21 @@ def seq_cusum_filter(spark, sf_dir):
         return pdf.loc[flags == 1, ["bar_close_ns"]]
 
     return S.apply_sequential(bars, kernel, "bar_close_ns long", order=("bar_close_ns",))
+
+
+@query("seq_cusum_filter_chunked", _CUSUM_FILTER_SQL)
+def seq_cusum_filter_chunked(spark, sf_dir):
+    """The same CUSUM event filter via the round-6 chunk-stitch
+    (sequential.cusum_filter_chunked): 2-day time chunks run in
+    parallel, entry states chained on the driver to a fixed point —
+    the single-huge-symbol scale-out for the reset machine, checked
+    against the identical recursive-CTE oracle (bit-exact)."""
+    bars = bars_1h(spark, sf_dir)
+    out = S.cusum_filter_chunked(
+        bars, threshold=CUSUM_H, r_col="r", order_col="bar_close_ns",
+        chunk_ns=2 * DAY_NS,
+    )
+    return out.where(F.col("flag") == 1).select("bar_close_ns")
 
 
 VOL_THR_H = 100.0
@@ -615,9 +635,8 @@ def feat_fast_stage(spark, sf_dir):
 CT_W = 100
 CT_WARM = 30
 
-
-@query(
-    "seq_cusum_test",
+# shared by seq_cusum_test and its row-chunked twin
+_CUSUM_TEST_SQL = (
     _BH
     + f"""
 , d AS (
@@ -635,8 +654,11 @@ st AS (
 SELECT bar_close_ns,
        CASE WHEN sig > 0
             THEN list_max(list_transform(ls, e -> abs(close - e.v) / (sig * sqrt(brn - e.i)))) END AS cusum_stat
-FROM st WHERE brn >= {CT_WARM + 1}""",
+FROM st WHERE brn >= {CT_WARM + 1}"""
 )
+
+
+@query("seq_cusum_test", _CUSUM_TEST_SQL)
 def seq_cusum_test(spark, sf_dir):
     """Chu-Stinchcombe-White rolling CUSUM break statistic, w=100, on
     hourly closes (core/structural_break/cusum.py:11-274)."""
@@ -650,3 +672,17 @@ def seq_cusum_test(spark, sf_dir):
         return out[out["brn"] >= CT_WARM + 1][["bar_close_ns", "cusum_stat"]]
 
     return S.apply_sequential(bars, kernel, "bar_close_ns long, cusum_stat double", order=("bar_close_ns",))
+
+
+@query("seq_cusum_test_chunked", _CUSUM_TEST_SQL)
+def seq_cusum_test_chunked(spark, sf_dir):
+    """The same rolling CUSUM break statistic via warmup-overlap row
+    chunks (sequential.cusum_test_chunked): the statistic's lookback is
+    exactly w rows (+1 for the diff), so the chunked_window machinery
+    makes it embarrassingly parallel with bit-identical output — no
+    fixed point, no SinglePartition window."""
+    bars = bars_1h(spark, sf_dir)
+    return S.cusum_test_chunked(
+        bars, w=CT_W, warmup=CT_WARM, y_col="close", order_col="bar_close_ns",
+        chunk_rows=256,
+    )

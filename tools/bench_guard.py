@@ -27,27 +27,34 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def latest_recorded() -> tuple[str, dict]:
-    paths = sorted(
-        glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not paths:
-        return "(none)", {}
-    p = paths[-1]
+def _parse(p: str) -> dict:
     with open(p) as f:
         d = json.load(f)
     # driver files carry the bench JSON line under "parsed" (with the
     # raw stdout under "tail"); a plain bench.py line has "queries" at
     # the top level
     if "queries" in d:
-        return p, d["queries"]
+        return d["queries"]
     if isinstance(d.get("parsed"), dict):
-        return p, d["parsed"].get("queries", {})
+        return d["parsed"].get("queries", {})
     m = re.search(r'\{"metric".*\}', d.get("tail", ""))
     if m:
-        return p, json.loads(m.group(0)).get("queries", {})
-    return p, {}
+        return json.loads(m.group(0)).get("queries", {})
+    return {}
+
+
+def recorded_paths() -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+
+
+def latest_recorded() -> tuple[str, dict]:
+    paths = recorded_paths()
+    if not paths:
+        return "(none)", {}
+    return paths[-1], _parse(paths[-1])
 
 
 def waived() -> dict[str, str]:
@@ -68,9 +75,22 @@ def main() -> int:
     thr = 0.3
     if "--threshold" in sys.argv:
         thr = float(sys.argv[sys.argv.index("--threshold") + 1])
-    with open(sys.argv[1]) as f:
-        now = json.load(f).get("queries", {})
-    ref_path, ref = latest_recorded()
+    if sys.argv[1] == "--audit":
+        # post-hoc audit of the DRIVER-recorded files: compare the two
+        # newest BENCH_r*.json (round-5 lesson: the round's final
+        # numbers became the record without a guard run, so a >30%
+        # regression passed silently — this mode makes the check
+        # possible after the fact, run it at round start)
+        paths = recorded_paths()
+        if len(paths) < 2:
+            print("audit needs two recorded BENCH_r*.json files")
+            return 0
+        now = _parse(paths[-1])
+        ref_path, ref = paths[-2], _parse(paths[-2])
+    else:
+        with open(sys.argv[1]) as f:
+            now = json.load(f).get("queries", {})
+        ref_path, ref = latest_recorded()
     notes = waived()
     bad = []
     print(f"reference: {ref_path} ({len(ref)} queries); threshold +{thr:.0%}")
