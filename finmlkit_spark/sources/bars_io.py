@@ -18,14 +18,48 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def materialize_time_bars(bars: DataFrame, path: str, key: str = "bar_close_ns") -> None:
+def materialize_time_bars(
+    bars: DataFrame, path: str, key: str = "bar_close_ns", write_meta: bool = True
+) -> None:
     """Persist fine bars partitioned by year_month (monthly partitions ≙
-    the reference's /klines/YYYY-MM keys; pruning comes free)."""
+    the reference's /klines/YYYY-MM keys; pruning comes free).
+
+    ``write_meta`` also persists the per-partition metadata/integrity
+    sidecar (record counts, first/last ts, gap stats) next to the data —
+    the write-time analog of the reference's ``/meta/YYYY-MM`` +
+    ``/integrity/YYYY-MM`` datasets (``data_model.py:449-574``), so
+    ``H5Inspector``-style reports read k rows instead of rescanning."""
     out = bars.withColumn(
         "year_month",
         F.date_format((F.col(key) / 1e9).cast("timestamp"), "yyyy-MM"),
     )
     out.write.mode("overwrite").partitionBy("year_month").parquet(path)
+    if write_meta:
+        write_store_meta(bars, path, ts_col=key)
+
+
+def write_store_meta(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts_ns",
+    max_gap_ns: int = 3_600_000_000_000,
+) -> None:
+    """Persist the :func:`store_inspector` report as the table's
+    ``_meta`` sidecar. The underscore prefix keeps it INVISIBLE to data
+    scans (Spark/parquet discovery skips ``_*`` paths), so the sidecar
+    can live inside the table directory like the reference keeps
+    ``/meta`` + ``/integrity`` groups inside the H5 store. One k-row
+    parquet write per materialization — at 100 TB the inspector then
+    answers from k rows instead of a full rescan."""
+    store_inspector(df, ts_col=ts_col, max_gap_ns=max_gap_ns).write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/") + "/_meta")
+
+
+def read_store_meta(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table's ``_meta`` integrity sidecar (columns: year_month,
+    n_rows, first_ts_ns, last_ts_ns, max_gap_ns, n_gaps)."""
+    return spark.read.parquet(path.rstrip("/") + "/_meta")
 
 
 def read_time_bars(

@@ -45,6 +45,7 @@ def write_corpus(
     path: str,
     partition_by: tuple[str, ...] = ("split",),
     max_records_per_file: int = 1_000_000,
+    write_meta: bool = True,
 ) -> None:
     """Partitioned parquet sink for curated documents.
 
@@ -52,7 +53,13 @@ def write_corpus(
     ``maxRecordsPerFile`` bounds file sizes so a skewed partition (one
     dominant language) still yields parallel-readable files. Overwrite
     is DYNAMIC-partition only: re-curating one split does not clobber
-    the others."""
+    the others.
+
+    ``write_meta`` also persists a per-partition ``_meta`` sidecar
+    (record count, id range) — the corpus analog of the bar store's
+    write-time integrity datasets (reference ``data_model.py:449-574``),
+    invisible to data scans (``_``-prefixed path). Inspection then reads
+    k rows instead of rescanning the corpus."""
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -60,6 +67,29 @@ def write_corpus(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+    if write_meta:
+        id_cols = [c for c in ("doc_id",) if c in df.columns]
+        stats = [F.count(F.lit(1)).alias("n_rows")] + [
+            a for c in id_cols for a in (
+                F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")
+            )
+        ]
+        # the sidecar is partitioned + dynamically overwritten like the
+        # data, so re-curating one split refreshes exactly that split's
+        # meta row and the others stay consistent
+        (
+            df.groupBy(*partition_by).agg(*stats)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path.rstrip("/") + "/_meta")
+        )
+
+
+def read_corpus_meta(spark: SparkSession, path: str) -> DataFrame:
+    """Read a curated corpus's ``_meta`` sidecar (one row per partition
+    value: partition cols, n_rows, min/max doc_id)."""
+    return spark.read.parquet(path.rstrip("/") + "/_meta")
 
 
 def read_corpus(spark: SparkSession, path: str, **filters) -> DataFrame:

@@ -68,8 +68,9 @@ def bars_resample_15m(spark, sf_dir):
     return out.withColumnRenamed("med_wm", "med_wm")
 
 
-@query(
-    "store_inspector",
+# shared by store_inspector (on-demand scan) and store_meta_sidecar
+# (write-time _meta round-trip) — both must report the same stats
+_INSPECTOR_SQL = (
     "WITH "
     + EVENTS_TRADES_CTE.strip()
     + """,
@@ -88,12 +89,31 @@ SELECT year_month,
        max(ts_ns) AS last_ts_ns,
        max(gap) AS max_gap_ns,
        CAST(sum(CASE WHEN gap > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
-FROM g GROUP BY year_month""",
+FROM g GROUP BY year_month"""
 )
+
+
+@query("store_inspector", _INSPECTOR_SQL)
 def store_inspector_q(spark, sf_dir):
     """Partition metadata report (H5Inspector analog ``io.py:35-308``)."""
     tr = events_to_trades(spark, sf_dir)
     return IO.store_inspector(tr, "ts_ns")
+
+
+@query("store_meta_sidecar", _INSPECTOR_SQL)
+def store_meta_sidecar(spark, sf_dir):
+    """Write-time metadata/integrity sidecar round-trip (reference
+    ``data_model.py:449-574``: /meta + /integrity groups persisted at
+    store time): write the trades store's ``_meta`` parquet sidecar,
+    then answer the H5Inspector report by READING IT BACK — k rows, no
+    rescan. The oracle recomputes the same stats from the raw table, so
+    the sidecar's content is what the gate checks."""
+    import tempfile
+
+    tr = events_to_trades(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="fmk_store_meta_")
+    IO.write_store_meta(tr, path, ts_col="ts_ns")
+    return IO.read_store_meta(spark, path)
 
 
 _CB_HL_NS = 30 * 60_000_000_000

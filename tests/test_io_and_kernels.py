@@ -164,3 +164,57 @@ def test_corpus_jsonl_roundtrip_and_pruned_read(spark, tmp_path):
     write_corpus(out.where(F.col("split") == "test"), dst, partition_by=("split",))
     assert read_corpus(spark, dst, split="train").count() == 18
     assert read_corpus(spark, dst, split="test").count() == 2
+
+
+def test_store_meta_sidecar_roundtrip(spark, tmp_path):
+    """materialize_time_bars writes a _meta integrity sidecar whose
+    read-back equals the on-demand store_inspector report, and the
+    sidecar stays invisible to data scans."""
+    day_ns = 86_400_000_000_000
+    rows = [(i * day_ns, 1.0, 2.0, 0.5, 1.5, 10.0, 5, 1.2) for i in range(1, 40)]
+    bars = spark.createDataFrame(
+        rows,
+        "bar_close_ns long, open double, high double, low double, close double, volume double, trades long, vwap double",
+    )
+    path = str(tmp_path / "bars")
+    IO.materialize_time_bars(bars, path)
+    # data scan must not see the sidecar rows/columns
+    assert IO.read_time_bars(spark, path).count() == 39
+    meta = {r["year_month"]: r for r in IO.read_store_meta(spark, path).collect()}
+    live = {
+        r["year_month"]: r
+        for r in IO.store_inspector(bars, "bar_close_ns").collect()
+    }
+    assert set(meta) == set(live) == {"1970-01", "1970-02"}
+    for ym, r in live.items():
+        for c in ("n_rows", "first_ts_ns", "last_ts_ns", "max_gap_ns", "n_gaps"):
+            assert meta[ym][c] == r[c], (ym, c)
+
+
+def test_corpus_meta_sidecar_dynamic_overwrite(spark, tmp_path):
+    """write_corpus's _meta sidecar tracks per-split counts/id ranges and
+    refreshes ONLY rewritten partitions under dynamic overwrite."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.sources.corpus_io import read_corpus_meta, write_corpus
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
+        F.when(F.col("id") % 10 == 0, "test").otherwise("train").alias("split"),
+    )
+    dst = str(tmp_path / "corpus")
+    write_corpus(docs, dst, partition_by=("split",))
+    meta = {r["split"]: r for r in read_corpus_meta(spark, dst).collect()}
+    assert meta["train"]["n_rows"] == 18 and meta["test"]["n_rows"] == 2
+    assert meta["train"]["min_doc_id"] == 1 and meta["test"]["max_doc_id"] == 10
+
+    # rewrite only the test split with fewer rows: train meta row intact
+    write_corpus(
+        docs.where((F.col("split") == "test") & (F.col("doc_id") == 0)),
+        dst,
+        partition_by=("split",),
+    )
+    meta = {r["split"]: r for r in read_corpus_meta(spark, dst).collect()}
+    assert meta["train"]["n_rows"] == 18
+    assert meta["test"]["n_rows"] == 1 and meta["test"]["max_doc_id"] == 0
