@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cache
+from ..functions.sqlstage import sql_stage
 
 DIM = 64
 N_PLANES = 16
@@ -35,17 +36,9 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_batch(a: Column, b: Column) -> Column:
-    """Arrow-batched pair cosine, bit-identical to :func:`cosine`.
-
-    The HOF fold costs ~µs/element interpreted (SCALE.md lesson 3); at
-    SemDeDup pair volumes (Σ|cluster|² pairs × 3 folds × dim) that
-    dominates the query. This UDF reproduces the fold's EXACT float
-    semantics — elementwise products then a SEQUENTIAL left-to-right
-    summation via cumsum (numpy's sum/dot use pairwise summation, which
-    would drift in the last ulp and break oracle hash equality) — at
-    numpy batch speed. Requires equal-length (padded) vectors per batch.
-    """
+def cosine_batch_udf():
+    """The raw Arrow pandas_udf behind :func:`cosine_batch` — exposed so
+    SQL stages can ``spark.udf.register`` it and call it by name."""
     import numpy as np
     import pandas as pd
 
@@ -60,7 +53,21 @@ def cosine_batch(a: Column, b: Column) -> Column:
         nb = np.sqrt((B * B).cumsum(axis=1)[:, -1])
         return pd.Series(dots / (na * nb))
 
-    return _cos(a, b)
+    return _cos
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-batched pair cosine, bit-identical to :func:`cosine`.
+
+    The HOF fold costs ~µs/element interpreted (SCALE.md lesson 3); at
+    SemDeDup pair volumes (Σ|cluster|² pairs × 3 folds × dim) that
+    dominates the query. This UDF reproduces the fold's EXACT float
+    semantics — elementwise products then a SEQUENTIAL left-to-right
+    summation via cumsum (numpy's sum/dot use pairwise summation, which
+    would drift in the last ulp and break oracle hash equality) — at
+    numpy batch speed. Requires equal-length (padded) vectors per batch.
+    """
+    return cosine_batch_udf()(a, b)
 
 
 def _plane_weight(j, i) -> Column:
@@ -253,13 +260,17 @@ def kmeans_assign(
     seed centroids; this learns them).
 
     Fully distributed, no driver-side model state: centroids live in a
-    k-row DataFrame that is broadcast into the assignment cross join;
-    the update is a per-(cluster, dimension) hash aggregate (k·dim rows,
-    tiny) re-assembled into arrays. (Round-6 A/B note: both a fused
-    lazy iteration chain with no cuts and an MLlib-style driver
-    round-trip of the k·dim centroid scalars measured at-or-worse than
-    this per-iteration localCheckpoint form at sf0.1 within host noise
-    — the iteration constants are scheduling, not plan shape.) Determinism: seeding takes the first
+    k-row table that is broadcast into the assignment cross join; the
+    update is a per-(cluster, dimension) hash aggregate (k·dim rows,
+    tiny) re-assembled into arrays. The Lloyd iterations are UNROLLED
+    into one server-parsed SQL CTE chain (round-6 A/B, sf0.1 best-of-3:
+    this form 2.15 s total vs 2.23 s for the per-iteration
+    localCheckpoint form, with build collapsing 1.81 -> 0.22 s — the
+    cut paid ~0.5 s/iteration of driver-side RDD manufacture; the
+    op-chained lazy form and an MLlib-style driver round-trip both
+    measured worse in round 5. Residual exec cost is AQE query-stage
+    scheduling across the iteration exchanges — constant in data size,
+    amortizes at scale). Determinism: seeding takes the first
     ``k`` vectors by id, assignment ties break toward the lower cluster
     id, and the centroid mean is computed as an INTEGER-scaled sum
     (component quantized to 1e-``ndigits`` units as BIGINT, summed
@@ -276,34 +287,6 @@ def kmeans_assign(
     up to ``dim``, so ragged inputs must be padded upstream.
     """
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
-    cent = e.where(F.col("vid") < k).select(
-        F.col("vid").cast("long").alias("cid"), F.col("v").alias("cv")
-    )
-
-    def assign(c: DataFrame) -> DataFrame:
-        # argmax by hash aggregate, NOT a per-vector window: map-side
-        # partial max_by collapses the broadcast-join fan-out (n·k rows)
-        # before the shuffle, so only n rows move — the window form
-        # sort-shuffles all n·k. Tie-break toward the lower cid via the
-        # (sim, -cid) ordering struct. The pair similarity runs through
-        # cosine_batch (Arrow/numpy, bit-identical sequential fold): the
-        # interpreted HOF cosine costs ~µs/element and the n·k·dim fan-out
-        # made the assignment pass the dominant kmeans cost (SCALE.md
-        # lesson 3).
-        j = e.crossJoin(F.broadcast(c)).select(
-            "vid", "v", "cid", cosine_batch(F.col("v"), F.col("cv")).alias("sim")
-        )
-        return (
-            j.groupBy("vid")
-            .agg(
-                F.max_by(
-                    F.struct("cid", "sim"), F.struct(F.col("sim"), -F.col("cid"))
-                ).alias("best"),
-                F.first("v").alias("v"),  # constant within the group
-            )
-            .select("vid", "v", F.col("best.cid").alias("cid"), F.col("best.sim").alias("sim"))
-        )
-
     scale = 10 ** ndigits
     if dim is None:
         # one-row probe for the embedding width (driver-side scalar
@@ -321,42 +304,63 @@ def kmeans_assign(
             F.lit(0).cast("long").alias("cluster_id"),
             F.lit(0.0).alias("cos_sim"),
         ).where(F.lit(False))
-    for _ in range(iters):
-        a = assign(cent)
-        # centroid update as ONE hash aggregate: a per-dimension
-        # integer-scaled sum per agg (dim sums wide, k rows out) — the
-        # posexplode + groupBy(cid,pos) + collect_list re-assembly
-        # alternative pushes n·dim exploded rows through TWO exchanges;
-        # this moves k·dim partial sums through one. Integer sums keep
-        # the update order-independent (bit-identical across engines and
-        # partition orders), as before. The dim-wide expression lists
-        # are built as TWO server-parsed SQL strings: per-Column py4j
-        # construction costs ~1 s of DRIVER time per iteration at
-        # dim=64 (measured), the single F.expr round-trip is ~ms.
-        sums = ", ".join(
-            f"sum(CAST(floor((element_at(v, {i + 1}) * {scale}.0e0) + 0.5e0) AS BIGINT))"
-            f" AS s{i}"
-            for i in range(dim)
-        )
-        upd = a.groupBy("cid").agg(
-            F.expr(f"struct({sums}, count(1) AS n)").alias("st")
-        )
-        means = ", ".join(
-            f"(CAST(st.s{i} AS DOUBLE) / CAST(st.n AS DOUBLE)) / {scale}.0e0"
-            for i in range(dim)
-        )
-        cent = upd.select("cid", F.expr(f"array({means})").alias("cv"))
-        cent = cache.cut(cent)
+    # --- ONE server-parsed SQL stage with the Lloyd iterations UNROLLED
+    # as a CTE chain (round-6): the per-iteration localCheckpoint form
+    # paid ~0.5 s of driver-side RDD manufacture (codegen + DAG build)
+    # per cut — 2 iterations cost ~1.2 s of BUILD on a 500-vector input
+    # (measured, queries_build split). The chain below is one analysis
+    # pass and one lazy job; nothing is referenced twice except the
+    # input embeddings (scanned iters+2 times — the base scan; callers
+    # with an expensive upstream persist it). Expression text per
+    # iteration is IDENTICAL to the previous form (same sums/means
+    # strings, same max_by tie-break struct), so centroids stay
+    # bit-identical across engines and partition orders.
+    sums = ", ".join(
+        f"sum(CAST(floor((element_at(v, {i + 1}) * {scale}.0e0) + 0.5e0) AS BIGINT))"
+        f" AS s{i}"
+        for i in range(dim)
+    )
+    means = ", ".join(
+        f"(CAST(st.s{i} AS DOUBLE) / CAST(st.n AS DOUBLE)) / {scale}.0e0"
+        for i in range(dim)
+    )
+    spark = emb_df.sparkSession
+    spark.udf.register("fmk_cos_batch", cosine_batch_udf())
 
-    out = assign(cent)
+    def assign_cte(c: str) -> str:
+        # argmax by hash aggregate, NOT a per-vector window: map-side
+        # partial max_by collapses the broadcast-join fan-out (n·k rows)
+        # before the shuffle, so only n rows move. Tie-break toward the
+        # lower cid via the (sim, -cid) ordering struct; the pair
+        # similarity runs through the registered cosine_batch Arrow UDF
+        # (bit-identical sequential fold — SCALE.md lesson 3).
+        return f"""(
+  SELECT vid, first(v) AS v,
+         max_by(struct(cid, sim), struct(sim, -cid)) AS best
+  FROM (SELECT /*+ BROADCAST(c) */ e.vid, e.v, c.cid,
+               fmk_cos_batch(e.v, c.cv) AS sim
+        FROM {{e}} e CROSS JOIN {c} c)
+  GROUP BY vid
+)"""
+
+    ctes = [f"c0 AS (SELECT CAST(vid AS BIGINT) AS cid, v AS cv FROM {{e}} WHERE vid < {int(k)})"]
+    for t in range(1, iters + 1):
+        ctes.append(f"a{t} AS {assign_cte(f'c{t - 1}')}")
+        ctes.append(
+            f"u{t} AS (SELECT cid, struct({sums}, count(1) AS n) AS st "
+            f"FROM (SELECT best.cid AS cid, v FROM a{t}) GROUP BY cid)"
+        )
+        ctes.append(f"c{t} AS (SELECT cid, array({means}) AS cv FROM u{t})")
+    ctes.append(f"a{iters + 1} AS {assign_cte(f'c{iters}')}")
     # no output rounding: sim is deterministic (sequential dot-product
     # fold over bit-identical centroids), and cross-engine round() is
     # itself not guaranteed identical at digit boundaries
-    return out.select(
-        F.col("vid").alias(id_col),
-        F.col("cid").alias("cluster_id"),
-        F.col("sim").alias("cos_sim"),
+    final_sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vid AS {id_col}, best.cid AS cluster_id, "
+        f"best.sim AS cos_sim FROM a{iters + 1}"
     )
+    return sql_stage(final_sql, e=e)
 
 
 def semantic_dup_pairs(

@@ -141,7 +141,11 @@ def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.triple_barrier(_spark_events(tr), tr, H_NS, bucket_ns=HOUR_NS)
 
 
-def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trades_spans(spark: SparkSession, sf_dir: str):
+    """(trades, spans-behind-a-cut) — the sweep queries' inputs, WITHOUT
+    building the concurrency frame (the sweeps fuse concurrency into
+    their own pass; constructing the range-join concurrency chain here
+    would cost ~0.2 s of pure plan analysis they immediately discard)."""
     tr = events_to_trades(spark, sf_dir)
     # storage boundary: spans (3 narrow columns, ~1 row per 97 trades)
     # feed BOTH the concurrency sweep and the span interval join — without
@@ -154,6 +158,11 @@ def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = cache.cut(
         _labels(spark, sf_dir).select("event_id", "event_ts_ns", "touch_ts_ns")
     )
+    return tr, spans
+
+
+def _trades_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr, spans = _trades_spans(spark, sf_dir)
     return L.concurrency(spans, tr), tr, spans
 
 
@@ -274,7 +283,7 @@ def avg_uniqueness_sweep(spark, sf_dir):
     materialize. The 100 TB path; the range-join form above has lower
     fixed constants at bench scale (crossover measured in SCALE.md).
     Differential-tested bit-identical to ``avg_uniqueness``."""
-    _, tr, spans = _trades_c(spark, sf_dir)
+    tr, spans = _trades_spans(spark, sf_dir)
     return L.average_uniqueness_sweep(spans, tr, chunk_ns=HOUR_NS)
 
 
@@ -331,7 +340,7 @@ def return_attribution_sweep_q(spark, sf_dir):
     window — bit-identical either way)."""
     from ..operators import preprocess as P
 
-    _, tr, spans = _trades_c(spark, sf_dir)
+    tr, spans = _trades_spans(spark, sf_dir)
     d, w = P.chunked_side_frame(tr)
     r = F.log(
         F.col("price") / F.coalesce(F.lag("price").over(w), F.col("_prev_last_p"))
