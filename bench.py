@@ -276,18 +276,14 @@ def main():
             cache.release_all()
 
     total = round(sum(times.values()), 4)
+    # Key order is least- to most-important: the durable record keeps only
+    # the LAST ~2 kB of this line (round-6 lost its per-query totals to the
+    # tail window), so the synthetics and the build split go first and the
+    # per-query totals + headline metric go last — truncation eats the
+    # synthetics, never the totals.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_build": builds,
-                "queries_exec": execs,
-                **({"query_errors": errors} if errors else {}),
-                "sf": sf,
-                "query_floor_sec": round(floor_best, 4),
                 "synthetic_bar_build": tput(n_syn, syn_sec),
                 "synthetic_feature_windows": tput(n_feat, feat_sec, features=6),
                 "synthetic_feature_windows_exact_frames": tput(n_feat, feat_exact_sec, features=6),
@@ -295,6 +291,15 @@ def main():
                 "synthetic_avg_uniqueness_range_join": tput(n_uniq, uniq_rj_sec),
                 "synthetic_avg_uniqueness_sweep": tput(n_uniq, uniq_sw_sec),
                 "synthetic_minhash_lsh_50k_docs": tput(n_docs, dedup_syn_sec),
+                "query_floor_sec": round(floor_best, 4),
+                "queries_build": builds,
+                "queries_exec": execs,
+                **({"query_errors": errors} if errors else {}),
+                "queries": times,
+                "sf": sf,
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
             }
         )
     )

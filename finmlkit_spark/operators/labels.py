@@ -398,14 +398,15 @@ SELECT event_id, event_ts_ns, _is_start, _prio, _rn, _ck,
        _s_in, _n_in, _s_tot, _n_tot
 FROM w2 WHERE _prio = 0 OR _rn = 1
 """
-    # persisted (tracked-cache registry): both the cross-chunk offset
-    # build and the marker probe below read it, and without a storage
-    # boundary each reference would re-run the whole sweep (plans are
-    # trees — parameter references inline, no automatic reuse). Bounded
-    # at any scale: 2 rows per event + 1 per time chunk. cache.keep,
-    # not cut: with the build now 3 analysis passes instead of ~30
-    # Dataset ops, re-analyzing the subtree is cheap, and keep skips
-    # cut's up-front physical-planning pass (~0.3 s on this tree).
+    # storage boundary (tracked registry): both the cross-chunk offset
+    # build and the marker probe below read it, and without a boundary
+    # each reference would re-run the whole sweep (plans are trees —
+    # parameter references inline, no automatic reuse). Bounded at any
+    # scale: 2 rows per event + 1 per time chunk. cache.cut, not keep:
+    # the SCALE.md item-12 A/B measured cut(spans)+cut(small) as the
+    # best posture on this tree — cut truncates the analyzed plan so the
+    # pivot/probe stages re-analyze a leaf, which beats keep's repeated
+    # deep-subtree analysis despite cut's up-front planning pass.
     small = cache.cut(sql_stage(small_sql, spans=spans, trades=trades))
     # -- (3) small-table machinery (2|events| + k rows): cross-chunk S/N
     # offsets via the same two-level exclusive prefix over the k-row

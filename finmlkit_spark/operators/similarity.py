@@ -254,67 +254,227 @@ def kmeans_assign(
     emb_col: str = "embedding",
     ndigits: int = 6,
     dim: int | None = None,
+    state: str = "driver",
 ) -> DataFrame:
     """Lloyd k-means over the embedding column by max-cosine assignment —
     the trainable coarse quantizer for IVF search (``ann_ivf`` uses fixed
     seed centroids; this learns them).
 
-    Fully distributed, no driver-side model state: centroids live in a
-    k-row table that is broadcast into the assignment cross join; the
-    update is a per-(cluster, dimension) hash aggregate (k·dim rows,
-    tiny) re-assembled into arrays. The Lloyd iterations are UNROLLED
-    into one server-parsed SQL CTE chain (round-6 A/B, sf0.1 best-of-3:
-    this form 2.15 s total vs 2.23 s for the per-iteration
-    localCheckpoint form, with build collapsing 1.81 -> 0.22 s — the
-    cut paid ~0.5 s/iteration of driver-side RDD manufacture; the
-    op-chained lazy form and an MLlib-style driver round-trip both
-    measured worse in round 5. Residual exec cost is AQE query-stage
-    scheduling across the iteration exchanges — constant in data size,
-    amortizes at scale). Determinism: seeding takes the first
-    ``k`` vectors by id, assignment ties break toward the lower cluster
-    id, and the centroid mean is computed as an INTEGER-scaled sum
-    (component quantized to 1e-``ndigits`` units as BIGINT, summed
-    exactly — order-independent — then divided by the count): both
-    engines, and repeated Spark runs with different partition orders,
-    iterate from bit-identical state. The previous ``round(avg, 6)``
-    re-synchronization carried a residual flake: a mean within an ulp of
-    a rounding-digit boundary rounds differently per fold order. Empty
+    Two execution modes, same bit-identical results (round-7 A/B at
+    sf0.1, quiet best-of-4: driver 0.54 s vs the round-6 unrolled SQL
+    chain's 1.56 s on the same host):
+
+    - ``state="driver"`` (default): MLlib-style driver-carried
+      centroids. Each Lloyd iteration is ONE map-only job — a
+      ``mapInPandas`` stage assigns every vector against the current
+      centroids (numpy batch, closure-shipped) and emits k partial-sum
+      rows per partition; the driver folds the k·P partials with exact
+      int64 adds and recomputes the means. No per-iteration shuffle of
+      the n input rows at any scale, and the per-iteration barrier is a
+      single job instead of the SQL chain's three (update exchange +
+      gather exchange + broadcast). Driver state is k rows of
+      (k·dim·8 B) partials per partition — fine for coarse-quantizer k;
+      for k·dim·partitions beyond driver memory use
+      ``state="distributed"``.
+    - ``state="distributed"``: the Lloyd iterations UNROLLED into one
+      server-parsed SQL CTE chain, centroids carried as a collected
+      array broadcast into a map-side JVM argmax (higher-order
+      functions, no Python, no n-row shuffle per iteration either).
+      Everything stays in the cluster; the cost is two extra tiny
+      barriers per iteration and an interpreted ~100 ns/element HOF
+      fold in the assignment.
+
+    Determinism (both modes, mirrored by the DuckDB oracle): seeding
+    takes the first ``k`` vectors by id; assignment ties break toward
+    the lower cluster id (numpy ``argmax`` returns the first maximum
+    over ascending-cid columns — same rule as the SQL
+    ``max(struct(sim, -cid))``); the centroid mean is an INTEGER-scaled
+    sum (components quantized to 1e-``ndigits`` units as BIGINT, summed
+    exactly — order-independent — then divided by the count), and the
+    cosine is ``dot/(|a|·|b|)`` with SEQUENTIAL left-to-right folds
+    (numpy ``cumsum``, the SQL ``aggregate`` fold, and DuckDB's
+    ``list_dot_product`` all sum in index order), so repeated runs with
+    different partition orders iterate from bit-identical state. Empty
     clusters drop out (standard Lloyd); the final row set is one
     assignment per vector.
 
     ``dim`` (probed from the first row when omitted) assumes FIXED-width
-    embeddings — the wide per-dimension aggregate reads ``element_at``
-    up to ``dim``, so ragged inputs must be padded upstream.
+    embeddings — ragged inputs must be padded upstream.
     """
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
-    scale = 10 ** ndigits
     if dim is None:
         # one-row probe for the embedding width (driver-side scalar
-        # config inference, the SURVEY §7-sanctioned pattern) — enables
-        # the single-shuffle wide-aggregate update below for any input
+        # config inference, the SURVEY §7-sanctioned pattern)
         first = emb_df.select(F.size(emb_col).alias("d")).head(1)
         dim = int(first[0]["d"]) if first else 0
     if dim <= 0:
-        # empty input (or zero-width vectors): the f-string expression
-        # lists below would render "struct(, count(1) AS n)" — a
-        # ParseException at plan time. Degrade gracefully to an empty
-        # assignment frame instead, like the old posexplode form did.
+        # empty input (or zero-width vectors): degrade to an empty
+        # assignment frame with the output schema
         return e.select(
             F.col("vid").alias(id_col),
             F.lit(0).cast("long").alias("cluster_id"),
             F.lit(0.0).alias("cos_sim"),
         ).where(F.lit(False))
-    # --- ONE server-parsed SQL stage with the Lloyd iterations UNROLLED
-    # as a CTE chain (round-6): the per-iteration localCheckpoint form
-    # paid ~0.5 s of driver-side RDD manufacture (codegen + DAG build)
-    # per cut — 2 iterations cost ~1.2 s of BUILD on a 500-vector input
-    # (measured, queries_build split). The chain below is one analysis
-    # pass and one lazy job; nothing is referenced twice except the
-    # input embeddings (scanned iters+2 times — the base scan; callers
-    # with an expensive upstream persist it). Expression text per
-    # iteration is IDENTICAL to the previous form (same sums/means
-    # strings, same max_by tie-break struct), so centroids stay
-    # bit-identical across engines and partition orders.
+    if state == "driver":
+        return _kmeans_assign_driver(e, k, iters, id_col, ndigits, dim)
+    return _kmeans_assign_distributed(e, k, iters, id_col, ndigits, dim)
+
+
+def _kmeans_seed(e: DataFrame, k: int) -> list[tuple[int, list[float], float]]:
+    """Seed centroids = first k vectors by id, with the norm precomputed
+    by the same sequential fold as the assignment."""
+    import math
+
+    rows = (
+        e.where(F.col("vid") < k)
+        .select(F.col("vid").cast("long").alias("cid"), "v")
+        .collect()
+    )
+    cents = []
+    for r in sorted(rows, key=lambda r: r["cid"]):
+        cv = [float(x) for x in r["v"]]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cents.append((int(r["cid"]), cv, math.sqrt(acc)))
+    return cents
+
+
+def _kmeans_assign_driver(
+    e: DataFrame, k: int, iters: int, id_col: str, ndigits: int, dim: int
+) -> DataFrame:
+    """Driver-carried Lloyd: per iteration one mapInPandas job emitting
+    k partial-sum rows per partition; exact int64 fold on the driver.
+    The k-row-per-partition collect is the same sanctioned class as the
+    connected-components convergence scalars (bounded, not data rows)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**ndigits
+
+    def make_core(cents):
+        cids = np.array([c[0] for c in cents], dtype=np.int64)
+        C = np.array([c[1] for c in cents], dtype=np.float64)
+        cn = np.array([c[2] for c in cents], dtype=np.float64)
+
+        def core(A):
+            # sequential cumsum folds — bit-identical to the SQL
+            # aggregate fold and DuckDB list_dot_product (numpy
+            # sum/dot would pairwise-sum and drift in the last ulp)
+            nv = np.sqrt((A * A).cumsum(axis=1)[:, -1])
+            sims = np.empty((A.shape[0], len(cids)), dtype=np.float64)
+            for j in range(len(cids)):
+                dots = (A * C[j]).cumsum(axis=1)[:, -1]
+                sims[:, j] = dots / (nv * cn[j])
+            # first-of-max over ascending-cid columns = the
+            # lower-cid tie-break of max(struct(sim, -cid))
+            best = np.argmax(sims, axis=1)
+            return cids, best, sims[np.arange(A.shape[0]), best]
+
+        return core
+
+    def update_map(cents):
+        core = make_core(cents)
+        nk = len(cents)
+        cids = np.array([c[0] for c in cents], dtype=np.int64)
+
+        def fn(batches):
+            S = np.zeros((nk, dim), dtype=np.int64)
+            N = np.zeros(nk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(pdf["v"].values).astype(np.float64)
+                _, best, _ = core(A)
+                # the same HALF_UP integer quantization as the SQL
+                # update: floor(x·scale + 0.5) — float64 ops identical
+                Q = np.floor(A * float(scale) + 0.5).astype(np.int64)
+                for j in range(nk):
+                    m = best == j
+                    if m.any():
+                        S[j] += Q[m].sum(axis=0)
+                        N[j] += int(m.sum())
+            yield pd.DataFrame(
+                {"cid": cids, "n0": N, "s": [S[j].tolist() for j in range(nk)]}
+            )
+
+        return fn
+
+    cents = _kmeans_seed(e, k)
+    part_schema = "cid bigint, n0 bigint, s array<bigint>"
+    for _ in range(iters):
+        if not cents:
+            break
+        parts = e.select("v").mapInPandas(update_map(cents), part_schema).collect()
+        agg: dict[int, tuple[list[int], int]] = {}
+        for r in parts:
+            if r["n0"] == 0:
+                continue
+            if r["cid"] in agg:
+                s0, n0 = agg[r["cid"]]
+                agg[r["cid"]] = (
+                    [a + b for a, b in zip(s0, r["s"])],
+                    n0 + int(r["n0"]),
+                )
+            else:
+                agg[r["cid"]] = (list(r["s"]), int(r["n0"]))
+        new_cents = []
+        for cid in sorted(agg):
+            s0, n0 = agg[cid]
+            cnt = float(n0)
+            # identical IEEE composition to the SQL mean:
+            # (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/scale
+            cv = [(float(si) / cnt) / scale for si in s0]
+            acc = 0.0
+            for x in cv:
+                acc += x * x
+            new_cents.append((cid, cv, math.sqrt(acc)))
+        cents = new_cents
+
+    if not cents:
+        # no vectors with id < k to seed from: empty assignment (the
+        # oracle's seed join is empty too)
+        return e.select(
+            F.col("vid").alias(id_col),
+            F.lit(0).cast("long").alias("cluster_id"),
+            F.lit(0.0).alias("cos_sim"),
+        ).where(F.lit(False))
+
+    core = make_core(cents)
+
+    def final_map(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].values).astype(np.float64)
+            cids, best, sim = core(A)
+            yield pd.DataFrame(
+                {id_col: pdf["vid"].values, "cluster_id": cids[best], "cos_sim": sim}
+            )
+
+    vid_type = dict(e.dtypes)["vid"]
+    out_schema = f"{id_col} {vid_type}, cluster_id bigint, cos_sim double"
+    return e.mapInPandas(final_map, out_schema)
+
+
+def _kmeans_assign_distributed(
+    e: DataFrame, k: int, iters: int, id_col: str, ndigits: int, dim: int
+) -> DataFrame:
+    """All-in-cluster Lloyd: one server-parsed SQL stage with the
+    iterations unrolled as a CTE chain. Centroids travel as a collected
+    (sorted) k-row array through a 1-row broadcast cross join; the
+    assignment is a map-side JVM argmax over higher-order-function
+    cosine folds — no Python, and no n-row shuffle per iteration (the
+    round-6 form's per-vector max_by aggregate shuffled every row every
+    iteration; round-7 A/B: this form 1.2-1.7 s vs 1.6-2.3 s at sf0.1,
+    identical output bits)."""
+    scale = 10**ndigits
+    dot_sql = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0e0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
     sums = ", ".join(
         f"sum(CAST(floor((element_at(v, {i + 1}) * {scale}.0e0) + 0.5e0) AS BIGINT))"
         f" AS s{i}"
@@ -324,43 +484,53 @@ def kmeans_assign(
         f"(CAST(st.s{i} AS DOUBLE) / CAST(st.n AS DOUBLE)) / {scale}.0e0"
         for i in range(dim)
     )
-    spark = emb_df.sparkSession
-    spark.udf.register("fmk_cos_batch", cosine_batch_udf())
 
-    def assign_cte(c: str) -> str:
-        # argmax by hash aggregate, NOT a per-vector window: map-side
-        # partial max_by collapses the broadcast-join fan-out (n·k rows)
-        # before the shuffle, so only n rows move. Tie-break toward the
-        # lower cid via the (sim, -cid) ordering struct; the pair
-        # similarity runs through the registered cosine_batch Arrow UDF
-        # (bit-identical sequential fold — SCALE.md lesson 3).
+    def gather(c: str) -> str:
+        # k rows -> ONE row holding the sorted centroid array with
+        # precomputed norms; array_sort on struct(cid, ...) orders by
+        # cid, so argmax tie-breaks are order-independent
+        cn = dot_sql.format(a="cv", b="cv")
+        return (
+            f"(SELECT array_sort(collect_list(struct(cid, cv, sqrt({cn}) AS cn)))"
+            f" AS cs FROM {c})"
+        )
+
+    def assign(g: str) -> str:
+        # map-side argmax: struct(sim, -cid) compares lexicographically,
+        # so array_max = highest sim, then lowest cid — the same rule as
+        # the oracle's ORDER BY sim DESC, cid
+        sim = dot_sql.format(a="n.v", b="c.cv") + " / (n.nv * c.cn)"
         return f"""(
-  SELECT vid, first(v) AS v,
-         max_by(struct(cid, sim), struct(sim, -cid)) AS best
-  FROM (SELECT /*+ BROADCAST(c) */ e.vid, e.v, c.cid,
-               fmk_cos_batch(e.v, c.cv) AS sim
-        FROM {{e}} e CROSS JOIN {c} c)
-  GROUP BY vid
+  SELECT n.vid, n.v,
+         array_max(transform(g.cs, c -> struct({sim} AS sim, -c.cid AS ncid))) AS best
+  FROM {{n}} n CROSS JOIN {g} g
 )"""
 
-    ctes = [f"c0 AS (SELECT CAST(vid AS BIGINT) AS cid, v AS cv FROM {{e}} WHERE vid < {int(k)})"]
+    ctes = [
+        f"c0 AS (SELECT CAST(vid AS BIGINT) AS cid, v AS cv FROM {{e}} WHERE vid < {int(k)})",
+        "g0 AS " + gather("c0"),
+    ]
     for t in range(1, iters + 1):
-        ctes.append(f"a{t} AS {assign_cte(f'c{t - 1}')}")
+        ctes.append(f"a{t} AS {assign(f'g{t - 1}')}")
         ctes.append(
             f"u{t} AS (SELECT cid, struct({sums}, count(1) AS n) AS st "
-            f"FROM (SELECT best.cid AS cid, v FROM a{t}) GROUP BY cid)"
+            f"FROM (SELECT -best.ncid AS cid, v FROM a{t}) GROUP BY cid)"
         )
         ctes.append(f"c{t} AS (SELECT cid, array({means}) AS cv FROM u{t})")
-    ctes.append(f"a{iters + 1} AS {assign_cte(f'c{iters}')}")
+        ctes.append(f"g{t} AS " + gather(f"c{t}"))
+    ctes.append(f"a{iters + 1} AS {assign(f'g{iters}')}")
     # no output rounding: sim is deterministic (sequential dot-product
     # fold over bit-identical centroids), and cross-engine round() is
     # itself not guaranteed identical at digit boundaries
     final_sql = (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT vid AS {id_col}, best.cid AS cluster_id, "
+        + f"\nSELECT vid AS {id_col}, -best.ncid AS cluster_id, "
         f"best.sim AS cos_sim FROM a{iters + 1}"
     )
-    return sql_stage(final_sql, e=e)
+    nv = dot_sql.format(a="v", b="v")
+    n = sql_stage(f"SELECT vid, v, sqrt({nv}) AS nv FROM {{e}}", e=e)
+    return sql_stage(final_sql, e=e, n=n)
+
 
 
 def semantic_dup_pairs(

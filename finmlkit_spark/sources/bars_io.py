@@ -35,7 +35,12 @@ def materialize_time_bars(
     )
     out.write.mode("overwrite").partitionBy("year_month").parquet(path)
     if write_meta:
-        write_store_meta(bars, path, ts_col=key)
+        # the sidecar is computed from the JUST-WRITTEN files, not the
+        # input plan: the report then provably describes the stored data
+        # (an upstream nondeterminism cannot make meta and data diverge)
+        # and the upstream pipeline is not executed a second time.
+        stored = bars.sparkSession.read.parquet(path).drop("year_month")
+        write_store_meta(stored, path, ts_col=key)
 
 
 def write_store_meta(

@@ -108,10 +108,16 @@ def store_meta_sidecar(spark, sf_dir):
     then answer the H5Inspector report by READING IT BACK — k rows, no
     rescan. The oracle recomputes the same stats from the raw table, so
     the sidecar's content is what the gate checks."""
+    import os
     import tempfile
 
     tr = events_to_trades(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="fmk_store_meta_")
+    # deterministic per-process path, not mkdtemp: bench builds each
+    # query several times per run and a fresh dir per build leaked a
+    # sidecar copy each time; parquet overwrite makes re-use safe.
+    path = os.path.join(
+        tempfile.gettempdir(), f"fmk_store_meta_{os.getpid()}"
+    )
     IO.write_store_meta(tr, path, ts_col="ts_ns")
     return IO.read_store_meta(spark, path)
 
