@@ -72,116 +72,125 @@ def triple_barrier(
     Per event the output is: label (±1/0, or {0,1} meta), label_sign
     (sign of terminal return, 0→+1, ``tbm.py:141-143``), touch_ts_ns,
     touch_ret, barrier_ratio.
+
+    Plan shape: one server-parsed SQL stage (round-7; the op-chained
+    form cost ~0.5 s of pure JVM analysis per build on the deep trades
+    subtree — same Catalyst expressions, same bit-identical output,
+    differential-tested). The path walk itself stays a pure bucketed
+    join + hash aggregate: the reference breaks the walk at the first
+    touch, but that prefix truncation is OBSERVATIONALLY IRRELEVANT —
+    max_urbr/max_lrbr feed barrier_ratio only in the
+    ``touch_ts == last_ts`` branch (no touch, or a touch on the path's
+    final row), where "rows up to the touch" already means every
+    eligible row; a strictly-earlier touch lands in the 1.0 branch and
+    the accumulators are discarded. So no per-event window pre-pass:
+    partial (map-side) aggregation collapses the joined path rows
+    before the shuffle and only ~|events| combine buffers move.
     """
     is_meta = side_col is not None
-    side = F.col(side_col) if is_meta else F.lit(1)
-    ev = events.select(
-        F.col("event_id"),
-        F.col("event_ts_ns"),
-        F.col("entry_price"),
-        F.col("target"),
-        (F.col("event_ts_ns") + F.lit(horizon_ns)).alias("vert_ts_ns"),
-        side.alias("side"),
-    )
-    j = range_join(
-        ev, trades.select("ts_ns", "price"), "event_ts_ns", "vert_ts_ns", "ts_ns",
-        bucket_ns=bucket_ns,
-    )
-    r = F.col("side") * F.log(F.col("price") / F.col("entry_price"))
-    up = F.col("target") * pt_mult
-    dn = -F.col("target") * sl_mult
-    inf = float("inf")
-    up_valid = (F.abs(up) != inf) & (up != 0.0) & ~F.isnan(up)
-    dn_valid = (F.abs(dn) != inf) & (dn != 0.0) & ~F.isnan(dn)
-    el = (F.col("ts_ns") - F.col("event_ts_ns")) >= F.lit(min_close_ns)
-    # The reference breaks the path walk at the first touch, so its
-    # ratio accumulators only see rows up to the touch (tbm.py:109-132).
-    # That prefix truncation is OBSERVATIONALLY IRRELEVANT, so no
-    # per-event window pre-pass is needed: max_urbr/max_lrbr feed
-    # barrier_ratio only in the `touch_ts == last_ts` branch below —
-    # i.e. no touch at all, or a touch on the path's final row — and in
-    # both cases "rows up to the touch" already means every eligible
-    # row. A touch strictly before the last row lands in the
-    # `.otherwise(1.0)` branch, where the accumulators are discarded.
-    # Dropping the window keeps the plan a pure join + hash aggregate:
-    # partial (map-side) aggregation collapses the joined path rows
-    # before the shuffle, so only ~|events| combine buffers move —
-    # the window form forced a full exchange+sort of every path row.
-    j = j.withColumns({"_r": r, "_el": el})
-    rr = F.col("_r")
-    inc = F.col("_el")
-    agg = j.groupBy(
-        "event_id", "event_ts_ns", "entry_price", "target", "vert_ts_ns", "side"
-    ).agg(
-        F.min(F.when(F.col("_el") & (rr >= up), F.col("ts_ns"))).alias("up_ts"),
-        F.min(F.when(F.col("_el") & (rr <= dn), F.col("ts_ns"))).alias("dn_ts"),
-        F.max("ts_ns").alias("last_ts"),
-        F.max_by(F.when(F.col("_el"), rr), F.when(F.col("_el"), F.col("ts_ns"))).alias(
-            "last_el_ret"
-        ),
-        F.min_by(rr, F.when(F.col("_el") & (rr >= up), F.col("ts_ns"))).alias("up_ret"),
-        F.min_by(rr, F.when(F.col("_el") & (rr <= dn), F.col("ts_ns"))).alias("dn_ret"),
-        F.coalesce(F.max(F.when(inc & (rr > 0) & up_valid, rr / up)), F.lit(0.0)).alias(
-            "max_urbr"
-        ),
-        F.coalesce(F.max(F.when(inc & (rr < 0) & dn_valid, rr / dn)), F.lit(0.0)).alias(
-            "max_lrbr"
-        ),
-        F.first(up_valid).alias("up_valid"),
-        F.first(dn_valid).alias("dn_valid"),
-    )
-    up_first = F.col("up_ts").isNotNull() & (
-        F.col("dn_ts").isNull() | (F.col("up_ts") <= F.col("dn_ts"))
-    )
-    dn_first = F.col("dn_ts").isNotNull() & (
-        F.col("up_ts").isNull() | (F.col("dn_ts") < F.col("up_ts"))
-    )
-    touch_ts_expr = (
-        F.when(up_first, F.col("up_ts"))
-        .when(dn_first, F.col("dn_ts"))
-        .otherwise(F.col("last_ts"))
-    )
-    # terminal return: at the touch row, else the last *eligible* row,
-    # else 0.0 (ret initialized to 0, tbm.py:108)
-    touch_ret_expr = (
-        F.when(up_first, F.col("up_ret"))
-        .when(dn_first, F.col("dn_ret"))
-        .otherwise(F.coalesce(F.col("last_el_ret"), F.lit(0.0)))
-    )
-    # max_rb_ratios (tbm.py:146-156): vertical branch iff touch row == t1 row
-    ratio = F.when(
-        touch_ts_expr == F.col("last_ts"),
-        F.when(
-            touch_ret_expr > 0,
-            F.when(
-                F.col("up_valid"),
-                F.least(F.col("max_urbr") / (1.0 + F.col("max_lrbr")), F.lit(1.0)),
-            ),
-        ).otherwise(
-            F.when(
-                F.col("dn_valid"),
-                F.least(F.col("max_lrbr") / (1.0 + F.col("max_urbr")), F.lit(1.0)),
-            )
-        ),
-    ).otherwise(F.lit(1.0))
-    label = (
-        F.when(touch_ret_expr >= F.lit(min_ret), 1).otherwise(0)
+    side_sql = side_col if is_meta else "1"
+    pt = f"CAST('{pt_mult!r}' AS DOUBLE)"
+    sl = f"CAST('{sl_mult!r}' AS DOUBLE)"
+    mr = f"CAST('{min_ret!r}' AS DOUBLE)"
+    inf = "CAST('Infinity' AS DOUBLE)"
+    if bucket_ns is not None:
+        bn = int(bucket_ns)
+        join_sql = f"""
+lb AS (
+  SELECT ev.*, explode(sequence(floor(event_ts_ns / {bn}), floor(vert_ts_ns / {bn}))) AS _bucket
+  FROM ev
+),
+rb AS (SELECT ts_ns, price, floor(ts_ns / {bn}) AS _bucket FROM {{trades}}),
+j AS (
+  SELECT lb.event_id, lb.event_ts_ns, lb.entry_price, lb.target,
+         lb.vert_ts_ns, lb.side, rb.ts_ns, rb.price
+  FROM lb JOIN rb ON lb._bucket = rb._bucket
+  WHERE rb.ts_ns > lb.event_ts_ns AND rb.ts_ns <= lb.vert_ts_ns
+)"""
+    else:
+        join_sql = """
+j AS (
+  SELECT ev.event_id, ev.event_ts_ns, ev.entry_price, ev.target,
+         ev.vert_ts_ns, ev.side, t.ts_ns, t.price
+  FROM ev JOIN {trades} t
+    ON t.ts_ns > ev.event_ts_ns AND t.ts_ns <= ev.vert_ts_ns
+)"""
+    label_sql = (
+        f"CASE WHEN touch_ret >= {mr} THEN 1 ELSE 0 END"
         if is_meta
-        else F.when(up_first, 1).when(dn_first, -1).otherwise(0)
+        else "CASE WHEN up_first THEN 1 WHEN dn_first THEN -1 ELSE 0 END"
     )
-    return agg.select(
-        "event_id",
-        "event_ts_ns",
-        label.alias("label"),
-        # reference labeling (tbm.py:141-143): sign of the terminal return
-        # (vertical touches get the sign of the return at t1; 0 -> +1)
-        F.when(F.signum(touch_ret_expr) != 0, F.signum(touch_ret_expr))
-        .otherwise(F.lit(1.0))
-        .cast("int")
-        .alias("label_sign"),
-        touch_ts_expr.alias("touch_ts_ns"),
-        touch_ret_expr.alias("touch_ret"),
-        ratio.alias("barrier_ratio"),
+    sql = f"""
+WITH ev AS (
+  SELECT event_id, event_ts_ns, entry_price, target,
+         event_ts_ns + {int(horizon_ns)} AS vert_ts_ns, {side_sql} AS side
+  FROM {{events}}
+),{join_sql},
+jr AS (
+  SELECT *,
+         side * ln(price / entry_price) AS _r,
+         (ts_ns - event_ts_ns) >= {int(min_close_ns)} AS _el,
+         target * {pt} AS _up,
+         -target * {sl} AS _dn
+  FROM j
+),
+je AS (
+  SELECT *,
+         (abs(_up) <> {inf}) AND (_up <> 0.0e0) AND NOT isnan(_up) AS _upv,
+         (abs(_dn) <> {inf}) AND (_dn <> 0.0e0) AND NOT isnan(_dn) AS _dnv
+  FROM jr
+),
+a AS (
+  SELECT event_id, event_ts_ns, entry_price, target, vert_ts_ns, side,
+         min(CASE WHEN _el AND _r >= _up THEN ts_ns END) AS up_ts,
+         min(CASE WHEN _el AND _r <= _dn THEN ts_ns END) AS dn_ts,
+         max(ts_ns) AS last_ts,
+         max_by(CASE WHEN _el THEN _r END, CASE WHEN _el THEN ts_ns END) AS last_el_ret,
+         min_by(_r, CASE WHEN _el AND _r >= _up THEN ts_ns END) AS up_ret,
+         min_by(_r, CASE WHEN _el AND _r <= _dn THEN ts_ns END) AS dn_ret,
+         coalesce(max(CASE WHEN _el AND _r > 0 AND _upv THEN _r / _up END), 0.0e0) AS max_urbr,
+         coalesce(max(CASE WHEN _el AND _r < 0 AND _dnv THEN _r / _dn END), 0.0e0) AS max_lrbr,
+         first(_upv) AS up_valid,
+         first(_dnv) AS dn_valid
+  FROM je
+  GROUP BY event_id, event_ts_ns, entry_price, target, vert_ts_ns, side
+),
+m AS (
+  SELECT *,
+         up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts) AS up_first,
+         dn_ts IS NOT NULL AND (up_ts IS NULL OR dn_ts < up_ts) AS dn_first
+  FROM a
+),
+t AS (
+  SELECT *,
+         CASE WHEN up_first THEN up_ts
+              WHEN dn_first THEN dn_ts
+              ELSE last_ts END AS touch_ts_ns,
+         CASE WHEN up_first THEN up_ret
+              WHEN dn_first THEN dn_ret
+              ELSE coalesce(last_el_ret, 0.0e0) END AS touch_ret
+  FROM m
+)
+SELECT event_id, event_ts_ns,
+       {label_sql} AS label,
+       CAST(CASE WHEN sign(touch_ret) <> 0 THEN sign(touch_ret) ELSE 1.0e0 END AS INT) AS label_sign,
+       touch_ts_ns, touch_ret,
+       CASE WHEN touch_ts_ns = last_ts
+            THEN CASE WHEN touch_ret > 0
+                      THEN CASE WHEN up_valid
+                                THEN least(max_urbr / (1.0e0 + max_lrbr), 1.0e0) END
+                      ELSE CASE WHEN dn_valid
+                                THEN least(max_lrbr / (1.0e0 + max_urbr), 1.0e0) END END
+            ELSE 1.0e0 END AS barrier_ratio
+FROM t
+"""
+    ev_cols = ["event_id", "event_ts_ns", "entry_price", "target"] + (
+        [side_col] if is_meta else []
+    )
+    return sql_stage(
+        sql,
+        events=events.select(*ev_cols),
+        trades=trades.select("ts_ns", "price"),
     )
 
 
@@ -303,9 +312,12 @@ def span_sweep(
     # deltas per time chunk over a dense explode(sequence) axis,
     # cumulated with the two-level exclusive prefix — not the O(k²)
     # triangular join; k ~ 1e4-1e5 on an hourly grid over years); the
-    # spans frame is referenced a handful of times and callers pass it
-    # through a storage boundary, so each reference is a cheap bounded
-    # re-scan, never a data-scale recompute. Then ONE exchange+sort of
+    # spans frame is referenced exactly TWICE (the ±1 marker pairs come
+    # from one lateral-view expansion per consumer, not per-delta UNION
+    # branches — round-7 A/B: 4 refs → 2 cut sweep build 1.66 → 1.14 s
+    # at sf0.1) and callers pass it through a storage boundary, so each
+    # reference is a cheap bounded re-scan, never a data-scale
+    # recompute. Then ONE exchange+sort of
     # (trades ∪ markers) by time chunk feeds the in-chunk running
     # Σdelta / row number, the broadcast offset join (c = exact
     # integer), and a second window pass in the SAME partitioning/order
@@ -314,11 +326,11 @@ def span_sweep(
     # (SQL semantics).
     small_sql = f"""
 WITH per_ck AS (
-  SELECT _ck, sum(_d) AS _dt FROM (
-    SELECT floor(event_ts_ns / {ck}) AS _ck, 1 AS _d FROM {{spans}}
-    UNION ALL
-    SELECT floor((touch_ts_ns + 1) / {ck}) AS _ck, -1 AS _d FROM {{spans}}
-  ) GROUP BY _ck
+  SELECT floor(ts_ns / {ck}) AS _ck, sum(_delta) AS _dt FROM (
+    SELECT CASE WHEN _is_start = 1 THEN event_ts_ns ELSE touch_ts_ns + 1 END AS ts_ns,
+           CASE WHEN _is_start = 1 THEN 1 ELSE -1 END AS _delta
+    FROM {{spans}} LATERAL VIEW explode(array(1, 0)) AS _is_start
+  ) GROUP BY 1
 ),
 axis AS (
   SELECT explode(sequence(_lo, _hi)) AS _ck FROM (
@@ -348,15 +360,12 @@ doff AS (
   FROM dwin LEFT JOIN dgoff ON dwin._pg = dgoff._pg
 ),
 mk AS (
-  SELECT event_id, event_ts_ns, event_ts_ns AS ts_ns,
-         1 AS _delta, 0 AS _prio, 1 AS _is_start,
+  SELECT event_id, event_ts_ns,
+         CASE WHEN _is_start = 1 THEN event_ts_ns ELSE touch_ts_ns + 1 END AS ts_ns,
+         CASE WHEN _is_start = 1 THEN 1 ELSE -1 END AS _delta,
+         0 AS _prio, _is_start,
          CAST(NULL AS DOUBLE) AS _val
-  FROM {{spans}}
-  UNION ALL
-  SELECT event_id, event_ts_ns, touch_ts_ns + 1 AS ts_ns,
-         -1 AS _delta, 0 AS _prio, 0 AS _is_start,
-         CAST(NULL AS DOUBLE) AS _val
-  FROM {{spans}}
+  FROM {{spans}} LATERAL VIEW explode(array(1, 0)) AS _is_start
 ),
 u AS (
   SELECT *, floor(ts_ns / {ck}) AS _ck FROM (
