@@ -25,22 +25,80 @@ from .features_suite import _B, _guard, _wf, bars_1m, _w
 FLAGSHIP_WARMUP = 24
 
 
-def flagship_feature_stage(bars, chunk_rows: int = 8192, persist: bool = True):
-    """The flagship's 12-feature window block over OHLCV bars, evaluated
-    partition-parallel via chunked windows (zero SinglePartition; results
-    row-identical to the global-window form — see chunked_window docs).
-    Reused by the registry query and the bench's synthetic scale probe."""
-    ch = CW.with_row_chunks(
-        bars, "bar_close_ns", warmup=FLAGSHIP_WARMUP, chunk_rows=chunk_rows, persist=persist
+#: rows below which the one-exchange global window beats the chunked
+#: machinery's two shuffle+sort passes (same measured-crossover posture
+#: as ``preprocess.SIDE_SMALL_ROWS`` — both paths are bit-identical, so
+#: the switch is purely a cost decision). The bar count is bounded by
+#: the upstream trade count, so a sub-threshold TRADE stream implies a
+#: sub-threshold bar stream — callers may pass the (cheaply known)
+#: upstream row count as ``input_rows`` without executing the bar agg.
+FLAGSHIP_SMALL_ROWS = 1_000_000
+
+#: test hook: force a flagship window mode regardless of the caller's
+#: choice (test_plan_regression pins "chunked" to assert the at-scale
+#: plan has zero SinglePartition even though bench-scale inputs
+#: auto-select the global window)
+_FORCE_FLAGSHIP_MODE: str | None = None
+
+
+def _flagship_windowed(df, w):
+    """Two window passes over ``w`` computing each DISTINCT (function,
+    frame) instance ONCE: the composed ``R.*`` helpers would emit ~25
+    window aggregates (5× stddev_samp(close) over the same 20-frame,
+    8× count guards, …) and Spark's WindowExec evaluates duplicate
+    instances separately — measured ~40% of the flagship's window time
+    at sf0.1. The derived features in :func:`_flagship_project` combine
+    these columns with arithmetic identical to the helpers', so results
+    stay bit-identical to the unfused form."""
+    d = df.select(
+        "*",
+        F.lag("close").over(w).alias("_pc"),
+        F.lag("close", 5).over(w).alias("_pc5"),
     )
-    w = CW.chunk_window("bar_close_ns")
-    df = ch.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
-    df = df.withColumn("tr", R.true_range("high", "low", "close", w))
+    d = d.withColumns(
+        {
+            "r": F.log(F.col("close") / F.col("_pc")),
+            "tr": F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - F.col("_pc")),
+                F.abs(F.col("low") - F.col("_pc")),
+            ),
+        }
+    )
+
+    def f(n):
+        return w.rowsBetween(-(n - 1), 0)
+
+    return d.select(
+        "*",
+        F.count(F.lit(1)).over(f(20)).alias("_c20"),
+        F.count(F.lit(1)).over(f(15)).alias("_c15"),
+        F.count(F.lit(1)).over(f(14)).alias("_c14"),
+        F.avg("close").over(f(20)).alias("_avg20"),
+        F.stddev_samp("close").over(f(20)).alias("_std20"),
+        F.min("low").over(f(14)).alias("_lo14"),
+        F.max("high").over(f(14)).alias("_hi14"),
+        F.avg("tr").over(f(14)).alias("_atr14"),
+        F.sum(F.col("close") * F.col("volume")).over(f(20)).alias("_scv20"),
+        F.sum("volume").over(f(20)).alias("_sv20"),
+        F.count("r").over(f(20)).alias("_cr20"),
+        F.sum(F.col("r") * F.col("r")).over(f(20)).alias("_sr2"),
+        F.sum("volume").over(w.rowsBetween(-4, 0)).alias("_sv5"),
+        F.sum("volume").over(w.rowsBetween(-19, -5)).alias("_svp"),
+    )
+
+
+def _flagship_project():
+    """The 12 features from the shared window columns — arithmetic
+    mirrors ``R.sma/zscore/stoch_k/bollinger_percent_b/atr_sma/
+    vwap_distance/realized_vol/roc/flow_acceleration/candle_shape``
+    expression-for-expression."""
+    g20 = F.col("_c20") == 20
+    g15 = F.col("_c15") == 15
+    g14 = F.col("_c14") == 14
+    close, std = F.col("close"), F.col("_std20")
     shape = R.candle_shape("open", "high", "low", "close", "vwap")
-    return CW.finish(df.select(
-        CW.CHUNK,
-        CW.WARM,
-        CW.GLOBAL_RN,
+    return [
         "bar_close_ns",
         "open",
         "high",
@@ -50,19 +108,76 @@ def flagship_feature_stage(bars, chunk_rows: int = 8192, persist: bool = True):
         "vwap",
         "trades",
         F.col("r").alias("ret_1"),
-        R.sma("close", 20, w).alias("sma_20"),
-        R.zscore("close", 20, w).alias("zscore_20"),
-        R.stoch_k("close", "high", "low", 14, w).alias("stoch_k_14"),
-        R.bollinger_percent_b("close", 20, w, 2.0).alias("boll_b_20"),
+        F.when(g20, F.col("_avg20")).alias("sma_20"),
+        F.when(g20, F.when(std != 0, (close - F.col("_avg20")) / std)).alias("zscore_20"),
+        F.when(
+            g14,
+            F.when(
+                F.col("_hi14") != F.col("_lo14"),
+                100.0 * (close - F.col("_lo14")) / (F.col("_hi14") - F.col("_lo14")),
+            ),
+        ).alias("stoch_k_14"),
+        F.when(
+            g20,
+            F.when(std != 0, (close - (F.col("_avg20") - 2.0 * std)) / (2 * 2.0 * std)),
+        ).alias("boll_b_20"),
         R.parkinson_range("high", "low").alias("parkinson"),
-        R.atr_sma("tr", 14, w).alias("atr_14"),
-        R.vwap_distance("close", "volume", 20, w).alias("vwap_dist_20"),
-        R.realized_vol("r", 20, w).alias("rv_20"),
-        R.roc("close", 5, w).alias("roc_5"),
-        R.flow_acceleration("volume", 20, 5, w).alias("flow_accel"),
+        F.when(g15, F.col("_atr14")).alias("atr_14"),
+        F.when(g20, close / (F.col("_scv20") / F.col("_sv20")) - 1).alias("vwap_dist_20"),
+        F.when(
+            g20,
+            F.when(F.col("_cr20") > 0, F.sqrt(F.col("_sr2") / F.col("_cr20"))),
+        ).alias("rv_20"),
+        ((close - F.col("_pc5")) / F.col("_pc5") * 100.0).alias("roc_5"),
+        F.when(
+            g20,
+            F.when(F.col("_svp") > 0, F.log(F.col("_sv5") / (F.col("_svp") * 5 / (20 - 5)))),
+        ).alias("flow_accel"),
         shape["wick_up"].alias("wick_up"),
         shape["vwap_drift"].alias("vwap_drift"),
-    ))
+    ]
+
+
+def flagship_feature_stage(
+    bars,
+    chunk_rows: int = 8192,
+    persist: bool = True,
+    mode: str = "chunked",
+    input_rows: int | None = None,
+):
+    """The flagship's 12-feature window block over OHLCV bars.
+
+    ``mode="chunked"`` evaluates partition-parallel via chunked windows
+    (zero SinglePartition — the 100 TB plan); ``"global"`` plans the
+    plain ordered window (one exchange, no chunk machinery — faster
+    below the crossover); ``"auto"`` picks global when ``input_rows``
+    (an upstream row-count BOUND, e.g. the trade count from a parquet
+    footer) is under ``FLAGSHIP_SMALL_ROWS``, else chunked. Results are
+    row-identical across modes (bounded frames + warmup overlap =>
+    identical frame contents per row — see chunked_window docs).
+    Reused by the registry query and the bench's synthetic scale probe."""
+    if _FORCE_FLAGSHIP_MODE is not None:
+        mode = _FORCE_FLAGSHIP_MODE
+    if mode == "auto":
+        mode = (
+            "global"
+            if input_rows is not None and input_rows < FLAGSHIP_SMALL_ROWS
+            else "chunked"
+        )
+    if mode == "global":
+        from pyspark.sql import Window
+
+        w = Window.orderBy("bar_close_ns")
+        return _flagship_windowed(bars, w).select(*_flagship_project())
+    ch = CW.with_row_chunks(
+        bars, "bar_close_ns", warmup=FLAGSHIP_WARMUP, chunk_rows=chunk_rows, persist=persist
+    )
+    w = CW.chunk_window("bar_close_ns")
+    return CW.finish(
+        _flagship_windowed(ch, w).select(
+            CW.CHUNK, CW.WARM, CW.GLOBAL_RN, *_flagship_project()
+        )
+    )
 
 
 
@@ -95,5 +210,18 @@ SELECT bar_close_ns, open, high, low, close, volume, vwap, trades,
 FROM trq""",
 )
 def pipeline_1m_features(spark, sf_dir):
-    """Events -> trades -> 1m bars -> 12 features, one logical plan."""
-    return flagship_feature_stage(bars_1m(spark, sf_dir, seq=False))
+    """Events -> trades -> 1m bars -> 12 features, one logical plan.
+
+    Window mode is auto-selected: the events parquet footer's row count
+    bounds the bar count from above (bars aggregate trades), so below
+    the crossover the plan uses the plain global window and skips the
+    chunk machinery's two extra shuffle+sort passes — bit-identical
+    output either way (``test_chunked_window`` pins the equivalence;
+    ``test_plan_regression`` pins the chunked plan at the forced
+    at-scale setting)."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    return flagship_feature_stage(
+        bars_1m(spark, sf_dir, seq=False), mode="auto", input_rows=n
+    )

@@ -77,10 +77,18 @@ def test_global_row_number_exact(spark):
 
 
 def test_flagship_plan_has_no_single_partition(spark):
+    # the registry query auto-selects the (deliberately single-partition)
+    # global window below the measured crossover; force the at-scale mode
+    # to assert the plan a 100 TB stream would get
     from finmlkit_spark.suite import QUERIES
+    from finmlkit_spark.suite import pipeline_suite as PS
 
-    df = QUERIES["pipeline_1m_features"](spark, SF_SMALL)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    PS._FORCE_FLAGSHIP_MODE = "chunked"
+    try:
+        df = QUERIES["pipeline_1m_features"](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        PS._FORCE_FLAGSHIP_MODE = None
     assert "SinglePartition" not in plan
 
 
@@ -164,3 +172,26 @@ def test_all_warm_phantom_chunk(spark):
         ch.select(CW.CHUNK, CW.WARM, "ts", F.sum("x").over(w.rowsBetween(-2, 0)).alias("s"))
     ).collect()
     assert sorted(r["ts"] for r in out) == [i * 100 for i in range(10)]
+
+
+def test_flagship_modes_bit_identical(spark):
+    """flagship_feature_stage: the global-window and chunked-window modes
+    must return row-identical results (the auto crossover is purely a
+    cost decision; small chunk_rows forces real chunk boundaries)."""
+    from finmlkit_spark.suite.features_suite import bars_1m
+    from finmlkit_spark.suite.pipeline_suite import flagship_feature_stage
+
+    bars = bars_1m(spark, "/root/testdata/sf0.001", seq=False).localCheckpoint()
+    g = {
+        r["bar_close_ns"]: r.asDict()
+        for r in flagship_feature_stage(bars, mode="global").collect()
+    }
+    c = {
+        r["bar_close_ns"]: r.asDict()
+        for r in flagship_feature_stage(
+            bars, mode="chunked", chunk_rows=64, persist=False
+        ).collect()
+    }
+    assert set(g) == set(c)
+    for k in g:
+        assert g[k] == c[k], (k, g[k], c[k])

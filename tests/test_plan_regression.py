@@ -69,13 +69,16 @@ def test_no_single_partition_exchange(spark, name):
     # crossover, so this guard forces the large-input mode to assert
     # the plan a 100 TB stream would get
     from finmlkit_spark.operators import preprocess as P
+    from finmlkit_spark.suite import pipeline_suite as PS
 
     P._FORCE_SIDE_MODE = "chunked"
+    PS._FORCE_FLAGSHIP_MODE = "chunked"
     try:
         df = QUERIES[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         P._FORCE_SIDE_MODE = None
+        PS._FORCE_FLAGSHIP_MODE = None
     assert "Exchange SinglePartition" not in plan, (
         f"{name}: plan regressed to a single-partition exchange:\n{plan}"
     )
