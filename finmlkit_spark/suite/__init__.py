@@ -15,81 +15,78 @@ from . import developing_suite  # noqa: F401
 
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
-# ROUND-6 WINDOW:
-# 1-4: NEW in round 6: the chunk-stitched CUSUM family
-#      (seq_cusum_{filter,bars,test}_chunked — the single-huge-symbol
-#      scale-out for the reset state machines, same recursive-CTE
-#      oracles as their single-task twins) and store_meta_sidecar (the
-#      write-time _meta integrity sidecar round-trip);
-# 5-10: implementation changed in round 6: kmeans_clusters /
-#       semantic_dedup / ann_ivf (Lloyd iterations unrolled into one
-#       SQL CTE chain, registered Arrow cosine UDF), the two sweeps
-#       (input builder no longer constructs the discarded concurrency
-#       frame), store_inspector (shares the refactored oracle SQL);
-# 11-36: the r1-r2-stale cohort from the round-5 rotation note — their
-#        newest driver-green row is 4-5 rounds old, unchanged since;
-# 37-50: the oldest r3-green rows (volume-profile family, weights tier,
-#        event filters, as-of joins, imbalance/run bars).
+# ROUND-7 WINDOW:
+# 1-14: implementation changed in round 7 — the flagship window
+#       crossover + fused window pass (pipeline_1m_features), the
+#       driver-carried k-means (kmeans_clusters/semantic_dedup), the
+#       triple-barrier-as-one-SQL-stage + span_sweep 2-reference
+#       rewrite and every consumer of the label spans (tbm family,
+#       concurrency, uniqueness/attribution both forms, weights tier),
+#       and store_meta_sidecar (read-back sidecar + deterministic path);
+# 15-36: the r3-stale cohort from the round-6 verdict (newest green row
+#        4 rounds old, unchanged since);
+# 37-50: the oldest r4-green rows (dedup/star/fingerprint, bar
+#        samplers, text quality, the closed-combine seq_*_parallel
+#        scans).
 # Still-green-and-unchanged queries sit behind position 50; their prior
-# evidence stands. ROUND-7 FRONT-LOAD: anything new/changed in round 7
-# first, then the remaining r3-green cohort (time_bars_filled,
-# seq_hurst, seq_apen, seq_bar_dur_ewma, tick_bars-adjacent rows), then
-# the r4 conversions (feat_* window tier) as they age.
+# evidence stands. ROUND-8 FRONT-LOAD: anything new/changed in round 8
+# first, then the remaining r4 cohort (feat_* window tier,
+# seq_rsi_parallel, tick_bars, time_bars_1m, token_counts,
+# user_hourly_bars, volume_bars_approx), then the r5 rows as they age.
 _PRIORITY = [
-    # -- new in round 6 ------------------------------------------------------
-    "seq_cusum_filter_chunked",
-    "seq_cusum_bars_chunked",
-    "seq_cusum_test_chunked",
-    "store_meta_sidecar",
-    # -- implementation changed in round 6 -----------------------------------
+    # -- implementation changed in round 7 -----------------------------------
+    "pipeline_1m_features",
     "kmeans_clusters",
     "semantic_dedup",
-    "ann_ivf",
+    "tbm_labels",
+    "tbm_meta",
+    "event_concurrency",
+    "avg_uniqueness",
     "avg_uniqueness_sweep",
+    "return_attribution",
     "return_attribution_sweep",
-    "store_inspector",
-    # -- r1-r2-stale cohort (newest green 4-5 rounds old) ---------------------
-    "integrity_report",
-    "merge_split_trades",
-    "bar_trade_size_1m",
-    "feat_dir_run_len",
-    "seq_ewma",
-    "seq_ewms",
-    "seq_ewmst",
-    "seq_rsi_wilder",
-    "seq_adx",
-    "seq_cusum_filter",
-    "seq_volume_bars_exact",
-    "seq_cusum_test",
-    "text_stats",
-    "exact_dedup",
-    "simhash_fp",
-    "ann_topk",
-    "multimodal_meta",
-    "image_decode_stats",
-    "sequence_packing",
-    "dedup_clusters",
-    "mixture_sample",
-    "c4_filter",
-    "unigram_logprob",
-    "pricing_summary",
-    "regional_revenue",
-    "sql_shared_dialect",
-    # -- oldest r3-green rows -------------------------------------------------
-    "vp_profile",
-    "vp_poc",
-    "vp_hva_lva",
-    "vp_developing",
     "time_decay",
     "class_balance",
     "final_weights",
-    "zscore_peak_events",
-    "dedup_keep_best",
-    "decontamination",
-    "asof_sigma",
-    "asof_tolerance",
-    "imbalance_bars",
-    "run_bars",
+    "store_meta_sidecar",
+    # -- r3-stale cohort (newest green 4 rounds old) --------------------------
+    "approx_entropy",
+    "corpus_report",
+    "doc_chunks",
+    "doc_quality_signals",
+    "dup_spans",
+    "emb_lsh_pairs",
+    "frame_offsets",
+    "hash_split",
+    "hurst_exponent",
+    "priority_fill_rate",
+    "seq_atr_ema",
+    "seq_bar_duration_ewma",
+    "seq_cusum_bars",
+    "simhash_near_pairs",
+    "stratified_sample",
+    "tfidf_keywords",
+    "time_bars_filled",
+    "user_ewma",
+    "user_sessions",
+    "user_tbm_labels",
+    "user_trade_side",
+    "vocab_topk",
+    # -- oldest r4-green rows -------------------------------------------------
+    "decontamination_bloom",
+    "dedup_clusters_star",
+    "doc_fingerprint",
+    "dollar_bars",
+    "featurekit_build",
+    "lang_id",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "ngram_jaccard_full",
+    "quality_score",
+    "seq_atr_parallel",
+    "seq_ewma_parallel",
+    "seq_ewms_parallel",
+    "seq_ewmst_parallel",
 ]
 
 
