@@ -226,9 +226,32 @@ def image_pixels(b: bytes) -> np.ndarray:
     raise ValueError("not a decodable image payload")
 
 
+def _pil():
+    """Probe-once feature gate for the optional PIL-backed codecs
+    (JPEG/GIF/TIFF/...). Returns the PIL.Image module or None; the
+    container this engine is developed in has no PIL, so the probe
+    result is the documented seam, not an assumption."""
+    global _PIL_MOD
+    if _PIL_MOD is _UNPROBED:
+        try:
+            from PIL import Image as _PIL_Image  # noqa: PLC0415
+
+            _PIL_MOD = _PIL_Image
+        except ImportError:
+            _PIL_MOD = None
+    return _PIL_MOD
+
+
+_UNPROBED = object()
+_PIL_MOD = _UNPROBED
+
+
 def decode_payload(b: bytes) -> tuple[int, int, int]:
-    """Sniff + decode a payload's dims; the PIL/ffmpeg seam for the
-    codecs with no pure-python path."""
+    """Sniff + decode a payload's dims. WAV/BMP/PPM/PNG decode natively
+    (struct/zlib/numpy — no external libs); JPEG and the other
+    compressed codecs go through the PIL feature gate (:func:`_pil`):
+    decoded when PIL is installed, else the documented
+    ``NotImplementedError`` seam."""
     if b[:4] == b"RIFF":
         return _parse_wav(b)
     if b[:2] == b"BM":
@@ -237,6 +260,14 @@ def decode_payload(b: bytes) -> tuple[int, int, int]:
         return _parse_ppm(b)
     if b[:8] == _PNG_SIG:
         return _parse_png(b)
+    pil = _pil()
+    if pil is not None:
+        import io
+
+        with pil.open(io.BytesIO(b)) as im:
+            w, h = im.size
+            bands = len(im.getbands())
+        return (h, w, bands)
     raise NotImplementedError(
         "codec decode for JPEG/MP4/... requires PIL/ffmpeg (not in this "
         "container); WAV/BMP/PPM/PNG decode natively (struct/zlib/numpy)"

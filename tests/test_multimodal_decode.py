@@ -294,3 +294,25 @@ def test_hamming_banding_validations(spark):
         phash_near_pairs(df, bands=8, max_hamming=8)
     with pytest.raises(ValueError, match="divisible"):
         phash_near_pairs(df, bands=7, max_hamming=3)
+
+
+def test_jpeg_gate_raises_without_pil_decodes_with_it():
+    """The JPEG path is a PROBED feature gate, not a hard stub: without
+    PIL the documented NotImplementedError seam fires; with PIL (not in
+    this container — the test self-skips to its presence) a minimal
+    JFIF payload decodes to (h, w, bands)."""
+    import pytest
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    jpeg_magic = bytes.fromhex("ffd8ffe000104a46494600")  # JFIF header only
+    if MM._pil() is None:
+        with pytest.raises(NotImplementedError):
+            MM.decode_payload(jpeg_magic)
+    else:
+        import io
+
+        img = MM._pil().new("RGB", (7, 5))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        assert MM.decode_payload(buf.getvalue()) == (5, 7, 3)
