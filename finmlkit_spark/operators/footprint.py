@@ -76,11 +76,26 @@ def footprint_features(
         .otherwise(0)
     )
     df = df.withColumn("imb_sgn", sgn)
+    # gaps-and-islands run length WITHOUT a second (key, grp)
+    # partitioning: every row whose imb_sgn differs from its
+    # predecessor (lag default 0) starts a run, so the run-internal
+    # position is rn − rn(last start) + 1 — a running last-ignoreNulls
+    # over the SAME window partitioning/order as the lead/lag pass (one
+    # exchange+sort total; the row_number-over-(key, grp) form planned
+    # a second exchange+sort on the derived group key). Integer-exact,
+    # so identical to the grouped row_number.
     chg = F.when(F.col("imb_sgn") != F.lag("imb_sgn", 1, 0).over(wl), 1).otherwise(0)
-    df = df.withColumn("grp", F.sum(chg).over(wl.rowsBetween(Window.unboundedPreceding, 0)))
-    wg = Window.partitionBy(key, "grp").orderBy("level")
+    run = wl.rowsBetween(Window.unboundedPreceding, 0)
+    df = df.withColumn("_rn", F.row_number().over(wl))
     df = df.withColumn(
-        "run_len", F.when(F.col("imb_sgn") != 0, F.row_number().over(wg)).otherwise(0)
+        "_start_rn",
+        F.last(F.when(chg == 1, F.col("_rn")), ignorenulls=True).over(run),
+    )
+    df = df.withColumn(
+        "run_len",
+        F.when(
+            F.col("imb_sgn") != 0, F.col("_rn") - F.col("_start_rn") + 1
+        ).otherwise(0),
     )
 
     if bar_vwap is not None:
