@@ -180,9 +180,18 @@ def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) ->
     under a UTC session zone (bit-identical to the oracle's
     ``epoch_us(ts) * 1000``).
     """
-    from .tables import ensure_session_confs
+    from .tables import ensure_session_confs, memo_get, memo_put
 
     ensure_session_confs(spark)
+    # session-scoped relation memo: dozens of plan builds per bench run
+    # read the same events table; the raw read costs ~100 ms of file
+    # listing + footer schema per call and the adapter another ~40 ms
+    # of dtype branching/py4j (see tables._RELATION_MEMO for the
+    # staleness contract)
+    tag = f"events_to_trades:{by_user}"
+    cached = memo_get(spark, f"{sf_dir}/events.parquet", tag)
+    if cached is not None:
+        return cached
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_dtype = dict(ev.dtypes)["ts"]
     if ts_dtype.startswith("timestamp"):
@@ -197,13 +206,14 @@ def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) ->
     # strictly positive — zero-price prints break log-return math
     ev = ev.where(F.col("value") > 0)
     sym = F.col("user_id").cast("string") if by_user else F.lit("EVT")
-    return ev.select(
+    out = ev.select(
         ts_ns.alias("ts_ns"),
         F.col("event_id").alias("trade_id"),
         F.col("value").alias("price"),
         (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("qty"),
         sym.alias("symbol"),
     )
+    return memo_put(spark, f"{sf_dir}/events.parquet", tag, out)
 
 
 #: DuckDB CTE mirroring events_to_trades for oracle SQL (single stream).
