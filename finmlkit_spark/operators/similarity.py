@@ -488,11 +488,16 @@ def _kmeans_assign_distributed(
     def gather(c: str) -> str:
         # k rows -> ONE row holding the sorted centroid array with
         # precomputed norms; array_sort on struct(cid, ...) orders by
-        # cid, so argmax tie-breaks are order-independent
+        # cid, so argmax tie-breaks are order-independent. An EMPTY
+        # centroid set collapses to NULL (not an empty array) so the
+        # argmax is NULL on every row and the no-seed case degrades to
+        # an empty assignment, matching the driver mode and the
+        # oracle's empty seed join.
         cn = dot_sql.format(a="cv", b="cv")
         return (
+            f"(SELECT CASE WHEN size(cs0) = 0 THEN NULL ELSE cs0 END AS cs FROM "
             f"(SELECT array_sort(collect_list(struct(cid, cv, sqrt({cn}) AS cn)))"
-            f" AS cs FROM {c})"
+            f" AS cs0 FROM {c}))"
         )
 
     def assign(g: str) -> str:
@@ -514,7 +519,8 @@ def _kmeans_assign_distributed(
         ctes.append(f"a{t} AS {assign(f'g{t - 1}')}")
         ctes.append(
             f"u{t} AS (SELECT cid, struct({sums}, count(1) AS n) AS st "
-            f"FROM (SELECT -best.ncid AS cid, v FROM a{t}) GROUP BY cid)"
+            f"FROM (SELECT -best.ncid AS cid, v FROM a{t} WHERE best IS NOT NULL)"
+            f" GROUP BY cid)"
         )
         ctes.append(f"c{t} AS (SELECT cid, array({means}) AS cv FROM u{t})")
         ctes.append(f"g{t} AS " + gather(f"c{t}"))
@@ -525,7 +531,7 @@ def _kmeans_assign_distributed(
     final_sql = (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vid AS {id_col}, -best.ncid AS cluster_id, "
-        f"best.sim AS cos_sim FROM a{iters + 1}"
+        f"best.sim AS cos_sim FROM a{iters + 1} WHERE best IS NOT NULL"
     )
     nv = dot_sql.format(a="v", b="v")
     n = sql_stage(f"SELECT vid, v, sqrt({nv}) AS nv FROM {{e}}", e=e)

@@ -139,3 +139,39 @@ def test_lang_guess_argmax_semantics(spark):
         for r in df.select("doc_id", TX.lang_guess("text").alias("lang")).collect()
     }
     assert got == {0: "es", 1: "en", 2: "und", 3: "en", 4: "fr", 5: "en"}
+
+
+def test_kmeans_driver_and_distributed_modes_bit_identical(spark):
+    """kmeans_assign's two execution modes (driver-carried centroids vs
+    the all-in-cluster unrolled SQL chain) must agree BIT-FOR-BIT: both
+    quantize centroid updates to integer sums and fold cosines
+    sequentially, so any divergence is a real determinism bug, not
+    float noise."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        r["vec_id"]: (r["cluster_id"], r["cos_sim"])
+        for r in SIM.kmeans_assign(embs, k=8, iters=2, dim=64, state="driver").collect()
+    }
+    b = {
+        r["vec_id"]: (r["cluster_id"], r["cos_sim"])
+        for r in SIM.kmeans_assign(
+            embs, k=8, iters=2, dim=64, state="distributed"
+        ).collect()
+    }
+    assert a == b
+    assert len(a) == embs.count()
+
+
+def test_kmeans_no_seed_vectors_returns_empty(spark):
+    """Ids all >= k: no seed centroids exist — both modes degrade to an
+    empty assignment (matching the oracle's empty seed join), not an
+    error."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    rows = [(100, [1.0, 0.0]), (101, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for state in ("driver", "distributed"):
+        out = SIM.kmeans_assign(df, k=2, iters=1, state=state).collect()
+        assert out == [], state
