@@ -280,8 +280,9 @@ def span_sweep(
 
     1. per-chunk concurrency offsets come from the SPANS table alone
        (start/end counts per time chunk, cumulated over a dense k-row
-       chunk axis built with one broadcast triangular join — sum of all
-       deltas is 0, so chunks outside the span range coalesce to 0);
+       chunk axis, cumulated by one ordered window over the k-row
+       axis — sum of all deltas is 0, so chunks outside the span range
+       coalesce to 0);
     2. one exchange+sort of (trades ∪ markers) by time chunk feeds a
        first window pass (in-chunk running Σdelta and the chunk-head
        row number), a broadcast join of the offsets (c = exact integer),
@@ -290,7 +291,7 @@ def span_sweep(
        per-chunk S/N totals;
     3. only marker rows and chunk-head rows survive the filter
        (2·|events| + k rows); chunk-head rows carry the per-chunk S/N
-       totals into a triangular prefix (cross-chunk offsets), markers
+       totals into an ordered-window prefix (cross-chunk offsets), markers
        read their offset + in-chunk running value, and a per-event
        pivot of the two markers emits the quotient.
 
@@ -303,15 +304,20 @@ def span_sweep(
     bit-reproducing a per-span fold matters.
     """
     ck = int(chunk_ns)
-    g = 4096  # two-level prefix group width (hourly axis over years is fine)
     val_expr = val_col if val_col is not None else "1.0"
     # -- (1) + (2): one server-parsed SQL stage (a single JVM analysis
     # pass — the op-chained form of this stage cost ~0.9 s of pure
     # driver-side eager analysis per build at sf0.1, SCALE.md item 10).
     # Concurrency offsets come from the SPANS table alone (start/end
     # deltas per time chunk over a dense explode(sequence) axis,
-    # cumulated with the two-level exclusive prefix — not the O(k²)
-    # triangular join; k ~ 1e4-1e5 on an hourly grid over years); the
+    # cumulated by ONE ordered window over the k-row axis — a
+    # SinglePartition exchange, deliberately: k is the TIME-CHUNK count
+    # (~9k/year hourly), bounded at any data scale, i.e. the sanctioned
+    # k-row-aggregate class — O(k log k) beats both the O(k²) flat
+    # triangular join and the two-level group machinery's extra
+    # aggregate+join stages (round-7: the removed CTEs were ~40% of
+    # this stage's physical-planning cost, paid per build by cut);
+    # the
     # spans frame is referenced exactly TWICE (the ±1 marker pairs come
     # from one lateral-view expansion per consumer, not per-delta UNION
     # branches — round-7 A/B: 4 refs → 2 cut sweep build 1.66 → 1.14 s
@@ -337,27 +343,11 @@ axis AS (
     SELECT min(_ck) AS _lo, max(_ck) AS _hi FROM per_ck
   )
 ),
-dense AS (
-  SELECT axis._ck, coalesce(_dt, 0) AS _dt
-  FROM axis LEFT JOIN per_ck ON axis._ck = per_ck._ck
-),
-dwin AS (
-  SELECT _ck, floor(_ck / {g}) AS _pg,
-         sum(_dt) OVER (PARTITION BY floor(_ck / {g}) ORDER BY _ck
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _in
-  FROM dense
-),
-dgt AS (
-  SELECT floor(_ck / {g}) AS _pg, sum(_dt) AS _gt FROM dense GROUP BY 1
-),
-dgoff AS (
-  SELECT /*+ BROADCAST(b) */ a._pg, sum(b._gt) AS _go
-  FROM dgt a LEFT JOIN dgt b ON b._pg < a._pg GROUP BY a._pg
-),
 doff AS (
-  SELECT /*+ BROADCAST(dgoff) */ dwin._ck,
-         coalesce(_go, 0) + coalesce(_in, 0) AS _doff
-  FROM dwin LEFT JOIN dgoff ON dwin._pg = dgoff._pg
+  SELECT axis._ck,
+         coalesce(sum(_dt) OVER (ORDER BY axis._ck
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _doff
+  FROM axis LEFT JOIN per_ck ON axis._ck = per_ck._ck
 ),
 mk AS (
   SELECT event_id, event_ts_ns,
@@ -418,34 +408,20 @@ FROM w2 WHERE _prio = 0 OR _rn = 1
     # deep-subtree analysis despite cut's up-front planning pass.
     small = cache.cut(sql_stage(small_sql, spans=spans, trades=trades))
     # -- (3) small-table machinery (2|events| + k rows): cross-chunk S/N
-    # offsets via the same two-level exclusive prefix over the k-row
+    # offsets via the same ordered-window prefix over the k-row
     # chunk-head table, markers read offset + in-chunk running value,
     # and a per-event pivot of the two markers emits the span sums.
     piv_sql = f"""
 WITH heads AS (
   SELECT _ck, _s_tot, _n_tot FROM {{small}} WHERE _rn = 1
 ),
-hwin AS (
-  SELECT _ck, floor(_ck / {g}) AS _pg,
-         sum(_s_tot) OVER (PARTITION BY floor(_ck / {g}) ORDER BY _ck
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _in_s,
-         sum(_n_tot) OVER (PARTITION BY floor(_ck / {g}) ORDER BY _ck
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _in_n
-  FROM heads
-),
-hgt AS (
-  SELECT floor(_ck / {g}) AS _pg, sum(_s_tot) AS _gt_s, sum(_n_tot) AS _gt_n
-  FROM heads GROUP BY 1
-),
-hgoff AS (
-  SELECT /*+ BROADCAST(b) */ a._pg, sum(b._gt_s) AS _go_s, sum(b._gt_n) AS _go_n
-  FROM hgt a LEFT JOIN hgt b ON b._pg < a._pg GROUP BY a._pg
-),
 soff AS (
-  SELECT /*+ BROADCAST(hgoff) */ hwin._ck,
-         coalesce(_go_s, 0) + coalesce(_in_s, 0) AS _soff,
-         coalesce(_go_n, 0) + coalesce(_in_n, 0) AS _noff
-  FROM hwin LEFT JOIN hgoff ON hwin._pg = hgoff._pg
+  SELECT _ck,
+         coalesce(sum(_s_tot) OVER (ORDER BY _ck
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0d) AS _soff,
+         coalesce(sum(_n_tot) OVER (ORDER BY _ck
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _noff
+  FROM heads
 ),
 marks AS (
   SELECT /*+ BROADCAST(soff) */ m.*, soff._soff, soff._noff

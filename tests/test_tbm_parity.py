@@ -253,17 +253,22 @@ def test_return_attribution_sweep_matches_range_join(spark):
     for k, v in old.items():
         assert abs(new[k] - v) <= 1e-9 * max(1.0, abs(v)), (k, v, new[k])
     plan = sweep_df._jdf.queryExecution().executedPlan().toString()
-    # the only single-partition exchanges allowed are scalar aggregates
-    # (the min/max chunk-bounds over the SPANS table — map-side
-    # partials reduce them to one row per task first, benign at any
-    # scale; the cached axis subtree prints several copies). Any other
-    # one means the global-window log return or a global sort crept
-    # back into the trade-stream path.
+    # the only single-partition exchanges allowed are (a) scalar
+    # aggregates (the min/max chunk-bounds over the SPANS table —
+    # map-side partials reduce them to one row per task first) and
+    # (b) sorts on the _ck chunk axis (the k-row exclusive-prefix
+    # windows over chunk/head tables — k = TIME-CHUNK count, bounded
+    # at any data scale; round-7 replaced the two-level group
+    # machinery with one ordered window over these k-row tables).
+    # Any other one means the global-window log return or a global
+    # sort over DATA-scale rows crept back into the trade-stream path.
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
-            ctx = " ".join(lines[max(0, i - 2): i])
-            assert "HashAggregate(keys=[]" in ctx, f"non-scalar SinglePartition:\n{ctx}\n{line}"
+            ctx = " ".join(lines[max(0, i - 2): i + 1])
+            assert "HashAggregate(keys=[]" in ctx or "Sort [_ck#" in ctx, (
+                f"non-k-row SinglePartition:\n{ctx}\n{line}"
+            )
 
 
 def test_span_sweep_matches_bruteforce_numpy(spark):
