@@ -255,6 +255,7 @@ def kmeans_assign(
     ndigits: int = 6,
     dim: int | None = None,
     state: str = "driver",
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Lloyd k-means over the embedding column by max-cosine assignment —
     the trainable coarse quantizer for IVF search (``ann_ivf`` uses fixed
@@ -310,14 +311,15 @@ def kmeans_assign(
     if dim <= 0:
         # empty input (or zero-width vectors): degrade to an empty
         # assignment frame with the output schema
-        return e.select(
+        cols = [
             F.col("vid").alias(id_col),
             F.lit(0).cast("long").alias("cluster_id"),
             F.lit(0.0).alias("cos_sim"),
-        ).where(F.lit(False))
+        ] + ([F.col("v")] if keep_vector else [])
+        return e.select(*cols).where(F.lit(False))
     if state == "driver":
-        return _kmeans_assign_driver(e, k, iters, id_col, ndigits, dim)
-    return _kmeans_assign_distributed(e, k, iters, id_col, ndigits, dim)
+        return _kmeans_assign_driver(e, k, iters, id_col, ndigits, dim, keep_vector)
+    return _kmeans_assign_distributed(e, k, iters, id_col, ndigits, dim, keep_vector)
 
 
 def _kmeans_seed(e: DataFrame, k: int) -> list[tuple[int, list[float], float]]:
@@ -341,7 +343,13 @@ def _kmeans_seed(e: DataFrame, k: int) -> list[tuple[int, list[float], float]]:
 
 
 def _kmeans_assign_driver(
-    e: DataFrame, k: int, iters: int, id_col: str, ndigits: int, dim: int
+    e: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    ndigits: int,
+    dim: int,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Driver-carried Lloyd: per iteration one mapInPandas job emitting
     k partial-sum rows per partition; exact int64 fold on the driver.
@@ -436,11 +444,12 @@ def _kmeans_assign_driver(
     if not cents:
         # no vectors with id < k to seed from: empty assignment (the
         # oracle's seed join is empty too)
-        return e.select(
+        cols = [
             F.col("vid").alias(id_col),
             F.lit(0).cast("long").alias("cluster_id"),
             F.lit(0.0).alias("cos_sim"),
-        ).where(F.lit(False))
+        ] + ([F.col("v")] if keep_vector else [])
+        return e.select(*cols).where(F.lit(False))
 
     core = make_core(cents)
 
@@ -450,17 +459,28 @@ def _kmeans_assign_driver(
                 continue
             A = np.stack(pdf["v"].values).astype(np.float64)
             cids, best, sim = core(A)
-            yield pd.DataFrame(
-                {id_col: pdf["vid"].values, "cluster_id": cids[best], "cos_sim": sim}
-            )
+            out = {id_col: pdf["vid"].values, "cluster_id": cids[best], "cos_sim": sim}
+            if keep_vector:
+                # pass the already-decoded vector through so consumers
+                # (semantic_dup_pairs) skip a re-scan + assignment join
+                out["v"] = pdf["v"].values
+            yield pd.DataFrame(out)
 
     vid_type = dict(e.dtypes)["vid"]
     out_schema = f"{id_col} {vid_type}, cluster_id bigint, cos_sim double"
+    if keep_vector:
+        out_schema += ", v array<double>"
     return e.mapInPandas(final_map, out_schema)
 
 
 def _kmeans_assign_distributed(
-    e: DataFrame, k: int, iters: int, id_col: str, ndigits: int, dim: int
+    e: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    ndigits: int,
+    dim: int,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """All-in-cluster Lloyd: one server-parsed SQL stage with the
     iterations unrolled as a CTE chain. Centroids travel as a collected
@@ -528,10 +548,11 @@ def _kmeans_assign_distributed(
     # no output rounding: sim is deterministic (sequential dot-product
     # fold over bit-identical centroids), and cross-engine round() is
     # itself not guaranteed identical at digit boundaries
+    vcol = ", v" if keep_vector else ""
     final_sql = (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vid AS {id_col}, -best.ncid AS cluster_id, "
-        f"best.sim AS cos_sim FROM a{iters + 1} WHERE best IS NOT NULL"
+        f"best.sim AS cos_sim{vcol} FROM a{iters + 1} WHERE best IS NOT NULL"
     )
     nv = dot_sql.format(a="v", b="v")
     n = sql_stage(f"SELECT vid, v, sqrt({nv}) AS nv FROM {{e}}", e=e)
@@ -561,9 +582,14 @@ def semantic_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    a = kmeans_assign(emb_df, k=k, iters=iters, id_col=id_col, emb_col=emb_col, dim=dim)
-    v = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
-    m = a.select(F.col(id_col).alias("id"), "cluster_id").join(v, "id")
+    # keep_vector: the driver-mode assignment already decoded every
+    # vector once — carrying it through skips a second corpus scan and
+    # the assignment-vector equi-join (two exchanges) entirely
+    a = kmeans_assign(
+        emb_df, k=k, iters=iters, id_col=id_col, emb_col=emb_col, dim=dim,
+        keep_vector=True,
+    )
+    m = a.select(F.col(id_col).alias("id"), "cluster_id", "v")
 
     # Within-cluster pairs as grouped applyInPandas, NOT a self-join:
     # each vector crosses Arrow ONCE (n_c rows per cluster), the
