@@ -758,27 +758,28 @@ def ann_ivf(spark, sf_dir):
     max-cosine centroid, queries search only their own bucket — the
     candidate set shrinks by the number of partitions. Exactness traded
     for the bucket restriction, like any IVF nprobe=1 search."""
-    e = _embs(spark, sf_dir).select("vec_id", SIM.as_double("embedding").alias("v"))
-    cent = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    j = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cid", SIM.cosine(F.col("v"), F.col("cv")).alias("sim")
-    )
     from pyspark.sql import Window as W
 
-    # argmax via map-side-combined max_by (shuffles n rows, not the n·k
-    # broadcast-join fan-out a per-vector window would sort-shuffle)
-    buckets = (
-        j.groupBy("vec_id")
-        .agg(
-            F.max_by(F.struct("cid"), F.struct(F.col("sim"), -F.col("cid"))).alias("b"),
-            F.first("v").alias("v"),
-        )
-        .select("vec_id", "v", F.col("b.cid").alias("cid"))
-    )
-    q = buckets.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    # fixed-centroid assignment IS kmeans_assign with zero Lloyd
+    # iterations (seeds = vec_ids 0..7, same max-cosine/lower-cid
+    # tie-break): the driver-carried mode makes it a MAP-ONLY stage —
+    # no n·k broadcast fan-out, no n-row argmax shuffle — and
+    # keep_vector carries the decoded vector into the bucket join
+    buckets = SIM.kmeans_assign(
+        _embs(spark, sf_dir), k=8, iters=0, dim=64, keep_vector=True
+    ).select("vec_id", "v", F.col("cluster_id").alias("cid"))
+    # the query side assigns only the FILTERED vectors: with fixed
+    # centroids each assignment depends on the vector alone, and the
+    # vec_id < 10 input filter keeps the seed set (ids < 8) intact —
+    # identical cids, but the predicate reaches the parquet scan
+    # instead of filtering after a full-corpus map
+    q = SIM.kmeans_assign(
+        _embs(spark, sf_dir).where(F.col("vec_id") < 10),
+        k=8, iters=0, dim=64, keep_vector=True,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cluster_id").alias("cid"),
     )
     s = q.join(buckets, "cid").where(F.col("query_id") != F.col("vec_id")).select(
         "query_id",
