@@ -89,10 +89,20 @@ def triple_barrier(
     """
     is_meta = side_col is not None
     side_sql = side_col if is_meta else "1"
-    pt = f"CAST('{pt_mult!r}' AS DOUBLE)"
-    sl = f"CAST('{sl_mult!r}' AS DOUBLE)"
-    mr = f"CAST('{min_ret!r}' AS DOUBLE)"
+    # float() first: repr of a plain float is shortest-round-trip (the
+    # string parses back to the identical double in any engine); a
+    # numpy scalar's repr ('np.float64(2.0)') would CAST to NULL and
+    # silently disable the barriers
+    pt = f"CAST('{float(pt_mult)!r}' AS DOUBLE)"
+    sl = f"CAST('{float(sl_mult)!r}' AS DOUBLE)"
+    mr = f"CAST('{float(min_ret)!r}' AS DOUBLE)"
     inf = "CAST('Infinity' AS DOUBLE)"
+    # NOTE: this SQL mirrors joins.range_join's bucketed range join
+    # (same floor(ts/bucket) assignment, same start-exclusive /
+    # end-inclusive residual, base.py:363-377) — the convention lives in
+    # both places because this operator is one server-parsed stage; a
+    # semantic change to range_join must be mirrored here (and
+    # vice versa — test_tbm_parity differential-covers both forms).
     if bucket_ns is not None:
         bn = int(bucket_ns)
         join_sql = f"""

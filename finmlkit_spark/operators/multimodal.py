@@ -264,10 +264,15 @@ def decode_payload(b: bytes) -> tuple[int, int, int]:
     if pil is not None:
         import io
 
-        with pil.open(io.BytesIO(b)) as im:
-            w, h = im.size
-            bands = len(im.getbands())
-        return (h, w, bands)
+        try:
+            with pil.open(io.BytesIO(b)) as im:
+                w, h = im.size
+                bands = len(im.getbands())
+            # (width, height, channels) — the same order as the native
+            # BMP/PPM/PNG parsers
+            return (w, h, bands)
+        except Exception:  # noqa: BLE001 — PIL cannot decode it either:
+            pass  # fall through to the documented seam below
     raise NotImplementedError(
         "codec decode for JPEG/MP4/... requires PIL/ffmpeg (not in this "
         "container); WAV/BMP/PPM/PNG decode natively (struct/zlib/numpy)"

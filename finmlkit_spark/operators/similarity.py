@@ -319,6 +319,9 @@ def kmeans_assign(
         return e.select(*cols).where(F.lit(False))
     if state == "driver":
         return _kmeans_assign_driver(e, k, iters, id_col, ndigits, dim, keep_vector)
+    if state != "distributed":
+        raise ValueError(f"kmeans_assign: unknown state {state!r} "
+                         "(expected 'driver' or 'distributed')")
     return _kmeans_assign_distributed(e, k, iters, id_col, ndigits, dim, keep_vector)
 
 
@@ -397,8 +400,18 @@ def _kmeans_assign_driver(
                 A = np.stack(pdf["v"].values).astype(np.float64)
                 _, best, _ = core(A)
                 # the same HALF_UP integer quantization as the SQL
-                # update: floor(x·scale + 0.5) — float64 ops identical
-                Q = np.floor(A * float(scale) + 0.5).astype(np.int64)
+                # update: floor(x·scale + 0.5) — float64 ops identical.
+                # Non-finite parity with the distributed mode's
+                # CAST(... AS BIGINT): NaN (incl. NULL components,
+                # which Arrow surfaces as NaN and SQL's sum skips —
+                # same total as adding 0) -> 0, ±Inf saturates to the
+                # int64 extremes; numpy's astype alone would be
+                # undefined there and the two modes would diverge.
+                Qf = np.floor(A * float(scale) + 0.5)
+                finite = np.isfinite(Qf)
+                Q = np.where(finite, np.nan_to_num(Qf), 0.0).astype(np.int64)
+                Q[Qf == np.inf] = np.iinfo(np.int64).max
+                Q[Qf == -np.inf] = np.iinfo(np.int64).min
                 for j in range(nk):
                     m = best == j
                     if m.any():

@@ -89,24 +89,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
 _RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _read_parquet_memo(spark: SparkSession, path: str, tag: str = "") -> DataFrame:
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(path), tag)
-    df = _RELATION_MEMO.get(key)
-    if df is None:
-        if len(_RELATION_MEMO) > 256:  # unbounded-session hygiene
-            _RELATION_MEMO.clear()
-        df = spark.read.parquet(path)
-        _RELATION_MEMO[key] = df
-    return df
-
-
 def memo_put(spark: SparkSession, path: str, tag: str, df: DataFrame) -> DataFrame:
-    """Register a derived frame under the memo (used by adapters that
-    stack a fixed projection on a raw read — e.g. events→trades)."""
+    """Register a resolved source frame under the memo (readers call it
+    with their adapter tag — e.g. events→trades)."""
     import os as _os
 
+    if len(_RELATION_MEMO) > 256:  # unbounded-session hygiene
+        _RELATION_MEMO.clear()
     key = (spark.sparkContext.applicationId, _os.path.abspath(path), tag)
     _RELATION_MEMO[key] = df
     return df
@@ -120,17 +109,30 @@ def memo_get(spark: SparkSession, path: str, tag: str) -> DataFrame | None:
     )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def memo_clear() -> None:
+    """Drop every memoized source relation. Call after REWRITING a
+    source table's files in the same session — a memoized frame keeps
+    the first read's file listing and schema and would otherwise serve
+    stale (or deleted-file) results."""
+    _RELATION_MEMO.clear()
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Read a driver table with event-time columns normalized.
 
     Contract: requires the UTC session timezone and nanosAsLong confs
     (``_REQUIRED_CONFS``); aligns them with a warning if the session
-    disagrees."""
+    disagrees. The resolved relation is memoized per
+    (applicationId, path) — pass ``refresh=True`` (or call
+    :func:`memo_clear`) after rewriting the table's files in-session."""
     ensure_session_confs(spark)
-    cached = memo_get(spark, f"{sf_dir}/{name}.parquet", "read_table")
-    if cached is not None:
-        return cached
-    df = _read_parquet_memo(spark, f"{sf_dir}/{name}.parquet")
+    if not refresh:
+        cached = memo_get(spark, f"{sf_dir}/{name}.parquet", "read_table")
+        if cached is not None:
+            return cached
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_COLS.get(name, ()):
         if c in df.columns:
             df = normalize_ts(df, c)

@@ -167,3 +167,29 @@ def test_random_projection_linearity_and_determinism(spark):
     for a, b in zip(out[1], out[2]):
         assert abs(2 * a - b) < 1e-9, (a, b)
     assert any(abs(x) > 1e-6 for x in out[1])  # non-degenerate
+
+
+def test_cosine_batch_bit_identical_to_hof_fold(spark):
+    """The Arrow pair-cosine (public utility for user pair stages) must
+    reproduce the JVM higher-order fold bit-for-bit — its whole
+    contract. No product query calls it since round 7's k-means
+    rework, so this pins it against rot."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(64)
+        .select(SIM.as_double("embedding").alias("v"))
+    )
+    pairs = embs.withColumn("_i", F.monotonically_increasing_id()).crossJoin(
+        embs.select(F.col("v").alias("w")).limit(8)
+    )
+    out = pairs.select(
+        SIM.cosine(F.col("v"), F.col("w")).alias("hof"),
+        SIM.cosine_batch(F.col("v"), F.col("w")).alias("arrow"),
+    ).collect()
+    assert len(out) == 64 * 8
+    for r in out:
+        assert r["hof"] == r["arrow"], (r["hof"], r["arrow"])

@@ -306,13 +306,15 @@ def test_jpeg_gate_raises_without_pil_decodes_with_it():
     from finmlkit_spark.operators import multimodal as MM
 
     jpeg_magic = bytes.fromhex("ffd8ffe000104a46494600")  # JFIF header only
-    if MM._pil() is None:
-        with pytest.raises(NotImplementedError):
-            MM.decode_payload(jpeg_magic)
-    else:
+    # a truncated/unidentifiable payload stays at the seam EVEN with
+    # PIL installed (PIL failures fall through to the documented error)
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload(jpeg_magic)
+    if MM._pil() is not None:
         import io
 
         img = MM._pil().new("RGB", (7, 5))
         buf = io.BytesIO()
         img.save(buf, format="JPEG")
-        assert MM.decode_payload(buf.getvalue()) == (5, 7, 3)
+        # (width, height, channels) — same order as the native parsers
+        assert MM.decode_payload(buf.getvalue()) == (7, 5, 3)

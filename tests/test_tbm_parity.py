@@ -265,9 +265,20 @@ def test_return_attribution_sweep_matches_range_join(spark):
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
-            ctx = " ".join(lines[max(0, i - 2): i + 1])
-            assert "HashAggregate(keys=[]" in ctx or "Sort [_ck#" in ctx, (
-                f"non-k-row SinglePartition:\n{ctx}\n{line}"
+            above = " ".join(lines[max(0, i - 2): i])
+            below = " ".join(lines[i + 1: i + 5])
+            # k-row evidence must be in the exchange's CHILD: the heads
+            # table (_rn = 1 filter — one row per chunk) or the dense
+            # chunk axis (explode(sequence(...)). A data-scale sort
+            # (markers/trades also carry _ck) matches neither.
+            import re as _re
+
+            k_row_child = (
+                _re.search(r"_rn#\d+L? = 1\)", below) is not None
+                or "explode(sequence(" in below
+            )
+            assert "HashAggregate(keys=[]" in above or k_row_child, (
+                f"non-k-row SinglePartition:\n{above}\n{line}\n{below}"
             )
 
 
