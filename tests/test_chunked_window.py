@@ -195,3 +195,30 @@ def test_flagship_modes_bit_identical(spark):
     assert set(g) == set(c)
     for k in g:
         assert g[k] == c[k], (k, g[k], c[k])
+
+
+def test_flagship_auto_crossover_picks_mode_by_input_rows(spark):
+    """mode='auto' plans the global window below FLAGSHIP_SMALL_ROWS and
+    the chunked zero-SinglePartition plan at/above it (or when the bound
+    is unknown); the force hook overrides both ways."""
+    from finmlkit_spark.suite import pipeline_suite as PS
+    from finmlkit_spark.suite.features_suite import bars_1m
+
+    bars = bars_1m(spark, "/root/testdata/sf0.001", seq=False)
+
+    def plan(**kw):
+        df = PS.flagship_feature_stage(bars, persist=False, **kw)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "SinglePartition" in plan(mode="auto", input_rows=10)
+    assert "SinglePartition" not in plan(
+        mode="auto", input_rows=PS.FLAGSHIP_SMALL_ROWS
+    )
+    # unknown bound -> conservative chunked plan
+    assert "SinglePartition" not in plan(mode="auto", input_rows=None)
+    # the test hook wins over the caller's choice
+    PS._FORCE_FLAGSHIP_MODE = "global"
+    try:
+        assert "SinglePartition" in plan(mode="chunked")
+    finally:
+        PS._FORCE_FLAGSHIP_MODE = None
