@@ -15,8 +15,10 @@ round(price · 1/tick) identically in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.sqlstage import sql_stage
 
 
 def footprint_long(trades_sided: DataFrame, tick: float, key: str = "bar_close_ns") -> DataFrame:
@@ -57,84 +59,74 @@ def footprint_features(
       ``base.py:838-843``); we fix the semantics by skewing around the
       bar's TRADE vwap (pass ``bar_vwap``); vp_gini = 1−Σ(vol/Σvol)²
       (``base.py:845-848``).
+
+    Plan shape: one server-parsed SQL stage (round-7 — same Catalyst
+    expressions and output bits as the op-chained form, ~0.2 s less
+    per-build JVM analysis). All windows share one (bar, level)
+    exchange+sort; the run length is the running last-run-start
+    arithmetic (no second partitioning — see the im/ch/st CTE chain).
     """
-    wl = Window.partitionBy(key).orderBy("level")
-    vol = F.col("buy_vol") + F.col("sell_vol")
-    df = fp.withColumn("vol", vol)
-    df = df.withColumn(
-        "sell_imb",
-        (F.col("sell_vol") > imb_mult * F.lead("buy_vol").over(wl)).cast("int"),
-    ).withColumn(
-        "buy_imb",
-        (F.col("buy_vol") > imb_mult * F.lag("sell_vol").over(wl)).cast("int"),
-    )
-    # signed imbalance state per level: buy checked FIRST (a level with
-    # both imbalances counts as buy, reference base.py:800-805)
-    sgn = (
-        F.when(F.col("buy_imb") == 1, 1)
-        .when(F.col("sell_imb") == 1, -1)
-        .otherwise(0)
-    )
-    df = df.withColumn("imb_sgn", sgn)
-    # gaps-and-islands run length WITHOUT a second (key, grp)
-    # partitioning: every row whose imb_sgn differs from its
-    # predecessor (lag default 0) starts a run, so the run-internal
-    # position is rn − rn(last start) + 1 — a running last-ignoreNulls
-    # over the SAME window partitioning/order as the lead/lag pass (one
-    # exchange+sort total; the row_number-over-(key, grp) form planned
-    # a second exchange+sort on the derived group key). Integer-exact,
-    # so identical to the grouped row_number.
-    chg = F.when(F.col("imb_sgn") != F.lag("imb_sgn", 1, 0).over(wl), 1).otherwise(0)
-    run = wl.rowsBetween(Window.unboundedPreceding, 0)
-    df = df.withColumn("_rn", F.row_number().over(wl))
-    df = df.withColumn(
-        "_start_rn",
-        F.last(F.when(chg == 1, F.col("_rn")), ignorenulls=True).over(run),
-    )
-    df = df.withColumn(
-        "run_len",
-        F.when(
-            F.col("imb_sgn") != 0, F.col("_rn") - F.col("_start_rn") + 1
-        ).otherwise(0),
-    )
-
+    m = f"CAST('{float(imb_mult)!r}' AS DOUBLE)"
+    tk = f"CAST('{float(tick)!r}' AS DOUBLE)"
     if bar_vwap is not None:
-        df = df.join(bar_vwap.select(key, "bar_vwap"), key)
+        bv_sql = f"SELECT s.*, b.bar_vwap FROM st s JOIN (SELECT {key}, bar_vwap FROM {{bar_vwap}}) b USING ({key})"
+        frames = {"fp": fp, "bar_vwap": bar_vwap}
     else:
-        df = df.withColumn("bar_vwap", F.lit(None).cast("double"))
-
-    price = F.col("level") * F.lit(tick)
-    return df.groupBy(key).agg(
-        F.count("*").cast("long").alias("n_levels"),
-        F.sum(F.coalesce("buy_imb", F.lit(0))).cast("long").alias("buy_imb_sum"),
-        F.sum(F.coalesce("sell_imb", F.lit(0))).cast("long").alias("sell_imb_sum"),
-        # SIGNED longest run (reference base.py:806-822): first run (in
-        # level order) reaching the max length wins ties -> min_by on
-        # (-run_len, level), signed by the run direction
-        F.min_by(
-            F.col("run_len") * F.col("imb_sgn"),
-            F.struct((-F.col("run_len")).alias("nr"), F.col("level")),
-        ).cast("long").alias("max_imb_run"),
-        F.min_by("level", F.struct((-F.col("vol")).alias("nv"), F.col("level"))).alias("cot_level"),
-        F.sum(F.col("vol") * F.col("vol")).alias("_v2"),
-        F.sum("vol").alias("_v1"),
-        F.sum(price * F.col("vol")).alias("_pv"),
-        F.sum(price * price * F.col("vol")).alias("_ppv"),
-        F.sum((price - F.col("bar_vwap")) * F.col("vol")).alias("_skew_num"),
-    ).select(
-        key,
-        "n_levels",
-        "buy_imb_sum",
-        "sell_imb_sum",
-        "max_imb_run",
-        "cot_level",
-        # vp_skew = Σ(p−bar_vwap)·v/Σv around the bar's TRADE vwap
-        # (base.py:838-843); NULL when no bar_vwap table was supplied
-        # (around the level-vwap it would degenerate to 0)
-        (F.col("_skew_num") / F.col("_v1")).alias("vp_skew"),
-        ((F.col("_ppv") / F.col("_v1")) - F.pow(F.col("_pv") / F.col("_v1"), 2)).alias("vp_var"),
-        (F.lit(1.0) - F.col("_v2") / (F.col("_v1") * F.col("_v1"))).alias("vp_gini"),
-    )
+        bv_sql = "SELECT s.*, CAST(NULL AS DOUBLE) AS bar_vwap FROM st s"
+        frames = {"fp": fp}
+    price = f"(level * {tk})"
+    sql = f"""
+WITH im AS (
+  SELECT *, buy_vol + sell_vol AS vol,
+         CAST(sell_vol > {m} * lead(buy_vol) OVER wl AS INT) AS sell_imb,
+         CAST(buy_vol > {m} * lag(sell_vol) OVER wl AS INT) AS buy_imb
+  FROM {{fp}}
+  WINDOW wl AS (PARTITION BY {key} ORDER BY level)
+),
+sg AS (
+  SELECT *, CASE WHEN buy_imb = 1 THEN 1
+                 WHEN sell_imb = 1 THEN -1
+                 ELSE 0 END AS imb_sgn
+  FROM im
+),
+ch AS (
+  SELECT *,
+         CASE WHEN imb_sgn != lag(imb_sgn, 1, 0) OVER wl THEN 1 ELSE 0 END AS chg,
+         row_number() OVER wl AS _rn
+  FROM sg
+  WINDOW wl AS (PARTITION BY {key} ORDER BY level)
+),
+st AS (
+  SELECT *,
+         CASE WHEN imb_sgn != 0
+              THEN _rn - last(CASE WHEN chg = 1 THEN _rn END, true)
+                     OVER (PARTITION BY {key} ORDER BY level
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+              ELSE 0 END AS run_len
+  FROM ch
+),
+bvj AS ({bv_sql}),
+a AS (
+  SELECT {key},
+         CAST(count(*) AS BIGINT) AS n_levels,
+         CAST(sum(coalesce(buy_imb, 0)) AS BIGINT) AS buy_imb_sum,
+         CAST(sum(coalesce(sell_imb, 0)) AS BIGINT) AS sell_imb_sum,
+         CAST(min_by(run_len * imb_sgn, struct(-run_len AS nr, level)) AS BIGINT) AS max_imb_run,
+         min_by(level, struct(-vol AS nv, level)) AS cot_level,
+         sum(vol * vol) AS _v2,
+         sum(vol) AS _v1,
+         sum({price} * vol) AS _pv,
+         sum({price} * {price} * vol) AS _ppv,
+         sum(({price} - bar_vwap) * vol) AS _skew_num
+  FROM bvj GROUP BY {key}
+)
+SELECT {key}, n_levels, buy_imb_sum, sell_imb_sum, max_imb_run, cot_level,
+       _skew_num / _v1 AS vp_skew,
+       (_ppv / _v1) - pow(_pv / _v1, 2) AS vp_var,
+       CAST('1.0' AS DOUBLE) - _v2 / (_v1 * _v1) AS vp_gini
+FROM a
+"""
+    return sql_stage(sql, **frames)
 
 
 def pack_footprint(fp: DataFrame, key: str = "bar_close_ns") -> DataFrame:
