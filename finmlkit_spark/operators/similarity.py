@@ -116,6 +116,7 @@ def random_projection(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = DIM,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection to ``out_dim`` dims — the
     dimensionality-reduction stage in front of ANN/clustering at scale
@@ -130,10 +131,42 @@ def random_projection(
     come from a seeded integer LCG over the flat (out_dim × dim) index,
     reproducible in plain SQL (``random_projection`` oracle).
 
-    Pure JVM higher-order-function expression: fine at out_dim·dim ≈ 1k
-    interpreted ops per row (SCALE.md lesson 3's threshold); swap the
-    inner fold for an Arrow matmul kernel if out_dim·dim grows 100×.
+    ``engine="arrow"`` (default) runs the projection as an int64 numpy
+    matmul in an Arrow-batched kernel — EXACT integer arithmetic is
+    order-independent, so the result is bit-identical to the SQL fold
+    at ~100× the per-core speed (the interpreted HOF costs ~100 ns per
+    lambda step; out_dim·dim·3 ≈ 3k steps/row — round-7 A/B: 0.91 →
+    0.05 s of exec at sf0.1). ``engine="sql"`` keeps the pure
+    JVM higher-order-function expression (zero Python dependencies in
+    the plan — e.g. for SQL-only deployment surfaces).
     """
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(1, out_dim * dim + 1, dtype=np.int64).reshape(out_dim, dim)
+        W = (1103515245 * idx + 12345) % 65536 - 32768  # == _rp_weight
+
+        @F.pandas_udf("array<double>")
+        def _proj(v):
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            A = np.stack(v.values).astype(np.float64)
+            # CAST(floor(x·1e6 + 0.5) AS BIGINT) parity: NaN -> 0,
+            # ±Inf saturates (same posture as the k-means driver mode)
+            Qf = np.floor(A * 1e6 + 0.5)
+            Q = np.where(np.isfinite(Qf), np.nan_to_num(Qf), 0.0).astype(np.int64)
+            Q[Qf == np.inf] = np.iinfo(np.int64).max
+            Q[Qf == -np.inf] = np.iinfo(np.int64).min
+            S = Q @ W.T  # exact int64 — order-independent
+            out = S.astype(np.float64) / (1e6 * 32768.0)
+            return pd.Series(list(out))
+
+        return emb_df.select(
+            F.col(id_col), _proj(as_double(emb_col)).alias("projection")
+        )
+    if engine != "sql":
+        raise ValueError(f"random_projection: unknown engine {engine!r}")
     v = as_double(emb_col)
     q = F.transform(v, lambda x: F.floor(x * 1e6 + 0.5).cast("long"))
 
