@@ -79,8 +79,39 @@ def _plane_weight(j, i) -> Column:
     ) / F.lit(2147483648.0) - 0.5
 
 
+def lsh_bucket_arrow(emb: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
+    """Arrow engine for :func:`lsh_bucket` — bit-identical buckets at
+    ~100× the per-core speed of the interpreted HOF (the fold costs
+    ~100 ns/lambda step × n_planes·dim·3 ≈ 3k steps per row). The
+    per-plane projection uses the SAME sequential left-to-right fold
+    (numpy cumsum), the weights are the same integer-LCG-over-2³¹
+    values computed with identical IEEE ops, and the ≥0 sign decision
+    therefore lands on identical bits — any divergence from the SQL
+    form is a bug, not noise (pinned by test)."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(1, n_planes * dim + 1, dtype=np.int64).reshape(n_planes, dim)
+    W = ((1103515245 * idx + 12345) % 2147483648).astype(np.float64) / 2147483648.0 - 0.5
+
+    @F.pandas_udf("long")
+    def _bucket(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(v.values).astype(np.float64)
+        bucket = np.zeros(A.shape[0], dtype=np.int64)
+        for j in range(n_planes):
+            proj = (A * W[j]).cumsum(axis=1)[:, -1]  # sequential fold
+            bucket += (proj >= 0).astype(np.int64) << j
+        return pd.Series(bucket)
+
+    return _bucket(emb)
+
+
 def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane LSH: bucket = Σ [proj_j >= 0]·2^j over n planes."""
+    """Random-hyperplane LSH: bucket = Σ [proj_j >= 0]·2^j over n planes
+    — the pure-JVM higher-order-function form (zero Python in the plan);
+    :func:`lsh_bucket_arrow` computes identical buckets at numpy speed."""
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         F.lit(0).cast("long"),
@@ -269,7 +300,7 @@ def lsh_near_pairs(
     verification >= threshold."""
     d = emb_df.select(
         F.col(id_col).alias("id"), as_double(emb_col).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    ).withColumn("bucket", lsh_bucket_arrow(F.col("v")))
     l = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     r = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     cand = l.join(r, "bucket").where(F.col("id_a") < F.col("id_b"))

@@ -212,3 +212,24 @@ def test_random_projection_engines_bit_identical(spark):
     }
     assert a == s
     assert len(a) == embs.count()
+
+
+def test_lsh_bucket_arrow_bit_identical_to_hof(spark):
+    """lsh_bucket_arrow must produce the exact integer buckets of the
+    JVM HOF form — same sequential projection fold, same weights, so
+    the >=0 sign decisions land on identical bits."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", SIM.as_double("embedding").alias("v")
+    )
+    out = embs.select(
+        "vec_id",
+        SIM.lsh_bucket(F.col("v")).alias("hof"),
+        SIM.lsh_bucket_arrow(F.col("v")).alias("arrow"),
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["hof"] == r["arrow"], (r["vec_id"], r["hof"], r["arrow"])
