@@ -235,8 +235,11 @@ def ann_brute_topk(
         F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
     )
     j = base.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("cand_id"))
+    # Arrow pair kernel, bit-identical to the HOF fold (pinned by
+    # test_cosine_batch_bit_identical_to_hof_fold) — the interpreted
+    # fold costs ~600 lambda steps per pair over |corpus|x|queries|
     scored = j.select(
-        "query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+        "query_id", "cand_id", cosine_batch(F.col("qv"), F.col("v")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -272,7 +275,9 @@ def ann_projected_topk(
     scored = (
         base.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("qpv"), F.col("pv")).alias("psim"))
+        .select(
+            "query_id", "cand_id", cosine_batch(F.col("qpv"), F.col("pv")).alias("psim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cand_id"))
     cand = scored.withColumn("prank", F.row_number().over(w)).where(
@@ -287,6 +292,10 @@ def ann_projected_topk(
         cand.select("query_id", "cand_id")
         .join(e, "cand_id")
         .join(F.broadcast(qe), "query_id")
+        # HOF here, Arrow above: the exact verify touches only
+        # |queries|·shortlist pairs, where an Arrow stage's fixed
+        # worker round-trip costs more than the tiny interpreted fold
+        # (round-7 A/B: batch/hof 1.00 s vs batch/batch 1.42 s)
         .select("query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -305,7 +314,7 @@ def lsh_near_pairs(
     r = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     cand = l.join(r, "bucket").where(F.col("id_a") < F.col("id_b"))
     out = cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        "id_a", "id_b", cosine_batch(F.col("va"), F.col("vb")).alias("cos_sim")
     )
     return out.where(F.col("cos_sim") >= threshold)
 

@@ -784,7 +784,7 @@ def ann_ivf(spark, sf_dir):
     s = q.join(buckets, "cid").where(F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        SIM.cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        SIM.cosine_batch(F.col("qv"), F.col("v")).alias("cos_sim"),
     )
     wk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return s.withColumn("rank", F.row_number().over(wk).cast("long")).where(F.col("rank") <= 5)
