@@ -16,22 +16,23 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 # ROUND-7 WINDOW:
-# 1-18: implementation changed in round 7 — the flagship window
+# 1-19: implementation changed in round 7 — the flagship window
 #       crossover + fused window pass (pipeline_1m_features), the
 #       driver-carried k-means (kmeans_clusters/semantic_dedup), the
 #       triple-barrier-as-one-SQL-stage + span_sweep 2-reference
 #       rewrite and every consumer of the label spans (tbm family,
 #       concurrency, uniqueness/attribution both forms, weights tier),
 #       and store_meta_sidecar (read-back sidecar + deterministic path);
-# 19-40: the r3-stale cohort from the round-6 verdict (newest green row
+# 20-41: the r3-stale cohort from the round-6 verdict (newest green row
 #        4 rounds old, unchanged since);
-# 41-50: the oldest r4-green rows (dedup/star/fingerprint, bar
+# 42-50: the oldest r4-green rows (dedup/star/fingerprint, bar
 #        samplers, text quality, the closed-combine seq_*_parallel
 #        scans).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-8 FRONT-LOAD: anything new/changed in round 8
 # first, then the remaining r4 cohort (feat_* window tier,
-# seq_atr/ewma/ewms/ewmst/rsi_parallel, tick_bars, time_bars_1m, token_counts,
+# quality_score, seq_atr/ewma/ewms/ewmst/rsi_parallel, tick_bars,
+# time_bars_1m, token_counts,
 # user_hourly_bars, volume_bars_approx), then the r5 rows as they age.
 _PRIORITY = [
     # -- implementation changed in round 7 -----------------------------------
@@ -42,6 +43,7 @@ _PRIORITY = [
     "footprint_features",
     "random_projection",
     "ann_projected_topk",
+    "ann_topk",
     "tbm_labels",
     "tbm_meta",
     "event_concurrency",
@@ -86,7 +88,6 @@ _PRIORITY = [
     "minhash_lsh",
     "ngram_jaccard",
     "ngram_jaccard_full",
-    "quality_score",
 ]
 
 
