@@ -19,6 +19,35 @@ from ..functions.sqlstage import sql_stage
 DIM = 64
 N_PLANES = 16
 
+_INT64_BOUND = 9.223372036854775808e18  # 2^63 — the smallest double ≥ int64 max
+
+# Driver-carried k-means engages a two-level (executor pre-reduce)
+# partial fold above this many input partitions; None = auto. Tests pin
+# both paths bit-identical by forcing True/False.
+_KMEANS_TREE_MIN_PARTS = 64
+_FORCE_KMEANS_TREE: bool | None = None
+
+
+def _saturating_int64(Qf):
+    """numpy float64 → int64 with Spark's non-ANSI ``CAST(double AS
+    BIGINT)`` semantics: NaN → 0; ±Inf AND out-of-range FINITE values
+    saturate to the int64 extremes. numpy's ``astype(np.int64)`` alone
+    is undefined outside the int64 range (wraps to INT64_MIN on x86),
+    so any dual-mode (numpy vs SQL) operator must route its
+    quantization through this shim or the engines diverge for
+    |x| ≥ 2^63. Note: under Spark 4's default ANSI mode the SQL-side
+    CAST **raises** on overflow instead — non-finite / |x| ≥ 2^63·1e-6
+    embedding components remain documented-unsupported inputs for the
+    dual-mode operators; this shim just guarantees the numpy side is
+    deterministic rather than undefined."""
+    import numpy as np
+
+    safe = (Qf > -_INT64_BOUND) & (Qf < _INT64_BOUND)  # NaN compares False
+    Q = np.where(safe, Qf, 0.0).astype(np.int64)
+    Q[Qf >= _INT64_BOUND] = np.iinfo(np.int64).max
+    Q[Qf <= -_INT64_BOUND] = np.iinfo(np.int64).min
+    return Q
+
 
 def as_double(col) -> Column:
     return F.transform(col if isinstance(col, Column) else F.col(col), lambda x: x.cast("double"))
@@ -100,9 +129,19 @@ def lsh_bucket_arrow(emb: Column, n_planes: int = N_PLANES, dim: int = DIM) -> C
             return pd.Series([], dtype="int64")
         A = np.stack(v.values).astype(np.float64)
         bucket = np.zeros(A.shape[0], dtype=np.int64)
+        if A.shape[1] == 0:
+            # zero-width vectors: the HOF's zip_with pads to DIM with
+            # NULLs, the fold yields NULL, and `when(NULL >= 0)` falls
+            # through to 0 per plane — bucket 0, matched here
+            return pd.Series(bucket)
         for j in range(n_planes):
             proj = (A * W[j]).cumsum(axis=1)[:, -1]  # sequential fold
-            bucket += (proj >= 0).astype(np.int64) << j
+            # Spark SQL orders NaN ABOVE all numbers, so its `proj >= 0`
+            # is TRUE for NaN; numpy's comparison yields False — force
+            # the SQL semantics so NaN-component vectors bucket
+            # identically to the HOF form.
+            bit = np.where(np.isnan(proj), True, proj >= 0)
+            bucket += bit.astype(np.int64) << j
         return pd.Series(bucket)
 
     return _bucket(emb)
@@ -184,11 +223,9 @@ def random_projection(
                 return pd.Series([], dtype=object)
             A = np.stack(v.values).astype(np.float64)
             # CAST(floor(x·1e6 + 0.5) AS BIGINT) parity: NaN -> 0,
-            # ±Inf saturates (same posture as the k-means driver mode)
-            Qf = np.floor(A * 1e6 + 0.5)
-            Q = np.where(np.isfinite(Qf), np.nan_to_num(Qf), 0.0).astype(np.int64)
-            Q[Qf == np.inf] = np.iinfo(np.int64).max
-            Q[Qf == -np.inf] = np.iinfo(np.int64).min
+            # ±Inf and |x| ≥ 2^63 saturate (shared shim — same posture
+            # as the k-means driver mode)
+            Q = _saturating_int64(np.floor(A * 1e6 + 0.5))
             S = Q @ W.T  # exact int64 — order-independent
             out = S.astype(np.float64) / (1e6 * 32768.0)
             return pd.Series(list(out))
@@ -346,10 +383,13 @@ def kmeans_assign(
       int64 adds and recomputes the means. No per-iteration shuffle of
       the n input rows at any scale, and the per-iteration barrier is a
       single job instead of the SQL chain's three (update exchange +
-      gather exchange + broadcast). Driver state is k rows of
-      (k·dim·8 B) partials per partition — fine for coarse-quantizer k;
-      for k·dim·partitions beyond driver memory use
-      ``state="distributed"``.
+      gather exchange + broadcast). Above ``_KMEANS_TREE_MIN_PARTS``
+      input partitions a two-level fold engages automatically: the k·P
+      partial rows hash-shuffle by cid onto ≤32 reducers that pre-sum
+      executor-side (exact int64 adds — associative, bit-identical),
+      so the driver collects ≤ k rows regardless of cluster partition
+      count — no k·dim·8B·P driver ceiling. ``state="distributed"``
+      remains for k·dim itself beyond driver memory.
     - ``state="distributed"``: the Lloyd iterations UNROLLED into one
       server-parsed SQL CTE chain, centroids carried as a collected
       array broadcast into a map-side JVM argmax (higher-order
@@ -373,7 +413,13 @@ def kmeans_assign(
     assignment per vector.
 
     ``dim`` (probed from the first row when omitted) assumes FIXED-width
-    embeddings — ragged inputs must be padded upstream.
+    embeddings — ragged inputs must be padded upstream. Vectors with
+    NULL components are likewise UNSUPPORTED (like ragged inputs): Arrow
+    surfaces NULL as NaN so the driver mode's cosines go NaN (argmax
+    picks the first centroid) while the distributed SQL fold propagates
+    NULL (struct ordering picks differently) — sanitize NULLs upstream
+    (e.g. ``F.transform(emb, lambda x: coalesce(x, 0.0))``) before
+    calling.
     """
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
     if dim is None:
@@ -474,17 +520,13 @@ def _kmeans_assign_driver(
                 _, best, _ = core(A)
                 # the same HALF_UP integer quantization as the SQL
                 # update: floor(x·scale + 0.5) — float64 ops identical.
-                # Non-finite parity with the distributed mode's
-                # CAST(... AS BIGINT): NaN (incl. NULL components,
-                # which Arrow surfaces as NaN and SQL's sum skips —
-                # same total as adding 0) -> 0, ±Inf saturates to the
-                # int64 extremes; numpy's astype alone would be
-                # undefined there and the two modes would diverge.
-                Qf = np.floor(A * float(scale) + 0.5)
-                finite = np.isfinite(Qf)
-                Q = np.where(finite, np.nan_to_num(Qf), 0.0).astype(np.int64)
-                Q[Qf == np.inf] = np.iinfo(np.int64).max
-                Q[Qf == -np.inf] = np.iinfo(np.int64).min
+                # Non-finite / out-of-range parity with the distributed
+                # mode's CAST(... AS BIGINT) via the shared shim:
+                # NaN -> 0 (SQL's sum skips NULL — same total as adding
+                # 0), ±Inf and |x| ≥ 2^63 saturate to the int64
+                # extremes; numpy's astype alone would be undefined
+                # there and the two modes would diverge.
+                Q = _saturating_int64(np.floor(A * float(scale) + 0.5))
                 for j in range(nk):
                     m = best == j
                     if m.any():
@@ -496,12 +538,57 @@ def _kmeans_assign_driver(
 
         return fn
 
+    def fold_partials(batches):
+        # executor-side pre-reduce of the per-partition partials: exact
+        # int64 adds are associative, so any grouping folds to the same
+        # bits as the flat driver fold (pinned by test)
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for cid, n0, s in zip(pdf["cid"].values, pdf["n0"].values, pdf["s"].values):
+                if n0 == 0:
+                    continue
+                sa = np.asarray(s, dtype=np.int64)
+                a = acc.get(int(cid))
+                if a is None:
+                    acc[int(cid)] = [sa.copy(), int(n0)]
+                else:
+                    a[0] += sa
+                    a[1] += int(n0)
+        if acc:
+            cids = sorted(acc)
+            yield pd.DataFrame(
+                {
+                    "cid": np.array(cids, dtype=np.int64),
+                    "n0": np.array([acc[c][1] for c in cids], dtype=np.int64),
+                    "s": [acc[c][0].tolist() for c in cids],
+                }
+            )
+
     cents = _kmeans_seed(e, k)
     part_schema = "cid bigint, n0 bigint, s array<bigint>"
+    nparts = e.rdd.getNumPartitions()
+    tree = (
+        _FORCE_KMEANS_TREE
+        if _FORCE_KMEANS_TREE is not None
+        else nparts > _KMEANS_TREE_MIN_PARTS
+    )
     for _ in range(iters):
         if not cents:
             break
-        parts = e.select("v").mapInPandas(update_map(cents), part_schema).collect()
+        parts_df = e.select("v").mapInPandas(update_map(cents), part_schema)
+        if tree:
+            # two-level fold: hash the k·P partial rows by cid onto a
+            # small reducer set and pre-sum per cid executor-side, so
+            # the driver collects ≤ k rows instead of k·P — removes the
+            # k·dim·8B·P driver ceiling at cluster partition counts.
+            # Off below _KMEANS_TREE_MIN_PARTS partitions: the extra
+            # shuffle stage (~0.1-0.15 s barrier on this host) costs
+            # more than folding a few dozen k-row partials driver-side.
+            fanin = max(1, min(32, int(math.isqrt(nparts))))
+            parts_df = parts_df.repartition(fanin, "cid").mapInPandas(
+                fold_partials, part_schema
+            )
+        parts = parts_df.collect()
         agg: dict[int, tuple[list[int], int]] = {}
         for r in parts:
             if r["n0"] == 0:

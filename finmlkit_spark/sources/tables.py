@@ -80,33 +80,42 @@ def ensure_session_confs(spark: SparkSession) -> None:
 #: session-scoped source-relation memo — the catalog-table pattern:
 #: `spark.read.parquet` pays ~100 ms of file listing + footer schema
 #: inference PER CALL, and a bench/driver run builds dozens of plans
-#: over the same handful of tables. Keyed by (applicationId, abspath),
-#: so a restarted session never sees a stale entry; DataFrames are
-#: immutable plan objects (no pinned executor memory). Caveat: the
-#: file listing is resolved at first read — REGENERATING a table's
-#: files mid-session requires a new session (the external driver
-#: regenerates only between sessions).
-_RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+#: over the same handful of tables. Keyed by (applicationId, abspath,
+#: tag, mtime) — the table's filesystem mtime folds into the key, so a
+#: REWRITE of the table in-session changes the key and the next read
+#: re-resolves automatically (refresh=True / memo_clear remain as
+#: explicit escape hatches; a restarted session never sees a stale
+#: entry via applicationId). DataFrames are immutable plan objects (no
+#: pinned executor memory). Residual caveat: an in-place rewrite that
+#: preserves the path's mtime (sub-granularity clock, touch -r) still
+#: serves the first read's listing.
+_RELATION_MEMO: dict[tuple[str, str, str, float], DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, path: str, tag: str) -> tuple[str, str, str, float]:
+    import os as _os
+
+    ap = _os.path.abspath(path)
+    try:
+        mtime = _os.path.getmtime(ap)
+    except OSError:
+        mtime = -1.0
+    return (spark.sparkContext.applicationId, ap, tag, mtime)
 
 
 def memo_put(spark: SparkSession, path: str, tag: str, df: DataFrame) -> DataFrame:
     """Register a resolved source frame under the memo (readers call it
     with their adapter tag — e.g. events→trades)."""
-    import os as _os
-
-    if len(_RELATION_MEMO) > 256:  # unbounded-session hygiene
-        _RELATION_MEMO.clear()
-    key = (spark.sparkContext.applicationId, _os.path.abspath(path), tag)
-    _RELATION_MEMO[key] = df
+    while len(_RELATION_MEMO) > 256:  # unbounded-session hygiene:
+        # evict oldest-first (dict preserves insertion order) so hot
+        # recent entries survive instead of a wholesale clear
+        _RELATION_MEMO.pop(next(iter(_RELATION_MEMO)))
+    _RELATION_MEMO[_memo_key(spark, path, tag)] = df
     return df
 
 
 def memo_get(spark: SparkSession, path: str, tag: str) -> DataFrame | None:
-    import os as _os
-
-    return _RELATION_MEMO.get(
-        (spark.sparkContext.applicationId, _os.path.abspath(path), tag)
-    )
+    return _RELATION_MEMO.get(_memo_key(spark, path, tag))
 
 
 def memo_clear() -> None:
@@ -125,8 +134,9 @@ def read_table(
     Contract: requires the UTC session timezone and nanosAsLong confs
     (``_REQUIRED_CONFS``); aligns them with a warning if the session
     disagrees. The resolved relation is memoized per
-    (applicationId, path) — pass ``refresh=True`` (or call
-    :func:`memo_clear`) after rewriting the table's files in-session."""
+    (applicationId, path, mtime) — a rewrite that touches the path's
+    mtime invalidates automatically; ``refresh=True`` (or
+    :func:`memo_clear`) remains the explicit escape hatch."""
     ensure_session_confs(spark)
     if not refresh:
         cached = memo_get(spark, f"{sf_dir}/{name}.parquet", "read_table")

@@ -219,9 +219,32 @@ def pipeline_1m_features(spark, sf_dir):
     output either way (``test_chunked_window`` pins the equivalence;
     ``test_plan_regression`` pins the chunked plan at the forced
     at-scale setting)."""
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n = _parquet_num_rows(f"{sf_dir}/events.parquet")
     return flagship_feature_stage(
         bars_1m(spark, sf_dir, seq=False), mode="auto", input_rows=n
     )
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Footer-only row count for BOTH single-file and directory-style
+    (Spark-written) parquet tables — no Spark job. Returns None when the
+    footers can't be read: the probe is a pure cost heuristic, and on
+    None ``mode="auto"`` conservatively picks the chunked plan instead
+    of turning the heuristic into a hard failure."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None

@@ -233,3 +233,68 @@ def test_lsh_bucket_arrow_bit_identical_to_hof(spark):
     assert len(out) > 0
     for r in out:
         assert r["hof"] == r["arrow"], (r["vec_id"], r["hof"], r["arrow"])
+
+
+def test_lsh_bucket_arrow_nan_and_empty_match_hof(spark):
+    """Round-8 ADVICE parity: Spark SQL treats NaN >= 0 as TRUE (NaN sorts
+    above all numbers) while numpy's comparison is False — the Arrow
+    kernel must force the SQL semantics so NaN-component vectors bucket
+    identically; and a zero-width vector must yield the HOF's bucket 0
+    (NULL-padded fold -> when() otherwise-branch), not crash."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    nan = float("nan")
+    rows = [(i, [nan if j == i % 64 else 0.25 * j for j in range(64)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = df.select(
+        "vec_id",
+        SIM.lsh_bucket(F.col("v")).alias("hof"),
+        SIM.lsh_bucket_arrow(F.col("v")).alias("arrow"),
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["hof"] == r["arrow"], (r["vec_id"], r["hof"], r["arrow"])
+
+    empty = spark.createDataFrame([(0, []), (1, [])], "vec_id long, v array<double>")
+    out2 = empty.select(
+        SIM.lsh_bucket(F.col("v")).alias("hof"),
+        SIM.lsh_bucket_arrow(F.col("v")).alias("arrow"),
+    ).collect()
+    for r in out2:
+        assert r["hof"] == 0 and r["arrow"] == 0, r
+
+
+def test_saturating_int64_matches_spark_cast(spark):
+    """_saturating_int64 must reproduce Spark's NON-ANSI CAST(double AS
+    BIGINT) on every edge class: NaN, ±Inf, out-of-range FINITE doubles
+    (where numpy astype wraps undefined), the exact ±2^63 boundary, and
+    normal values. (Under Spark 4's default ANSI mode the SQL CAST
+    raises on overflow — such inputs are documented-unsupported for the
+    dual-mode operators; the shim guarantees the numpy side is
+    deterministic saturation, pinned here against the legacy cast.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators.similarity import _saturating_int64
+
+    vals = [
+        float("nan"), float("inf"), float("-inf"),
+        1e19, -1e19, 9.3e18, -9.3e18,
+        9.223372036854775808e18, -9.223372036854775808e18,
+        9.2233720368547748e18,  # largest double below 2^63
+        0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 123456.789, -9876543.21,
+        2147483648.0, -2147483649.0, 4.611686018427388e18,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        spark_cast = [
+            r["y"] for r in df.select(F.col("x").cast("long").alias("y")).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    ours = _saturating_int64(np.array(vals, dtype=np.float64)).tolist()
+    assert ours == spark_cast, list(zip(vals, ours, spark_cast))

@@ -123,3 +123,36 @@ def test_ts_cols_cover_all_timestamp_columns():
         ).fetchall()
         ts_like = {c for c, typ, *_ in desc if "TIMESTAMP" in typ.upper() or typ.upper() == "DATE"}
         assert ts_like == set(TS_COLS.get(t, ())), (t, ts_like)
+
+
+def test_relation_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Round-8 ADVICE: the memo key folds in the table's mtime, so a
+    mid-session rewrite of the source files is picked up by the next
+    read_table without an explicit refresh/memo_clear."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    p = f"{d}/region.parquet"
+    pq.write_table(
+        pa.table({"r_regionkey": [0], "r_name": ["AFRICA"], "r_comment": ["x"]}), p
+    )
+    assert read_table(spark, d, "region").count() == 1
+    # rewrite with more rows, nudging mtime past filesystem granularity
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": [0, 1, 2],
+                "r_name": ["AFRICA", "ASIA", "EUROPE"],
+                "r_comment": ["x", "y", "z"],
+            }
+        ),
+        p,
+    )
+    os.utime(p, (os.path.getmtime(p) + 2, os.path.getmtime(p) + 2))
+    assert read_table(spark, d, "region").count() == 3
+    shutil.rmtree(d)
