@@ -262,11 +262,26 @@ def average_uniqueness(spans: DataFrame, trades_c: DataFrame, bucket_ns: int | N
     )
 
 
+#: span_sweep's small-table crossover: with a caller-provided event
+#: count at or below this, the bounded (2·events + chunks)-row sweep
+#: summary is collected and re-planted as a LocalRelation instead of
+#: localCheckpoint-cut — identical rows either way (an IEEE double
+#: survives the collect/re-upload round-trip exactly), but the driver
+#: carry skips the cut's physical-planning pass (~0.5 s at sf0.1) and
+#: makes the twice-referenced pivot input a free local leaf. 200k events
+#: ≈ 400k narrow rows ≈ 25 MB on the driver; beyond (or when the caller
+#: can't bound the event count) the cut path keeps everything
+#: cluster-side.
+SWEEP_DRIVER_MAX_EVENTS = 200_000
+_FORCE_SWEEP_SMALL_STATE: str | None = None  # test hook: "driver"/"cut"
+
+
 def span_sweep(
     spans: DataFrame,
     trades: DataFrame,
     val_col: str | None = None,
     chunk_ns: int = 3_600_000_000_000,
+    est_events: int | None = None,
 ) -> DataFrame:
     """Per-event (Σ val/c, trade count) over each span in ONE sweep of
     the trade stream — the fused core behind
@@ -411,12 +426,28 @@ FROM w2 WHERE _prio = 0 OR _rn = 1
     # build and the marker probe below read it, and without a boundary
     # each reference would re-run the whole sweep (plans are trees —
     # parameter references inline, no automatic reuse). Bounded at any
-    # scale: 2 rows per event + 1 per time chunk. cache.cut, not keep:
-    # the SCALE.md item-12 A/B measured cut(spans)+cut(small) as the
-    # best posture on this tree — cut truncates the analyzed plan so the
-    # pivot/probe stages re-analyze a leaf, which beats keep's repeated
-    # deep-subtree analysis despite cut's up-front planning pass.
-    small = cache.cut(sql_stage(small_sql, spans=spans, trades=trades))
+    # scale: 2 rows per event + 1 per time chunk. Two boundary forms
+    # behind the SWEEP_DRIVER_MAX_EVENTS crossover:
+    # - driver carry (small inputs, caller-bounded): execute the sweep
+    #   now, collect the bounded summary, re-plant as a LocalRelation —
+    #   the pivot's two references read a free local leaf and the
+    #   cut's physical-planning pass disappears (round-8 A/B: build
+    #   0.75 → 0.23 s at sf0.1, bit-identical rows);
+    # - cache.cut (unbounded / unknown): cluster-side LogicalRDD
+    #   truncation — the SCALE.md item-12 A/B measured cut(spans)+
+    #   cut(small) as the best cluster posture on this tree — cut
+    #   truncates the analyzed plan so the pivot/probe stages re-analyze
+    #   a leaf, which beats keep's repeated deep-subtree analysis
+    #   despite cut's up-front planning pass.
+    small_df = sql_stage(small_sql, spans=spans, trades=trades)
+    state = _FORCE_SWEEP_SMALL_STATE or (
+        "driver"
+        if est_events is not None and est_events <= SWEEP_DRIVER_MAX_EVENTS
+        else "cut"
+    )
+    if state == "driver":
+        return _sweep_pivot_driver(small_df)
+    small = cache.cut(small_df)
     # -- (3) small-table machinery (2|events| + k rows): cross-chunk S/N
     # offsets via the same ordered-window prefix over the k-row
     # chunk-head table, markers read offset + in-chunk running value,
@@ -448,13 +479,93 @@ FROM marks GROUP BY event_id, event_ts_ns
     return sql_stage(piv_sql, small=small)
 
 
+def _sweep_pivot_driver(small_df: DataFrame) -> DataFrame:
+    """Driver-carried stage (3) of :func:`span_sweep` for
+    caller-bounded event counts: execute the sweep summary (one Arrow
+    fetch of the bounded 2·events + chunks rows), run the chunk-head
+    prefix + marker pivot in numpy with the SAME IEEE op sequence as
+    the SQL form, and re-plant the per-event result as a JVM
+    LocalTableScan. Bit-identity with the SQL pivot (pinned by test):
+
+    - cross-chunk offsets: the SQL ``sum() OVER (ORDER BY _ck ROWS
+      UNBOUNDED PRECEDING TO 1 PRECEDING)`` is a sequential running
+      fold over the _ck-sorted heads == ``np.cumsum`` (sequential
+      accumulation, NOT pairwise) shifted by one;
+    - per-marker value: ``_soff + _s_in`` — same two operands, one add;
+    - per-event span: the SQL ``max(CASE WHEN _is_start...)`` picks the
+      single non-null end/start value per event — here the literal
+      end − start over the event's two marker rows.
+
+    Why not plant the small table and keep the SQL pivot: even over a
+    LocalTableScan the pivot costs 2-3 AQE jobs ≈ 0.5 s of pure
+    scheduling on this host (per-job constants, SCALE.md); the numpy
+    pivot is <1 ms at bounded sizes and the final local re-plant is one
+    job at action time. Arrow preserves int64/float64 bits and NULLs
+    exactly in both directions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl = small_df.toArrow()
+    # filter BEFORE to_numpy: the full table has NULL event ids on
+    # chunk-head trade rows, and pyarrow converts nullable int64 to
+    # float64 (lossy above 2^53 — event_ts_ns is ~1.6e18)
+    heads = tbl.filter(pc.equal(tbl.column("_rn"), 1)).sort_by("_ck")
+    marks = tbl.filter(pc.equal(tbl.column("_prio"), 0))
+
+    hk = heads.column("_ck").to_numpy()
+    s_tot = heads.column("_s_tot").to_numpy()
+    n_tot = heads.column("_n_tot").to_numpy()
+    soff = np.concatenate(([0.0], np.cumsum(s_tot)[:-1])) if len(hk) else np.empty(0)
+    noff = (
+        np.concatenate(([0], np.cumsum(n_tot)[:-1]))
+        if len(hk)
+        else np.empty(0, dtype=np.int64)
+    )
+
+    eid = marks.column("event_id").to_numpy()
+    ets = marks.column("event_ts_ns").to_numpy()
+    iss = marks.column("_is_start").to_numpy()
+    mck = marks.column("_ck").to_numpy()
+    pos = np.searchsorted(hk, mck)
+    if len(mck) and not (hk[pos] == mck).all():
+        raise RuntimeError("span_sweep: marker chunk missing its head row")
+    val_s = soff[pos] + marks.column("_s_in").to_numpy()
+    val_n = noff[pos] + marks.column("_n_in").to_numpy()
+
+    # each event contributes exactly two marker rows (start _is_start=1,
+    # end _is_start=0); sort pairs adjacent, end first
+    order = np.lexsort((iss, ets, eid))
+    eid, ets, iss = eid[order], ets[order], iss[order]
+    val_s, val_n = val_s[order], val_n[order]
+    ends, starts = slice(0, None, 2), slice(1, None, 2)
+    if len(eid) % 2 or not (
+        (iss[ends] == 0).all()
+        and (iss[starts] == 1).all()
+        and (eid[ends] == eid[starts]).all()
+    ):
+        raise RuntimeError("span_sweep: unpaired sweep markers")
+    out = pa.table(
+        {
+            "event_id": pa.array(eid[ends], type=pa.int64()),
+            "event_ts_ns": pa.array(ets[ends], type=pa.int64()),
+            "s_span": pa.array(val_s[ends] - val_s[starts], type=pa.float64()),
+            "n_span": pa.array(val_n[ends] - val_n[starts], type=pa.int64()),
+        }
+    )
+    return small_df.sparkSession.createDataFrame(out)
+
+
 def average_uniqueness_sweep(
-    spans: DataFrame, trades: DataFrame, chunk_ns: int = 3_600_000_000_000
+    spans: DataFrame,
+    trades: DataFrame,
+    chunk_ns: int = 3_600_000_000_000,
+    est_events: int | None = None,
 ) -> DataFrame:
     """Per-event mean(1/c) via :func:`span_sweep` (reference
     ``weights.py:7-49``) — identical output to ``average_uniqueness``
     (differential-tested), one exchange of the trade stream."""
-    s = span_sweep(spans, trades, val_col=None, chunk_ns=chunk_ns)
+    s = span_sweep(spans, trades, val_col=None, chunk_ns=chunk_ns, est_events=est_events)
     return s.where(F.col("n_span") > 0).select(
         "event_id",
         "event_ts_ns",
@@ -467,13 +578,14 @@ def return_attribution_sweep(
     trades_r: DataFrame,
     normalize: bool = False,
     chunk_ns: int = 3_600_000_000_000,
+    est_events: int | None = None,
 ) -> DataFrame:
     """Per-event |Σ r/c| via :func:`span_sweep` (reference
     ``weights.py:52-103``) — identical output to ``return_attribution``
     without materializing the interval join; ``trades_r``:
     ``(ts_ns, r)`` with r the per-trade log return (null on the first
     trade, skipped like SQL SUM)."""
-    s = span_sweep(spans, trades_r, val_col="r", chunk_ns=chunk_ns)
+    s = span_sweep(spans, trades_r, val_col="r", chunk_ns=chunk_ns, est_events=est_events)
     out = s.where(F.col("n_span") > 0).select(
         "event_id", "event_ts_ns", F.abs(F.col("s_span")).alias("attribution")
     )

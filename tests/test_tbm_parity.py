@@ -325,3 +325,28 @@ def test_span_sweep_matches_bruteforce_numpy(spark):
             s_got, n_got = got[k]
             assert n_got == n_exp, (seed, k)
             assert abs(s_got - s_exp) <= 1e-9 * max(1.0, abs(s_exp)), (seed, k)
+
+
+def test_span_sweep_driver_and_cut_states_bit_identical(spark):
+    """Round-8: span_sweep's small-table crossover (driver-carried numpy
+    pivot vs the cluster-side cut + SQL pivot) must agree BIT-FOR-BIT —
+    the numpy path replays the SQL's sequential prefix fold (np.cumsum)
+    and per-marker add, so any divergence is a determinism bug."""
+    from finmlkit_spark.operators import labels as L
+    from finmlkit_spark.suite import labels_suite as LS
+
+    tr, spans, n = LS._trades_spans(spark, "/root/testdata/sf0.001")
+    out = {}
+    for st in ("cut", "driver"):
+        L._FORCE_SWEEP_SMALL_STATE = st
+        try:
+            out[st] = {
+                r["event_id"]: (r["event_ts_ns"], r["s_span"], r["n_span"])
+                for r in L.span_sweep(
+                    spans, tr, val_col=None, chunk_ns=LS.HOUR_NS, est_events=n
+                ).collect()
+            }
+        finally:
+            L._FORCE_SWEEP_SMALL_STATE = None
+    assert out["cut"] == out["driver"]
+    assert len(out["cut"]) > 0
