@@ -15,79 +15,78 @@ from . import developing_suite  # noqa: F401
 
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
-# ROUND-7 WINDOW:
-# 1-19: implementation changed in round 7 — the flagship window
-#       crossover + fused window pass (pipeline_1m_features), the
-#       driver-carried k-means (kmeans_clusters/semantic_dedup), the
-#       triple-barrier-as-one-SQL-stage + span_sweep 2-reference
-#       rewrite and every consumer of the label spans (tbm family,
-#       concurrency, uniqueness/attribution both forms, weights tier),
-#       and store_meta_sidecar (read-back sidecar + deterministic path);
-# 20-41: the r3-stale cohort from the round-6 verdict (newest green row
-#        4 rounds old, unchanged since);
-# 42-50: the oldest r4-green rows (dedup/star/fingerprint, bar
-#        samplers, text quality, the closed-combine seq_*_parallel
-#        scans).
+# ROUND-8 WINDOW:
+# 1-18: implementation changed in round 8 — the span-sweep driver-carry
+#       crossover + labels-suite spans memo (whole weights tier), the
+#       footprint_features Arrow fold engine, the scale-invariant RSI
+#       form (both seq_rsi variants), the similarity-tier hygiene pass
+#       (saturating int64 shim, lsh_bucket_arrow NaN/empty parity,
+#       k-means two-level partial fold), and the pipeline footer-probe
+#       fallback;
+# 19-41: the r4 cohort from the round-7 verdict (newest green row 4
+#        rounds old, unchanged since): the feat_* window tier,
+#        quality_score, the closed-combine seq_*_parallel scans,
+#        tick/time/volume bars, token_counts, user_hourly_bars;
+# 42-50: oldest r5-green rows (bar aggregations, footprint long/packed,
+#        curation, segment dedup, trades_side).
 # Still-green-and-unchanged queries sit behind position 50; their prior
-# evidence stands. ROUND-8 FRONT-LOAD: anything new/changed in round 8
-# first, then the remaining r4 cohort (feat_* window tier,
-# quality_score, seq_atr/ewma/ewms/ewmst/rsi_parallel, tick_bars,
-# time_bars_1m, token_counts,
-# user_hourly_bars, volume_bars_approx), then the r5 rows as they age.
+# evidence stands. ROUND-9 FRONT-LOAD: anything new/changed in round 9
+# first, then the remaining r5 rows (analytics/multiuser tier,
+# image/audio stats, feat_ tier part 2), then r6 rows as they age.
 _PRIORITY = [
-    # -- implementation changed in round 7 -----------------------------------
-    "pipeline_1m_features",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "ann_ivf",
-    "footprint_features",
-    "random_projection",
-    "ann_projected_topk",
-    "ann_topk",
-    "tbm_labels",
-    "tbm_meta",
+    # -- implementation changed in round 8 -----------------------------------
+    "avg_uniqueness_sweep",
+    "return_attribution_sweep",
     "event_concurrency",
     "avg_uniqueness",
-    "avg_uniqueness_sweep",
     "return_attribution",
-    "return_attribution_sweep",
     "time_decay",
     "class_balance",
     "final_weights",
-    "store_meta_sidecar",
-    # -- r3-stale cohort (newest green 4 rounds old) --------------------------
-    "approx_entropy",
-    "corpus_report",
-    "doc_chunks",
-    "doc_quality_signals",
-    "dup_spans",
+    "footprint_features",
+    "seq_rsi_wilder",
+    "seq_rsi_parallel",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "ann_ivf",
+    "random_projection",
+    "ann_projected_topk",
     "emb_lsh_pairs",
-    "frame_offsets",
-    "hash_split",
-    "hurst_exponent",
-    "priority_fill_rate",
-    "seq_atr_ema",
-    "seq_bar_duration_ewma",
-    "seq_cusum_bars",
-    "simhash_near_pairs",
-    "stratified_sample",
-    "tfidf_keywords",
-    "time_bars_filled",
-    "user_ewma",
-    "user_sessions",
-    "user_tbm_labels",
-    "user_trade_side",
-    "vocab_topk",
-    # -- oldest r4-green rows -------------------------------------------------
-    "decontamination_bloom",
-    "dedup_clusters_star",
-    "doc_fingerprint",
-    "dollar_bars",
-    "featurekit_build",
-    "lang_id",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "ngram_jaccard_full",
+    "pipeline_1m_features",
+    # -- r4 cohort (newest green 4 rounds old) --------------------------------
+    "feat_atr_sma",
+    "feat_bollinger_b",
+    "feat_parkinson",
+    "feat_pct_change",
+    "feat_return_log",
+    "feat_return_t",
+    "feat_roc",
+    "feat_sma",
+    "feat_stoch_k",
+    "feat_time_cues",
+    "feat_vpin",
+    "feat_vwap_distance",
+    "feat_zscore",
+    "quality_score",
+    "seq_atr_parallel",
+    "seq_ewma_parallel",
+    "seq_ewms_parallel",
+    "seq_ewmst_parallel",
+    "tick_bars",
+    "time_bars_1m",
+    "token_counts",
+    "user_hourly_bars",
+    "volume_bars_approx",
+    # -- oldest r5-green rows --------------------------------------------------
+    "trades_side",
+    "footprint_long",
+    "footprint_packed",
+    "bar_directional_1m",
+    "bars_resample_15m",
+    "curation_pipeline",
+    "segment_dedup",
+    "burst_ratio_trades",
+    "dup_span_ranges",
 ]
 
 
