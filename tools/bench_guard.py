@@ -37,9 +37,17 @@ def _parse(p: str) -> dict:
         return d["queries"]
     if isinstance(d.get("parsed"), dict):
         return d["parsed"].get("queries", {})
-    m = re.search(r'\{"metric".*\}', d.get("tail", ""))
+    tail = d.get("tail", "")
+    m = re.search(r'\{"metric".*\}', tail)
     if m:
         return json.loads(m.group(0)).get("queries", {})
+    # driver tails keep only the LAST ~2 kB of the bench line, cutting
+    # the head off — but bench.py orders keys least->most important
+    # precisely so the flat "queries" map survives the cut; grab it
+    # directly (it contains no nested objects)
+    m = re.search(r'"queries": (\{[^{}]*\})', tail)
+    if m:
+        return json.loads(m.group(1))
     return {}
 
 
