@@ -245,16 +245,27 @@ def _footprint_features_arrow(
         # terms here are products, no -0.0 accumulation path), so the
         # padded fold equals the SQL hash agg's level-ordered fold.
         # np.add.reduceat would NOT qualify: ufunc.reduce unrolls/pairs
-        # float additions, drifting in the last ulp.
+        # float additions, drifting in the last ulp. Padding memory is
+        # bars_in_slice × max_len, NOT Σlens — slice the batch so one
+        # wide bar (a flash-crash price range) can't amplify across
+        # every other bar's row: ≤8M cells ≈ 64 MB per term matrix,
+        # degrading to one-bar slices (a plain per-bar sequential fold)
+        # when a single bar alone exceeds the budget.
         L = int(lens.max())
         col = idx - starts[seg]
-        pad = np.zeros((5, nseg, L))
         terms = np.stack(
             [vol, vol * vol, price * vol, price * price * vol,
              (price - vw[seg]) * vol]
         )
-        pad[:, seg, col] = terms
-        sums = pad.cumsum(axis=2)[:, :, -1]
+        sums = np.empty((5, nseg))
+        step = max(1, 8_000_000 // L)
+        for lo in range(0, nseg, step):
+            hi = min(lo + step, nseg)
+            rlo, rhi = starts[lo], starts[hi - 1] + lens[hi - 1]
+            Ls = int(lens[lo:hi].max())
+            pad = np.zeros((5, hi - lo, Ls))
+            pad[:, seg[rlo:rhi] - lo, col[rlo:rhi]] = terms[:, rlo:rhi]
+            sums[:, lo:hi] = pad.cumsum(axis=2)[:, :, -1]
         out = pd.DataFrame(
             {
                 "n_levels": lens,

@@ -528,7 +528,14 @@ def _sweep_pivot_driver(small_df: DataFrame) -> DataFrame:
     iss = marks.column("_is_start").to_numpy()
     mck = marks.column("_ck").to_numpy()
     pos = np.searchsorted(hk, mck)
-    if len(mck) and not (hk[pos] == mck).all():
+    # bounds-check BEFORE dereferencing: pos == len(hk) (marker chunk
+    # above every head) must raise the diagnostic, not an IndexError
+    ok = (
+        len(hk) > 0
+        and bool((pos < len(hk)).all())
+        and bool((hk[np.minimum(pos, len(hk) - 1)] == mck).all())
+    )
+    if len(mck) and not ok:
         raise RuntimeError("span_sweep: marker chunk missing its head row")
     val_s = soff[pos] + marks.column("_s_in").to_numpy()
     val_n = noff[pos] + marks.column("_n_in").to_numpy()

@@ -116,7 +116,13 @@ def lsh_bucket_arrow(emb: Column, n_planes: int = N_PLANES, dim: int = DIM) -> C
     (numpy cumsum), the weights are the same integer-LCG-over-2³¹
     values computed with identical IEEE ops, and the ≥0 sign decision
     therefore lands on identical bits — any divergence from the SQL
-    form is a bug, not noise (pinned by test)."""
+    form is a bug, not noise (pinned by test). NULL semantics mirror
+    the HOF exactly via a JVM-side guard (Arrow cannot distinguish a
+    NULL component from NaN): a NULL vector or any NULL component →
+    bucket 0 (the HOF's inner fold goes NULL, every plane's ``when``
+    falls through, and the outer fold over the non-null plane sequence
+    accumulates 0), while NaN components keep Spark's NaN ≥ 0 = TRUE
+    ordering inside the kernel."""
     import numpy as np
     import pandas as pd
 
@@ -127,7 +133,16 @@ def lsh_bucket_arrow(emb: Column, n_planes: int = N_PLANES, dim: int = DIM) -> C
     def _bucket(v):
         if len(v) == 0:
             return pd.Series([], dtype="int64")
-        A = np.stack(v.values).astype(np.float64)
+        vals = v.values
+        if any(x is None for x in vals):
+            # whole-NULL arrays reach the kernel even under the CASE
+            # guard below (Spark projects Python UDFs out of CASE
+            # branches and evaluates them on every row); their kernel
+            # output is discarded by the guard — stand in a zero row
+            width = next((len(x) for x in vals if x is not None), dim)
+            zero = np.zeros(width)
+            vals = [x if x is not None else zero for x in vals]
+        A = np.stack(vals).astype(np.float64)
         bucket = np.zeros(A.shape[0], dtype=np.int64)
         if A.shape[1] == 0:
             # zero-width vectors: the HOF's zip_with pads to DIM with
@@ -144,7 +159,13 @@ def lsh_bucket_arrow(emb: Column, n_planes: int = N_PLANES, dim: int = DIM) -> C
             bucket += bit.astype(np.int64) << j
         return pd.Series(bucket)
 
-    return _bucket(emb)
+    col = emb if isinstance(emb, Column) else F.col(emb)
+    # NULL array OR any NULL component: the HOF's inner fold goes NULL,
+    # `when(NULL >= 0)` falls through on every plane, and the OUTER
+    # fold (over the non-null plane sequence) accumulates 0 -> bucket 0
+    return F.when(
+        col.isNull() | F.exists(col, lambda x: x.isNull()), F.lit(0).cast("long")
+    ).otherwise(_bucket(col))
 
 
 def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
@@ -585,11 +606,6 @@ def _kmeans_assign_driver(
 
     cents = _kmeans_seed(e, k)
     part_schema = "cid bigint, n0 bigint, s array<bigint>"
-    # partition probe costs ~50-100 ms of physical planning (measured
-    # round 8) — cache it on the input frame object: the memoized
-    # source relations return the SAME DataFrame across calls, so a
-    # bench/driver session probes once; a repartitioned input is a new
-    # object and re-probes correctly
     tree = (
         _FORCE_KMEANS_TREE
         if _FORCE_KMEANS_TREE is not None

@@ -103,14 +103,24 @@ def _memo_key(spark: SparkSession, path: str, tag: str) -> tuple[str, str, str, 
     return (spark.sparkContext.applicationId, ap, tag, mtime)
 
 
-def memo_put(spark: SparkSession, path: str, tag: str, df: DataFrame) -> DataFrame:
+def memo_put(
+    spark: SparkSession,
+    path: str,
+    tag: str,
+    df: DataFrame,
+    key: tuple | None = None,
+) -> DataFrame:
     """Register a resolved source frame under the memo (readers call it
-    with their adapter tag — e.g. events→trades)."""
+    with their adapter tag — e.g. events→trades). Pass the ``key``
+    returned by :func:`_memo_key` CAPTURED BEFORE the read resolved its
+    file listing: recomputing the mtime here would stamp a listing that
+    predates a concurrent rewrite with the rewrite's NEW mtime, pinning
+    stale results under a fresh key."""
     while len(_RELATION_MEMO) > 256:  # unbounded-session hygiene:
         # evict oldest-first (dict preserves insertion order) so hot
         # recent entries survive instead of a wholesale clear
         _RELATION_MEMO.pop(next(iter(_RELATION_MEMO)))
-    _RELATION_MEMO[_memo_key(spark, path, tag)] = df
+    _RELATION_MEMO[key if key is not None else _memo_key(spark, path, tag)] = df
     return df
 
 
@@ -118,12 +128,25 @@ def memo_get(spark: SparkSession, path: str, tag: str) -> DataFrame | None:
     return _RELATION_MEMO.get(_memo_key(spark, path, tag))
 
 
+#: derived-table memos elsewhere in the package (e.g. the labels
+#: suite's spans memo) register themselves here so memo_clear() is one
+#: switch for ALL session-scoped memoization
+_EXTRA_MEMOS: list[dict] = []
+
+
+def register_memo(memo: dict) -> dict:
+    _EXTRA_MEMOS.append(memo)
+    return memo
+
+
 def memo_clear() -> None:
-    """Drop every memoized source relation. Call after REWRITING a
-    source table's files in the same session — a memoized frame keeps
-    the first read's file listing and schema and would otherwise serve
-    stale (or deleted-file) results."""
+    """Drop every memoized source relation AND every registered derived
+    memo. Call after REWRITING a source table's files in the same
+    session — a memoized frame keeps the first read's file listing and
+    schema and would otherwise serve stale (or deleted-file) results."""
     _RELATION_MEMO.clear()
+    for m in _EXTRA_MEMOS:
+        m.clear()
 
 
 def read_table(
@@ -138,12 +161,15 @@ def read_table(
     mtime invalidates automatically; ``refresh=True`` (or
     :func:`memo_clear`) remains the explicit escape hatch."""
     ensure_session_confs(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    # key captured BEFORE the read: see memo_put's rewrite-race note
+    key = _memo_key(spark, path, "read_table")
     if not refresh:
-        cached = memo_get(spark, f"{sf_dir}/{name}.parquet", "read_table")
+        cached = _RELATION_MEMO.get(key)
         if cached is not None:
             return cached
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     for c in TS_COLS.get(name, ()):
         if c in df.columns:
             df = normalize_ts(df, c)
-    return memo_put(spark, f"{sf_dir}/{name}.parquet", "read_table", df)
+    return memo_put(spark, path, "read_table", df, key=key)

@@ -180,16 +180,18 @@ def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) ->
     under a UTC session zone (bit-identical to the oracle's
     ``epoch_us(ts) * 1000``).
     """
-    from .tables import ensure_session_confs, memo_get, memo_put
+    from .tables import _RELATION_MEMO, _memo_key, ensure_session_confs, memo_put
 
     ensure_session_confs(spark)
     # session-scoped relation memo: dozens of plan builds per bench run
     # read the same events table; the raw read costs ~100 ms of file
     # listing + footer schema per call and the adapter another ~40 ms
     # of dtype branching/py4j (see tables._RELATION_MEMO for the
-    # staleness contract)
+    # staleness contract). Key captured BEFORE the read resolves the
+    # file listing (memo_put's rewrite-race note).
     tag = f"events_to_trades:{by_user}"
-    cached = memo_get(spark, f"{sf_dir}/events.parquet", tag)
+    key = _memo_key(spark, f"{sf_dir}/events.parquet", tag)
+    cached = _RELATION_MEMO.get(key)
     if cached is not None:
         return cached
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -213,7 +215,7 @@ def events_to_trades(spark: SparkSession, sf_dir: str, by_user: bool = False) ->
         (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("qty"),
         sym.alias("symbol"),
     )
-    return memo_put(spark, f"{sf_dir}/events.parquet", tag, out)
+    return memo_put(spark, f"{sf_dir}/events.parquet", tag, out, key=key)
 
 
 #: DuckDB CTE mirroring events_to_trades for oracle SQL (single stream).

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .. import cache
 from ..operators import labels as L
+from ..sources.tables import _memo_key, register_memo
 from ..sources.trades import EVENTS_TRADES_CTE, events_to_trades
 from ._registry import query
 
@@ -153,7 +154,11 @@ def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: blocks). The memo holds a strong reference, so cache.release_all()
 #: between bench queries drops only the _CUT registry ref — the blocks
 #: (3 narrow columns, ~1 row per 97 trades) stay pinned for the session.
-_SPANS_MEMO: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+#: The key folds in the events table's mtime (captured BEFORE the spans
+#: build) so an in-session testdata rewrite re-derives the spans in
+#: lockstep with the source memo; registered with tables.memo_clear so
+#: one call flushes both layers.
+_SPANS_MEMO: dict[tuple, tuple[DataFrame, int]] = register_memo({})
 
 
 def _trades_spans(spark: SparkSession, sf_dir: str):
@@ -162,8 +167,8 @@ def _trades_spans(spark: SparkSession, sf_dir: str):
     concurrency into their own pass; constructing the range-join
     concurrency chain here would cost ~0.2 s of pure plan analysis they
     immediately discard)."""
+    key = _memo_key(spark, f"{sf_dir}/events.parquet", "labels_spans")
     tr = events_to_trades(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SPANS_MEMO.get(key)
     if hit is not None:
         return tr, hit[0], hit[1]

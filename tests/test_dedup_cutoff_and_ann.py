@@ -265,6 +265,29 @@ def test_lsh_bucket_arrow_nan_and_empty_match_hof(spark):
     for r in out2:
         assert r["hof"] == 0 and r["arrow"] == 0, r
 
+    # NULL-component (and whole-NULL) vectors -> the HOF's inner fold
+    # goes NULL and every plane's when() falls through, so the OUTER
+    # plane fold accumulates 0 -> bucket 0 — mirrored by the Arrow
+    # form's JVM guard
+    nulls = spark.createDataFrame(
+        [
+            (0, [None if j == 7 else 0.5 * j for j in range(64)]),
+            (1, None),
+            (2, [1.0 * j for j in range(64)]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    out3 = nulls.select(
+        "vec_id",
+        SIM.lsh_bucket(F.col("v")).alias("hof"),
+        SIM.lsh_bucket_arrow(F.col("v")).alias("arrow"),
+    ).collect()
+    for r in out3:
+        assert r["hof"] == r["arrow"], (r["vec_id"], r["hof"], r["arrow"])
+    by_id = {r["vec_id"]: r for r in out3}
+    assert by_id[0]["arrow"] == 0
+    assert by_id[1]["arrow"] == 0
+
 
 def test_saturating_int64_matches_spark_cast(spark):
     """_saturating_int64 must reproduce Spark's NON-ANSI CAST(double AS

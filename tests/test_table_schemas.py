@@ -156,3 +156,25 @@ def test_relation_memo_invalidates_on_rewrite(spark, tmp_path):
     os.utime(p, (os.path.getmtime(p) + 2, os.path.getmtime(p) + 2))
     assert read_table(spark, d, "region").count() == 3
     shutil.rmtree(d)
+
+
+def test_spans_memo_registered_and_mtime_keyed(spark):
+    """Round-8 review fix: the labels-suite spans memo keys on the
+    events table's mtime (rewrites invalidate in lockstep with the
+    source memo) and registers with tables.memo_clear (one switch
+    flushes all session memos)."""
+    import os
+
+    from finmlkit_spark.sources import tables
+    from finmlkit_spark.suite import labels_suite as LS
+
+    assert LS._SPANS_MEMO is not None
+    assert any(m is LS._SPANS_MEMO for m in tables._EXTRA_MEMOS)
+    sf = "/root/testdata/sf0.001"
+    _, _, n = LS._trades_spans(spark, sf)
+    assert n > 0 and len(LS._SPANS_MEMO) >= 1
+    key = next(iter(LS._SPANS_MEMO))
+    # key carries the events table's mtime
+    assert key[-1] == os.path.getmtime(f"{sf}/events.parquet")
+    tables.memo_clear()
+    assert len(LS._SPANS_MEMO) == 0
