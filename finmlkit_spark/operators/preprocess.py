@@ -215,8 +215,19 @@ def chunked_side_frame(
         mode = _FORCE_SIDE_MODE
     if mode == "auto":
         # column-pruned count: one cheap scan decides the crossover;
-        # callers that know their scale pass mode explicitly and skip it
-        mode = "global" if df.count() <= small_rows else "chunked"
+        # callers that know their scale pass mode explicitly and skip
+        # it. The count is a per-build job (~0.1 s), so cache it on the
+        # input frame object — the memoized source relations return the
+        # SAME DataFrame across calls (a derived/repartitioned input is
+        # a new object and re-counts correctly).
+        n = getattr(df, "_fmk_count", None)
+        if n is None:
+            n = df.count()
+            try:
+                df._fmk_count = n
+            except AttributeError:
+                pass
+        mode = "global" if n <= small_rows else "chunked"
     if mode == "global":
         w = Window.orderBy("ts_ns", "trade_id")
         raw = F.signum(F.col("price") - F.lag("price").over(w))

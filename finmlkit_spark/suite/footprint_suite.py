@@ -125,11 +125,16 @@ def footprint_features_q(spark, sf_dir):
     cancellations whose residual (~1e-11 absolute) exceeds the true
     value on single-level bars, so raw doubles differ between engines
     in exactly the rows where the value is ~0."""
-    raw = B.with_time_bar(events_to_trades(spark, sf_dir), BAR5_NS)
-    fp = FP.footprint_long(P.with_trade_side_chunked(raw), tick=0.01)
+    tr = events_to_trades(spark, sf_dir)
+    # side pass on the MEMOIZED trades frame (not a derived one) so the
+    # auto-mode crossover count caches on it across builds; the bar key
+    # attaches after — same values, order-independent columns
+    fp = FP.footprint_long(
+        B.with_time_bar(P.with_trade_side_chunked(tr), BAR5_NS), tick=0.01
+    )
     # bar_vwap needs no side — branch off BEFORE the side pass so the
     # chunked-carry subtree evaluates once, not once per branch
-    bv = raw.groupBy("bar_close_ns").agg(
+    bv = B.with_time_bar(tr, BAR5_NS).groupBy("bar_close_ns").agg(
         (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("bar_vwap")
     )
     out = FP.footprint_features(fp, imb_mult=IMB_MULT, tick=0.01, bar_vwap=bv)
