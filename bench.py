@@ -292,6 +292,10 @@ def main():
                 "synthetic_avg_uniqueness_sweep": tput(n_uniq, uniq_sw_sec),
                 "synthetic_minhash_lsh_50k_docs": tput(n_docs, dedup_syn_sec),
                 "query_floor_sec": round(floor_best, 4),
+                # co-tenant noise indicator: round-8 measured 1.4-2.3x
+                # inflation on shuffle-heavy queries while loadavg sat
+                # at 2-6 — lets a reader contextualize cross-run deltas
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "queries_build": builds,
                 "queries_exec": execs,
                 **({"query_errors": errors} if errors else {}),
