@@ -398,3 +398,56 @@ def test_dup_span_ranges_random_vs_brute(spark):
         for r in dup_span_ranges(df, k=k).collect()
     }
     assert got == expected
+
+
+def test_dedup_clusters_driver_and_distributed_bit_identical(spark):
+    """Round-8: dedup_clusters' edge-count crossover (driver union-find
+    below CC_DRIVER_MAX_EDGES vs the distributed min-label fixpoint)
+    must produce the identical (doc_id, cluster_id) map — exact integer
+    min-per-component either way. Covers random graphs AND a deep chain."""
+    import random
+
+    from finmlkit_spark.operators import dedup as D
+
+    rng = random.Random(8)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # chain short enough for min-label to converge inside max_iter —
+    # deeper chains are exactly what the driver path and the star form
+    # fix (asserted below)
+    chain = [(1000 + i, 1000 + i + 1) for i in range(20)]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges + chain],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.range(0, 1100).select(F.col("id").alias("doc_id"))
+    out = {}
+    for st in ("driver", "distributed"):
+        D._FORCE_CC_STATE = st
+        try:
+            out[st] = {
+                r["doc_id"]: r["cluster_id"]
+                for r in D.dedup_clusters(pairs, docs).collect()
+            }
+        finally:
+            D._FORCE_CC_STATE = None
+    assert out["driver"] == out["distributed"]
+    assert len(out["driver"]) == 1100
+    assert out["driver"][1015] == 1000
+
+    # deep chain: min-label propagation cannot converge in max_iter
+    # rounds (1 hop/round) — the driver union-find must match the
+    # O(log n) star form instead, which is the documented escalation
+    deep = spark.createDataFrame(
+        [(2000 + i, 2000 + i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    D._FORCE_CC_STATE = "driver"
+    try:
+        got = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(deep).collect()}
+    finally:
+        D._FORCE_CC_STATE = None
+    star = {
+        r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters_star(deep).collect()
+    }
+    assert got == star
+    assert got[2120] == 2000
