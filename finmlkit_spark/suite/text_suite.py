@@ -920,7 +920,10 @@ def dedup_clusters_q(spark, sf_dir):
     """Connected components over MinHash-LSH near-dup pairs (threshold
     0.5) -> full corpus (doc_id, cluster_id) mapping; singletons map to
     themselves. Oracle = transitive closure via recursive UNION
-    fixpoint."""
+    fixpoint. Round 8: below the 2M-edge crossover the components come
+    from a driver union-find over the LIMIT-probed edge list
+    (bit-identical, pinned); `dedup_clusters_star` below keeps the pure
+    distributed O(log n) form as the at-scale measurement."""
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     return D.dedup_clusters(pairs, docs)
