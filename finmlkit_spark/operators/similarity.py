@@ -474,8 +474,23 @@ def kmeans_assign(
                     pass
             else:
                 nparts = 1
+        # the seed fetch (first k vectors by id) is another per-call job
+        # (~0.1 s) over the same memoized frame — cache it alongside
+        # (seeds are deterministic in (id_col, emb_col, k))
+        seed_key = (id_col, emb_col, int(k))
+        seed_cache = getattr(emb_df, "_fmk_kmeans_seeds", None)
+        seeds = seed_cache.get(seed_key) if seed_cache is not None else None
+        if seeds is None:
+            seeds = _kmeans_seed(e, k)
+            try:
+                if seed_cache is None:
+                    seed_cache = {}
+                    emb_df._fmk_kmeans_seeds = seed_cache
+                seed_cache[seed_key] = seeds
+            except AttributeError:
+                pass
         return _kmeans_assign_driver(
-            e, k, iters, id_col, ndigits, dim, keep_vector, nparts
+            e, k, iters, id_col, ndigits, dim, keep_vector, nparts, seeds
         )
     if state != "distributed":
         raise ValueError(f"kmeans_assign: unknown state {state!r} "
@@ -512,6 +527,7 @@ def _kmeans_assign_driver(
     dim: int,
     keep_vector: bool = False,
     nparts: int = 1,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Driver-carried Lloyd: per iteration one mapInPandas job emitting
     k partial-sum rows per partition; exact int64 fold on the driver.
@@ -604,7 +620,7 @@ def _kmeans_assign_driver(
                 }
             )
 
-    cents = _kmeans_seed(e, k)
+    cents = seeds if seeds is not None else _kmeans_seed(e, k)
     part_schema = "cid bigint, n0 bigint, s array<bigint>"
     tree = (
         _FORCE_KMEANS_TREE
