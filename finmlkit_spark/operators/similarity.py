@@ -387,6 +387,7 @@ def kmeans_assign(
     dim: int | None = None,
     state: str = "driver",
     keep_vector: bool = False,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Lloyd k-means over the embedding column by max-cosine assignment —
     the trainable coarse quantizer for IVF search (``ann_ivf`` uses fixed
@@ -475,27 +476,53 @@ def kmeans_assign(
             else:
                 nparts = 1
         # the seed fetch (first k vectors by id) is another per-call job
-        # (~0.1 s) over the same memoized frame — cache it alongside
-        # (seeds are deterministic in (id_col, emb_col, k))
-        seed_key = (id_col, emb_col, int(k))
-        seed_cache = getattr(emb_df, "_fmk_kmeans_seeds", None)
-        seeds = seed_cache.get(seed_key) if seed_cache is not None else None
+        # (~0.1 s) over the same memoized frame — cached via the public
+        # accessor; callers with fixed/trained centroids pass `seeds`
+        # (the (cid, vector, norm) shape kmeans_seeds returns) and skip
+        # the fetch entirely
         if seeds is None:
-            seeds = _kmeans_seed(e, k)
-            try:
-                if seed_cache is None:
-                    seed_cache = {}
-                    emb_df._fmk_kmeans_seeds = seed_cache
-                seed_cache[seed_key] = seeds
-            except AttributeError:
-                pass
+            seeds = kmeans_seeds(emb_df, k, id_col, emb_col)
         return _kmeans_assign_driver(
             e, k, iters, id_col, ndigits, dim, keep_vector, nparts, seeds
         )
     if state != "distributed":
         raise ValueError(f"kmeans_assign: unknown state {state!r} "
                          "(expected 'driver' or 'distributed')")
+    if seeds is not None:
+        raise ValueError(
+            "kmeans_assign: explicit seeds are a driver-mode feature "
+            "(the distributed SQL chain derives its own seed CTE)"
+        )
     return _kmeans_assign_distributed(e, k, iters, id_col, ndigits, dim, keep_vector)
+
+
+def kmeans_seeds(
+    emb_df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Public accessor for :func:`kmeans_assign`'s seed centroids (first
+    k vectors by id, norms precomputed with the sequential fold) —
+    session-cached on the input frame like the partition probe. Pass
+    the result as ``kmeans_assign(..., seeds=...)`` to share one seed
+    fetch across multiple assignment calls (e.g. an IVF index build and
+    its query-side assignment), or hand in externally trained
+    centroids in the same ``(cid, vector, norm)`` shape."""
+    key = (id_col, emb_col, int(k))
+    cache_ = getattr(emb_df, "_fmk_kmeans_seeds", None)
+    seeds = cache_.get(key) if cache_ is not None else None
+    if seeds is None:
+        e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+        seeds = _kmeans_seed(e, k)
+        try:
+            if cache_ is None:
+                cache_ = {}
+                emb_df._fmk_kmeans_seeds = cache_
+            cache_[key] = seeds
+        except AttributeError:
+            pass
+    return seeds
 
 
 def _kmeans_seed(e: DataFrame, k: int) -> list[tuple[int, list[float], float]]:

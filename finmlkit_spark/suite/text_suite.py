@@ -765,8 +765,13 @@ def ann_ivf(spark, sf_dir):
     # tie-break): the driver-carried mode makes it a MAP-ONLY stage —
     # no n·k broadcast fan-out, no n-row argmax shuffle — and
     # keep_vector carries the decoded vector into the bucket join
+    embs = _embs(spark, sf_dir)
+    # one seed fetch (session-cached on the memoized frame) shared by
+    # both assignment calls — the filtered query side is a derived frame
+    # whose own cache would always miss
+    seeds = SIM.kmeans_seeds(embs, k=8)
     buckets = SIM.kmeans_assign(
-        _embs(spark, sf_dir), k=8, iters=0, dim=64, keep_vector=True
+        embs, k=8, iters=0, dim=64, keep_vector=True, seeds=seeds
     ).select("vec_id", "v", F.col("cluster_id").alias("cid"))
     # the query side assigns only the FILTERED vectors: with fixed
     # centroids each assignment depends on the vector alone, and the
@@ -774,8 +779,8 @@ def ann_ivf(spark, sf_dir):
     # identical cids, but the predicate reaches the parquet scan
     # instead of filtering after a full-corpus map
     q = SIM.kmeans_assign(
-        _embs(spark, sf_dir).where(F.col("vec_id") < 10),
-        k=8, iters=0, dim=64, keep_vector=True,
+        embs.where(F.col("vec_id") < 10),
+        k=8, iters=0, dim=64, keep_vector=True, seeds=seeds,
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
