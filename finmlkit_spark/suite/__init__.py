@@ -16,18 +16,18 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 # ROUND-8 WINDOW:
-# 1-18: implementation changed in round 8 — the span-sweep driver-carry
+# 1-19: implementation changed in round 8 — the span-sweep driver-carry
 #       crossover + labels-suite spans memo (whole weights tier), the
 #       footprint_features Arrow fold engine, the scale-invariant RSI
 #       form (both seq_rsi variants), the similarity-tier hygiene pass
 #       (saturating int64 shim, lsh_bucket_arrow NaN/empty parity,
-#       k-means two-level partial fold), and the pipeline footer-probe
-#       fallback;
-# 19-41: the r4 cohort from the round-7 verdict (newest green row 4
+#       k-means two-level partial fold), the pipeline footer-probe
+#       fallback, and the dedup_clusters union-find crossover;
+# 20-42: the r4 cohort from the round-7 verdict (newest green row 4
 #        rounds old, unchanged since): the feat_* window tier,
 #        quality_score, the closed-combine seq_*_parallel scans,
 #        tick/time/volume bars, token_counts, user_hourly_bars;
-# 42-50: oldest r5-green rows (bar aggregations, footprint long/packed,
+# 43-50: oldest r5-green rows (bar aggregations, footprint long/packed,
 #        curation, segment dedup, trades_side).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-9 FRONT-LOAD: anything new/changed in round 9
@@ -53,6 +53,7 @@ _PRIORITY = [
     "ann_projected_topk",
     "emb_lsh_pairs",
     "pipeline_1m_features",
+    "dedup_clusters",
     # -- r4 cohort (newest green 4 rounds old) --------------------------------
     "feat_atr_sma",
     "feat_bollinger_b",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "curation_pipeline",
     "segment_dedup",
     "burst_ratio_trades",
-    "dup_span_ranges",
 ]
 
 
