@@ -56,14 +56,21 @@ def _sel(df: DataFrame, *cols) -> DataFrame:
 
 
 def bars_1m(
-    spark: SparkSession, sf_dir: str, directional: bool = False, seq: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    directional: bool = False,
+    seq: bool = True,
+    median_size: bool = False,
 ) -> DataFrame:
     """1-minute bars + brn (bar row number) + r (1-bar log return).
 
     ``seq=False`` returns the pure hash-aggregation bars without the
     global-window brn/r columns — the scale entry point for callers that
     evaluate their own partition-parallel windows (see
-    ``pipeline_suite.pipeline_1m_features``)."""
+    ``pipeline_suite.pipeline_1m_features``). ``median_size=True`` adds
+    the per-bar exact median trade size (``med``) INSIDE the same
+    aggregation — one trades pass instead of a second scan + join for
+    callers that need it (the store/resample tier)."""
     tr = events_to_trades(spark, sf_dir)
     if directional:
         tr = P.with_trade_side_chunked(tr)
@@ -88,6 +95,8 @@ def bars_1m(
             F.sum(F.when(F.col("side") == 1, F.col("qty")).otherwise(0.0)).alias("volume_buy"),
             F.sum(F.when(F.col("side") == -1, F.col("qty")).otherwise(0.0)).alias("volume_sell"),
         ]
+    if median_size:
+        aggs.append(F.median("qty").alias("med"))
     bars = df.groupBy("bar_close_ns").agg(*aggs)
     if not seq:
         return bars

@@ -52,18 +52,11 @@ def bars_resample_15m(spark, sf_dir):
     """Re-aggregate the materialized 1m bars to 15m (TimeBarReader
     ``_resample`` ``io.py:890-950``): volume-weighted vwap recombination
     + the reference's exact trade-count-weighted median (sort+cumsum)."""
-    fine = bars_1m(spark, sf_dir).drop("brn", "r", "first_ts_ns")
-    # attach the per-fine-bar median trade size (as the reference stores)
-    from ..operators import bars as B
-    from ..sources.trades import events_to_trades
-
-    tr = events_to_trades(spark, sf_dir)
-    med = (
-        B.with_time_bar(tr, MIN_NS)
-        .groupBy("bar_close_ns")
-        .agg(F.median("qty").alias("med"))
-    )
-    fine = fine.join(med, "bar_close_ns")
+    # per-fine-bar median trade size (as the reference stores) rides the
+    # SAME aggregation — round 8: the separate with_time_bar + groupBy +
+    # join form paid a second trades pass and an extra exchange; and
+    # seq=False skips the global-window brn/r this query only dropped
+    fine = bars_1m(spark, sf_dir, seq=False, median_size=True).drop("first_ts_ns")
     out = IO.resample_bars(fine, Q15_NS, median_col="med")
     return out.withColumnRenamed("med_wm", "med_wm")
 
