@@ -145,9 +145,9 @@ a AS (
   FROM bvj GROUP BY {key}
 )
 SELECT {key}, n_levels, buy_imb_sum, sell_imb_sum, max_imb_run, cot_level,
-       _skew_num / _v1 AS vp_skew,
-       (_ppv / _v1) - pow(_pv / _v1, 2) AS vp_var,
-       CAST('1.0' AS DOUBLE) - _v2 / (_v1 * _v1) AS vp_gini
+       _skew_num / nullif(_v1, 0.0d) AS vp_skew,
+       (_ppv / nullif(_v1, 0.0d)) - pow(_pv / nullif(_v1, 0.0d), 2) AS vp_var,
+       CAST('1.0' AS DOUBLE) - _v2 / nullif(_v1 * _v1, 0.0d) AS vp_gini
 FROM a
 """
     return sql_stage(sql, **frames)
@@ -305,9 +305,9 @@ def _footprint_features_arrow(
 SELECT {key}, _f.n_levels AS n_levels, _f.buy_imb_sum AS buy_imb_sum,
        _f.sell_imb_sum AS sell_imb_sum, _f.max_imb_run AS max_imb_run,
        _f.cot_level AS cot_level,
-       _f._skew_num / _f._v1 AS vp_skew,
-       (_f._ppv / _f._v1) - pow(_f._pv / _f._v1, 2) AS vp_var,
-       CAST('1.0' AS DOUBLE) - _f._v2 / (_f._v1 * _f._v1) AS vp_gini
+       _f._skew_num / nullif(_f._v1, 0.0d) AS vp_skew,
+       (_f._ppv / nullif(_f._v1, 0.0d)) - pow(_f._pv / nullif(_f._v1, 0.0d), 2) AS vp_var,
+       CAST('1.0' AS DOUBLE) - _f._v2 / nullif(_f._v1 * _f._v1, 0.0d) AS vp_gini
 FROM {{folded}}
 """
     return sql_stage(tail, folded=folded)

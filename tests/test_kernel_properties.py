@@ -75,3 +75,107 @@ def test_ewmst_shift_invariant_within_cancellation(a, b):
     s2 = S.ewmst(ts, a + 100.0, 5e9)
     m = ~np.isnan(s1)
     assert np.allclose(s1[m], s2[m], rtol=1e-6, atol=3e-5)
+
+
+# --- round 8: footprint Arrow kernel vs a per-bar reference ------------------
+
+
+def _footprint_ref_per_bar(lv, b, s, m):
+    """Straight-line per-bar reference for the flat vectorized kernel:
+    the SQL window chain's semantics written the obvious way."""
+    import numpy as np
+
+    n = len(lv)
+    sell = [False] * n
+    buy = [False] * n
+    for i in range(n):
+        if i + 1 < n:
+            sell[i] = s[i] > m * b[i + 1]
+        if i > 0:
+            buy[i] = b[i] > m * s[i - 1]
+    sgn = [1 if buy[i] else (-1 if sell[i] else 0) for i in range(n)]
+    run = [0] * n
+    start = 0
+    for i in range(n):
+        prev = sgn[i - 1] if i else 0
+        if sgn[i] != prev:
+            start = i
+        run[i] = (i - start + 1) if sgn[i] != 0 else 0
+    j = max(range(n), key=lambda i: (run[i], -i))  # first max
+    vol = [b[i] + s[i] for i in range(n)]
+    c = max(range(n), key=lambda i: (vol[i], -i))  # first max
+    acc = [0.0] * 5
+    for i in range(n):
+        price = lv[i] * 0.01
+        acc[0] += vol[i]
+        acc[1] += vol[i] * vol[i]
+        acc[2] += price * vol[i]
+        acc[3] += price * price * vol[i]
+        acc[4] += (price - 1.0) * vol[i]
+    return (
+        n, sum(buy), sum(sell), run[j] * sgn[j], lv[c],
+        acc[0], acc[1], acc[2], acc[3], acc[4],
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(0.0, 1e4, allow_nan=False),
+                st.floats(0.0, 1e4, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_footprint_arrow_kernel_matches_per_bar_reference(spark, bars):
+    """The flat segment-vectorized footprint kernel (reduceat tricks,
+    zero-padded cumsum folds) must equal a straight per-bar loop on
+    arbitrary volumes — every feature, bit-for-bit (the sums are
+    sequential folds in both)."""
+    from finmlkit_spark.operators import footprint as FP
+
+    rows = []
+    expected = {}
+    for bi, levels in enumerate(bars):
+        key = (bi + 1) * 300
+        lv = list(range(100, 100 + len(levels)))
+        b = [x[0] for x in levels]
+        s = [x[1] for x in levels]
+        for li, (bv, sv) in enumerate(zip(b, s)):
+            rows.append((key, lv[li], bv, sv, 1, 1))
+        expected[key] = _footprint_ref_per_bar(lv, b, s, 3.0)
+    fp = spark.createDataFrame(
+        rows,
+        "bar_close_ns long, level long, buy_vol double, sell_vol double,"
+        " buy_ticks long, sell_ticks long",
+    )
+    bv_tbl = spark.createDataFrame(
+        [(k, 1.0) for k in expected], "bar_close_ns long, bar_vwap double"
+    )
+    got = FP.footprint_features(
+        fp, imb_mult=3.0, tick=0.01, bar_vwap=bv_tbl, engine="arrow"
+    ).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        k = r["bar_close_ns"]
+        n, bi_, si_, mir, cot, v1, v2, pv, ppv, skew = expected[k]
+        assert r["n_levels"] == n and r["buy_imb_sum"] == bi_ and r["sell_imb_sum"] == si_
+        assert r["max_imb_run"] == mir and r["cot_level"] == cot, (k, r)
+        # the engine guards zero denominators with nullif -> NULL
+        # (v1*v1 can underflow to 0 on subnormal volumes even when
+        # v1 != 0 — the engine nullifs the PRODUCT, mirror that)
+        if v1:
+            assert r["vp_skew"] == skew / v1
+        else:
+            assert r["vp_skew"] is None
+        den = v1 * v1
+        if den:
+            assert r["vp_gini"] == 1.0 - v2 / den
+        else:
+            assert r["vp_gini"] is None
