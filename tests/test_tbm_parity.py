@@ -350,3 +350,46 @@ def test_span_sweep_driver_and_cut_states_bit_identical(spark):
             L._FORCE_SWEEP_SMALL_STATE = None
     assert out["cut"] == out["driver"]
     assert len(out["cut"]) > 0
+
+
+def test_span_sweep_degenerate_inputs_both_states(spark):
+    """Round-8 edges: empty spans, a single event, a zero-length span
+    (touch == event ts), and events sharing a timestamp must produce
+    identical results through the driver-carry and cut paths — and the
+    empty case must not crash the numpy pivot."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import labels as L
+
+    trades = spark.createDataFrame(
+        [(1000 + 10 * i, 1.0 + i) for i in range(50)], "ts_ns long, price double"
+    ).select("ts_ns")
+
+    cases = {
+        "empty": [],
+        "single": [(1, 1100, 1200)],
+        "zero_len": [(1, 1100, 1100)],
+        "shared_ts": [(1, 1100, 1300), (2, 1100, 1250), (3, 1250, 1300)],
+    }
+    for name, spans_rows in cases.items():
+        spans = spark.createDataFrame(
+            spans_rows or [(0, 0, 0)],
+            "event_id long, event_ts_ns long, touch_ts_ns long",
+        )
+        if not spans_rows:
+            spans = spans.where(F.lit(False))
+        out = {}
+        for st in ("driver", "cut"):
+            L._FORCE_SWEEP_SMALL_STATE = st
+            try:
+                out[st] = sorted(
+                    tuple(r)
+                    for r in L.span_sweep(
+                        spans, trades, chunk_ns=100, est_events=len(spans_rows)
+                    ).collect()
+                )
+            finally:
+                L._FORCE_SWEEP_SMALL_STATE = None
+        assert out["driver"] == out["cut"], (name, out)
+        if name == "empty":
+            assert out["driver"] == []
