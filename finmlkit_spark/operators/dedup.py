@@ -469,18 +469,39 @@ def dedup_clusters(
     id (the full corpus mapping a keep-one-per-cluster filter needs).
     """
     st = _FORCE_CC_STATE or state
-    if st in ("auto", "driver"):
-        rows = (
+    if st not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"dedup_clusters: unknown state {st!r} "
+            "(expected 'auto', 'driver' or 'distributed')"
+        )
+    int_ids = dict(pairs.dtypes)["doc_a"] in ("bigint", "int", "smallint", "tinyint")
+    if st == "driver" and not int_ids:
+        raise ValueError(
+            "dedup_clusters: the driver union-find supports integer doc "
+            "ids only — use state='distributed' for other id types"
+        )
+    if st in ("auto", "driver") and int_ids:
+        # Arrow probe, not collect(): 2M edges land as two int64 buffers
+        # (~32 MB) instead of ~2M Row objects (hundreds of MB transient
+        # Python heap). The union-find itself is a Python loop — µs at
+        # typical near-dup volumes, ~seconds right at the gate, still at
+        # or below the distributed loop's fixed per-round cost.
+        tbl = (
             pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
             .limit(CC_DRIVER_MAX_EDGES + 1)
-            .collect()
+            .toArrow()
         )
-        if len(rows) <= CC_DRIVER_MAX_EDGES:
-            return _cc_driver(pairs.sparkSession, rows, docs, id_col)
+        no_nulls = (
+            tbl.column("a").null_count == 0 and tbl.column("b").null_count == 0
+        )
+        if tbl.num_rows <= CC_DRIVER_MAX_EDGES and no_nulls:
+            comp = _cc_driver(pairs.sparkSession, tbl, id_col)
+            return _cc_with_singletons(comp, docs, id_col)
         if st == "driver":
             raise ValueError(
                 "dedup_clusters: state='driver' but the edge list exceeds "
-                f"CC_DRIVER_MAX_EDGES={CC_DRIVER_MAX_EDGES}"
+                f"CC_DRIVER_MAX_EDGES={CC_DRIVER_MAX_EDGES} or contains "
+                "NULL ids"
             )
         # fall through: the pair chain re-executes in the loop below —
         # the price of a wrong probe, paid only above the gate
@@ -520,22 +541,29 @@ def dedup_clusters(
         else:
             labels = new
     comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return _cc_with_singletons(comp, docs, id_col)
+
+
+def _cc_with_singletons(
+    comp: DataFrame, docs: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Shared tail for both component paths: include singleton docs with
+    cluster_id = own id when the corpus frame is given."""
     if docs is None:
         return comp
     return (
         docs.select(id_col)
         .join(comp, id_col, "left")
-        .select(
-            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
-        )
+        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
     )
 
 
-def _cc_driver(spark, rows, docs: DataFrame | None, id_col: str) -> DataFrame:
+def _cc_driver(spark, tbl, id_col: str) -> DataFrame:
     """Driver union-find for :func:`dedup_clusters`' small-edge path:
     path-halving find + union by attachment, then min doc id per root —
     identical by definition to the distributed min-label fixpoint
-    (cluster_id = min id in the component; exact integers)."""
+    (cluster_id = min id in the component; exact integers — the caller
+    guards the id dtype). ``tbl``: a pyarrow table of (a, b) edges."""
     import pyarrow as pa
 
     parent: dict[int, int] = {}
@@ -548,8 +576,10 @@ def _cc_driver(spark, rows, docs: DataFrame | None, id_col: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        ra, rb = find(int(row["a"])), find(int(row["b"]))
+    av = tbl.column("a").to_numpy(zero_copy_only=False)
+    bv = tbl.column("b").to_numpy(zero_copy_only=False)
+    for a, b in zip(av.tolist(), bv.tolist()):
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb
     cmin: dict[int, int] = {}
@@ -564,14 +594,7 @@ def _cc_driver(spark, rows, docs: DataFrame | None, id_col: str) -> DataFrame:
             "cluster_id": pa.array([cmin[find(i)] for i in ids], type=pa.int64()),
         }
     )
-    comp = spark.createDataFrame(out)
-    if docs is None:
-        return comp
-    return (
-        docs.select(id_col)
-        .join(comp, id_col, "left")
-        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
-    )
+    return spark.createDataFrame(out)
 
 
 def dedup_clusters_star(

@@ -57,8 +57,7 @@ def bars_resample_15m(spark, sf_dir):
     # join form paid a second trades pass and an extra exchange; and
     # seq=False skips the global-window brn/r this query only dropped
     fine = bars_1m(spark, sf_dir, seq=False, median_size=True).drop("first_ts_ns")
-    out = IO.resample_bars(fine, Q15_NS, median_col="med")
-    return out.withColumnRenamed("med_wm", "med_wm")
+    return IO.resample_bars(fine, Q15_NS, median_col="med")
 
 
 # shared by store_inspector (on-demand scan) and store_meta_sidecar

@@ -179,3 +179,19 @@ def test_footprint_arrow_kernel_matches_per_bar_reference(spark, bars):
             assert r["vp_gini"] == 1.0 - v2 / den
         else:
             assert r["vp_gini"] is None
+        # vp_var uses SQL pow(x, 2), which Java's Math.pow may round a
+        # last ulp differently from Python's x*x — assert within 1 ulp
+        # (still catches a broken nullif guard or a fold regression)
+        if v1:
+            import math
+
+            want = (ppv / v1) - (pv / v1) ** 2
+            if math.isnan(want):  # inf - inf on extreme generated volumes
+                assert r["vp_var"] is None or math.isnan(r["vp_var"])
+            else:
+                assert r["vp_var"] is not None
+                assert math.isclose(
+                    r["vp_var"], want, rel_tol=1e-14, abs_tol=1e-300
+                ), (r["vp_var"], want)
+        else:
+            assert r["vp_var"] is None
