@@ -451,3 +451,48 @@ def test_dedup_clusters_driver_and_distributed_bit_identical(spark):
     }
     assert got == star
     assert got[2120] == 2000
+
+
+def test_cc_driver_union_find_property(spark):
+    """Hypothesis property: the driver union-find's (node, cluster) map
+    equals a brute-force transitive closure with min-id labels on
+    arbitrary small graphs (self-loops, duplicates, chains, stars)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finmlkit_spark.operators.dedup import _cc_driver
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def prop(edges):
+        tbl = pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], type=pa.int64()),
+                "b": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in _cc_driver(spark, tbl, "doc_id").collect()
+        }
+        # brute-force closure: repeatedly propagate min labels
+        nodes = sorted({x for e in edges for x in e})
+        label = {n: n for n in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                m = min(label[a], label[b])
+                if label[a] != m or label[b] != m:
+                    label[a] = label[b] = m
+                    changed = True
+        assert got == label, (edges, got, label)
+
+    prop()
