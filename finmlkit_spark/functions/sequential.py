@@ -649,9 +649,11 @@ def rsi_parallel(
     qp = F.pow(F.lit(q), F.col("_pos"))
     ag = F.col("_lg") + qp * F.col("_cg")
     al = F.col("_ll") + qp * F.col("_cl")
-    # Scale-invariant form: 100·ag/(ag+al) == 100 − 100/(1 + ag/al) but never
-    # forms the ag/al quotient (which overflows when al underflows toward 0).
-    rsi = F.when(al == 0, F.lit(100.0)).otherwise(100.0 * ag / (ag + al))
+    # Scale-invariant form: 100·(ag/(ag+al)) == 100 − 100/(1 + ag/al) but never
+    # forms the ag/al quotient; the bounded quotient ag/(ag+al) ∈ [0,1] is
+    # formed FIRST so neither factor can overflow (100·ag would hit +Inf
+    # above ~1.8e306 if multiplied before dividing).
+    rsi = F.when(al == 0, F.lit(100.0)).otherwise(100.0 * (ag / (ag + al)))
     cols = [order_col, rsi.alias(out)]
     if rn_col:
         cols.insert(1, F.col("_rng").alias(rn_col))
@@ -769,7 +771,7 @@ def rsi_wilder(close: np.ndarray, n: int) -> np.ndarray:
         if i > n:
             ag = ((n - 1) * ag + gain[i]) / n
             al = ((n - 1) * al + loss[i]) / n
-        out[i] = 100.0 if al == 0 else 100.0 * ag / (ag + al)
+        out[i] = 100.0 if al == 0 else 100.0 * (ag / (ag + al))
     return out
 
 

@@ -474,7 +474,9 @@ def dedup_clusters(
             f"dedup_clusters: unknown state {st!r} "
             "(expected 'auto', 'driver' or 'distributed')"
         )
-    int_ids = dict(pairs.dtypes)["doc_a"] in ("bigint", "int", "smallint", "tinyint")
+    _int_dts = ("tinyint", "smallint", "int", "bigint")
+    dts = dict(pairs.dtypes)
+    int_ids = dts["doc_a"] in _int_dts and dts["doc_b"] in _int_dts
     if st == "driver" and not int_ids:
         raise ValueError(
             "dedup_clusters: the driver union-find supports integer doc "
@@ -495,7 +497,11 @@ def dedup_clusters(
             tbl.column("a").null_count == 0 and tbl.column("b").null_count == 0
         )
         if tbl.num_rows <= CC_DRIVER_MAX_EDGES and no_nulls:
-            comp = _cc_driver(pairs.sparkSession, tbl, id_col)
+            # emit the SAME column type the distributed path would:
+            # its edges union(a,b)/(b,a) widens to the wider of the two
+            # input int types, so the crossover never flips the schema
+            common_dt = max(dts["doc_a"], dts["doc_b"], key=_int_dts.index)
+            comp = _cc_driver(pairs.sparkSession, tbl, id_col, common_dt)
             return _cc_with_singletons(comp, docs, id_col)
         if st == "driver":
             raise ValueError(
@@ -558,13 +564,24 @@ def _cc_with_singletons(
     )
 
 
-def _cc_driver(spark, tbl, id_col: str) -> DataFrame:
+def _cc_driver(spark, tbl, id_col: str, out_dt: str = "bigint") -> DataFrame:
     """Driver union-find for :func:`dedup_clusters`' small-edge path:
     path-halving find + union by attachment, then min doc id per root —
     identical by definition to the distributed min-label fixpoint
     (cluster_id = min id in the component; exact integers — the caller
-    guards the id dtype). ``tbl``: a pyarrow table of (a, b) edges."""
+    guards the id dtype). ``tbl``: a pyarrow table of (a, b) edges;
+    ``out_dt``: the Spark int dtype both output columns are emitted as
+    (the caller passes the distributed path's union-widened type so the
+    crossover is schema-invisible)."""
     import pyarrow as pa
+
+    _pa_int = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+    }
+    out_type = _pa_int[out_dt]
 
     parent: dict[int, int] = {}
 
@@ -590,8 +607,8 @@ def _cc_driver(spark, tbl, id_col: str) -> DataFrame:
     ids = sorted(parent)
     out = pa.table(
         {
-            id_col: pa.array(ids, type=pa.int64()),
-            "cluster_id": pa.array([cmin[find(i)] for i in ids], type=pa.int64()),
+            id_col: pa.array(ids, type=out_type),
+            "cluster_id": pa.array([cmin[find(i)] for i in ids], type=out_type),
         }
     )
     return spark.createDataFrame(out)

@@ -240,10 +240,13 @@ def _footprint_features_arrow(
         price = lv * tk
         vw = np.asarray(vwaps.values, dtype=np.float64)
         # bit-exact per-bar SEQUENTIAL folds, vectorized: scatter each
-        # term row into a zero-padded (bars × max_len) matrix and cumsum
-        # along axis 1 — x + 0.0 never changes the accumulator bits (all
-        # terms here are products, no -0.0 accumulation path), so the
-        # padded fold equals the SQL hash agg's level-ordered fold.
+        # term row into a NEGATIVE-zero-padded (bars × max_len) matrix
+        # and cumsum along axis 1 — x + (-0.0) preserves the accumulator
+        # bits for EVERY x, including a -0.0 accumulator (IEEE
+        # -0.0 + -0.0 = -0.0, while +0.0 padding would flip it to +0.0
+        # when all of a bar's terms are -0.0, e.g. zero-volume levels
+        # below vwap), so the padded fold equals the SQL hash agg's
+        # level-ordered fold unconditionally.
         # np.add.reduceat would NOT qualify: ufunc.reduce unrolls/pairs
         # float additions, drifting in the last ulp. Padding memory is
         # bars_in_slice × max_len, NOT Σlens — slice the batch so one
@@ -263,7 +266,7 @@ def _footprint_features_arrow(
             hi = min(lo + step, nseg)
             rlo, rhi = starts[lo], starts[hi - 1] + lens[hi - 1]
             Ls = int(lens[lo:hi].max())
-            pad = np.zeros((5, hi - lo, Ls))
+            pad = np.full((5, hi - lo, Ls), -0.0)
             pad[:, seg[rlo:rhi] - lo, col[rlo:rhi]] = terms[:, rlo:rhi]
             sums[:, lo:hi] = pad.cumsum(axis=2)[:, :, -1]
         out = pd.DataFrame(

@@ -273,6 +273,12 @@ def average_uniqueness(spans: DataFrame, trades_c: DataFrame, bucket_ns: int | N
 #: can't bound the event count) the cut path keeps everything
 #: cluster-side.
 SWEEP_DRIVER_MAX_EVENTS = 200_000
+#: Hard backstop on the driver-carry collect: est_events is a CALLER
+#: claim, so the Arrow fetch probes with LIMIT(bound + 1) and falls
+#: through to the cluster-side cut path when the summary exceeds it
+#: (2 rows per event + 1 per time chunk; the ×3 slack admits up to
+#: one chunk-head row per event before falling through).
+SWEEP_DRIVER_MAX_ROWS = 3 * SWEEP_DRIVER_MAX_EVENTS
 _FORCE_SWEEP_SMALL_STATE: str | None = None  # test hook: "driver"/"cut"
 
 
@@ -446,7 +452,12 @@ FROM w2 WHERE _prio = 0 OR _rn = 1
         else "cut"
     )
     if state == "driver":
-        return _sweep_pivot_driver(small_df)
+        out = _sweep_pivot_driver(small_df)
+        if out is not None:
+            return out
+        # probe bound exceeded — the caller's est_events undercounted;
+        # fall through to the cluster-side cut path (re-executes the
+        # sweep once, acceptable on this contract-violation-only path)
     small = cache.cut(small_df)
     # -- (3) small-table machinery (2|events| + k rows): cross-chunk S/N
     # offsets via the same ordered-window prefix over the k-row
@@ -479,10 +490,13 @@ FROM marks GROUP BY event_id, event_ts_ns
     return sql_stage(piv_sql, small=small)
 
 
-def _sweep_pivot_driver(small_df: DataFrame) -> DataFrame:
+def _sweep_pivot_driver(small_df: DataFrame) -> DataFrame | None:
     """Driver-carried stage (3) of :func:`span_sweep` for
     caller-bounded event counts: execute the sweep summary (one Arrow
-    fetch of the bounded 2·events + chunks rows), run the chunk-head
+    fetch of the bounded 2·events + chunks rows, LIMIT-probed against
+    :data:`SWEEP_DRIVER_MAX_ROWS` — returns ``None`` when the caller's
+    ``est_events`` under-counted so :func:`span_sweep` can fall through
+    to the cluster-side cut path), run the chunk-head
     prefix + marker pivot in numpy with the SAME IEEE op sequence as
     the SQL form, and re-plant the per-event result as a JVM
     LocalTableScan. Bit-identity with the SQL pivot (pinned by test):
@@ -506,7 +520,9 @@ def _sweep_pivot_driver(small_df: DataFrame) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    tbl = small_df.toArrow()
+    tbl = small_df.limit(SWEEP_DRIVER_MAX_ROWS + 1).toArrow()
+    if tbl.num_rows > SWEEP_DRIVER_MAX_ROWS:
+        return None
     # filter BEFORE to_numpy: the full table has NULL event ids on
     # chunk-head trade rows, and pyarrow converts nullable int64 to
     # float64 (lossy above 2^53 — event_ts_ns is ~1.6e18)

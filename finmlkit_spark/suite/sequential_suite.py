@@ -308,7 +308,7 @@ sm AS (
   FROM lg
 )
 SELECT bar_close_ns,
-       CASE WHEN al = 0 THEN 100.0 ELSE 100.0 * ag / (ag + al) END AS rsi_14
+       CASE WHEN al = 0 THEN 100.0 ELSE 100.0 * (ag / (ag + al)) END AS rsi_14
 FROM sm WHERE brn > {MIN_BRN}""",
 )
 def seq_rsi_wilder(spark, sf_dir):
@@ -353,7 +353,7 @@ sm AS (
   FROM lg
 )
 SELECT bar_close_ns,
-       CASE WHEN al = 0 THEN 100.0 ELSE 100.0 * ag / (ag + al) END AS rsi_14
+       CASE WHEN al = 0 THEN 100.0 ELSE 100.0 * (ag / (ag + al)) END AS rsi_14
 FROM sm WHERE brn > {MIN_BRN}""",
 )
 def seq_rsi_parallel(spark, sf_dir):
