@@ -199,3 +199,42 @@ def test_kmeans_tree_fold_bit_identical_to_flat(spark):
             SIM._FORCE_KMEANS_TREE = None
     assert results[False] == results[True]
     assert len(results[False]) == embs.count()
+
+
+def test_semantic_pairs_memoized_centroids_bit_identical_and_cached(spark):
+    """semantic_dup_pairs trains through the session-memoized
+    kmeans_centroids accessor and assigns with iters=0 — that split
+    must be bit-identical to training inline inside kmeans_assign
+    (assignment is a pure function of vectors + centroids), and the
+    second centroid fetch must hit the cache (same list object, no
+    retraining jobs)."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = SIM.kmeans_centroids(embs, k=8, iters=2, dim=64)
+    c2 = SIM.kmeans_centroids(embs, k=8, iters=2, dim=64)
+    assert c1 is c2  # memo hit on the frame object
+
+    # inline-trained assignment == iters=0 assignment from the accessor
+    inline = {
+        r["vec_id"]: (r["cluster_id"], r["cos_sim"])
+        for r in SIM.kmeans_assign(embs, k=8, iters=2, dim=64).collect()
+    }
+    split = {
+        r["vec_id"]: (r["cluster_id"], r["cos_sim"])
+        for r in SIM.kmeans_assign(
+            embs, k=8, iters=0, dim=64, seeds=c1
+        ).collect()
+    }
+    assert inline == split
+
+    # end-to-end: the pair set is keyed off the same assignment
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SIM.semantic_dup_pairs(
+            embs, k=8, iters=2, threshold=0.4, dim=64
+        ).collect()
+    }
+    assert len(pairs) > 0
+    for (a, b) in pairs:
+        assert a < b and inline[a][0] == inline[b][0]
