@@ -61,6 +61,7 @@ def bars_1m(
     directional: bool = False,
     seq: bool = True,
     median_size: bool = False,
+    onepart: bool = False,
 ) -> DataFrame:
     """1-minute bars + brn (bar row number) + r (1-bar log return).
 
@@ -70,8 +71,19 @@ def bars_1m(
     ``pipeline_suite.pipeline_1m_features``). ``median_size=True`` adds
     the per-bar exact median trade size (``med``) INSIDE the same
     aggregation — one trades pass instead of a second scan + join for
-    callers that need it (the store/resample tier)."""
+    callers that need it (the store/resample tier).
+
+    ``onepart=True`` repartitions the trades to ONE partition BEFORE the
+    bar aggregation — for callers whose downstream is a global ordered
+    window anyway (the flagship below its crossover): SinglePartition
+    satisfies the groupBy's clustered distribution, so the agg, the
+    window sort and the projection all fuse into one post-shuffle stage
+    (one exchange instead of two; measured −0.17 s of AQE job barriers
+    at sf0.1). Identical rows — a pure cost form, never used on the
+    at-scale chunked path."""
     tr = events_to_trades(spark, sf_dir)
+    if onepart:
+        tr = tr.repartition(1)
     if directional:
         tr = P.with_trade_side_chunked(tr)
     df = B.with_time_bar(tr, MIN_NS)

@@ -40,6 +40,9 @@ FLAGSHIP_SMALL_ROWS = 1_000_000
 #: auto-select the global window)
 _FORCE_FLAGSHIP_MODE: str | None = None
 
+#: memoized flagship projection Columns (see _flagship_project)
+_FLAGSHIP_PROJECT_CACHE: tuple | None = None
+
 
 def _flagship_windowed(df, w):
     """Two window passes over ``w`` computing each DISTINCT (function,
@@ -92,13 +95,21 @@ def _flagship_project():
     """The 12 features from the shared window columns — arithmetic
     mirrors ``R.sma/zscore/stoch_k/bollinger_percent_b/atr_sma/
     vwap_distance/realized_vol/roc/flow_acceleration/candle_shape``
-    expression-for-expression."""
+    expression-for-expression.
+
+    Memoized at module level: Column objects are UNBOUND expression
+    trees (no plan or session state), and constructing these ~25
+    expressions costs dozens of py4j round-trips per flagship build —
+    the cache makes repeat builds reuse one tree."""
+    global _FLAGSHIP_PROJECT_CACHE
+    if _FLAGSHIP_PROJECT_CACHE is not None:
+        return list(_FLAGSHIP_PROJECT_CACHE)
     g20 = F.col("_c20") == 20
     g15 = F.col("_c15") == 15
     g14 = F.col("_c14") == 14
     close, std = F.col("close"), F.col("_std20")
     shape = R.candle_shape("open", "high", "low", "close", "vwap")
-    return [
+    cols = [
         "bar_close_ns",
         "open",
         "high",
@@ -136,6 +147,8 @@ def _flagship_project():
         shape["wick_up"].alias("wick_up"),
         shape["vwap_drift"].alias("vwap_drift"),
     ]
+    _FLAGSHIP_PROJECT_CACHE = tuple(cols)
+    return list(cols)
 
 
 def flagship_feature_stage(
@@ -220,8 +233,22 @@ def pipeline_1m_features(spark, sf_dir):
     ``test_plan_regression`` pins the chunked plan at the forced
     at-scale setting)."""
     n = _parquet_num_rows(f"{sf_dir}/events.parquet")
+    # resolve the mode HERE too (same rule flagship_feature_stage
+    # applies, including the test force-hook) so the below-crossover
+    # form can also build its bars single-partition: the global window
+    # serializes anyway, and moving the boundary below the agg fuses
+    # agg+window+projection into one post-shuffle stage (bars_1m
+    # ``onepart`` doc). The chunked/at-scale plan never takes this
+    # branch — test_plan_regression's zero-SinglePartition pin holds.
+    mode = _FORCE_FLAGSHIP_MODE or (
+        "global"
+        if n is not None and n < FLAGSHIP_SMALL_ROWS
+        else "chunked"
+    )
     return flagship_feature_stage(
-        bars_1m(spark, sf_dir, seq=False), mode="auto", input_rows=n
+        bars_1m(spark, sf_dir, seq=False, onepart=(mode == "global")),
+        mode=mode,
+        input_rows=n,
     )
 
 
