@@ -496,3 +496,61 @@ def test_cc_driver_union_find_property(spark):
         assert got == label, (edges, got, label)
 
     prop()
+
+
+def test_dup_span_arrow_and_hof_engines_identical(spark):
+    """The Arrow positional-trigram stage must emit EXACTLY the rows of
+    the HOF posexplode form — token semantics (trim + split ' +'),
+    codepoint hashing, positions, and the k-gram combine are all exact
+    integer math, so the engines are compared as sets of full rows on
+    adversarial inputs (empty/space-only/NULL text, runs of spaces,
+    tabs inside tokens, unicode codepoints, <k tokens) plus the real
+    documents table."""
+    from finmlkit_spark.operators import dedup as D
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c d e f"),
+        (2, "  leading and   multi  spaces a b c d e f "),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+        (6, "one two"),
+        (7, "tab\tinside token a b c d e f"),
+        (8, "unicodé ünïcode ✓ a b c d e f"),
+        (9, "x y z x y z x y z"),
+        (10, "x y z x y z x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (df, docs_real):
+        got = {}
+        for eng in ("arrow", "hof"):
+            out = D.dup_span_ranges(frame, k=3, engine=eng).collect()
+            got[eng] = sorted(
+                (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+                for r in out
+            )
+        assert got["arrow"] == got["hof"]
+        assert len(got["arrow"]) > 0
+
+    # raw-row parity too (g hash VALUES, not just their collision
+    # structure): the kernel must reproduce the oracle's poly-hash bits
+    from pyspark.sql import functions as F
+    from finmlkit_spark.operators.text import (
+        positional_shingle_hashes,
+        token_hashes,
+    )
+
+    raw_a = sorted(
+        (r["doc"], r["p"], r["g"])
+        for r in D._positional_trigram_rows(df, 3, "text", "doc_id").collect()
+    )
+    g = positional_shingle_hashes(token_hashes("text"), 3)
+    raw_h = sorted(
+        (r["doc"], r["p"], r["g"])
+        for r in df.select(
+            F.col("doc_id").alias("doc"), F.posexplode(g).alias("p", "g")
+        ).collect()
+    )
+    assert raw_a == raw_h
