@@ -207,6 +207,223 @@ def encode_png(arr: np.ndarray) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+# --- baseline JPEG (ITU-T T.81, public spec) --------------------------------
+# Native minimal codec: SOF dims parse for ANY JPEG, and a pure-numpy
+# pixel decoder for BASELINE SEQUENTIAL GRAYSCALE scans (the committed
+# test fixture's shape). Multi-component / progressive pixel decode
+# stays behind the PIL seam — dims still parse natively.
+
+_JPEG_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _jpeg_segments(b: bytes):
+    """Yield (marker, payload_offset, payload_len) for each JPEG marker
+    segment; stops at SOS (whose entropy-coded data follows) or EOI."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = b[i + 1]
+        if m == 0xD9:  # EOI
+            return
+        (ln,) = struct.unpack_from(">H", b, i + 2)
+        yield m, i + 4, ln - 2
+        i += 2 + ln
+        if m == 0xDA:  # SOS — entropy data next, no more segments
+            return
+    raise ValueError("truncated JPEG")
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int, int]:
+    """(width, height, components) from the SOF segment — any baseline/
+    extended/progressive JPEG; raises ValueError when no SOF exists."""
+    for m, off, _ln in _jpeg_segments(b):
+        if m in _JPEG_SOF_MARKERS:
+            h, w = struct.unpack_from(">HH", b, off + 1)
+            ncomp = b[off + 5]
+            return (w, h, ncomp)
+    raise ValueError("JPEG without SOF segment")
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Zigzag scan order (T.81 Figure 5): element i = the raster index
+    of zigzag position i. Built by the diagonal rule (even diagonals run
+    bottom-left -> top-right) rather than a typed-in table."""
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+    )
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table -> {(bit_len, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    C = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded scan bytes (0xFF00
+    stuffing removed; stops before the next marker)."""
+
+    def __init__(self, b: bytes, start: int):
+        data = bytearray()
+        i = start
+        n = len(b)
+        while i < n:
+            x = b[i]
+            if x == 0xFF:
+                nx = b[i + 1] if i + 1 < n else 0xD9
+                if nx == 0x00:
+                    data.append(0xFF)
+                    i += 2
+                    continue
+                break  # a real marker (EOI/RSTn/...) ends the scan
+            data.append(x)
+            i += 1
+        self.d = bytes(data)
+        self.pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category decode (T.81 F.12)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_gray_pixels(b: bytes) -> np.ndarray:
+    """Baseline sequential GRAYSCALE JPEG -> uint8 (h, w, 1).
+
+    Pure numpy/stdlib: marker walk, canonical Huffman decode, dequant,
+    zigzag de-scan, orthonormal 8x8 IDCT, level shift + clamp — ITU-T
+    T.81 Annex F. Multi-component or progressive payloads raise
+    NotImplementedError (the documented PIL seam); dims for those still
+    parse natively via :func:`_parse_jpeg`."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan = None
+    for m, off, ln in _jpeg_segments(b):
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            j = off
+            while j < off + ln:
+                pq, tq = b[j] >> 4, b[j] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qt[tq] = np.frombuffer(b, np.uint8, 64, j + 1).astype(np.float64)
+                j += 65
+        elif m in _JPEG_SOF_MARKERS:
+            if m != 0xC0:
+                raise NotImplementedError(
+                    "only baseline sequential JPEG decodes natively"
+                )
+            h, w = struct.unpack_from(">HH", b, off + 1)
+            ncomp = b[off + 5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "native JPEG pixel decode is single-component "
+                    "(grayscale); color JPEG needs PIL"
+                )
+            samp, tq = b[off + 7], b[off + 8]
+            if samp != 0x11:
+                raise NotImplementedError("subsampled grayscale JPEG")
+            sof = (h, w, tq)
+        elif m == 0xC4:  # DHT (possibly several tables per segment)
+            j = off
+            while j < off + ln:
+                tc, th = b[j] >> 4, b[j] & 15
+                counts = b[j + 1 : j + 17]
+                nsym = sum(counts)
+                huff[(tc, th)] = _jpeg_huff_table(
+                    counts, b[j + 17 : j + 17 + nsym]
+                )
+                j += 17 + nsym
+        elif m == 0xDA:  # SOS
+            ns = b[off]
+            if ns != 1:
+                raise NotImplementedError("multi-component JPEG scan")
+            td, ta = b[off + 2] >> 4, b[off + 2] & 15
+            scan = (td, ta, off + 1 + 2 * ns + 3)
+    if sof is None or scan is None:
+        raise ValueError("JPEG without SOF/SOS")
+    h, w, tq = sof
+    td, ta, data_off = scan
+    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    # DQT stores the table in ZIGZAG order — same order the coefficient
+    # vector is decoded in, so dequant multiplies before the de-scan
+    q = qt[tq]
+    bits = _JpegBits(b, data_off)
+    C = _jpeg_dct_matrix()
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    out = np.empty((by * 8, bx * 8), dtype=np.float64)
+    pred = 0
+    for r in range(by):
+        for c in range(bx):
+            zz = np.zeros(64, dtype=np.float64)
+            t = bits.huff(dc_tab)
+            pred += _jpeg_extend(bits.read(t), t)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = bits.huff(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                zz[k] = _jpeg_extend(bits.read(sym & 15), sym & 15)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_ZZ] = zz * q
+            px = C.T @ blk.reshape(8, 8) @ C
+            out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+    img = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    return img[:, :, None]
+
+
 def image_pixels(b: bytes) -> np.ndarray:
     """Pixel matrix (h, w, ch) for any decodable image payload
     (PNG / BMP 24-bit / PPM P6)."""
@@ -223,6 +440,8 @@ def image_pixels(b: bytes) -> np.ndarray:
     if b[:2] == b"P6":
         w, h, _ = _parse_ppm(b)
         return np.frombuffer(b[-w * h * 3 :], np.uint8).reshape(h, w, 3).copy()
+    if b[:2] == b"\xff\xd8":
+        return jpeg_gray_pixels(b)
     raise ValueError("not a decodable image payload")
 
 
@@ -260,6 +479,11 @@ def decode_payload(b: bytes) -> tuple[int, int, int]:
         return _parse_ppm(b)
     if b[:8] == _PNG_SIG:
         return _parse_png(b)
+    if b[:2] == b"\xff\xd8":
+        try:
+            return _parse_jpeg(b)
+        except ValueError:
+            pass  # malformed/SOF-less — fall through to the PIL gate/seam
     pil = _pil()
     if pil is not None:
         import io
