@@ -602,3 +602,50 @@ def test_streaming_state_ops_survive_arrow_chunking(spark, stream_dir, tmp_path)
     exp = dict(zip(pdf["ts"].to_numpy().tolist(), expected.tolist()))
     assert len(got) == len(exp)
     assert sum(1 for k in exp if got.get(k) != exp[k]) == 0
+
+
+def test_tws_volume_bars_probe_gated(spark, stream_dir):
+    """Spark-4 transformWithStateInPandas port of the exact-reset volume
+    bars (round-8 verdict item 7): without google.protobuf the probe is
+    False and the operator raises the documented RuntimeError; with it
+    (self-skip until the container gains it) the TWS form must match
+    the batch kernel exactly, like the GroupState parity test."""
+    import pytest
+
+    from finmlkit_spark.streaming import tws
+
+    batch = spark.read.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stream_dir)
+        .selectExpr(
+            "'EVT' as symbol",
+            "ts as ts_ns",
+            "cast(1 + (event_id % 5) as double) as qty",
+        )
+    )
+    if not tws.tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            tws.streaming_volume_bars_tws(stream, threshold=50.0)
+        pytest.skip("google.protobuf not in this container — TWS seam "
+                    "verified (RuntimeError); parity pending protobuf")
+
+    import numpy as np
+
+    from finmlkit_spark.functions.sequential import volume_bar_ids_exact
+
+    out = tws.streaming_volume_bars_tws(stream, threshold=50.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vb_tws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ts"]: r["bar_id"] for r in spark.sql("select * from vb_tws").collect()}
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    qty = (1 + pdf["event_id"].to_numpy() % 5).astype(float)
+    exp = dict(zip(pdf["ts"].to_numpy().tolist(),
+                   volume_bar_ids_exact(qty, 50.0).tolist()))
+    assert got == exp
