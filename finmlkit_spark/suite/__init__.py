@@ -15,78 +15,83 @@ from . import developing_suite  # noqa: F401
 
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
-# ROUND-8 WINDOW:
-# 1-19: implementation changed in round 8 — the span-sweep driver-carry
-#       crossover + labels-suite spans memo (whole weights tier), the
-#       footprint_features Arrow fold engine, the scale-invariant RSI
-#       form (both seq_rsi variants), the similarity-tier hygiene pass
-#       (saturating int64 shim, lsh_bucket_arrow NaN/empty parity,
-#       k-means two-level partial fold), the pipeline footer-probe
-#       fallback, and the dedup_clusters union-find crossover;
-# 20-42: the r4 cohort from the round-7 verdict (newest green row 4
-#        rounds old, unchanged since): the feat_* window tier,
-#        quality_score, the closed-combine seq_*_parallel scans,
-#        tick/time/volume bars, token_counts, user_hourly_bars;
-# 43-50: oldest r5-green rows (bar aggregations, footprint long/packed,
-#        curation, segment dedup, trades_side).
+# ROUND-9 WINDOW:
+# 1-14: implementation changed in round 9 — the memoized-centroid
+#       semantic-dedup split + kmeans train/assign refactor (semantic_
+#       dedup, kmeans_clusters, ann_ivf), the flagship below-crossover
+#       single-partition fusion + bars_1m onepart param (pipeline,
+#       time_bars_1m), the RSI bounded-quotient form (both seq_rsi
+#       variants), the footprint -0.0 padding fix (both footprint
+#       aggregate queries), the dedup_clusters dtype/schema crossover
+#       guards, the span-sweep LIMIT-probed driver fetch (both sweeps),
+#       the dup_span_ranges Arrow shingle engine, and the native
+#       baseline-JPEG codec in the multimodal decode path;
+# 15-44: the 31-query r5 cohort from the round-8 verdict (newest green
+#        row 4 rounds old, unchanged since): the feat_* part-2 window
+#        tier, user_fast_features/feat_fast_stage, the 11 star-schema
+#        analytics rows, image_resize_stats, audio_spectral_stats,
+#        image_phash_pairs (dup_span_ranges moved up with the changed
+#        set);
+# 45-50: oldest r6-green fill (multimodal_meta shares the touched
+#        decode plumbing; the asof + volume-profile families age next).
 # Still-green-and-unchanged queries sit behind position 50; their prior
-# evidence stands. ROUND-9 FRONT-LOAD: anything new/changed in round 9
-# first, then the remaining r5 rows (analytics/multiuser tier,
-# image/audio stats, feat_ tier part 2), then r6 rows as they age.
+# evidence stands. ROUND-10 FRONT-LOAD: anything new/changed in round
+# 10 first, then the remaining r6 rows (seq_* reset/chunked tier,
+# dedup/corpus singles, store/io rows), then r7 rows as they age.
 _PRIORITY = [
-    # -- implementation changed in round 8 -----------------------------------
-    "avg_uniqueness_sweep",
-    "return_attribution_sweep",
-    "event_concurrency",
-    "avg_uniqueness",
-    "return_attribution",
-    "time_decay",
-    "class_balance",
-    "final_weights",
-    "footprint_features",
+    # -- implementation changed in round 9 -----------------------------------
+    "semantic_dedup",
+    "kmeans_clusters",
+    "ann_ivf",
+    "pipeline_1m_features",
+    "time_bars_1m",
     "seq_rsi_wilder",
     "seq_rsi_parallel",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "ann_ivf",
-    "random_projection",
-    "ann_projected_topk",
-    "emb_lsh_pairs",
-    "pipeline_1m_features",
-    "dedup_clusters",
-    # -- r4 cohort (newest green 4 rounds old) --------------------------------
-    "feat_atr_sma",
-    "feat_bollinger_b",
-    "feat_parkinson",
-    "feat_pct_change",
-    "feat_return_log",
-    "feat_return_t",
-    "feat_roc",
-    "feat_sma",
-    "feat_stoch_k",
-    "feat_time_cues",
-    "feat_vpin",
-    "feat_vwap_distance",
-    "feat_zscore",
-    "quality_score",
-    "seq_atr_parallel",
-    "seq_ewma_parallel",
-    "seq_ewms_parallel",
-    "seq_ewmst_parallel",
-    "tick_bars",
-    "time_bars_1m",
-    "token_counts",
-    "user_hourly_bars",
-    "volume_bars_approx",
-    # -- oldest r5-green rows --------------------------------------------------
-    "trades_side",
-    "footprint_long",
+    "footprint_features",
     "footprint_packed",
-    "bar_directional_1m",
-    "bars_resample_15m",
-    "curation_pipeline",
-    "segment_dedup",
-    "burst_ratio_trades",
+    "dedup_clusters",
+    "avg_uniqueness_sweep",
+    "return_attribution_sweep",
+    "dup_span_ranges",
+    "image_decode_stats",
+    # -- r5 cohort (newest green 4 rounds old) --------------------------------
+    "feat_realized_vol",
+    "feat_burst_ratio",
+    "feat_variance_ratio",
+    "feat_kurtosis",
+    "feat_bipower",
+    "feat_flow_accel",
+    "feat_pv_corr",
+    "feat_trend_slope",
+    "feat_mean_reversion_z",
+    "feat_bar_duration",
+    "feat_bar_rate",
+    "feat_candle_shape",
+    "feat_daily_gap",
+    "feat_orb_break",
+    "feat_fast_stage",
+    "user_fast_features",
+    "forecast_revenue",
+    "late_shipment_priority",
+    "large_volume_orders",
+    "top_supplier_revenue",
+    "unshipped_revenue",
+    "returned_item_report",
+    "promo_revenue",
+    "order_size_histogram",
+    "supplier_nation_volume",
+    "discounted_part_revenue",
+    "inactive_high_balance",
+    "image_resize_stats",
+    "audio_spectral_stats",
+    "image_phash_pairs",
+    # -- oldest r6-green fill --------------------------------------------------
+    "multimodal_meta",
+    "asof_sigma",
+    "asof_tolerance",
+    "vp_profile",
+    "vp_poc",
+    "vp_hva_lva",
 ]
 
 
