@@ -36,10 +36,32 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingle_hashes(text_col: str = "text", k: int = 3) -> Column:
+#: shingle_hashes engine force hook ("arrow"/"hof") — tests pin the
+#: element-identity of the two forms with it
+_FORCE_SHINGLE_ENGINE: str | None = None
+
+
+def shingle_hashes(text_col: str = "text", k: int = 3, engine: str = "hof") -> Column:
     """Distinct token-k-gram shingle hashes, combined from per-token
     polynomial hashes (hash each token once, fold k of them — 3× less
-    char work than hashing shingle strings; same recurrence shape)."""
+    char work than hashing shingle strings; same recurrence shape).
+
+    Engines (element-identical arrays, pinned by test — same hashes,
+    same first-occurrence distinct order):
+
+    - ``"hof"`` (default): the let-bound zip_with JVM expression —
+      measured A/B at sf0.1: 0.43 s for the projection, 0.70 s with a
+      downstream explode;
+    - ``"arrow"`` (``text.shingle_hashes_arrow``): the vectorized numpy
+      fold — 0.40 s projection but 0.79 s with explode (the array pays
+      the Arrow boundary and still explodes JVM-side), so it is NOT the
+      default here. The Arrow fold wins where the kernel emits the
+      EXPLODED rows directly and skips the array round-trip entirely —
+      that is ``_positional_trigram_rows`` (dup_span_ranges, ~5×)."""
+    from .text import shingle_hashes_arrow
+
+    if (_FORCE_SHINGLE_ENGINE or engine) == "arrow":
+        return shingle_hashes_arrow(text_col, k)
     return shingle_hashes_from_tokens(token_hashes(text_col), k)
 
 
@@ -265,69 +287,25 @@ def _positional_trigram_rows(
     import numpy as np
     import pandas as pd
 
+    from .text import _shingle_combine, _token_hash_arrays
+
     id_type = dict(docs.dtypes)[id_col]
 
     def gen(batches):
         for pdf in batches:
             ids = pdf[id_col].values
             texts = pdf[text_col].values
-            parts = []
-            sep = np.array([32], dtype=np.int64)
-            for t in texts:
-                if isinstance(t, str) and t:
-                    parts.append(
-                        np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
-                            np.int64
-                        )
-                    )
-                else:
-                    parts.append(np.empty(0, dtype=np.int64))
-                parts.append(sep)
-            if not parts:
+            th, tok_doc, cnt, _toff = _token_hash_arrays(texts, MOD)
+            if th.shape[0] == 0:
                 yield pd.DataFrame(
-                    {"doc": ids[:0], "p": np.empty(0, np.int32), "g": np.empty(0, np.int64)}
+                    {
+                        "doc": ids[:0],
+                        "p": np.empty(0, np.int32),
+                        "g": np.empty(0, np.int64),
+                    }
                 )
                 continue
-            codes = np.concatenate(parts)
-            doc_of_char = np.repeat(
-                np.arange(len(texts), dtype=np.int64),
-                [len(parts[2 * i]) + 1 for i in range(len(texts))],
-            )
-            nonsp = codes != 32
-            starts = nonsp & np.concatenate(([True], ~nonsp[:-1]))
-            n_tok = int(starts.sum())
-            if n_tok == 0:
-                yield pd.DataFrame(
-                    {"doc": ids[:0], "p": np.empty(0, np.int32), "g": np.empty(0, np.int64)}
-                )
-                continue
-            tok_id_all = np.cumsum(starts) - 1          # token id per char pos
-            tok_id = tok_id_all[nonsp]
-            tok_doc = doc_of_char[starts]
-            lens = np.bincount(tok_id, minlength=n_tok)
-            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            pos_in_tok = np.arange(tok_id.shape[0], dtype=np.int64) - offs[tok_id]
-            L = int(lens.max())
-            mat = np.zeros((n_tok, L), dtype=np.int64)
-            mat[tok_id, pos_in_tok] = codes[nonsp]
-            # per-token polynomial fold, vectorized across tokens:
-            # acc = (acc*31 + c) % MOD per char — identical integer
-            # sequence to the HOF/oracle fold (values stay < 31·MOD+cp
-            # « 2^63; exact int64)
-            acc = np.zeros(n_tok, dtype=np.int64)
-            jj = np.arange(L)
-            for j in range(L):
-                upd = (acc * 31 + mat[:, j]) % MOD
-                acc = np.where(j < lens, upd, acc)
-            # positional k-gram combine within each doc
-            cnt = np.bincount(tok_doc, minlength=len(texts))
-            toff = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-            tpos = np.arange(n_tok, dtype=np.int64) - toff[tok_doc]
-            valid = tpos <= cnt[tok_doc] - k
-            g = acc.copy()
-            for j in range(1, k):
-                nxt = np.concatenate((acc[j:], np.zeros(j, dtype=np.int64)))
-                g = (g * 31 + nxt) % MOD
+            g, tpos, valid = _shingle_combine(th, tok_doc, cnt, k, MOD)
             yield pd.DataFrame(
                 {
                     "doc": ids[tok_doc[valid]],

@@ -554,3 +554,34 @@ def test_dup_span_arrow_and_hof_engines_identical(spark):
         ).collect()
     )
     assert raw_a == raw_h
+
+
+def test_shingle_arrow_and_hof_engines_element_identical(spark):
+    """shingle_hashes' Arrow engine must emit ELEMENT-identical arrays
+    to the HOF form — same hash values in the same first-occurrence
+    distinct order — on adversarial inputs and the real documents
+    table, so every downstream consumer (minhash min-fold, Jaccard set
+    ops, simhash bit sums) is bit-unaffected by the engine switch."""
+    from finmlkit_spark.operators import dedup as D
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x y z x y z x y z"),  # repeated shingles: distinct-order matters
+        (2, "  leading and   multi  spaces a b c "),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+        (6, "one two"),
+        (7, "unicodé ünïcode ✓ a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (df, real):
+        got = {}
+        for eng in ("arrow", "hof"):
+            out = frame.select(
+                "doc_id", D.shingle_hashes("text", engine=eng).alias("sh")
+            ).collect()
+            got[eng] = {r["doc_id"]: list(r["sh"]) for r in out}
+        assert got["arrow"] == got["hof"]
+        assert any(len(v) > 1 for v in got["arrow"].values())
