@@ -179,11 +179,10 @@ def ngram_jaccard_pairs(
     """
     d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
     d = d.withColumn("n_sh", F.size("sh"))
-    # the shingle arrays feed the explode AND (bounded path) both exact-
-    # verification joins — cut the lineage so the HOF shingle fold runs
-    # once; RDD storage (localCheckpoint), NOT cache(): the columnar
-    # cache pathologically serializes array columns (SCALE.md lesson 2)
-    d = cache.cut(d)
+    # round-9: no path reads the full shingle ARRAYS more than once any
+    # more (the bounded path verifies via counts + hot arrays, below),
+    # so the array-column storage boundary (localCheckpoint of d) is
+    # gone — the shingle fold feeds straight into the explode
     e = d.select("doc", "n_sh", F.explode("sh").alias("g"))
     if max_doc_freq is None:
         e = cache.keep(e)  # feeds both sides of the unbounded self-join
@@ -207,18 +206,19 @@ def ngram_jaccard_pairs(
     # exploded rows on g anyway for the join, plus an extra exchange for
     # the df table; a hot boilerplate shingle lands on a single task in
     # either form and is dropped right after counting here).
-    er = e.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("g"))
-    ).where(F.col("_df") <= max_doc_freq)
-    # storage boundary: er feeds BOTH sides of the candidate self-join,
-    # and Catalyst does not reuse the exchange across the two sides (the
-    # projections above it differ) — without the cut the explode +
-    # exchange + sort + window evaluates twice per action (measured 40%
-    # of the query). Three SCALAR columns, so the columnar cache is safe
-    # (SCALE.md lesson 2 bans it for array columns only) and cheaper
-    # than localCheckpoint, whose physical planning costs ~0.5 s of
-    # driver time per build; tracked for release via finmlkit_spark.cache.
-    er = cache.keep(er)
+    em = e.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+    # storage boundary on the MARKED table: it feeds both sides of the
+    # candidate self-join AND the hot-shingle correction, and Catalyst
+    # does not reuse the exchange across consumers (the projections
+    # above it differ) — without the boundary the explode + exchange +
+    # sort + window evaluates three times per action (measured 40% of
+    # the query for two consumers). Four SCALAR columns, so the
+    # columnar cache is safe (SCALE.md lesson 2 bans it for array
+    # columns only) and cheaper than localCheckpoint, whose physical
+    # planning costs ~0.5 s of driver time per build; tracked for
+    # release via finmlkit_spark.cache.
+    em = cache.keep(em)
+    er = em.where(F.col("_df") <= max_doc_freq)
     # size-ratio prefilter (prefix-filtering lemma): the arrays are
     # distinct sets, so J <= min(na,nb)/max(na,nb) — pairs below the
     # threshold on sizes alone CANNOT pass. n_sh already rides every
@@ -241,19 +241,43 @@ def ngram_jaccard_pairs(
                 >= threshold
             )
         )
-        .select("doc_a", "doc_b", "na", "nb")
-        .distinct()
+        # the shingle arrays are distinct sets, so each shared RARE
+        # shingle contributes exactly one row to the self-join — the
+        # groupBy count IS |rare(A) ∩ rare(B)|. No pair ever touches
+        # the full shingle arrays (round-9: the former exact-verify
+        # joined both ~50-element arrays onto every candidate row and
+        # ran an allocating array_intersect per pair — measured ~half
+        # the query at sf0.1's 850k candidates).
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("_ir"))
+    )
+    # exact |∩| = |rare ∩| + |hot ∩|: rare/hot partition the shingle
+    # space by the GLOBAL document frequency of g (the same property
+    # for both docs of a pair), so the two intersection counts add.
+    # Hot shingles are the few corpus-wide boilerplate k-grams — the
+    # per-doc hot arrays are tiny by construction (a doc has at most a
+    # handful of above-cutoff shingles in any sane corpus, and the
+    # intersect runs on those arrays only, never the full sets).
+    hot = (
+        em.where(F.col("_df") > max_doc_freq)
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("g")).alias("_hot"))
     )
     cand = cand.join(
-        d.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
-    ).join(d.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-    # the shingle arrays are distinct sets, so |A ∪ B| = na + nb − |∩|:
-    # the sizes already ride the candidate rows and the union array never
-    # needs building — half the per-pair array work of intersect+union.
-    # |∩| feeds both the numerator and the denominator, so it is
-    # let-bound (Catalyst re-inlines per reference; SCALE.md lesson 1)
+        hot.select(F.col("doc").alias("doc_a"), F.col("_hot").alias("_ha")),
+        "doc_a",
+        "left",
+    ).join(
+        hot.select(F.col("doc").alias("doc_b"), F.col("_hot").alias("_hb")),
+        "doc_b",
+        "left",
+    )
+    inter = F.col("_ir") + F.when(
+        F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
+        F.size(F.array_intersect("_ha", "_hb")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     jac = let_bind(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        inter,
         lambda i: i.cast("double") / (F.col("na") + F.col("nb") - i),
     )
     return cand.select("doc_a", "doc_b", jac.alias("jaccard")).where(

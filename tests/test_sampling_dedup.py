@@ -585,3 +585,38 @@ def test_shingle_arrow_and_hof_engines_element_identical(spark):
             got[eng] = {r["doc_id"]: list(r["sh"]) for r in out}
         assert got["arrow"] == got["hof"]
         assert any(len(v) > 1 for v in got["arrow"].values())
+
+
+def test_ngram_bounded_jaccard_exact_with_hot_shingles(spark):
+    """The bounded path's |∩| decomposition (rare-shared count from the
+    candidate self-join + hot-array intersect correction) must equal the
+    exact Jaccard of the unbounded d² form for every pair it reports —
+    on a corpus engineered so shared boilerplate shingles EXCEED the
+    doc-frequency cutoff (the correction term is non-zero)."""
+    from finmlkit_spark.operators import dedup as D
+
+    boiler = "the quick brown fox jumps over lazy dogs"  # shared by all
+    rows = [
+        (i, boiler + f" unique{i} content{i} " + ("alpha beta gamma delta " if i % 2 == 0 else "eps zeta eta theta "))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=None)
+        .collect()
+    }
+    # cutoff 4 < 8 docs sharing the boilerplate: its shingles are HOT
+    bounded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=4)
+        .collect()
+    }
+    assert len(bounded) > 0
+    for pair, j in bounded.items():
+        assert j == exact[pair], pair
+    # sanity: the hot correction actually fired — same-parity docs share
+    # boilerplate (hot) AND their parity phrase (rare), so their exact
+    # jaccard exceeds the rare-only fraction
+    a, b = 0, 2
+    assert (a, b) in bounded and bounded[(a, b)] > 0.3
