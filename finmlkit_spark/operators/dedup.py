@@ -939,15 +939,15 @@ def dup_span_fraction(
     """
     d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
     e = d.select("doc", F.explode("sh").alias("g"))
-    # shingle arrays are distinct per doc, so count(*) = number of docs
-    df_counts = e.groupBy("g").agg(F.count("*").alias("n_docs"))
-    per_doc = (
-        e.join(df_counts, "g")
-        .groupBy("doc")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long").alias("n_shared"),
-        )
+    # shingle arrays are distinct per doc, so count(*) per g = number of
+    # docs carrying the shingle. A count-only WINDOW over g marks every
+    # exploded row in ONE exchange — the former groupBy(g) + join-back
+    # form shuffled e twice AND re-ran the shingle fold per consumer
+    # (Catalyst does not reuse an exchange under differing projections)
+    em = e.withColumn("n_docs", F.count("*").over(Window.partitionBy("g")))
+    per_doc = em.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long").alias("n_shared"),
     )
     return (
         docs.select(F.col(id_col).alias("doc"))

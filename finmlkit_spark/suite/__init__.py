@@ -16,7 +16,7 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 # ROUND-9 WINDOW:
-# 1-16: implementation changed in round 9 — the memoized-centroid
+# 1-17: implementation changed in round 9 — the memoized-centroid
 #       semantic-dedup split + kmeans train/assign refactor (semantic_
 #       dedup, kmeans_clusters, ann_ivf), the flagship below-crossover
 #       single-partition fusion + bars_1m onepart param (pipeline,
@@ -26,16 +26,17 @@ from . import developing_suite  # noqa: F401
 #       guards, the span-sweep LIMIT-probed driver fetch (both sweeps),
 #       the dup_span_ranges Arrow shingle engine, and the native
 #       baseline-JPEG codec in the multimodal decode path, and the
-#       ngram_jaccard count-based verify (both jaccard variants);
-# 17-46: the 31-query r5 cohort from the round-8 verdict (newest green
+#       ngram_jaccard count-based verify (both jaccard variants)
+#       plus the dup_spans one-exchange window form;
+# 18-47: the 31-query r5 cohort from the round-8 verdict (newest green
 #        row 4 rounds old, unchanged since): the feat_* part-2 window
 #        tier, user_fast_features/feat_fast_stage, the 11 star-schema
 #        analytics rows, image_resize_stats, audio_spectral_stats,
 #        image_phash_pairs (dup_span_ranges moved up with the changed
 #        set);
-# 47-50: oldest r6-green fill (multimodal_meta shares the touched
-#        decode plumbing; the asof + volume-profile families age next —
-#        vp_poc/vp_hva_lva displaced to round 10 by the ngram pair).
+# 48-50: oldest r6-green fill (multimodal_meta shares the touched
+#        decode plumbing; the asof family ages next — the vp_* family
+#        displaced to round 10 by the ngram/dup_spans front-loads).
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-10 FRONT-LOAD: anything new/changed in round
 # 10 first, then the remaining r6 rows (seq_* reset/chunked tier,
@@ -58,6 +59,7 @@ _PRIORITY = [
     "image_decode_stats",
     "ngram_jaccard",
     "ngram_jaccard_full",
+    "dup_spans",
     # -- r5 cohort (newest green 4 rounds old) --------------------------------
     "feat_realized_vol",
     "feat_burst_ratio",
@@ -93,7 +95,6 @@ _PRIORITY = [
     "multimodal_meta",
     "asof_sigma",
     "asof_tolerance",
-    "vp_profile",
 ]
 
 
