@@ -33,6 +33,7 @@ HEADLINE = [
     "doc_quality_signals",
     "ann_topk",
     "ann_ivf",
+    "ann_pq_topk",
     "kmeans_clusters",
     "curation_pipeline",
     "bars_resample_15m",

@@ -1008,3 +1008,231 @@ def semantic_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.col("cos_raw").alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+# --- product quantization (PQ) ANN ------------------------------------------
+# The memory-compression scale path for embedding search (Jégou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search" — the design
+# FAISS IVF-PQ builds on): split each vector into m subspaces, quantize
+# every subvector to one of ksub codebook entries, and score queries
+# against the CODES via an additive distance table (ADC) — the corpus
+# shrinks from dim×8 bytes to m bytes per vector, which is what makes
+# 100 TB of embeddings searchable at all. Everything here is exact
+# integer arithmetic after a 1e-6 quantization of the per-subspace
+# partial distances, so the DuckDB oracle reproduces the ranking
+# bit-for-bit (same sequential folds, same tie-breaks).
+
+#: LIMIT-probed bound on the pq_train_sampled Arrow fetch — classic PQ
+#: practice trains codebooks on a bounded sample (FAISS defaults to
+#: ~100k-1M vectors) regardless of corpus size, so the driver fetch is
+#: capped by design, not by luck.
+PQ_TRAIN_MAX_SAMPLE = 262_144
+
+
+def pq_codebooks(
+    emb_df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> list:
+    """Sampled (iters=0) PQ codebooks: subspace ``j``'s codebook is the
+    j-th subvector slice of the first ``ksub`` vectors by id — the same
+    deterministic seeding rule as :func:`kmeans_assign`, reusing the
+    memoized seed fetch. Returns ``m`` numpy arrays of shape
+    (ksub, dim/m). For trained codebooks see :func:`pq_train_sampled`."""
+    import numpy as np
+
+    seeds = kmeans_seeds(emb_df, ksub, id_col, emb_col)
+    if not seeds:
+        return []
+    if dim is None:
+        dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    C = np.array([v for (_cid, v, _n) in seeds], dtype=np.float64)
+    return [C[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+
+
+def pq_train_sampled(
+    emb_df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+) -> list:
+    """Classic L2 Lloyd per subspace on a LIMIT-probed bounded sample
+    (:data:`PQ_TRAIN_MAX_SAMPLE` rows by ascending id — deterministic),
+    the standard PQ training posture: codebooks are k·dsub scalars
+    trained on a sample, never a full-corpus pass. Deterministic like
+    the cosine k-means: seeds = first ksub subvectors, assignment =
+    min quantized L2 with lowest-cid tie-break, centroid updates as
+    exact integer-scaled sums. Returns the same shape as
+    :func:`pq_codebooks`; feed to :func:`pq_encode` /
+    :func:`ann_pq_topk` via ``codebooks=``."""
+    import numpy as np
+
+    scale = 10**ndigits
+    e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+    tbl = (
+        e.orderBy("vid").limit(PQ_TRAIN_MAX_SAMPLE).toArrow()
+    )
+    vs = tbl.column("v").to_pylist()
+    if not vs:
+        return []
+    X = np.asarray(vs, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        C = Xj[: min(ksub, len(Xj))].copy()
+        for _ in range(iters):
+            dq = _pq_dist_q(Xj, C, scale)
+            best = np.argmin(dq, axis=1)
+            Q = _saturating_int64(np.floor(Xj * float(scale) + 0.5))
+            nc = []
+            for c in range(C.shape[0]):
+                mask = best == c
+                if not mask.any():
+                    continue
+                nc.append((Q[mask].sum(axis=0) / float(mask.sum())) / scale)
+            C = np.array(nc, dtype=np.float64)
+        books.append(C)
+    return books
+
+
+def _pq_dist_q(Xj, Cj, scale: int):
+    """Quantized per-subspace squared L2 between every row of Xj and
+    every codebook row — SEQUENTIAL cumsum fold over the dsub diff²
+    terms (== the oracle's list_dot_product(d, d) index-order sum),
+    then the shared HALF_UP integer quantization, so both engines rank
+    identical int64 values."""
+    import numpy as np
+
+    diff = Xj[:, None, :] - Cj[None, :, :]
+    d = (diff * diff).cumsum(axis=2)[:, :, -1]
+    return _saturating_int64(np.floor(d * float(scale) + 0.5))
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Encode every vector to its m subspace codes — a MAP-ONLY stage
+    (codebooks are closure-shipped scalars, like the k-means driver
+    mode): no shuffle, no join, linear in the corpus. Returns
+    (id, codes array<int>); ties break toward the lower code (numpy
+    first-of-min == the oracle's ``row_number ORDER BY dq, code``)."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**ndigits
+    books = codebooks if codebooks is not None else pq_codebooks(
+        emb_df, m, ksub, id_col, emb_col
+    )
+    e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+    if not books:
+        return e.select(
+            F.col("vid").alias(id_col),
+            F.array().cast("array<int>").alias("codes"),
+        ).where(F.lit(False))
+    dsub = books[0].shape[1]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].values).astype(np.float64)
+            codes = np.empty((X.shape[0], len(books)), dtype=np.int32)
+            for j, Cj in enumerate(books):
+                dq = _pq_dist_q(X[:, j * dsub : (j + 1) * dsub], Cj, scale)
+                codes[:, j] = np.argmin(dq, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf["vid"].values, "codes": list(codes)}
+            )
+
+    vid_type = dict(e.dtypes)["vid"]
+    return e.mapInPandas(fn, f"{id_col} {vid_type}, codes array<int>")
+
+
+def ann_pq_topk(
+    emb_df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: queries (ids < ``n_queries``) score the
+    ENCODED corpus through a per-query additive distance table —
+    dist(q, x) ≈ Σ_j lut[q][j][code_j(x)].
+
+    Shape at 100 TB: the corpus crosses the plan as (id, m codes) — a
+    map-only encode, m bytes of payload per vector instead of dim×8 —
+    the LUT is a broadcast of n_queries·m·ksub bounded rows, and the
+    only shuffle is the per-(query, cand) integer sum. The partial
+    distances are 1e-6-quantized int64, so the additive fold is
+    order-independent and the oracle ranking matches exactly."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**ndigits
+    books = codebooks if codebooks is not None else pq_codebooks(
+        emb_df, m, ksub, id_col, emb_col
+    )
+    enc = pq_encode(emb_df, m, ksub, id_col, emb_col, ndigits, codebooks=books)
+    q = emb_df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
+    )
+    dsub = books[0].shape[1] if books else 0
+
+    def lut_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qv"].values).astype(np.float64)
+            rows = {"query_id": [], "j": [], "code": [], "pd_q": []}
+            for j, Cj in enumerate(books):
+                dq = _pq_dist_q(X[:, j * dsub : (j + 1) * dsub], Cj, scale)
+                nq, nc = dq.shape
+                rows["query_id"].append(np.repeat(pdf["query_id"].values, nc))
+                rows["j"].append(np.tile(np.full(nc, j, np.int32), nq))
+                rows["code"].append(np.tile(np.arange(nc, dtype=np.int32), nq))
+                rows["pd_q"].append(dq.reshape(-1))
+            yield pd.DataFrame({c: np.concatenate(v) for c, v in rows.items()})
+
+    qid_type = dict(q.dtypes)["query_id"]
+    lut = q.mapInPandas(lut_fn, f"query_id {qid_type}, j int, code int, pd_q long")
+    scored = (
+        enc.select(id_col, F.posexplode("codes").alias("j", "code"))
+        .join(F.broadcast(lut), ["j", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pd_q").alias("_dq"))
+        .where(F.col("query_id") != F.col(id_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_dq").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            (F.col("_dq").cast("double") / scale).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -16,7 +16,8 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 # ROUND-9 WINDOW:
-# 1-17: implementation changed in round 9 — the memoized-centroid
+# 1: NEW in round 9 — ann_pq_topk (product-quantization ADC search);
+# 2-18: implementation changed in round 9 — the memoized-centroid
 #       semantic-dedup split + kmeans train/assign refactor (semantic_
 #       dedup, kmeans_clusters, ann_ivf), the flagship below-crossover
 #       single-partition fusion + bars_1m onepart param (pipeline,
@@ -42,6 +43,8 @@ from . import developing_suite  # noqa: F401
 # 10 first, then the remaining r6 rows (seq_* reset/chunked tier,
 # dedup/corpus singles, store/io rows), then r7 rows as they age.
 _PRIORITY = [
+    # -- NEW in round 9 (no driver row yet) -----------------------------------
+    "ann_pq_topk",
     # -- implementation changed in round 9 -----------------------------------
     "semantic_dedup",
     "kmeans_clusters",
@@ -94,7 +97,6 @@ _PRIORITY = [
     # -- oldest r6-green fill --------------------------------------------------
     "multimodal_meta",
     "asof_sigma",
-    "asof_tolerance",
 ]
 
 

@@ -796,6 +796,56 @@ def ann_ivf(spark, sf_dir):
 
 
 @query(
+    "ann_pq_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT CAST(js.j AS INT) AS j, CAST(s.vec_id AS INT) AS code,
+         s.v[CAST(js.j*8+1 AS INT) : CAST(js.j*8+8 AS INT)] AS cv
+  FROM (SELECT vec_id, v FROM e WHERE vec_id < 16) s,
+       (SELECT unnest(range(8)) AS j) js
+),
+encd AS (
+  SELECT e.vec_id, cb.j, cb.code, CAST(floor(list_dot_product(list_transform(range(1, 9), i -> e.v[CAST(cb.j*8 + i AS INT)] - cb.cv[CAST(i AS INT)]), list_transform(range(1, 9), i -> e.v[CAST(cb.j*8 + i AS INT)] - cb.cv[CAST(i AS INT)])) * 1000000.0e0 + 0.5e0) AS BIGINT) AS dq
+  FROM e, cb
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dq, code) AS rk
+    FROM encd
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.code, CAST(floor(list_dot_product(list_transform(range(1, 9), i -> q.v[CAST(cb.j*8 + i AS INT)] - cb.cv[CAST(i AS INT)]), list_transform(range(1, 9), i -> q.v[CAST(cb.j*8 + i AS INT)] - cb.cv[CAST(i AS INT)])) * 1000000.0e0 + 0.5e0) AS BIGINT) AS dq
+  FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q, cb
+),
+s AS (
+  SELECT lut.query_id, enc.vec_id AS cand_id, SUM(lut.dq) AS dqs
+  FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, cand_id, CAST(dqs AS DOUBLE) / 1000000.0e0 AS adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dqs, cand_id) AS rank
+  FROM s WHERE query_id <> cand_id
+)
+SELECT query_id, cand_id, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def ann_pq_topk_q(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011 — the FAISS IVF-PQ
+    memory-compression path): each vector encodes to m=8 one-byte-class
+    subspace codes against sampled codebooks (subvectors of vec_ids
+    0..15, the deterministic iters=0 form), queries score the CODES via
+    an additive distance table — the corpus crosses the plan as m codes
+    per vector instead of dim floats, which is what makes 100 TB of
+    embeddings searchable. Partial distances are 1e-6-quantized int64
+    (sequential diff² folds both engines), so the ADC sum is
+    order-independent and the ranking matches the oracle exactly."""
+    return SIM.ann_pq_topk(_embs(spark, sf_dir), n_queries=10, k=5, m=8, ksub=16)
+
+
+@query(
     "token_counts",
     r"""
 SELECT doc_id,

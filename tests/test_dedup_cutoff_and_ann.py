@@ -321,3 +321,87 @@ def test_saturating_int64_matches_spark_cast(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
     ours = _saturating_int64(np.array(vals, dtype=np.float64)).tolist()
     assert ours == spark_cast, list(zip(vals, ours, spark_cast))
+
+
+def test_pq_encode_and_adc_contract(spark):
+    """PQ encode emits one m-wide code row per vector (map-only — the
+    plan must contain no exchange); ann_pq_topk returns exactly k ranked
+    rows per query with non-decreasing ADC distance and never the query
+    itself."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = embs.count()
+    enc = SIM.pq_encode(embs, m=8, ksub=16)
+    rows = enc.collect()
+    assert len(rows) == n
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # encode is map-only
+
+    out = SIM.ann_pq_topk(embs, n_queries=6, k=4, m=8, ksub=16)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(6))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4]
+        assert all(r["cand_id"] != qid for r in rs)
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_pq_trained_codebooks_reduce_distortion(spark):
+    """pq_train_sampled's per-subspace L2 Lloyd must not INCREASE the
+    mean quantization distortion vs the sampled (iters=0) codebooks —
+    Lloyd iterations monotonically reduce within-cluster SSE on the
+    training sample — and trained codebooks flow through pq_encode."""
+    import numpy as np
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array(
+        [r["embedding"] for r in embs.orderBy("vec_id").collect()], dtype=np.float64
+    )
+
+    def distortion(books):
+        tot = 0.0
+        dsub = books[0].shape[1]
+        for j, Cj in enumerate(books):
+            Xj = X[:, j * dsub : (j + 1) * dsub]
+            d = ((Xj[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+            tot += d.min(axis=1).sum()
+        return tot
+
+    sampled = SIM.pq_codebooks(embs, m=8, ksub=16)
+    trained = SIM.pq_train_sampled(embs, m=8, ksub=16, iters=5)
+    assert len(trained) == 8 and all(c.shape[1] == 8 for c in trained)
+    assert distortion(trained) <= distortion(sampled) + 1e-9
+    enc = SIM.pq_encode(embs, m=8, ksub=16, codebooks=trained)
+    assert enc.count() == len(X)
+
+
+def test_pq_adc_approximates_true_l2_ranking(spark):
+    """Recall sanity: for every query, the ADC top-1 must sit inside the
+    TRUE-L2 top-30% of the corpus — PQ is approximate, but with 16 codes
+    per 8-dim subspace the additive estimate cannot be arbitrarily bad
+    on the synthetic near-orthogonal embeddings."""
+    import numpy as np
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array(
+        [r["embedding"] for r in embs.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    out = SIM.ann_pq_topk(embs, n_queries=5, k=1, m=8, ksub=16).collect()
+    bound = max(2, int(0.3 * len(X)))
+    for r in out:
+        q = int(r["query_id"])
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        true_rank = int((d < d[int(r["cand_id"])]).sum())
+        assert true_rank <= bound, (q, r["cand_id"], true_rank)
