@@ -992,3 +992,58 @@ def keep_best_per_cluster(
         .where(F.col("_rk") == 1)
         .select(id_col, "cluster_id", "quality")
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Cut the duplicated token spans out of every document — the
+    consuming half of :func:`dup_span_ranges` (Lee et al. 2021 cut the
+    marked ranges from the training corpus; the ranges alone are only a
+    report). Tokens whose position falls inside ANY duplicated span are
+    dropped and the survivors re-join with single spaces (whitespace is
+    normalized by construction — the token axis is the contract, not
+    the original byte offsets).
+
+    Returns (doc_id, clean_text, n_tokens, n_kept). Plan: the span
+    table (output-scale — only duplicated ranges) aggregates to one
+    small struct-array per affected doc and LEFT-joins the corpus; the
+    cut itself is a pure JVM indexed ``filter`` over the token array —
+    no extra corpus shuffle beyond the span join. Pass ``spans`` to
+    reuse an already-computed range table."""
+    from .text import tokens
+
+    if spans is None:
+        spans = dup_span_ranges(docs, k, text_col, id_col)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_end").cast("long").alias("e"),
+            )
+        ).alias("_sps")
+    )
+    t = tokens(text_col)
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = docs.join(sp, id_col, "left").withColumn(
+        "_sps", F.coalesce("_sps", empty)
+    )
+    kept = F.filter(
+        t,
+        lambda tok, i: F.size(
+            F.filter(
+                F.col("_sps"), lambda s: (i >= s["s"]) & (i <= s["e"])
+            )
+        )
+        == 0,
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

@@ -16,8 +16,9 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 # ROUND-9 WINDOW:
-# 1: NEW in round 9 — ann_pq_topk (product-quantization ADC search);
-# 2-18: implementation changed in round 9 — the memoized-centroid
+# 1-2: NEW in round 9 — ann_pq_topk (product-quantization ADC search)
+#      and remove_dup_spans (the cleaned-corpus half of span dedup);
+# 3-19: implementation changed in round 9 — the memoized-centroid
 #       semantic-dedup split + kmeans train/assign refactor (semantic_
 #       dedup, kmeans_clusters, ann_ivf), the flagship below-crossover
 #       single-partition fusion + bars_1m onepart param (pipeline,
@@ -45,6 +46,7 @@ from . import developing_suite  # noqa: F401
 _PRIORITY = [
     # -- NEW in round 9 (no driver row yet) -----------------------------------
     "ann_pq_topk",
+    "remove_dup_spans",
     # -- implementation changed in round 9 -----------------------------------
     "semantic_dedup",
     "kmeans_clusters",
@@ -96,7 +98,6 @@ _PRIORITY = [
     "image_phash_pairs",
     # -- oldest r6-green fill --------------------------------------------------
     "multimodal_meta",
-    "asof_sigma",
 ]
 
 

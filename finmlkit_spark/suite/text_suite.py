@@ -1178,6 +1178,72 @@ def dup_span_ranges_q(spark, sf_dir):
 
 
 @query(
+    "remove_dup_spans",
+    _TOKS
+    + """
+, thq AS (SELECT doc_id, """
+    + _TH
+    + """ AS th FROM toks),
+pl AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+           i -> ((((th[i] * 31 + th[i + 1]) % 1000000007) * 31 + th[i + 2]) % 1000000007)) AS gl
+  FROM thq
+),
+pe AS (
+  SELECT doc_id, unnest(gl) AS g, generate_subscripts(gl, 1) - 1 AS p FROM pl
+),
+dg AS (SELECT g FROM pe GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+dp AS (SELECT doc_id, p FROM pe WHERE g IN (SELECT g FROM dg)),
+il AS (
+  SELECT doc_id, p,
+         CASE WHEN p > lag(p) OVER w + 3 THEN 1 ELSE 0 END AS nw
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+ic AS (
+  SELECT doc_id, p,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS isl
+  FROM il
+),
+sp AS (SELECT doc_id, MIN(p) AS s0, MAX(p) + 2 AS e0 FROM ic GROUP BY doc_id, isl),
+spl AS (SELECT doc_id, list(struct_pack(s := s0, e := e0)) AS sps FROM sp GROUP BY doc_id),
+cl AS (
+  SELECT d.doc_id, toks.t AS t, spl.sps
+  FROM documents d JOIN toks USING (doc_id) LEFT JOIN spl USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, t,
+         list_filter(t, (tok, i) ->
+           len(list_filter(coalesce(sps, []), s -> i - 1 >= s.s AND i - 1 <= s.e)) = 0) AS kt
+  FROM cl
+)
+SELECT doc_id,
+       -- DuckDB's array_to_string([]) is NULL while Spark's array_join
+       -- is '' — a FULLY duplicated doc (every token in a span) keeps
+       -- zero tokens, so coalesce to the empty string like Spark; a
+       -- NULL token list (NULL text) stays NULL in both engines
+       CASE WHEN kt IS NULL THEN NULL
+            ELSE md5(coalesce(array_to_string(kt, ' '), '')) END AS clean_md5,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(kt) AS BIGINT) AS n_kept
+FROM kept""",
+)
+def remove_dup_spans_q(spark, sf_dir):
+    """The consuming half of dup_span_ranges (Lee et al. 2021): cut the
+    duplicated token spans out of every document and return the cleaned
+    corpus (compared by md5 — full strings would work too, the digest
+    keeps the gate row narrow). Token positions are the contract, so
+    whitespace normalizes to single spaces in both engines."""
+    out = D.remove_dup_spans(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens",
+        "n_kept",
+    )
+
+
+@query(
     "vocab_topk",
     _TOKS
     + """

@@ -620,3 +620,28 @@ def test_ngram_bounded_jaccard_exact_with_hot_shingles(spark):
     # jaccard exceeds the rare-only fraction
     a, b = 0, 2
     assert (a, b) in bounded and bounded[(a, b)] > 0.3
+
+
+def test_remove_dup_spans_cuts_marked_tokens(spark):
+    """remove_dup_spans drops exactly the tokens inside dup_span_ranges'
+    ranges: two identical docs lose their whole shared text (cleaned to
+    the empty string), a doc sharing only a prefix keeps its unique
+    tail, and an untouched doc survives with whitespace normalized."""
+    from finmlkit_spark.operators import dedup as D
+
+    rows = [
+        (0, "aa bb cc dd ee ff"),
+        (1, "aa bb cc dd ee ff"),          # full dup of 0
+        (2, "aa bb cc dd tail1 tail2 tail3"),  # shares the 4-token prefix
+        (3, "solo   words  only here"),    # untouched, multi-space
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.remove_dup_spans(docs, k=3).collect()}
+    assert out[0]["clean_text"] == "" and out[0]["n_kept"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    # doc 2: trigrams over the shared prefix "aa bb cc dd" are dup'd
+    # (positions 0..1 -> span [0, 3]); the tail survives
+    assert out[2]["clean_text"] == "tail1 tail2 tail3"
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (7, 3)
+    assert out[3]["clean_text"] == "solo words only here"
+    assert out[3]["n_kept"] == 4
