@@ -320,7 +320,42 @@ def _positional_trigram_rows(
             ids = pdf[id_col].values
             texts = pdf[text_col].values
             th, tok_doc, cnt, _toff = _token_hash_arrays(texts, MOD)
-            if th.shape[0] == 0:
+            parts = []
+            if k == 1:
+                # empty / all-space text: the HOF tokenizer yields ONE
+                # empty token (hash 0) — a (p=0, g=0) row at k=1
+                e0 = np.array(
+                    [
+                        d
+                        for d in range(len(texts))
+                        if cnt[d] == 0 and isinstance(texts[d], str)
+                    ],
+                    dtype=np.int64,
+                )
+                if len(e0):
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "doc": ids[e0],
+                                "p": np.zeros(len(e0), np.int32),
+                                "g": np.zeros(len(e0), np.int64),
+                            }
+                        )
+                    )
+            if th.shape[0]:
+                g, tpos, valid = _shingle_combine(th, tok_doc, cnt, k, MOD)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc": ids[tok_doc[valid]],
+                            "p": tpos[valid].astype(np.int32),
+                            "g": g[valid],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
                 yield pd.DataFrame(
                     {
                         "doc": ids[:0],
@@ -328,15 +363,6 @@ def _positional_trigram_rows(
                         "g": np.empty(0, np.int64),
                     }
                 )
-                continue
-            g, tpos, valid = _shingle_combine(th, tok_doc, cnt, k, MOD)
-            yield pd.DataFrame(
-                {
-                    "doc": ids[tok_doc[valid]],
-                    "p": tpos[valid].astype(np.int32),
-                    "g": g[valid],
-                }
-            )
 
     return docs.select(id_col, text_col).mapInPandas(
         gen, f"doc {id_type}, p int, g long"
@@ -1015,7 +1041,7 @@ def remove_dup_spans(
     cut itself is a pure JVM indexed ``filter`` over the token array —
     no extra corpus shuffle beyond the span join. Pass ``spans`` to
     reuse an already-computed range table."""
-    from .text import tokens
+    from .text import let_bind, tokens
 
     if spans is None:
         spans = dup_span_ranges(docs, k, text_col, id_col)
@@ -1027,23 +1053,43 @@ def remove_dup_spans(
             )
         ).alias("_sps")
     )
-    t = tokens(text_col)
     empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
     joined = docs.join(sp, id_col, "left").withColumn(
         "_sps", F.coalesce("_sps", empty)
     )
-    kept = F.filter(
-        t,
-        lambda tok, i: F.size(
-            F.filter(
-                F.col("_sps"), lambda s: (i >= s["s"]) & (i <= s["e"])
+
+    def cut(tv):
+        kept = F.filter(
+            tv,
+            lambda tok, i: F.size(
+                F.filter(
+                    F.col("_sps"), lambda s: (i >= s["s"]) & (i <= s["e"])
+                )
             )
+            == 0,
         )
-        == 0,
-    )
-    return joined.select(
+        # inner let: `kept` (the O(tokens × spans) filter) feeds both
+        # the join and the count — bind it so Catalyst evaluates it once
+        return let_bind(
+            kept,
+            lambda kv: F.struct(
+                F.array_join(kv, " ").alias("clean_text"),
+                F.size(tv).cast("long").alias("n_tokens"),
+                F.size(kv).cast("long").alias("n_kept"),
+            ),
+        )
+
+    # outer let: the tokenizer feeds the filter AND the total count
+    # (SCALE.md lesson 1 — Catalyst re-inlines per textual reference).
+    # The struct lands in its OWN projection before the field unpack:
+    # CollapseProject declines to inline a non-cheap expression that the
+    # upper projection references three times, so the whole cut
+    # evaluates once per row.
+    out = let_bind(tokens(text_col), cut)
+    tmp = joined.select(id_col, out.alias("_o"))
+    return tmp.select(
         id_col,
-        F.array_join(kept, " ").alias("clean_text"),
-        F.size(t).cast("long").alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_kept"),
+        F.col("_o.clean_text").alias("clean_text"),
+        F.col("_o.n_tokens").alias("n_tokens"),
+        F.col("_o.n_kept").alias("n_kept"),
     )

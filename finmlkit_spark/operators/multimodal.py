@@ -311,6 +311,15 @@ class _JpegBits:
     def read(self, nbits: int) -> int:
         v = 0
         for _ in range(nbits):
+            if (self.pos >> 3) >= len(self.d):
+                # exhausted mid-image (restart-interval streams stop at
+                # the first RSTn marker; truncated payloads end early) —
+                # surface the documented seam, never a raw IndexError
+                raise NotImplementedError(
+                    "JPEG scan data exhausted mid-image (restart markers "
+                    "or truncation) — full restart-interval decode "
+                    "requires PIL"
+                )
             byte = self.d[self.pos >> 3]
             v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
             self.pos += 1
@@ -346,7 +355,16 @@ def jpeg_gray_pixels(b: bytes) -> np.ndarray:
     sof = None
     scan = None
     for m, off, ln in _jpeg_segments(b):
-        if m == 0xDB:  # DQT (possibly several tables per segment)
+        if m == 0xDD:  # DRI — restart intervals re-align + reset the DC
+            # predictor mid-scan; this minimal decoder doesn't track
+            # them, so bail at the documented seam instead of decoding
+            # garbage past the first RSTn marker
+            (ri,) = struct.unpack_from(">H", b, off)
+            if ri != 0:
+                raise NotImplementedError(
+                    "restart-interval (DRI) JPEG decode requires PIL"
+                )
+        elif m == 0xDB:  # DQT (possibly several tables per segment)
             j = off
             while j < off + ln:
                 pq, tq = b[j] >> 4, b[j] & 15

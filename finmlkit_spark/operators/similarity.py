@@ -445,10 +445,7 @@ def kmeans_assign(
     """
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
     if dim is None:
-        # one-row probe for the embedding width (driver-side scalar
-        # config inference, the SURVEY §7-sanctioned pattern)
-        first = emb_df.select(F.size(emb_col).alias("d")).head(1)
-        dim = int(first[0]["d"]) if first else 0
+        dim = _probe_dim(emb_df, emb_col)
     if dim <= 0:
         # empty input (or zero-width vectors): degrade to an empty
         # assignment frame with the output schema
@@ -525,6 +522,22 @@ def kmeans_seeds(
     return seeds
 
 
+def _probe_dim(emb_df: DataFrame, emb_col: str) -> int:
+    """One-row embedding-width probe (driver-side scalar config
+    inference, the SURVEY §7-sanctioned pattern) — session-cached on the
+    frame object like the partition probe so composed operators pay ONE
+    head(1) job per source frame."""
+    d = getattr(emb_df, "_fmk_emb_dim", None)
+    if d is None:
+        first = emb_df.select(F.size(emb_col).alias("d")).head(1)
+        d = int(first[0]["d"]) if first else 0
+        try:
+            emb_df._fmk_emb_dim = d
+        except AttributeError:
+            pass
+    return d
+
+
 def kmeans_centroids(
     emb_df: DataFrame,
     k: int = 8,
@@ -552,8 +565,7 @@ def kmeans_centroids(
     cents = cache_.get(key) if cache_ is not None else None
     if cents is None:
         if dim is None:
-            first = emb_df.select(F.size(emb_col).alias("d")).head(1)
-            dim = int(first[0]["d"]) if first else 0
+            dim = _probe_dim(emb_df, emb_col)
         e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
         nparts = getattr(emb_df, "_fmk_nparts", None)
         if nparts is None:
@@ -1078,14 +1090,21 @@ def pq_train_sampled(
 
     scale = 10**ndigits
     e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
-    tbl = (
-        e.orderBy("vid").limit(PQ_TRAIN_MAX_SAMPLE).toArrow()
-    )
-    vs = tbl.column("v").to_pylist()
-    if not vs:
+    tbl = e.orderBy("vid").limit(PQ_TRAIN_MAX_SAMPLE).toArrow()
+    col = tbl.column("v").combine_chunks()
+    n = len(col)
+    if n == 0:
         return []
-    X = np.asarray(vs, dtype=np.float64)
-    dim = X.shape[1]
+    # zero-copy-ish decode: the list array's flat value buffer reshapes
+    # to (n, dim) — to_pylist() would materialize n·dim Python floats
+    # (multi-GB transient heap at the sample cap on wide embeddings)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    if widths.size and (widths != widths[0]).any():
+        raise ValueError("pq: ragged embeddings — pad upstream")
+    dim = int(widths[0]) if widths.size else 0
+    X = flat.reshape(n, dim)
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -1093,10 +1112,12 @@ def pq_train_sampled(
     for j in range(m):
         Xj = X[:, j * dsub : (j + 1) * dsub]
         C = Xj[: min(ksub, len(Xj))].copy()
+        # the quantized sample is loop-invariant — hoist it out of the
+        # Lloyd iterations
+        Q = _saturating_int64(np.floor(Xj * float(scale) + 0.5))
         for _ in range(iters):
             dq = _pq_dist_q(Xj, C, scale)
             best = np.argmin(dq, axis=1)
-            Q = _saturating_int64(np.floor(Xj * float(scale) + 0.5))
             nc = []
             for c in range(C.shape[0]):
                 mask = best == c

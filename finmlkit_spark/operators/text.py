@@ -274,17 +274,34 @@ def _token_hash_arrays(texts, mod: int = MOD):
     tok_doc = doc_of_char[starts]
     lens = np.bincount(tok_id, minlength=n_tok)
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    pos_in_tok = np.arange(tok_id.shape[0], dtype=np.int64) - offs[tok_id]
     L = int(lens.max())
-    mat = np.zeros((n_tok, L), dtype=np.int64)
-    mat[tok_id, pos_in_tok] = codes[nonsp]
+    nz = codes[nonsp]
     # per-token polynomial fold, vectorized across tokens: acc =
     # (acc*31 + c) % mod per char — the HOF/oracle integer sequence
-    # exactly (values stay < 31*mod + codepoint << 2^63)
+    # exactly (values stay < 31*mod + codepoint << 2^63). Two shapes:
     acc = np.zeros(n_tok, dtype=np.int64)
-    for j in range(L):
-        upd = (acc * 31 + mat[:, j]) % mod
-        acc = np.where(j < lens, upd, acc)
+    if n_tok * L <= 8_000_000:
+        # dense (n_tok × L) scatter + masked column passes — fastest
+        # when token lengths are uniform (the normal text case)
+        pos_in_tok = np.arange(tok_id.shape[0], dtype=np.int64) - offs[tok_id]
+        mat = np.zeros((n_tok, L), dtype=np.int64)
+        mat[tok_id, pos_in_tok] = nz
+        for j in range(L):
+            upd = (acc * 31 + mat[:, j]) % mod
+            acc = np.where(j < lens, upd, acc)
+    else:
+        # ragged fold — O(total_chars) work and memory: one 100k-char
+        # token (base64 blob, minified JS) in an otherwise-short batch
+        # would make the dense matrix n_tok × 100k cells (hundreds of
+        # GB); here pass j touches ONLY the tokens longer than j via
+        # their char offsets, so pathological tokens cost their own
+        # length, never the batch's width
+        order = np.argsort(lens, kind="stable")
+        sorted_lens = lens[order]
+        for j in range(L):
+            live = order[np.searchsorted(sorted_lens, j + 1) :]
+            c = nz[offs[live] + j]
+            acc[live] = (acc[live] * 31 + c) % mod
     return acc, tok_doc, cnt, toff
 
 
@@ -295,6 +312,9 @@ def _shingle_combine(th, tok_doc, cnt, k: int, mod: int = MOD):
     import numpy as np
 
     n_tok = th.shape[0]
+    if n_tok == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=bool)
     toff = np.concatenate(([0], np.cumsum(cnt)[:-1]))
     tpos = np.arange(n_tok, dtype=np.int64) - toff[tok_doc]
     valid = tpos <= cnt[tok_doc] - k
@@ -322,12 +342,17 @@ def shingle_hashes_arrow(col: str = "text", k: int = 3, mod: int = MOD) -> Colum
     @F.pandas_udf("array<long>")
     def _sh(texts):
         th, tok_doc, cnt, toff = _token_hash_arrays(texts.values, mod)
-        if th.shape[0] == 0:
-            return pd.Series([np.empty(0, np.int64)] * len(texts))
         g, _tpos, valid = _shingle_combine(th, tok_doc, cnt, k, mod)
         out = []
         for d in range(len(texts)):
             m = max(int(cnt[d]) - (k - 1), 0)
+            if cnt[d] == 0 and k == 1 and isinstance(texts.values[d], str):
+                # empty / all-space text: the HOF tokenizer yields ONE
+                # empty token (split(trim('')) == ['']) whose poly hash
+                # is 0 — visible only at k=1 (k≥2 can't form a shingle
+                # from one token either way)
+                out.append(np.zeros(1, dtype=np.int64))
+                continue
             arr = g[toff[d] : toff[d] + m]
             if m > 1:
                 _, idx = np.unique(arr, return_index=True)

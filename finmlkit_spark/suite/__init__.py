@@ -18,7 +18,7 @@ from . import developing_suite  # noqa: F401
 # ROUND-9 WINDOW:
 # 1-2: NEW in round 9 — ann_pq_topk (product-quantization ADC search)
 #      and remove_dup_spans (the cleaned-corpus half of span dedup);
-# 3-19: implementation changed in round 9 — the memoized-centroid
+# 3-19: implementation changed in round 9 (17 queries) — the memoized-centroid
 #       semantic-dedup split + kmeans train/assign refactor (semantic_
 #       dedup, kmeans_clusters, ann_ivf), the flagship below-crossover
 #       single-partition fusion + bars_1m onepart param (pipeline,
@@ -30,15 +30,18 @@ from . import developing_suite  # noqa: F401
 #       baseline-JPEG codec in the multimodal decode path, and the
 #       ngram_jaccard count-based verify (both jaccard variants)
 #       plus the dup_spans one-exchange window form;
-# 18-47: the 31-query r5 cohort from the round-8 verdict (newest green
+# 20-49: the 30-query r5 cohort from the round-8 verdict (newest green
 #        row 4 rounds old, unchanged since): the feat_* part-2 window
 #        tier, user_fast_features/feat_fast_stage, the 11 star-schema
 #        analytics rows, image_resize_stats, audio_spectral_stats,
 #        image_phash_pairs (dup_span_ranges moved up with the changed
 #        set);
-# 48-50: oldest r6-green fill (multimodal_meta shares the touched
-#        decode plumbing; the asof family ages next — the vp_* family
-#        displaced to round 10 by the ngram/dup_spans front-loads).
+# 50: one r6-green fill slot left (multimodal_meta — it shares the
+#     touched decode plumbing). The full r5 cohort IS in this window
+#     (30 remaining rows; dup_span_ranges moved up with the changed
+#     set); asof_* and the vp_* family — displaced from the fill by the
+#     late front-loads — lead the round-10 fill after round-10's own
+#     new/changed queries, then the rest of the r6 rows.
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-10 FRONT-LOAD: anything new/changed in round
 # 10 first, then the remaining r6 rows (seq_* reset/chunked tier,

@@ -438,3 +438,28 @@ def test_image_features_query_over_real_jpeg(spark):
         assert abs(r["mean_lum"] - lum.mean()) < 1e-12
         assert abs(r["std_lum"] - lum.std()) < 1e-12
         assert abs(r["edge_energy"] - grad.mean()) < 1e-12
+
+
+def test_native_jpeg_restart_interval_hits_seam():
+    """A baseline grayscale JPEG with restart intervals (DRI + RSTn) is
+    spec-valid but outside the minimal decoder's scope — it must raise
+    the documented NotImplementedError, never a raw IndexError: dims
+    still parse, pixels hit the seam."""
+    import struct
+
+    import pytest
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = bytearray(open(FIXTURE_JPG, "rb").read())
+    # inject a DRI segment (interval 4) right before SOS
+    i = b.find(bytes([0xFF, 0xDA]))
+    dri = bytes([0xFF, 0xDD]) + struct.pack(">H", 4) + struct.pack(">H", 4)
+    b2 = bytes(b[:i]) + dri + bytes(b[i:])
+    assert MM.decode_payload(b2) == (32, 24, 1)  # dims parse natively
+    with pytest.raises(NotImplementedError, match="restart"):
+        MM.jpeg_gray_pixels(b2)
+    # truncated scan: cut the stream mid-entropy-data
+    b3 = bytes(b[: i + 60])
+    with pytest.raises((NotImplementedError, ValueError)):
+        MM.jpeg_gray_pixels(b3)

@@ -524,15 +524,16 @@ def test_dup_span_arrow_and_hof_engines_identical(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     docs_real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for frame in (df, docs_real):
-        got = {}
-        for eng in ("arrow", "hof"):
-            out = D.dup_span_ranges(frame, k=3, engine=eng).collect()
-            got[eng] = sorted(
-                (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
-                for r in out
-            )
-        assert got["arrow"] == got["hof"]
-        assert len(got["arrow"]) > 0
+        for k in (1, 3):
+            got = {}
+            for eng in ("arrow", "hof"):
+                out = D.dup_span_ranges(frame, k=k, engine=eng).collect()
+                got[eng] = sorted(
+                    (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+                    for r in out
+                )
+            assert got["arrow"] == got["hof"], k
+            assert len(got["arrow"]) > 0
 
     # raw-row parity too (g hash VALUES, not just their collision
     # structure): the kernel must reproduce the oracle's poly-hash bits
@@ -577,14 +578,15 @@ def test_shingle_arrow_and_hof_engines_element_identical(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for frame in (df, real):
-        got = {}
-        for eng in ("arrow", "hof"):
-            out = frame.select(
-                "doc_id", D.shingle_hashes("text", engine=eng).alias("sh")
-            ).collect()
-            got[eng] = {r["doc_id"]: list(r["sh"]) for r in out}
-        assert got["arrow"] == got["hof"]
-        assert any(len(v) > 1 for v in got["arrow"].values())
+        for k in (1, 3):
+            got = {}
+            for eng in ("arrow", "hof"):
+                out = frame.select(
+                    "doc_id", D.shingle_hashes("text", k=k, engine=eng).alias("sh")
+                ).collect()
+                got[eng] = {r["doc_id"]: list(r["sh"]) for r in out}
+            assert got["arrow"] == got["hof"], k
+            assert any(len(v) > 1 for v in got["arrow"].values())
 
 
 def test_ngram_bounded_jaccard_exact_with_hot_shingles(spark):
@@ -645,3 +647,35 @@ def test_remove_dup_spans_cuts_marked_tokens(spark):
     assert (out[2]["n_tokens"], out[2]["n_kept"]) == (7, 3)
     assert out[3]["clean_text"] == "solo words only here"
     assert out[3]["n_kept"] == 4
+
+
+def test_token_hash_fold_dense_and_ragged_paths_identical():
+    """_token_hash_arrays' two fold shapes (dense matrix vs the ragged
+    per-offset passes that bound memory when one pathological token is
+    far longer than the rest) must produce identical hashes — the big
+    batch's 1601 tokens x 5001-char token exceeds the 8M-cell dense
+    budget and takes the ragged branch; both are checked against a
+    pure-python replay of the poly fold."""
+    import re
+
+    import numpy as np
+
+    from finmlkit_spark.operators import text as T
+
+    def poly(tok):
+        acc = 0
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        return acc
+
+    small = np.array(["short words here", "", "  a  b  "], dtype=object)
+    th, _tok_doc, cnt, _toff = T._token_hash_arrays(small)
+    toks0 = re.split(" +", small[0].strip(" "))
+    assert list(th[: len(toks0)]) == [poly(t) for t in toks0]
+
+    big = np.array([("w " * 1600) + "x" * 5001], dtype=object)
+    assert 1601 * 5001 > 8_000_000  # forces the ragged branch
+    th_big, _, cnt_big, _ = T._token_hash_arrays(big)
+    toks = re.split(" +", big[0].strip(" "))
+    assert cnt_big[0] == len(toks)
+    assert list(th_big) == [poly(t) for t in toks]
