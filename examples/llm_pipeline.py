@@ -78,9 +78,15 @@ def main() -> None:
     )
 
     # 5. embedding-space audit: brute-force top-5 neighbors for the first
-    #    queries (the IVF variant swaps in at scale)
+    #    queries; at scale the same audit runs over PQ codes (m bytes
+    #    per vector instead of dim floats — the FAISS-style path)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ann = SIM.ann_brute_topk(emb, query_ids=[0, 1, 2], k=5)
+    ann_pq = SIM.ann_pq_topk(emb, n_queries=3, k=5, m=8, ksub=16)
+
+    # 5b. substring-level dedup: report the duplicated token spans, then
+    #     actually CUT them from the corpus (Lee et al. 2021)
+    cleaned = D.remove_dup_spans(docs, k=3)
 
     print("=== curated corpus ===")
     for r in report.collect():
@@ -88,9 +94,18 @@ def main() -> None:
     print("=== packing ===")
     n_packs = packs.agg(F.countDistinct("group", "pack_id").alias("n")).collect()[0]["n"]
     print(f"train sequences packed: {n_packs}")
-    print("=== sample neighbors ===")
+    print("=== sample neighbors (exact) ===")
     for r in ann.orderBy("query_id", "rank").collect()[:15]:
         print(r)
+    print("=== sample neighbors (PQ/ADC codes) ===")
+    for r in ann_pq.orderBy("query_id", "rank").collect()[:15]:
+        print(r)
+    print("=== span dedup ===")
+    cut_stats = cleaned.agg(
+        F.sum("n_tokens").alias("tokens"),
+        F.sum(F.col("n_tokens") - F.col("n_kept")).alias("tokens_cut"),
+    ).collect()[0]
+    print(f"tokens cut by span dedup: {cut_stats['tokens_cut']} / {cut_stats['tokens']}")
 
     # 6. the same flow, declaratively: a CurationKit recipe is the
     #    JSON-versionable form of stages 1-3c, folded into ONE lazy plan
