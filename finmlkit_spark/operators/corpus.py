@@ -175,6 +175,80 @@ C4_MAX_TOKEN_LEN = 20
 C4_MAX_TOP_SHARE = 0.3
 
 
+#: Gopher quality rules (Rae et al. 2021, Table A1), adapted to the
+#: single-line documents table. All thresholds compare as INTEGER
+#: cross-multiplications so both engines agree bit-for-bit.
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # 3·n ≤ total_chars
+GOPHER_MAX_MEAN_WORD_LEN = 10  # total_chars ≤ 10·n
+GOPHER_MAX_SYMBOL_RATIO_10 = 1   # 10·(hash+ellipsis) ≤ 1·n
+GOPHER_MIN_ALPHA_RATIO_5 = 4     # 5·alpha_words ≥ 4·n
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-rule quality signals + keep decision (Rae et al. 2021 —
+    the third standard filter next to C4 and the composite quality
+    score): token-count bounds, mean-word-length band, symbol-to-word
+    ratio (#/ellipsis), alphabetic-word fraction, and the ≥2-distinct-
+    stopword requirement. One per-row projection (scale-free, no
+    shuffle); every ratio threshold is an exact integer
+    cross-multiplication, so the oracle matches bit-for-bit."""
+    from .text import let_bind, tokens
+
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_hash = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    n_ell = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("...")))
+    ) / 3 + (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("…")))
+    )
+
+    def body(t):
+        return F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.transform(t, F.length), F.lit(0), lambda a, x: a + x
+            ).cast("long").alias("total_chars"),
+            F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+            .cast("long")
+            .alias("alpha_words"),
+            F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+            .cast("long")
+            .alias("stop_hits"),
+        )
+
+    d = docs.select(
+        id_col,
+        let_bind(tokens(text_col), body).alias("_g"),
+        (n_hash + n_ell).cast("long").alias("n_symbols"),
+    ).select(
+        id_col,
+        F.col("_g.n_tokens").alias("n_tokens"),
+        F.col("_g.total_chars").alias("total_chars"),
+        F.col("_g.alpha_words").alias("alpha_words"),
+        F.col("_g.stop_hits").alias("stop_hits"),
+        "n_symbols",
+    )
+    n = F.col("n_tokens")
+    keep = (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & (F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n <= F.col("total_chars"))
+        & (F.col("total_chars") <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n)
+        & (F.lit(10) * F.col("n_symbols") <= F.lit(GOPHER_MAX_SYMBOL_RATIO_10) * n)
+        & (F.lit(5) * F.col("alpha_words") >= F.lit(GOPHER_MIN_ALPHA_RATIO_5) * n)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return d.withColumn("keep", keep)
+
+
 def c4_filter_signals(
     docs: DataFrame,
     text_col: str = "text",

@@ -76,6 +76,18 @@ class QualityFilter(Stage):
 
 
 @register_stage
+class GopherFilter(Stage):
+    """Gopher rule set (``corpus.gopher_signals``, Rae et al. 2021):
+    keep only docs passing every heuristic."""
+
+    kind = "gopher_filter"
+
+    def apply(self, docs: DataFrame) -> DataFrame:
+        keep = CP.gopher_signals(docs).where("keep").select("doc_id")
+        return docs.join(keep, "doc_id")
+
+
+@register_stage
 class C4Filter(Stage):
     """C4 rule set (``corpus.c4_filter_signals``): keep only docs
     passing every heuristic."""

@@ -16,9 +16,10 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 # ROUND-9 WINDOW:
-# 1-2: NEW in round 9 — ann_pq_topk (product-quantization ADC search)
-#      and remove_dup_spans (the cleaned-corpus half of span dedup);
-# 3-19: implementation changed in round 9 (17 queries) — the memoized-centroid
+# 1-3: NEW in round 9 — ann_pq_topk (product-quantization ADC search),
+#      remove_dup_spans (the cleaned-corpus half of span dedup), and
+#      gopher_filter (Rae et al. 2021 quality rules);
+# 4-20: implementation changed in round 9 (17 queries) — the memoized-centroid
 #       semantic-dedup split + kmeans train/assign refactor (semantic_
 #       dedup, kmeans_clusters, ann_ivf), the flagship below-crossover
 #       single-partition fusion + bars_1m onepart param (pipeline,
@@ -30,18 +31,17 @@ from . import developing_suite  # noqa: F401
 #       baseline-JPEG codec in the multimodal decode path, and the
 #       ngram_jaccard count-based verify (both jaccard variants)
 #       plus the dup_spans one-exchange window form;
-# 20-49: the 30-query r5 cohort from the round-8 verdict (newest green
+# 21-50: the 30-query r5 cohort from the round-8 verdict (newest green
 #        row 4 rounds old, unchanged since): the feat_* part-2 window
 #        tier, user_fast_features/feat_fast_stage, the 11 star-schema
 #        analytics rows, image_resize_stats, audio_spectral_stats,
 #        image_phash_pairs (dup_span_ranges moved up with the changed
 #        set);
-# 50: one r6-green fill slot left (multimodal_meta — it shares the
-#     touched decode plumbing). The full r5 cohort IS in this window
-#     (30 remaining rows; dup_span_ranges moved up with the changed
-#     set); asof_* and the vp_* family — displaced from the fill by the
-#     late front-loads — lead the round-10 fill after round-10's own
-#     new/changed queries, then the rest of the r6 rows.
+# (no r6 fill slots left — the late front-loads displaced them). The
+# full r5 cohort IS in this window (30 remaining rows; dup_span_ranges
+# moved up with the changed set); the r6 rows (multimodal_meta, asof_*,
+# the vp_* family, then the rest) lead the round-10 fill after
+# round-10's own new/changed queries.
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-10 FRONT-LOAD: anything new/changed in round
 # 10 first, then the remaining r6 rows (seq_* reset/chunked tier,
@@ -50,6 +50,7 @@ _PRIORITY = [
     # -- NEW in round 9 (no driver row yet) -----------------------------------
     "ann_pq_topk",
     "remove_dup_spans",
+    "gopher_filter",
     # -- implementation changed in round 9 -----------------------------------
     "semantic_dedup",
     "kmeans_clusters",
@@ -99,8 +100,6 @@ _PRIORITY = [
     "image_resize_stats",
     "audio_spectral_stats",
     "image_phash_pairs",
-    # -- oldest r6-green fill --------------------------------------------------
-    "multimodal_meta",
 ]
 
 

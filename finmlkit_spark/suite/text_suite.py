@@ -796,6 +796,40 @@ def ann_ivf(spark, sf_dir):
 
 
 @query(
+    "gopher_filter",
+    _TOKS
+    + """
+SELECT d.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS total_chars,
+       CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+       CAST(len(list_intersect(list_distinct(t),
+            ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+       CAST((length(d.text) - length(replace(d.text, '#', '')))
+            + (length(d.text) - length(replace(d.text, '...', ''))) / 3
+            + (length(d.text) - length(replace(d.text, '…', ''))) AS BIGINT) AS n_symbols,
+       (len(t) >= 10 AND len(t) <= 100000
+        AND 3 * len(t) <= coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+        AND coalesce(list_sum(list_transform(t, x -> length(x))), 0) <= 10 * len(t)
+        AND 10 * ((length(d.text) - length(replace(d.text, '#', '')))
+                  + (length(d.text) - length(replace(d.text, '...', ''))) / 3
+                  + (length(d.text) - length(replace(d.text, '…', '')))) <= len(t)
+        AND 5 * len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) >= 4 * len(t)
+        AND len(list_intersect(list_distinct(t),
+                ['the','be','to','of','and','that','have','with'])) >= 2) AS keep
+FROM documents d JOIN toks USING (doc_id)""",
+)
+def gopher_filter_q(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021) as independent per-doc
+    signals + keep decision — the third standard curation filter next
+    to c4_filter and quality_score. Every ratio threshold is an exact
+    integer cross-multiplication, so the engines agree bit-for-bit."""
+    from ..operators import corpus as CP
+
+    return CP.gopher_signals(_docs(spark, sf_dir))
+
+
+@query(
     "ann_pq_topk",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

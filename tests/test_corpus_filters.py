@@ -238,3 +238,34 @@ def test_semantic_pairs_memoized_centroids_bit_identical_and_cached(spark):
     assert len(pairs) > 0
     for (a, b) in pairs:
         assert a < b and inline[a][0] == inline[b][0]
+
+
+def test_gopher_signals_rules(spark):
+    """Each Gopher rule fires independently: too short, symbol-heavy,
+    non-alphabetic, stopword-poor, and mean-word-length outliers all
+    drop; a normal English-ish doc keeps. Kit stage round-trips."""
+    from finmlkit_spark.operators import corpus as CP
+    from finmlkit_spark.plans import curation as CK
+
+    good = "the quick brown fox likes to run with all of that and have fun here now"
+    rows = [
+        (0, good),                                     # keeps
+        (1, "too short"),                              # n_tokens < 10
+        (2, good + " " + "# " * 20),                   # symbol ratio
+        (3, "1 2 3 4 5 6 7 8 9 10 11 12"),             # alpha fraction + stopwords
+        (4, "the to " + "x " * 20),                    # mean word len < 3
+        (5, ("the supercalifragilistic " * 10).strip()),  # mean word len > 10... and stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CP.gopher_signals(df).collect()}
+    assert out[0]["keep"] is True
+    for bad in (1, 2, 3, 4):
+        assert out[bad]["keep"] is False, bad
+    # doc 5: mean word length (the=3, supercalifragilistic=20 -> 11.5)
+    assert out[5]["keep"] is False
+
+    kit = CK.CurationKit([CK.GopherFilter()])
+    cfg = kit.to_config()
+    kit2 = CK.CurationKit.from_config(cfg)
+    kept = kit2.run(df)
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [0]
