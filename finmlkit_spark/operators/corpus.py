@@ -219,7 +219,8 @@ def gopher_signals(
             F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
             .cast("long")
             .alias("alpha_words"),
-            F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+            # array_intersect is already set-semantics (distinct output)
+            F.size(F.array_intersect(t, stop_arr))
             .cast("long")
             .alias("stop_hits"),
         )

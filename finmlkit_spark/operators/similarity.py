@@ -527,12 +527,16 @@ def _probe_dim(emb_df: DataFrame, emb_col: str) -> int:
     inference, the SURVEY §7-sanctioned pattern) — session-cached on the
     frame object like the partition probe so composed operators pay ONE
     head(1) job per source frame."""
-    d = getattr(emb_df, "_fmk_emb_dim", None)
+    cache_ = getattr(emb_df, "_fmk_emb_dim", None)
+    d = cache_.get(emb_col) if cache_ is not None else None
     if d is None:
         first = emb_df.select(F.size(emb_col).alias("d")).head(1)
         d = int(first[0]["d"]) if first else 0
         try:
-            emb_df._fmk_emb_dim = d
+            if cache_ is None:
+                cache_ = {}
+                emb_df._fmk_emb_dim = cache_
+            cache_[emb_col] = d
         except AttributeError:
             pass
     return d
@@ -1216,11 +1220,21 @@ def ann_pq_topk(
     books = codebooks if codebooks is not None else pq_codebooks(
         emb_df, m, ksub, id_col, emb_col
     )
-    enc = pq_encode(emb_df, m, ksub, id_col, emb_col, ndigits, codebooks=books)
     q = emb_df.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
     )
-    dsub = books[0].shape[1] if books else 0
+    if not books:
+        # no codebook vectors (ids all >= ksub, or an explicit empty
+        # list): degrade to an empty ranked frame with the output
+        # schema, like kmeans_assign's no-seed path
+        return q.select(
+            "query_id",
+            F.col("query_id").alias("cand_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("long").alias("rank"),
+        ).where(F.lit(False))
+    enc = pq_encode(emb_df, m, ksub, id_col, emb_col, ndigits, codebooks=books)
+    dsub = books[0].shape[1]
 
     def lut_fn(batches):
         for pdf in batches:

@@ -801,7 +801,7 @@ def ann_ivf(spark, sf_dir):
     + """
 SELECT d.doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS total_chars,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
        CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
        CAST(len(list_intersect(list_distinct(t),
             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
@@ -809,8 +809,8 @@ SELECT d.doc_id,
             + (length(d.text) - length(replace(d.text, '...', ''))) / 3
             + (length(d.text) - length(replace(d.text, '…', ''))) AS BIGINT) AS n_symbols,
        (len(t) >= 10 AND len(t) <= 100000
-        AND 3 * len(t) <= coalesce(list_sum(list_transform(t, x -> length(x))), 0)
-        AND coalesce(list_sum(list_transform(t, x -> length(x))), 0) <= 10 * len(t)
+        AND 3 * len(t) <= list_sum(list_transform(t, x -> length(x)))
+        AND list_sum(list_transform(t, x -> length(x))) <= 10 * len(t)
         AND 10 * ((length(d.text) - length(replace(d.text, '#', '')))
                   + (length(d.text) - length(replace(d.text, '...', ''))) / 3
                   + (length(d.text) - length(replace(d.text, '…', '')))) <= len(t)

@@ -405,3 +405,33 @@ def test_pq_adc_approximates_true_l2_ranking(spark):
         d[q] = np.inf
         true_rank = int((d < d[int(r["cand_id"])]).sum())
         assert true_rank <= bound, (q, r["cand_id"], true_rank)
+
+
+def test_pq_no_codebook_vectors_returns_empty(spark):
+    """Ids all >= ksub: no codebook vectors exist — ann_pq_topk degrades
+    to an empty ranked frame (kmeans_assign's no-seed contract), never
+    an executor crash in the LUT stage."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    rows = [(100 + i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.ann_pq_topk(df, n_queries=200, k=3, m=2, ksub=16)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "adc_dist", "rank"]
+
+
+def test_probe_dim_keyed_by_column(spark):
+    """The session dim cache must key by the embedding COLUMN — two
+    different-width columns on one frame probe independently."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators.similarity import _probe_dim
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("narrow"),
+        F.array(*[F.lit(float(i)) for i in range(5)]).alias("wide"),
+    )
+    assert _probe_dim(df, "narrow") == 2
+    assert _probe_dim(df, "wide") == 5
+    assert _probe_dim(df, "narrow") == 2  # cache hit, still correct

@@ -71,6 +71,9 @@ def main() -> int:
     for name, sp, du in sorted(rows, key=lambda r: -(r[1] / max(r[2], 1e-9))):
         print(f"{name:30s} {sp:7.2f} {du:7.2f} {sp / max(du, 1e-9):6.1f}x")
 
+    if not rows:
+        print("\nno comparable queries (no oracle/bench overlap)")
+        return 1
     tot_sp = sum(r[1] for r in rows)
     tot_du = sum(r[2] for r in rows)
     # collapse class = naive SQL >10x slower than Spark (the pairwise
@@ -82,8 +85,11 @@ def main() -> int:
     pool_du = sum(r[2] for r in pool)
     print(f"\nwhole suite:   spark {tot_sp:.2f}s vs duck {tot_du:.2f}s "
           f"-> {'spark wins ' + format(tot_du / tot_sp, '.1f') + 'x' if tot_du > tot_sp else format(tot_sp / tot_du, '.2f') + 'x duck'}")
-    print(f"non-collapse ({len(pool)}/{len(rows)}): spark {pool_sp:.2f}s vs "
-          f"duck {pool_du:.2f}s -> {pool_sp / pool_du:.2f}x duck")
+    if pool_du > 0:
+        print(f"non-collapse ({len(pool)}/{len(rows)}): spark {pool_sp:.2f}s vs "
+              f"duck {pool_du:.2f}s -> {pool_sp / pool_du:.2f}x duck")
+    else:
+        print(f"non-collapse pool empty ({len(rows)} queries, all collapse-class)")
     return 0
 
 
