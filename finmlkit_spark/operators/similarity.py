@@ -1138,12 +1138,20 @@ def _pq_dist_q(Xj, Cj, scale: int):
     every codebook row — SEQUENTIAL cumsum fold over the dsub diff²
     terms (== the oracle's list_dot_product(d, d) index-order sum),
     then the shared HALF_UP integer quantization, so both engines rank
-    identical int64 values."""
+    identical int64 values. Row-blocked: the (rows × ksub × dsub) diff
+    tensor is bounded at ~32M cells per slice so a production config
+    (ksub=256, dsub=96) can't demand gigabytes per Arrow batch."""
     import numpy as np
 
-    diff = Xj[:, None, :] - Cj[None, :, :]
-    d = (diff * diff).cumsum(axis=2)[:, :, -1]
-    return _saturating_int64(np.floor(d * float(scale) + 0.5))
+    n, ksub = Xj.shape[0], Cj.shape[0]
+    out = np.empty((n, ksub), dtype=np.int64)
+    step = max(1, 32_000_000 // max(1, ksub * Cj.shape[1]))
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        diff = Xj[lo:hi, None, :] - Cj[None, :, :]
+        d = (diff * diff).cumsum(axis=2)[:, :, -1]
+        out[lo:hi] = _saturating_int64(np.floor(d * float(scale) + 0.5))
+    return out
 
 
 def pq_encode(
