@@ -497,6 +497,8 @@ def decode_payload(b: bytes) -> tuple[int, int, int]:
         return _parse_ppm(b)
     if b[:8] == _PNG_SIG:
         return _parse_png(b)
+    if b[: len(_Y4M_SIG)] == _Y4M_SIG:
+        return _parse_y4m(b)
     if b[:2] == b"\xff\xd8":
         try:
             return _parse_jpeg(b)
@@ -729,6 +731,135 @@ def image_resize(
             )
 
     return df.select(id_col, "payload").mapInPandas(_batch, schema=RESIZE_SCHEMA)
+
+
+# --- Y4M video (YUV4MPEG2, public spec) --------------------------------------
+# The REAL video path next to the byte-offset plumbing below: YUV4MPEG2
+# is the standard UNCOMPRESSED interchange format (ffmpeg/mjpegtools) —
+# a one-line ASCII header, then "FRAME\n" + raw planes per frame, so a
+# pure-python parser covers it completely. Compressed containers
+# (MP4/AVI) stay behind the documented ffmpeg seam.
+
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def _parse_y4m_header(b: bytes) -> tuple[int, int, str, int]:
+    """(width, height, colorspace, header_end) from the stream header."""
+    if b[: len(_Y4M_SIG)] != _Y4M_SIG:
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = b.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = None
+    cs = "C420jpeg"  # spec default when the C tag is absent
+    for tag in b[len(_Y4M_SIG) : nl].split(b" "):
+        if not tag:
+            continue
+        k, v = tag[:1], tag[1:]
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"C":
+            cs = "C" + v.decode("ascii")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    return w, h, cs, nl + 1
+
+
+def _y4m_frame_size(w: int, h: int, cs: str) -> int:
+    if cs == "Cmono":
+        return w * h
+    if cs in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    raise NotImplementedError(
+        f"Y4M colorspace {cs} — mono and 4:2:0 decode natively; "
+        "4:2:2/4:4:4 need ffmpeg"
+    )
+
+
+def _parse_y4m(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) — header walk only, O(frames) seeks."""
+    w, h, cs, pos = _parse_y4m_header(b)
+    fsz = _y4m_frame_size(w, h, cs)
+    n = 0
+    while pos < len(b):
+        nl = b.find(b"\n", pos)
+        if nl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        pos = nl + 1 + fsz
+        if pos > len(b):
+            raise ValueError("truncated Y4M frame")
+        n += 1
+    return w, h, n
+
+
+def y4m_luma_frames(b: bytes, every: int = 1):
+    """Yield (frame_idx, luma uint8 (h, w)) for every ``every``-th frame
+    — the frame-sampling decode (chroma planes are skipped, which is the
+    standard featurization shortcut for luminance stats)."""
+    w, h, cs, pos = _parse_y4m_header(b)
+    fsz = _y4m_frame_size(w, h, cs)
+    idx = 0
+    while pos < len(b):
+        nl = b.find(b"\n", pos)
+        if nl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        data_at = nl + 1
+        if data_at + fsz > len(b):
+            raise ValueError("truncated Y4M frame")
+        if idx % every == 0:
+            luma = np.frombuffer(b, np.uint8, w * h, data_at).reshape(h, w)
+            yield idx, luma
+        pos = data_at + fsz
+        idx += 1
+
+
+def encode_y4m(frames: np.ndarray, colorspace: str = "Cmono") -> bytes:
+    """Minimal Y4M encoder for uint8 (n, h, w) luma frames (mono, or
+    4:2:0 with neutral 128 chroma) — real spec-valid streams for tests
+    and demo pipelines without ffmpeg."""
+    frames = np.ascontiguousarray(frames)
+    if frames.dtype != np.uint8:
+        raise ValueError("encode_y4m expects uint8 luma frames")
+    n, h, w = frames.shape
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {colorspace}\n".encode("ascii")
+    )
+    chroma = (
+        b""
+        if colorspace == "Cmono"
+        else bytes([128]) * (2 * (w // 2) * (h // 2))
+    )
+    for i in range(n):
+        out += b"FRAME\n"
+        out += frames[i].tobytes()
+        out += chroma
+    return bytes(out)
+
+
+def video_frame_stats(
+    df: DataFrame, every: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampled luminance stats over Y4M video payloads: one row
+    per sampled frame (doc_id, frame_idx, mean_lum, std_lum) — decode
+    runs where the bytes live (Arrow-batched mapInPandas), the video
+    modality analog of ``image_features``."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                for idx, luma in y4m_luma_frames(bytes(b), every):
+                    lf = luma.astype(np.float64)
+                    rows.append((int(i), idx, float(lf.mean()), float(lf.std())))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "mean_lum", "std_lum"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _batch, schema=f"{id_col} long, frame_idx int, mean_lum double, std_lum double"
+    )
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

@@ -16,10 +16,11 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 # ROUND-9 WINDOW:
-# 1-3: NEW in round 9 — ann_pq_topk (product-quantization ADC search),
-#      remove_dup_spans (the cleaned-corpus half of span dedup), and
-#      gopher_filter (Rae et al. 2021 quality rules);
-# 4-20: implementation changed in round 9 (17 queries) — the memoized-centroid
+# 1-4: NEW in round 9 — ann_pq_topk (product-quantization ADC search),
+#      remove_dup_spans (the cleaned-corpus half of span dedup),
+#      gopher_filter (Rae et al. 2021 quality rules), and
+#      video_frame_stats (real Y4M frame-sampled decode);
+# 5-21: implementation changed in round 9 (17 queries) — the memoized-centroid
 #       semantic-dedup split + kmeans train/assign refactor (semantic_
 #       dedup, kmeans_clusters, ann_ivf), the flagship below-crossover
 #       single-partition fusion + bars_1m onepart param (pipeline,
@@ -31,17 +32,17 @@ from . import developing_suite  # noqa: F401
 #       baseline-JPEG codec in the multimodal decode path, and the
 #       ngram_jaccard count-based verify (both jaccard variants)
 #       plus the dup_spans one-exchange window form;
-# 21-50: the 30-query r5 cohort from the round-8 verdict (newest green
+# 22-50: 29 of the 30-query r5 cohort from the round-8 verdict (newest green
 #        row 4 rounds old, unchanged since): the feat_* part-2 window
 #        tier, user_fast_features/feat_fast_stage, the 11 star-schema
 #        analytics rows, image_resize_stats, audio_spectral_stats,
 #        image_phash_pairs (dup_span_ranges moved up with the changed
 #        set);
-# (no r6 fill slots left — the late front-loads displaced them). The
-# full r5 cohort IS in this window (30 remaining rows; dup_span_ranges
-# moved up with the changed set); the r6 rows (multimodal_meta, asof_*,
-# the vp_* family, then the rest) lead the round-10 fill after
-# round-10's own new/changed queries.
+# (no fill slots left — the late front-loads displaced them). One r5
+# cohort row (image_phash_pairs) was displaced by the 4th new query;
+# it leads the round-10 fill, then the r6 rows (multimodal_meta,
+# asof_*, the vp_* family, then the rest), after round-10's own
+# new/changed queries.
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. ROUND-10 FRONT-LOAD: anything new/changed in round
 # 10 first, then the remaining r6 rows (seq_* reset/chunked tier,
@@ -51,6 +52,7 @@ _PRIORITY = [
     "ann_pq_topk",
     "remove_dup_spans",
     "gopher_filter",
+    "video_frame_stats",
     # -- implementation changed in round 9 -----------------------------------
     "semantic_dedup",
     "kmeans_clusters",
@@ -99,7 +101,6 @@ _PRIORITY = [
     "inactive_high_balance",
     "image_resize_stats",
     "audio_spectral_stats",
-    "image_phash_pairs",
 ]
 
 

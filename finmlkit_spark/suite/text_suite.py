@@ -519,6 +519,66 @@ def image_decode_stats(spark, sf_dir):
 
 
 @query(
+    "video_frame_stats",
+    """
+WITH fr AS (
+  SELECT d.doc_id, f.f AS frame_idx
+  FROM documents d, (SELECT unnest([0, 2]) AS f) f
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         CAST((fr.doc_id * 11 + fr.frame_idx * 17 + i) % 256 AS DOUBLE) AS v
+  FROM fr, (SELECT unnest(range(128)) AS i)
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       ROUND(AVG(v), 6) AS mean_lum,
+       ROUND(SQRT(AVG(v * v) - AVG(v) * AVG(v)), 6) AS std_lum
+FROM px GROUP BY doc_id, frame_idx""",
+)
+def video_frame_stats_q(spark, sf_dir):
+    """REAL video decode through the engine: a deterministic 4-frame
+    8x16 Y4M stream per doc (luma[i] = (doc*11 + frame*17 + i) % 256,
+    4:2:0 chroma) is encoded inside the executors, then frame-sampled
+    (every 2nd frame) and reduced to per-frame luminance stats by
+    ``video_frame_stats`` — the video-modality analog of
+    image_decode_stats. The oracle computes the same stats from the
+    pixel formula directly, so a hash match proves the Y4M
+    encode -> frame-sample -> decode round-trip end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _encode(it):
+        from ..operators.multimodal import encode_y4m
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            i = np.arange(128, dtype=np.int64)
+            for did in ids:
+                frames = np.stack(
+                    [
+                        ((int(did) * 11 + f * 17 + i) % 256)
+                        .astype(np.uint8)
+                        .reshape(8, 16)
+                        for f in range(4)
+                    ]
+                )
+                payloads.append(encode_y4m(frames, "C420jpeg"))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payload_df = docs.mapInPandas(_encode, schema="doc_id long, payload binary")
+    stats = MM.video_frame_stats(payload_df, every=2)
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        F.round("mean_lum", 6).alias("mean_lum"),
+        F.round("std_lum", 6).alias("std_lum"),
+    )
+
+
+@query(
     "image_resize_stats",
     """
 WITH px AS (
