@@ -58,8 +58,13 @@ def footprint_features(
     - vp_skew: the reference computes Σ(level−level_vwap)·vol/Σvol, which
       is IDENTICALLY ZERO (deviation around its own weighted mean,
       ``base.py:838-843``); we fix the semantics by skewing around the
-      bar's TRADE vwap (pass ``bar_vwap``); vp_gini = 1−Σ(vol/Σvol)²
-      (``base.py:845-848``).
+      bar's TRADE vwap (pass ``bar_vwap``); vp_var is the matching
+      2nd moment Σv·(p−bar_vwap)²/Σv — the SHIFTED one-pass form, a
+      sum of non-negative terms (no ``E[x²]−E[x]²`` cancellation: the
+      naive form amplifies a 1-ulp pow() difference by mean²/var,
+      which broke cross-engine parity at condition numbers ~1e12);
+      NULL when no ``bar_vwap`` is supplied, like vp_skew; vp_gini =
+      1−Σ(vol/Σvol)² (``base.py:845-848``).
 
     Two engines, bit-identical outputs (pinned by test):
 
@@ -139,14 +144,13 @@ a AS (
          min_by(level, struct(-vol AS nv, level)) AS cot_level,
          sum(vol * vol) AS _v2,
          sum(vol) AS _v1,
-         sum({price} * vol) AS _pv,
-         sum({price} * {price} * vol) AS _ppv,
+         sum(({price} - bar_vwap) * ({price} - bar_vwap) * vol) AS _var_num,
          sum(({price} - bar_vwap) * vol) AS _skew_num
   FROM bvj GROUP BY {key}
 )
 SELECT {key}, n_levels, buy_imb_sum, sell_imb_sum, max_imb_run, cot_level,
        _skew_num / nullif(_v1, 0.0d) AS vp_skew,
-       (_ppv / nullif(_v1, 0.0d)) - pow(_pv / nullif(_v1, 0.0d), 2) AS vp_var,
+       _var_num / nullif(_v1, 0.0d) AS vp_var,
        CAST('1.0' AS DOUBLE) - _v2 / nullif(_v1 * _v1, 0.0d) AS vp_gini
 FROM a
 """
@@ -178,7 +182,7 @@ def _footprint_features_arrow(
     @F.pandas_udf(
         "struct<n_levels:bigint,buy_imb_sum:bigint,sell_imb_sum:bigint,"
         "max_imb_run:bigint,cot_level:bigint,_v1:double,_v2:double,"
-        "_pv:double,_ppv:double,_skew_num:double>"
+        "_var_num:double,_skew_num:double>"
     )
     def _fold(levels, bvols, svols, vwaps):
         nseg = len(levels)
@@ -193,7 +197,7 @@ def _footprint_features_arrow(
                 }
                 | {
                     c: pd.Series([], dtype="float64")
-                    for c in ("_v1", "_v2", "_pv", "_ppv", "_skew_num")
+                    for c in ("_v1", "_v2", "_var_num", "_skew_num")
                 }
             )
         # flatten the batch: one set of vectorized segment ops instead of
@@ -256,17 +260,17 @@ def _footprint_features_arrow(
         # when a single bar alone exceeds the budget.
         L = int(lens.max())
         col = idx - starts[seg]
-        terms = np.stack(
-            [vol, vol * vol, price * vol, price * price * vol,
-             (price - vw[seg]) * vol]
-        )
-        sums = np.empty((5, nseg))
+        # d computed ONCE then squared term-wise — same value and op
+        # order as the SQL `(p - bar_vwap) * (p - bar_vwap) * vol`
+        d = price - vw[seg]
+        terms = np.stack([vol, vol * vol, d * d * vol, d * vol])
+        sums = np.empty((4, nseg))
         step = max(1, 8_000_000 // L)
         for lo in range(0, nseg, step):
             hi = min(lo + step, nseg)
             rlo, rhi = starts[lo], starts[hi - 1] + lens[hi - 1]
             Ls = int(lens[lo:hi].max())
-            pad = np.full((5, hi - lo, Ls), -0.0)
+            pad = np.full((4, hi - lo, Ls), -0.0)
             pad[:, seg[rlo:rhi] - lo, col[rlo:rhi]] = terms[:, rlo:rhi]
             sums[:, lo:hi] = pad.cumsum(axis=2)[:, :, -1]
         out = pd.DataFrame(
@@ -278,12 +282,11 @@ def _footprint_features_arrow(
                 "cot_level": lv[c],
                 "_v1": sums[0],
                 "_v2": sums[1],
-                "_pv": sums[2],
-                "_ppv": sums[3],
             }
         )
-        # NULL bar_vwap must surface as NULL (not NaN) like the SQL sum
-        out["_skew_num"] = pd.Series(sums[4]).mask(np.isnan(vw))
+        # NULL bar_vwap must surface as NULL (not NaN) like the SQL sums
+        out["_var_num"] = pd.Series(sums[2]).mask(np.isnan(vw))
+        out["_skew_num"] = pd.Series(sums[3]).mask(np.isnan(vw))
         return out
 
     packed = fp.groupBy(key).agg(
@@ -309,7 +312,7 @@ SELECT {key}, _f.n_levels AS n_levels, _f.buy_imb_sum AS buy_imb_sum,
        _f.sell_imb_sum AS sell_imb_sum, _f.max_imb_run AS max_imb_run,
        _f.cot_level AS cot_level,
        _f._skew_num / nullif(_f._v1, 0.0d) AS vp_skew,
-       (_f._ppv / nullif(_f._v1, 0.0d)) - pow(_f._pv / nullif(_f._v1, 0.0d), 2) AS vp_var,
+       _f._var_num / nullif(_f._v1, 0.0d) AS vp_var,
        CAST('1.0' AS DOUBLE) - _f._v2 / nullif(_f._v1 * _f._v1, 0.0d) AS vp_gini
 FROM {{folded}}
 """

@@ -107,8 +107,8 @@ SELECT r.bar_close_ns,
        CAST(arg_min(run_len * imb_sgn, (0 - run_len) * 1000000 + level) AS BIGINT) AS max_imb_run,
        any_value(c.cot_level) AS cot_level,
        round(sum((r.level * 0.01 - b.bar_vwap) * vol) / sum(vol), 6) + 0.0 AS vp_skew,
-       round(sum(r.level * 0.01 * r.level * 0.01 * vol) / sum(vol)
-         - pow(sum(r.level * 0.01 * vol) / sum(vol), 2), 6) + 0.0 AS vp_var,
+       round(sum((r.level * 0.01 - b.bar_vwap) * (r.level * 0.01 - b.bar_vwap) * vol)
+         / sum(vol), 6) + 0.0 AS vp_var,
        1.0 - sum(vol * vol) / (sum(vol) * sum(vol)) AS vp_gini
 FROM rl r
 JOIN (SELECT bar_close_ns, cot_level FROM cot WHERE rk = 1) c USING (bar_close_ns)
@@ -118,13 +118,15 @@ GROUP BY r.bar_close_ns""",
 def footprint_features_q(spark, sf_dir):
     """Per-bar footprint features: diagonal imbalances, signed-run length,
     COT level, vp_skew around the bar's TRADE vwap (base.py:838-843),
-    2nd-moment dispersion, gini (base.py:755-850).
+    vp_var = Σv·(p−bar_vwap)²/Σv — the shifted one-pass 2nd moment
+    (round 10: the naive E[x²]−E[x]² form amplified a 1-ulp pow()
+    difference by mean²/var ~1e12; the shifted form is a sum of
+    non-negative terms, cancellation-free) — and gini (base.py:755-850).
 
     vp_skew / vp_var are rounded to 6 decimals on BOTH engines (and
-    negative zero normalized via + 0.0): both are large-cumulant
-    cancellations whose residual (~1e-11 absolute) exceeds the true
-    value on single-level bars, so raw doubles differ between engines
-    in exactly the rows where the value is ~0."""
+    negative zero normalized via + 0.0): skew is a signed cancellation
+    whose residual can exceed the true value on single-level bars, and
+    both reassociate at the 1e-16 floor across engines."""
     tr = events_to_trades(spark, sf_dir)
     # side pass on the MEMOIZED trades frame (not a derived one) so the
     # auto-mode crossover count caches on it across builds; the bar key

@@ -3,6 +3,8 @@ invariants that must hold for any input, complementing the goldens."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -10,18 +12,22 @@ from hypothesis.extra.numpy import arrays
 
 from finmlkit_spark.functions import sequential as S
 
+# FMK_HYP_EXAMPLES=500 scales every test's example count for deep local
+# audits (round-10 hygiene pass); default 0 keeps the per-test counts.
+_EX = int(os.environ.get("FMK_HYP_EXAMPLES", "0"))
+
 floats = st.floats(min_value=-10, max_value=10, allow_nan=False, allow_infinity=False)
 pos_floats = st.floats(min_value=0.1, max_value=100, allow_nan=False, allow_infinity=False)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_EX or 50, deadline=None)
 @given(arrays(np.float64, st.integers(2, 200), elements=floats))
 def test_ewma_within_data_range(x):
     out = S.ewma(x, span=10)
     assert np.all(out >= x.min() - 1e-9) and np.all(out <= x.max() + 1e-9)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_EX or 50, deadline=None)
 @given(arrays(np.float64, st.integers(1, 200), elements=pos_floats))
 def test_volume_bars_monotone_and_bounded(q):
     thr = 50.0
@@ -32,7 +38,7 @@ def test_volume_bars_monotone_and_bounded(q):
         assert q[ids == b].sum() >= thr - 1e-9
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_EX or 50, deadline=None)
 @given(arrays(np.float64, st.integers(2, 300), elements=floats))
 def test_cusum_filter_scale_monotone(r):
     # a higher threshold can never produce MORE events
@@ -41,7 +47,7 @@ def test_cusum_filter_scale_monotone(r):
     assert hi <= lo
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_EX or 30, deadline=None)
 @given(arrays(np.float64, st.integers(30, 120), elements=floats))
 def test_rsi_bounds(x):
     out = S.rsi_wilder(x, 14)
@@ -49,7 +55,7 @@ def test_rsi_bounds(x):
     assert np.all(valid >= 0.0) and np.all(valid <= 100.0)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_EX or 30, deadline=None)
 @given(arrays(np.float64, st.integers(30, 120), elements=pos_floats))
 def test_atr_nonnegative(x):
     high = x + 1.0
@@ -59,7 +65,7 @@ def test_atr_nonnegative(x):
     assert np.all(valid >= 0.0)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_EX or 30, deadline=None)
 @given(
     arrays(np.float64, 50, elements=pos_floats),
     arrays(np.float64, 50, elements=pos_floats),
@@ -104,21 +110,21 @@ def _footprint_ref_per_bar(lv, b, s, m):
     j = max(range(n), key=lambda i: (run[i], -i))  # first max
     vol = [b[i] + s[i] for i in range(n)]
     c = max(range(n), key=lambda i: (vol[i], -i))  # first max
-    acc = [0.0] * 5
+    acc = [0.0] * 4
     for i in range(n):
         price = lv[i] * 0.01
+        d = price - 1.0  # the test passes bar_vwap = 1.0
         acc[0] += vol[i]
         acc[1] += vol[i] * vol[i]
-        acc[2] += price * vol[i]
-        acc[3] += price * price * vol[i]
-        acc[4] += (price - 1.0) * vol[i]
+        acc[2] += d * d * vol[i]
+        acc[3] += d * vol[i]
     return (
         n, sum(buy), sum(sell), run[j] * sgn[j], lv[c],
-        acc[0], acc[1], acc[2], acc[3], acc[4],
+        acc[0], acc[1], acc[2], acc[3],
     )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_EX or 30, deadline=None)
 @given(
     st.lists(
         st.lists(
@@ -164,7 +170,7 @@ def test_footprint_arrow_kernel_matches_per_bar_reference(spark, bars):
     assert len(got) == len(expected)
     for r in got:
         k = r["bar_close_ns"]
-        n, bi_, si_, mir, cot, v1, v2, pv, ppv, skew = expected[k]
+        n, bi_, si_, mir, cot, v1, v2, var_num, skew = expected[k]
         assert r["n_levels"] == n and r["buy_imb_sum"] == bi_ and r["sell_imb_sum"] == si_
         assert r["max_imb_run"] == mir and r["cot_level"] == cot, (k, r)
         # the engine guards zero denominators with nullif -> NULL
@@ -172,26 +178,15 @@ def test_footprint_arrow_kernel_matches_per_bar_reference(spark, bars):
         # v1 != 0 — the engine nullifs the PRODUCT, mirror that)
         if v1:
             assert r["vp_skew"] == skew / v1
+            # round 10: vp_var is the shifted one-pass 2nd moment
+            # Σv·(p−vwap)²/Σv — sequential fold + one IEEE division in
+            # both, so equality is EXACT (no pow(), no cancellation)
+            assert r["vp_var"] == var_num / v1, (r["vp_var"], var_num / v1)
         else:
             assert r["vp_skew"] is None
+            assert r["vp_var"] is None
         den = v1 * v1
         if den:
             assert r["vp_gini"] == 1.0 - v2 / den
         else:
             assert r["vp_gini"] is None
-        # vp_var uses SQL pow(x, 2), which Java's Math.pow may round a
-        # last ulp differently from Python's x*x — assert within 1 ulp
-        # (still catches a broken nullif guard or a fold regression)
-        if v1:
-            import math
-
-            want = (ppv / v1) - (pv / v1) ** 2
-            if math.isnan(want):  # inf - inf on extreme generated volumes
-                assert r["vp_var"] is None or math.isnan(r["vp_var"])
-            else:
-                assert r["vp_var"] is not None
-                assert math.isclose(
-                    r["vp_var"], want, rel_tol=1e-14, abs_tol=1e-300
-                ), (r["vp_var"], want)
-        else:
-            assert r["vp_var"] is None
