@@ -564,12 +564,16 @@ def kmeans_centroids(
     that MEASURE training keep calling :func:`kmeans_assign` directly.
     Centroids are bounded driver state (k·dim floats), the same class
     as the seed cache — never data rows."""
-    key = ("centroids", id_col, emb_col, int(k), int(iters), int(ndigits))
+    # dim is part of the key: a caller passing an explicit dim that
+    # differs from a prior call's (or the probed) value must train its
+    # own centroids, not silently inherit the other dim's (round-10
+    # review catch — same contract as the seed cache's emb_col key)
+    if dim is None:
+        dim = _probe_dim(emb_df, emb_col)
+    key = ("centroids", id_col, emb_col, int(k), int(iters), int(ndigits), int(dim))
     cache_ = getattr(emb_df, "_fmk_kmeans_seeds", None)
     cents = cache_.get(key) if cache_ is not None else None
     if cents is None:
-        if dim is None:
-            dim = _probe_dim(emb_df, emb_col)
         e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
         nparts = getattr(emb_df, "_fmk_nparts", None)
         if nparts is None:
@@ -1275,6 +1279,210 @@ def ann_pq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("cand_id"),
+            (F.col("_dq").cast("double") / scale).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def ivf_pq_encode(
+    emb_df: DataFrame,
+    k_coarse: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+    seeds: list | None = None,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """One map-only pass building the composed IVF-PQ index row:
+    ``(id, cell_id, codes)`` — the coarse max-cosine cell (the
+    :func:`kmeans_assign` rule: lower-cid tie-break) AND the m PQ
+    subspace codes, computed together so the corpus is scanned ONCE.
+    Both the coarse centroids and the codebooks are closure-shipped
+    scalars; no shuffle, no join, linear in the corpus — the index
+    build half of the FAISS IVFPQ shape (Jégou et al. 2011 §IV)."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**ndigits
+    if seeds is None:
+        seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
+    books = codebooks if codebooks is not None else pq_codebooks(
+        emb_df, m, ksub, id_col, emb_col
+    )
+    e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+    vid_type = dict(e.dtypes)["vid"]
+    schema = f"{id_col} {vid_type}, cell_id bigint, codes array<int>"
+    if not seeds or not books:
+        return e.select(
+            F.col("vid").alias(id_col),
+            F.lit(0).cast("long").alias("cell_id"),
+            F.array().cast("array<int>").alias("codes"),
+        ).where(F.lit(False))
+    core = _km_core(seeds)
+    dsub = books[0].shape[1]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].values).astype(np.float64)
+            cids, best, _sim = core(X)
+            codes = np.empty((X.shape[0], len(books)), dtype=np.int32)
+            for j, Cj in enumerate(books):
+                dq = _pq_dist_q(X[:, j * dsub : (j + 1) * dsub], Cj, scale)
+                codes[:, j] = np.argmin(dq, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["vid"].values,
+                    "cell_id": cids[best],
+                    "codes": list(codes),
+                }
+            )
+
+    return e.mapInPandas(fn, schema)
+
+
+def ann_ivf_pq(
+    emb_df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    k_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF×PQ composed ANN — the full FAISS IVFPQ search shape: the
+    corpus is ONE map-only pass to ``(id, cell, m codes)``
+    (:func:`ivf_pq_encode`), each query probes only its ``nprobe``
+    nearest coarse cells, and only THOSE cells' candidates are scored
+    through the per-query additive distance table.
+
+    vs :func:`ann_pq_topk` (which ADC-scans every encoded row per
+    query): the scored set shrinks from ``n_queries × N`` to
+    ``Σ_q |probed cells of q|`` ≈ ``n_queries × N × nprobe/k_coarse``
+    — the composition is what makes the product scale: at 100 TB the
+    candidate restriction is a broadcast hash join on ``cell_id``
+    (n_queries·nprobe rows), the per-pair distance is a JVM
+    higher-order fold over m packed LUT rows (no Python, no explode,
+    no per-code shuffle), and the ONLY corpus-scale exchange is the
+    top-k window's WindowGroupLimit partial/final on ``query_id``.
+
+    Determinism (mirrored by the oracle): coarse cells/probes rank by
+    the sequential-fold cosine (DESC, lower cid first), codes by
+    quantized subspace L2 (lower code first), and the ADC distance is
+    a sum of 1e-6-quantized int64 partials — order-independent — so
+    the final ``(dist ASC, cand_id ASC)`` ranking matches exactly.
+
+    The packed LUT broadcast is ``n_queries · m · ksub`` int64s — for
+    very large query batches switch to :func:`ann_pq_topk`'s exploded
+    ``(j, code)`` LUT join, which never materializes a per-query row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**ndigits
+    seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
+    books = pq_codebooks(emb_df, m, ksub, id_col, emb_col)
+    q = emb_df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
+    )
+    if not seeds or not books:
+        return q.select(
+            "query_id",
+            F.col("query_id").alias("cand_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("long").alias("rank"),
+        ).where(F.lit(False))
+    enc = ivf_pq_encode(
+        emb_df, k_coarse, m, ksub, id_col, emb_col, ndigits,
+        seeds=seeds, codebooks=books,
+    )
+    dsub = books[0].shape[1]
+    cids = np.array([c[0] for c in seeds], dtype=np.int64)
+    npb = min(int(nprobe), len(seeds))
+    core = _km_core(seeds)
+
+    qid_type = dict(q.dtypes)["query_id"]
+
+    def probe_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qv"].values).astype(np.float64)
+            # the same sequential-fold cosines the assignment core
+            # computes — re-derived against ALL centroids for the
+            # top-nprobe ranking (core() only returns the argmax)
+            nv = np.sqrt((X * X).cumsum(axis=1)[:, -1])
+            sims = np.empty((X.shape[0], len(cids)), dtype=np.float64)
+            for j in range(len(cids)):
+                Cj = np.asarray(seeds[j][1], dtype=np.float64)
+                dots = (X * Cj).cumsum(axis=1)[:, -1]
+                sims[:, j] = dots / (nv * seeds[j][2])
+            # ORDER BY cos DESC, cid ASC — negation is order-exact on
+            # doubles; lexsort's stable mergesort breaks ties by cid
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].values, npb),
+                    "cell_id": cids[order].reshape(-1),
+                }
+            )
+
+    probe = q.mapInPandas(probe_fn, f"query_id {qid_type}, cell_id bigint")
+
+    def lut_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qv"].values).astype(np.float64)
+            luts = np.empty((X.shape[0], len(books), books[0].shape[0]), np.int64)
+            for j, Cj in enumerate(books):
+                luts[:, j, :] = _pq_dist_q(
+                    X[:, j * dsub : (j + 1) * dsub], Cj, scale
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "luts": [list(map(list, r)) for r in luts],
+                }
+            )
+
+    lut = q.mapInPandas(
+        lut_fn, f"query_id {qid_type}, luts array<array<bigint>>"
+    )
+    scored = (
+        enc.join(F.broadcast(probe), "cell_id")
+        .join(F.broadcast(lut), "query_id")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            # ADC: Σ_j luts[j][codes[j]] — a JVM fold over m elements,
+            # int64 adds (associative, exact), zero Python in the plan
+            F.aggregate(
+                F.zip_with(
+                    "luts", "codes", lambda l, c: F.element_at(l, c + F.lit(1))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_dq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dq").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
             (F.col("_dq").cast("double") / scale).alias("adc_dist"),
             "rank",
         )
