@@ -309,6 +309,11 @@ def main():
         mx = max(v[0] for v in vals)
         spread[name] = round((mx - best[0]) / best[0], 2) if best[0] > 0 else 0.0
 
+    # a query that failed in one pass but timed in another is NOT broken
+    # — keep error entries only for queries with no recorded time, so
+    # the durable record never lists a query as both timed and erroring
+    errors = {n: m for n, m in errors.items() if n not in times}
+
     total = round(sum(times.values()), 4)
     # Key order is least- to most-important: the durable record keeps only
     # the LAST ~2 kB of this line (round-6 lost its per-query totals to the

@@ -228,6 +228,13 @@ def _jpeg_segments(b: bytes):
     while i + 4 <= n:
         if b[i] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 §B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them so a spec-legal padded stream doesn't
+        # parse a fill byte as a marker with a garbage length
+        while i + 4 <= n and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         m = b[i + 1]
         if m == 0xD9:  # EOI
             return
@@ -432,6 +439,11 @@ def jpeg_gray_pixels(b: bytes) -> np.ndarray:
                     k += 16
                     continue
                 k += sym >> 4
+                if k > 63:
+                    # hostile/corrupt AC stream: the run-length pushed
+                    # the zigzag index past the block — documented seam,
+                    # never a raw numpy IndexError
+                    raise ValueError("invalid JPEG AC run past block end")
                 zz[k] = _jpeg_extend(bits.read(sym & 15), sym & 15)
                 k += 1
             blk = np.zeros(64, dtype=np.float64)
@@ -849,16 +861,21 @@ def video_frame_stats(
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
+            # ids pass through uncoerced (mirrors pq_encode): the output
+            # schema carries the input id dtype, so string/decimal doc
+            # ids survive instead of crashing an int() in the executor
             for i, b in zip(pdf[id_col], pdf["payload"]):
                 for idx, luma in y4m_luma_frames(bytes(b), every):
                     lf = luma.astype(np.float64)
-                    rows.append((int(i), idx, float(lf.mean()), float(lf.std())))
+                    rows.append((i, idx, float(lf.mean()), float(lf.std())))
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_idx", "mean_lum", "std_lum"]
             )
 
+    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, "payload").mapInPandas(
-        _batch, schema=f"{id_col} long, frame_idx int, mean_lum double, std_lum double"
+        _batch,
+        schema=f"{id_col} {id_type}, frame_idx int, mean_lum double, std_lum double",
     )
 
 
