@@ -86,11 +86,17 @@ def tfidf_keywords(
         )
     )
 
+#: Test hook: force the segment_dedup execution mode regardless of the
+#: caller's ``onepart`` (True/False); None = respect the caller.
+_FORCE_SEGDEDUP_ONEPART: bool | None = None
+
+
 def segment_dedup(
     docs: DataFrame,
     seg_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    onepart: bool = False,
 ) -> DataFrame:
     """Exact segment-level dedup — the distributed analog of C4's
     line-level dedup (docs here are single-line, so the "line" unit is a
@@ -116,7 +122,22 @@ def segment_dedup(
     not enough — at ~1e11-1e12 distinct segments the 2^64 birthday bound
     yields tens of thousands of expected collisions, each silently
     deleting a unique segment, while 2^128 makes collisions negligible.
+
+    ``onepart`` (round 10): below-crossover fusion for bench-scale
+    inputs — the exploded segments repartition to ONE partition below
+    the window (SinglePartition satisfies both the window's and the
+    reassembly agg's clustered distributions, fusing
+    sort+window+filter+agg into a single post-shuffle stage) and the
+    reassembled side broadcasts into the totals left join (no second
+    shuffle, no join exchange). Output is bit-identical by
+    construction: row_number ranks by (doc, seg_no) inside each digest
+    group regardless of partitioning, and the reassembly agg sorts the
+    collected structs. The at-scale caller leaves ``onepart=False``
+    and keeps the digest-parallel window — the plan a 100 TB corpus
+    needs (``test_plan_regression`` pins it SinglePartition-free).
     """
+    if _FORCE_SEGDEDUP_ONEPART is not None:
+        onepart = _FORCE_SEGDEDUP_ONEPART
     t = tokens(text_col)
     nseg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
     segs = docs.select(
@@ -139,6 +160,8 @@ def segment_dedup(
         # the literal FIRST changes the seed the string is hashed under.
         "digest", F.struct(F.xxhash64("seg"), F.xxhash64(F.lit(1), "seg"))
     )
+    if onepart:
+        segs = segs.repartition(1)
     w = Window.partitionBy("digest").orderBy("doc", "seg_no")
     kept = segs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
     out = kept.groupBy("doc").agg(
@@ -156,6 +179,8 @@ def segment_dedup(
     totals = docs.select(
         F.col(id_col).alias("doc"), nseg.cast("long").alias("n_segments")
     )
+    if onepart:
+        out = F.broadcast(out)
     return (
         totals.join(out, "doc", "left")
         .select(

@@ -1570,8 +1570,20 @@ FROM tot LEFT JOIN kept USING (doc_id)""",
 def segment_dedup_q(spark, sf_dir):
     """C4-style exact segment dedup: every repeated 8-token segment
     keeps only its first corpus occurrence; docs are reassembled from
-    the surviving segments (md5-fingerprinted for the compare)."""
-    return CP.segment_dedup(_docs(spark, sf_dir), seg_tokens=8)
+    the surviving segments (md5-fingerprinted for the compare).
+
+    Below ~20k docs (parquet footer count, no Spark job) the operator
+    takes its one-partition fused form — the digest-parallel window
+    buys nothing at bench scale and its extra exchanges cost 3 of the
+    4 AQE job barriers (round-10 A/B); sf1 (50k docs) and beyond keep
+    the at-scale digest-partitioned plan."""
+    from .pipeline_suite import _parquet_num_rows
+
+    n = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    return CP.segment_dedup(
+        _docs(spark, sf_dir), seg_tokens=8,
+        onepart=(n is not None and n < 20_000),
+    )
 
 
 @query(
