@@ -134,7 +134,12 @@ def segment_dedup(
     group regardless of partitioning, and the reassembly agg sorts the
     collected structs. The at-scale caller leaves ``onepart=False``
     and keeps the digest-parallel window — the plan a 100 TB corpus
-    needs (``test_plan_regression`` pins it SinglePartition-free).
+    needs. ``test_plan_regression`` pins both sides via the force hook:
+    ``test_no_single_partition_exchange[segment_dedup]`` holds the
+    at-scale plan SinglePartition-free, and
+    ``test_segment_dedup_modes_bit_identical`` asserts the two modes
+    yield byte-identical rows AND that the fused mode actually plans
+    the single-partition shape.
     """
     if _FORCE_SEGDEDUP_ONEPART is not None:
         onepart = _FORCE_SEGDEDUP_ONEPART

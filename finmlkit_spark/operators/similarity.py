@@ -1406,7 +1406,6 @@ def ann_ivf_pq(
     dsub = books[0].shape[1]
     cids = np.array([c[0] for c in seeds], dtype=np.int64)
     npb = min(int(nprobe), len(seeds))
-    core = _km_core(seeds)
 
     qid_type = dict(q.dtypes)["query_id"]
 
@@ -1425,7 +1424,8 @@ def ann_ivf_pq(
                 dots = (X * Cj).cumsum(axis=1)[:, -1]
                 sims[:, j] = dots / (nv * seeds[j][2])
             # ORDER BY cos DESC, cid ASC — negation is order-exact on
-            # doubles; lexsort's stable mergesort breaks ties by cid
+            # doubles; stable argsort breaks ties by column position,
+            # and column order IS ascending cid
             order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
             yield pd.DataFrame(
                 {

@@ -59,6 +59,10 @@ GUARDED = [
     "bar_directional_1m",
     "footprint_long",
     "footprint_features",
+    # §corpus at-scale digest-parallel plan (onepart fusion force-disabled
+    # below — the bench-scale fused form is single-partition BY DESIGN and
+    # is pinned separately by test_segment_dedup_modes_bit_identical)
+    "segment_dedup",
 ]
 
 
@@ -68,17 +72,20 @@ def test_no_single_partition_exchange(spark, name):
     # (deliberately single-partition) global window below its measured
     # crossover, so this guard forces the large-input mode to assert
     # the plan a 100 TB stream would get
+    from finmlkit_spark.operators import corpus as CP
     from finmlkit_spark.operators import preprocess as P
     from finmlkit_spark.suite import pipeline_suite as PS
 
     P._FORCE_SIDE_MODE = "chunked"
     PS._FORCE_FLAGSHIP_MODE = "chunked"
+    CP._FORCE_SEGDEDUP_ONEPART = False
     try:
         df = QUERIES[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         P._FORCE_SIDE_MODE = None
         PS._FORCE_FLAGSHIP_MODE = None
+        CP._FORCE_SEGDEDUP_ONEPART = None
     assert "Exchange SinglePartition" not in plan, (
         f"{name}: plan regressed to a single-partition exchange:\n{plan}"
     )
@@ -96,6 +103,30 @@ def test_triple_barrier_is_pure_join_aggregate(spark):
     assert "partial_min" in plan, (
         f"tbm_labels: partial (map-side) aggregation missing:\n{plan}"
     )
+
+
+def test_segment_dedup_modes_bit_identical(spark):
+    """The round-10 below-crossover ``onepart`` fusion must be a pure
+    physical-plan change: forcing each mode via the test hook on the
+    same input must yield byte-identical rows (row_number ranks by
+    (doc, seg_no) inside each digest group regardless of partitioning,
+    and the reassembly agg sorts the collected structs). Also pins that
+    the fused mode actually takes the single-partition fused shape —
+    the whole point of the crossover."""
+    from finmlkit_spark.operators import corpus as CP
+
+    results, plans = {}, {}
+    for mode in (False, True):
+        CP._FORCE_SEGDEDUP_ONEPART = mode
+        try:
+            df = QUERIES["segment_dedup"](spark, SF)
+            plans[mode] = df._jdf.queryExecution().executedPlan().toString()
+            results[mode] = sorted(map(tuple, df.collect()))
+        finally:
+            CP._FORCE_SEGDEDUP_ONEPART = None
+    assert results[False] == results[True]
+    assert "Exchange SinglePartition" not in plans[False]
+    assert "Exchange SinglePartition" in plans[True]
 
 
 def test_guard_covers_current_feat_tier():
