@@ -435,3 +435,84 @@ def test_probe_dim_keyed_by_column(spark):
     assert _probe_dim(df, "narrow") == 2
     assert _probe_dim(df, "wide") == 5
     assert _probe_dim(df, "narrow") == 2  # cache hit, still correct
+
+
+def test_ivf_pq_encode_contract(spark):
+    """ivf_pq_encode = kmeans_assign ∘ pq_encode fused into ONE map-only
+    pass: per row the cell must equal the standalone coarse assignment
+    and the codes must equal the standalone PQ encode (same seeds /
+    codebooks ⇒ same tie-breaks), and the plan must stay exchange-free."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = SIM.ivf_pq_encode(embs, k_coarse=8, m=8, ksub=16)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # the composed encode is map-only
+
+    got = {r["vec_id"]: (r["cell_id"], tuple(r["codes"])) for r in enc.collect()}
+    cells = {
+        r["vec_id"]: r["cluster_id"]
+        for r in SIM.kmeans_assign(
+            embs, k=8, iters=0, seeds=SIM.kmeans_seeds(embs, 8)
+        ).collect()
+    }
+    codes = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in SIM.pq_encode(embs, m=8, ksub=16).collect()
+    }
+    assert set(got) == set(cells) == set(codes)
+    for vid, (cell, cs) in got.items():
+        assert cell == cells[vid], vid
+        assert cs == codes[vid], vid
+
+
+def test_ann_ivf_pq_full_probe_equals_pq_topk(spark):
+    """With nprobe == k_coarse every query probes every coarse cell, so
+    the IVF restriction admits the whole corpus and ann_ivf_pq must
+    return EXACTLY ann_pq_topk's rows — same quantized ADC fold, same
+    (dist ASC, cand_id ASC) tie-break, same ranks. This pins the probe
+    ranking, the packed-LUT fold, and the rank ordering in one shot."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = sorted(
+        map(tuple, SIM.ann_ivf_pq(embs, n_queries=6, k=4, k_coarse=8, nprobe=8).collect())
+    )
+    flat = sorted(map(tuple, SIM.ann_pq_topk(embs, n_queries=6, k=4).collect()))
+    assert full == flat and len(full) == 24
+
+
+def test_ann_ivf_pq_probe_restriction_and_plan(spark):
+    """nprobe=1: every returned candidate must live in its query's ONE
+    probed cell (max-cosine, lower-cid tie-break — the kmeans_assign
+    rule), ranks must be 1..k' with non-decreasing distance, the query
+    never returns itself, and the executed plan keeps the audited shape:
+    zero single-partition exchanges, broadcast joins for probe + LUT,
+    WindowGroupLimit for the top-k, no cartesian product."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = SIM.ann_ivf_pq(embs, n_queries=6, k=4, k_coarse=8, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # probe cells + packed LUT
+    assert "WindowGroupLimit" in plan
+    assert "Cartesian" not in plan
+
+    enc = {
+        r["vec_id"]: r["cell_id"]
+        for r in SIM.ivf_pq_encode(embs, k_coarse=8, m=8, ksub=16).collect()
+    }
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        probed_cell = enc[qid]  # queries are corpus rows: cell = own assignment
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        for r in rs:
+            assert r["cand_id"] != qid
+            assert enc[r["cand_id"]] == probed_cell, (qid, r["cand_id"])
