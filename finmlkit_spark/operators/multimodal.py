@@ -349,17 +349,55 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def jpeg_gray_pixels(b: bytes) -> np.ndarray:
-    """Baseline sequential GRAYSCALE JPEG -> uint8 (h, w, 1).
+def _jpeg_decode_block(bits: "_JpegBits", dc_tab: dict, ac_tab: dict,
+                       q: np.ndarray, C: np.ndarray, pred: int):
+    """Decode ONE 8x8 data unit (T.81 F.2.2): Huffman DC diff + AC
+    run/size pairs, dequant in zigzag order, de-scan, orthonormal IDCT.
+    Returns (spatial 8x8 block, updated DC predictor)."""
+    zz = np.zeros(64, dtype=np.float64)
+    t = bits.huff(dc_tab)
+    pred += _jpeg_extend(bits.read(t), t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = bits.huff(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        if k > 63:
+            # hostile/corrupt AC stream: the run-length pushed the
+            # zigzag index past the block — documented seam, never a
+            # raw numpy IndexError
+            raise ValueError("invalid JPEG AC run past block end")
+        zz[k] = _jpeg_extend(bits.read(sym & 15), sym & 15)
+        k += 1
+    blk = np.zeros(64, dtype=np.float64)
+    # DQT stores the table in ZIGZAG order — same order the coefficient
+    # vector is decoded in, so dequant multiplies before the de-scan
+    blk[_ZZ] = zz * q
+    return C.T @ blk.reshape(8, 8) @ C, pred
+
+
+def jpeg_pixels(b: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> uint8 pixels: (h, w, 1) for
+    grayscale, (h, w, 3) RGB for interleaved YCbCr color — including
+    the 4:2:0 / 4:2:2 chroma subsampling real corpora use.
 
     Pure numpy/stdlib: marker walk, canonical Huffman decode, dequant,
-    zigzag de-scan, orthonormal 8x8 IDCT, level shift + clamp — ITU-T
-    T.81 Annex F. Multi-component or progressive payloads raise
-    NotImplementedError (the documented PIL seam); dims for those still
-    parse natively via :func:`_parse_jpeg`."""
+    zigzag de-scan, orthonormal 8x8 IDCT per data unit in MCU
+    interleave order (T.81 A.2.3), chroma upsampled by replication,
+    JFIF/CCIR-601 YCbCr->RGB, level shift + clamp — ITU-T T.81 Annex F.
+    Progressive, restart-interval (DRI), non-interleaved multi-scan,
+    and >2x2-sampled payloads raise NotImplementedError (the documented
+    PIL seam); dims for those still parse natively via
+    :func:`_parse_jpeg`."""
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    comps: list[list[int]] | None = None
     scan = None
     for m, off, ln in _jpeg_segments(b):
         if m == 0xDD:  # DRI — restart intervals re-align + reset the DC
@@ -386,15 +424,22 @@ def jpeg_gray_pixels(b: bytes) -> np.ndarray:
                 )
             h, w = struct.unpack_from(">HH", b, off + 1)
             ncomp = b[off + 5]
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "native JPEG pixel decode is single-component "
-                    "(grayscale); color JPEG needs PIL"
+                    "native JPEG pixel decode covers grayscale and "
+                    "3-component YCbCr; CMYK/4-component needs PIL"
                 )
-            samp, tq = b[off + 7], b[off + 8]
-            if samp != 0x11:
-                raise NotImplementedError("subsampled grayscale JPEG")
-            sof = (h, w, tq)
+            comps = []
+            for i in range(ncomp):
+                cid = b[off + 6 + 3 * i]
+                hv = b[off + 7 + 3 * i]
+                ch_, cv_ = hv >> 4, hv & 15
+                if not (1 <= ch_ <= 2 and 1 <= cv_ <= 2):
+                    raise NotImplementedError(
+                        "JPEG sampling factors beyond 2x2 need PIL"
+                    )
+                comps.append([cid, ch_, cv_, b[off + 8 + 3 * i]])
+            sof = (h, w)
         elif m == 0xC4:  # DHT (possibly several tables per segment)
             j = off
             while j < off + ln:
@@ -407,51 +452,89 @@ def jpeg_gray_pixels(b: bytes) -> np.ndarray:
                 j += 17 + nsym
         elif m == 0xDA:  # SOS
             ns = b[off]
-            if ns != 1:
-                raise NotImplementedError("multi-component JPEG scan")
-            td, ta = b[off + 2] >> 4, b[off + 2] & 15
-            scan = (td, ta, off + 1 + 2 * ns + 3)
-    if sof is None or scan is None:
+            stabs = {}
+            for j in range(ns):
+                cs = b[off + 1 + 2 * j]
+                tdta = b[off + 2 + 2 * j]
+                stabs[cs] = (tdta >> 4, tdta & 15)
+            scan = (ns, stabs, off + 1 + 2 * ns + 3)
+    if sof is None or comps is None or scan is None:
         raise ValueError("JPEG without SOF/SOS")
-    h, w, tq = sof
-    td, ta, data_off = scan
-    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-    # DQT stores the table in ZIGZAG order — same order the coefficient
-    # vector is decoded in, so dequant multiplies before the de-scan
-    q = qt[tq]
+    h, w = sof
+    ns, stabs, data_off = scan
+    if ns != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG decode requires PIL"
+        )
     bits = _JpegBits(b, data_off)
     C = _jpeg_dct_matrix()
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    out = np.empty((by * 8, bx * 8), dtype=np.float64)
-    pred = 0
-    for r in range(by):
-        for c in range(bx):
-            zz = np.zeros(64, dtype=np.float64)
-            t = bits.huff(dc_tab)
-            pred += _jpeg_extend(bits.read(t), t)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = bits.huff(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    # hostile/corrupt AC stream: the run-length pushed
-                    # the zigzag index past the block — documented seam,
-                    # never a raw numpy IndexError
-                    raise ValueError("invalid JPEG AC run past block end")
-                zz[k] = _jpeg_extend(bits.read(sym & 15), sym & 15)
-                k += 1
-            blk = np.zeros(64, dtype=np.float64)
-            blk[_ZZ] = zz * q
-            px = C.T @ blk.reshape(8, 8) @ C
-            out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
-    img = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
-    return img[:, :, None]
+    if ns == 1:
+        # single-component scan is non-interleaved by definition
+        # (T.81 A.2.2): MCU = one data unit, sampling factors ignored
+        cid, _ch, _cv, tq = comps[0]
+        td, ta = stabs[cid]
+        dc_tab, ac_tab, q = huff[(0, td)], huff[(1, ta)], qt[tq]
+        by, bx = (h + 7) // 8, (w + 7) // 8
+        out = np.empty((by * 8, bx * 8), dtype=np.float64)
+        pred = 0
+        for r in range(by):
+            for c in range(bx):
+                px, pred = _jpeg_decode_block(bits, dc_tab, ac_tab, q, C, pred)
+                out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+        img = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+        return img[:, :, None]
+    # interleaved YCbCr scan: each MCU carries ch_i x cv_i data units
+    # per component in SOF order (T.81 A.2.3)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.empty((mcuy * cv_ * 8, mcux * ch_ * 8), dtype=np.float64)
+        for _cid, ch_, cv_, _tq in comps
+    ]
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i, (cid, ch_, cv_, tq) in enumerate(comps):
+                td, ta = stabs[cid]
+                dc_tab, ac_tab, q = huff[(0, td)], huff[(1, ta)], qt[tq]
+                for vv in range(cv_):
+                    for hh in range(ch_):
+                        px, preds[i] = _jpeg_decode_block(
+                            bits, dc_tab, ac_tab, q, C, preds[i]
+                        )
+                        r0 = (my * cv_ + vv) * 8
+                        c0 = (mx * ch_ + hh) * 8
+                        planes[i][r0 : r0 + 8, c0 : c0 + 8] = px
+    full = []
+    for i, (_cid, ch_, cv_, _tq) in enumerate(comps):
+        # component dims = ceil(dim * factor / max_factor) (T.81 A.1.1),
+        # then replication-upsample back to full resolution
+        chh = (h * cv_ + vmax - 1) // vmax
+        cww = (w * ch_ + hmax - 1) // hmax
+        p = planes[i][:chh, :cww]
+        p = np.repeat(np.repeat(p, vmax // cv_, axis=0), hmax // ch_, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    y, cb, cr = full
+    # JFIF / CCIR 601 inverse transform
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_gray_pixels(b: bytes) -> np.ndarray:
+    """Historical entry point (round 9 shipped grayscale only) — now a
+    thin alias of :func:`jpeg_pixels`, which also decodes baseline
+    interleaved color: (h, w, 1) for grayscale payloads, (h, w, 3) RGB
+    for YCbCr (4:4:4 / 4:2:2 / 4:2:0)."""
+    return jpeg_pixels(b)
 
 
 def image_pixels(b: bytes) -> np.ndarray:
@@ -471,7 +554,7 @@ def image_pixels(b: bytes) -> np.ndarray:
         w, h, _ = _parse_ppm(b)
         return np.frombuffer(b[-w * h * 3 :], np.uint8).reshape(h, w, 3).copy()
     if b[:2] == b"\xff\xd8":
-        return jpeg_gray_pixels(b)
+        return jpeg_pixels(b)
     raise ValueError("not a decodable image payload")
 
 

@@ -510,3 +510,63 @@ def test_video_frame_stats_spark_roundtrip(spark):
         lf = frames[r["frame_idx"]].astype(np.float64)
         assert abs(r["mean_lum"] - lf.mean()) < 1e-12
         assert abs(r["std_lum"] - lf.std()) < 1e-12
+
+
+FIXTURE_420 = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "gradient_420_32x24.jpg")
+
+
+def test_native_baseline_420_color_jpeg_decode_golden():
+    """The committed 4:2:0 interleaved COLOR JPEG (independent
+    pure-python encoder: forward DCT + 2x2-mean chroma subsample +
+    separate luma/chroma quant and Huffman table ids vs the decoder's
+    MCU walk + table routing + replication upsample + YCbCr->RGB — a
+    shared bug cannot cancel) decodes natively. Golden md5s pin the
+    byte-stream and the decoded matrix; decoded pixels must sit within
+    quantization + chroma-subsample distance of the smooth source
+    gradients. H=24 is half an MCU row, so partial-MCU clipping is
+    exercised too."""
+    import hashlib
+
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = open(FIXTURE_420, "rb").read()
+    assert hashlib.md5(b).hexdigest() == "446282779b323570dbc9c62bad1ce434"
+    assert MM.decode_payload(b) == (32, 24, 3)  # (width, height, channels)
+    px = MM.jpeg_pixels(b)
+    assert px.shape == (24, 32, 3) and px.dtype == np.uint8
+    assert hashlib.md5(px.tobytes()).hexdigest() == (
+        "1924073215d0315d64856dcf2c773780"
+    )
+    y, x = np.mgrid[0:24, 0:32]
+    src = np.stack(
+        [x * 6 + y * 2, 60 + x * 3 + y * 4, 200 - x * 4 - y * 2], axis=-1
+    ).astype(float)
+    err = np.abs(px.astype(float) - src)
+    assert err.max() <= 16 and err.mean() < 4.0
+
+
+def test_image_features_query_over_real_420_jpeg(spark):
+    """End-to-end multimodal query over the real 4:2:0 color JPEG: the
+    payload rides a binary column through image_features' mapInPandas,
+    producing the same luminance stats as a local decode — compressed
+    subsampled color exercised through the Spark plumbing."""
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = open(FIXTURE_420, "rb").read()
+    df = spark.createDataFrame([(i, bytearray(b)) for i in range(3)],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in MM.image_features(df).collect()}
+    px = MM.jpeg_pixels(b).astype(np.float64)
+    lum = px.mean(axis=2)
+    grad = np.abs(np.diff(lum, axis=1))
+    assert len(rows) == 3
+    for r in rows.values():
+        assert (r["width"], r["height"], r["channels"]) == (32, 24, 3)
+        assert abs(r["mean_lum"] - lum.mean()) < 1e-12
+        assert abs(r["std_lum"] - lum.std()) < 1e-12
+        assert abs(r["edge_energy"] - grad.mean()) < 1e-12
