@@ -1345,6 +1345,13 @@ def ivf_pq_encode(
     return e.mapInPandas(fn, schema)
 
 
+#: ann_ivf_pq lut="auto" crossover: the packed per-query LUT broadcast
+#: is ~m·ksub·8 B per query (1 KB at m=8, ksub=16) — 200k queries keep
+#: it under ~200 MB, a comfortable broadcast; above that the exploded
+#: long-format LUT (same bytes, row-shaped, no per-query array) wins.
+_IVFPQ_PACKED_MAX_QUERIES = 200_000
+
+
 def ann_ivf_pq(
     emb_df: DataFrame,
     n_queries: int = 10,
@@ -1356,6 +1363,7 @@ def ann_ivf_pq(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     ndigits: int = 6,
+    lut: str = "auto",
 ) -> DataFrame:
     """IVF×PQ composed ANN — the full FAISS IVFPQ search shape: the
     corpus is ONE map-only pass to ``(id, cell, m codes)``
@@ -1379,13 +1387,27 @@ def ann_ivf_pq(
     a sum of 1e-6-quantized int64 partials — order-independent — so
     the final ``(dist ASC, cand_id ASC)`` ranking matches exactly.
 
-    The packed LUT broadcast is ``n_queries · m · ksub`` int64s — for
-    very large query batches switch to :func:`ann_pq_topk`'s exploded
-    ``(j, code)`` LUT join, which never materializes a per-query row.
+    ``lut`` selects the distance-table shape. ``"packed"``: one
+    ``array<array<bigint>>`` row per query, broadcast, ADC as a JVM
+    fold — no explode, but the broadcast is ``n_queries · m · ksub``
+    int64s (~1 KB/query at m=8, ksub=16), which stops fitting a
+    broadcast at very large query batches. ``"exploded"``:
+    :func:`ann_pq_topk`'s long-format ``(query_id, j, code, pd_q)``
+    LUT — the same total bytes but never a per-query array row, at the
+    cost of an m× posexplode of the CANDIDATE side (already
+    nprobe/k_coarse-shrunk, so the explode is of the restricted set,
+    not the corpus). ``"auto"`` (default) takes packed up to
+    ``_IVFPQ_PACKED_MAX_QUERIES`` and exploded above — the gate is on
+    the ``n_queries`` scalar itself (no data probe needed). Both modes
+    sum the SAME 1e-6-quantized int64 partials, so they are
+    bit-identical by construction (pinned by
+    ``test_ann_ivf_pq_lut_modes_bit_identical``).
     """
     import numpy as np
     import pandas as pd
 
+    if lut not in ("auto", "packed", "exploded"):
+        raise ValueError(f"lut must be auto|packed|exploded, got {lut!r}")
     scale = 10**ndigits
     seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
     books = pq_codebooks(emb_df, m, ksub, id_col, emb_col)
@@ -1436,44 +1458,90 @@ def ann_ivf_pq(
 
     probe = q.mapInPandas(probe_fn, f"query_id {qid_type}, cell_id bigint")
 
-    def lut_fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["qv"].values).astype(np.float64)
-            luts = np.empty((X.shape[0], len(books), books[0].shape[0]), np.int64)
-            for j, Cj in enumerate(books):
-                luts[:, j, :] = _pq_dist_q(
-                    X[:, j * dsub : (j + 1) * dsub], Cj, scale
-                )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].values,
-                    "luts": [list(map(list, r)) for r in luts],
-                }
-            )
+    use_packed = lut == "packed" or (
+        lut == "auto" and n_queries <= _IVFPQ_PACKED_MAX_QUERIES
+    )
+    if use_packed:
 
-    lut = q.mapInPandas(
-        lut_fn, f"query_id {qid_type}, luts array<array<bigint>>"
-    )
-    scored = (
-        enc.join(F.broadcast(probe), "cell_id")
-        .join(F.broadcast(lut), "query_id")
-        .where(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            F.col(id_col).alias("cand_id"),
-            # ADC: Σ_j luts[j][codes[j]] — a JVM fold over m elements,
-            # int64 adds (associative, exact), zero Python in the plan
-            F.aggregate(
-                F.zip_with(
-                    "luts", "codes", lambda l, c: F.element_at(l, c + F.lit(1))
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("_dq"),
+        def lut_fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["qv"].values).astype(np.float64)
+                luts = np.empty(
+                    (X.shape[0], len(books), books[0].shape[0]), np.int64
+                )
+                for j, Cj in enumerate(books):
+                    luts[:, j, :] = _pq_dist_q(
+                        X[:, j * dsub : (j + 1) * dsub], Cj, scale
+                    )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].values,
+                        "luts": [list(map(list, r)) for r in luts],
+                    }
+                )
+
+        lutdf = q.mapInPandas(
+            lut_fn, f"query_id {qid_type}, luts array<array<bigint>>"
         )
-    )
+        scored = (
+            enc.join(F.broadcast(probe), "cell_id")
+            .join(F.broadcast(lutdf), "query_id")
+            .where(F.col("query_id") != F.col(id_col))
+            .select(
+                "query_id",
+                F.col(id_col).alias("cand_id"),
+                # ADC: Σ_j luts[j][codes[j]] — a JVM fold over m elements,
+                # int64 adds (associative, exact), zero Python in the plan
+                F.aggregate(
+                    F.zip_with(
+                        "luts", "codes",
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("_dq"),
+            )
+        )
+    else:
+        # exploded long-format LUT (ann_pq_topk's shape): no per-query
+        # array row ever materializes; the m× posexplode applies to the
+        # PROBE-RESTRICTED candidate set only. Identical int64 partials
+        # ⇒ identical sums ⇒ bit-identical output.
+        def lutx_fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["qv"].values).astype(np.float64)
+                rows = {"query_id": [], "j": [], "code": [], "pd_q": []}
+                for j, Cj in enumerate(books):
+                    dq = _pq_dist_q(X[:, j * dsub : (j + 1) * dsub], Cj, scale)
+                    nq, nc = dq.shape
+                    rows["query_id"].append(
+                        np.repeat(pdf["query_id"].values, nc)
+                    )
+                    rows["j"].append(np.tile(np.full(nc, j, np.int32), nq))
+                    rows["code"].append(
+                        np.tile(np.arange(nc, dtype=np.int32), nq)
+                    )
+                    rows["pd_q"].append(dq.reshape(-1))
+                yield pd.DataFrame(
+                    {c: np.concatenate(v) for c, v in rows.items()}
+                )
+
+        lutdf = q.mapInPandas(
+            lutx_fn, f"query_id {qid_type}, j int, code int, pd_q long"
+        )
+        scored = (
+            enc.join(F.broadcast(probe), "cell_id")
+            .where(F.col("query_id") != F.col(id_col))
+            .select("query_id", id_col, F.posexplode("codes").alias("j", "code"))
+            .join(F.broadcast(lutdf), ["query_id", "j", "code"])
+            .groupBy("query_id", id_col)
+            .agg(F.sum("pd_q").alias("_dq"))
+            .select("query_id", F.col(id_col).alias("cand_id"), "_dq")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_dq").asc(), F.col("cand_id").asc()
     )

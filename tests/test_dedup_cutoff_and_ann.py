@@ -516,3 +516,42 @@ def test_ann_ivf_pq_probe_restriction_and_plan(spark):
         for r in rs:
             assert r["cand_id"] != qid
             assert enc[r["cand_id"]] == probed_cell, (qid, r["cand_id"])
+
+
+def test_ann_ivf_pq_lut_modes_bit_identical(spark):
+    """The exploded long-format LUT fallback (for query batches too
+    large to broadcast as packed per-query arrays) must be a pure
+    physical change: both modes sum the SAME 1e-6-quantized int64
+    partials, so rows are byte-identical. The auto gate keys on the
+    n_queries scalar; the exploded plan must keep the broadcast-join
+    shape (no cartesian, no single-partition exchange)."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    packed = SIM.ann_ivf_pq(embs, n_queries=6, k=4, nprobe=2, lut="packed")
+    exploded = SIM.ann_ivf_pq(embs, n_queries=6, k=4, nprobe=2, lut="exploded")
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, exploded.collect())
+    )
+    plan = exploded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+    # the auto gate: packed up to the constant, exploded above it
+    import pytest
+
+    with pytest.raises(ValueError, match="packed"):
+        SIM.ann_ivf_pq(embs, n_queries=6, lut="nonsense")
+    old = SIM._IVFPQ_PACKED_MAX_QUERIES
+    SIM._IVFPQ_PACKED_MAX_QUERIES = 3
+    try:
+        auto = SIM.ann_ivf_pq(embs, n_queries=6, k=4, nprobe=2, lut="auto")
+        # above the gate the auto plan is the exploded shape: the
+        # packed fold's zip_with never appears in it
+        assert "zip_with" not in auto._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, packed.collect())
+        )
+    finally:
+        SIM._IVFPQ_PACKED_MAX_QUERIES = old
