@@ -585,7 +585,14 @@ def decode_payload(b: bytes) -> tuple[int, int, int]:
     decoded when PIL is installed, else the documented
     ``NotImplementedError`` seam."""
     if b[:4] == b"RIFF":
+        if b[8:12] == b"AVI ":
+            return _parse_avi(b)
         return _parse_wav(b)
+    if b[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV/3GP): box walk for dims
+        try:
+            return _parse_mp4(b)
+        except ValueError:
+            pass  # no sized video track — fall through to the PIL gate/seam
     if b[:2] == b"BM":
         return _parse_bmp(b)
     if b[:2] == b"P6":
@@ -933,13 +940,272 @@ def encode_y4m(frames: np.ndarray, colorspace: str = "Cmono") -> bytes:
     return bytes(out)
 
 
+# --- AVI (RIFF) MJPEG video + MP4 metadata -----------------------------------
+# The COMPRESSED video path next to Y4M: Motion-JPEG-in-AVI is the
+# classic compressed interchange container whose frames are plain
+# baseline JPEGs — so the RIFF walk composes with the native JPEG codec
+# above for REAL compressed-frame decode without ffmpeg. MP4 (ISO BMFF)
+# parses its box tree natively for metadata (dims, track count); MP4
+# FRAME decode (H.264/H.265) stays behind the documented ffmpeg seam.
+
+
+def _jpeg_encode_gray(px: np.ndarray, quant: int = 8) -> bytes:
+    """Minimal baseline grayscale JPEG ENCODER (uniform quant table,
+    single-length canonical Huffman tables — legal, merely suboptimal):
+    the compressed-codec analog of :func:`encode_png` /
+    :func:`encode_y4m`, producing spec-valid streams for payload
+    synthesis in tests and demo pipelines without PIL. With
+    ``quant=8`` a CONSTANT 8x8 block round-trips EXACTLY through
+    :func:`jpeg_pixels` (its only nonzero coefficient is
+    DC = 8·(v−128), which the step-8 quantizer preserves losslessly) —
+    that exactness is what lets the MJPEG query oracle replay decoded
+    stats symbolically."""
+    px = np.asarray(px)
+    if px.dtype != np.uint8 or px.ndim != 2:
+        raise ValueError("_jpeg_encode_gray expects a uint8 (h, w) matrix")
+    h, w = px.shape
+    C = _jpeg_dct_matrix()
+    # canonical single-length tables: every symbol coded in 9 bits
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+    def table(symbols):
+        counts = bytearray(16)
+        counts[8] = len(symbols)  # all 9-bit codes
+        return bytes(counts), bytes(symbols), {s: (9, i) for i, s in enumerate(symbols)}
+
+    dc_counts, dc_symbols, dc_codes = table(dc_syms)
+    ac_counts, ac_symbols, ac_codes = table(ac_syms)
+
+    out_bits = bytearray()
+    acc = [0, 0]  # bit accumulator, bit count
+
+    def wbits(val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out_bits.append(acc[0])
+                if acc[0] == 0xFF:
+                    out_bits.append(0x00)  # byte stuffing
+                acc[0] = acc[1] = 0
+
+    img = px.astype(np.float64) - 128.0
+    # pad to 8-multiples by edge replication
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    pred = 0
+    for br in range(img.shape[0] // 8):
+        for bc in range(img.shape[1] // 8):
+            blk = img[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8]
+            coef = C @ blk @ C.T
+            qz = np.round(coef.reshape(64)[_ZZ] / quant).astype(int)
+            diff = int(qz[0]) - pred
+            pred = int(qz[0])
+            t = 0 if diff == 0 else abs(diff).bit_length()
+            ln, code = dc_codes[t]
+            wbits(code, ln)
+            if t:
+                wbits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(qz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_codes[0xF0]
+                    wbits(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_codes[(run << 4) | s]
+                wbits(code, ln)
+                wbits(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                ln, code = ac_codes[0x00]
+                wbits(code, ln)
+    if acc[1]:
+        acc[0] <<= 8 - acc[1]
+        acc[0] |= (1 << (8 - acc[1])) - 1  # pad with 1s per spec
+        out_bits.append(acc[0])
+        if acc[0] == 0xFF:
+            out_bits.append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant]) * 64)
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + dc_counts + dc_symbols)
+    out += seg(0xC4, bytes([0x10]) + ac_counts + ac_symbols)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes(out_bits)
+    out += b"\xff\xd9"
+    return out
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 25, quant: int = 8
+) -> bytes:
+    """Minimal spec-valid Motion-JPEG AVI for uint8 (n, h, w) luma
+    frames: RIFF('AVI ') with hdrl (avih + one 'vids'/'MJPG' strl),
+    movi ('00dc' chunks, each a complete baseline JPEG), and an idx1
+    index — the real compressed-container shape, readable by ffmpeg/
+    players and by :func:`avi_mjpeg_frames`."""
+    frames = np.ascontiguousarray(frames)
+    if frames.dtype != np.uint8 or frames.ndim != 3:
+        raise ValueError("encode_avi_mjpeg expects uint8 (n, h, w) frames")
+    n, h, w = frames.shape
+    jpegs = [_jpeg_encode_gray(frames[i], quant) for i in range(n)]
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    maxsz = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        maxsz * fps,       # dwMaxBytesPerSec
+        0, 0x10,           # padding, AVIF_HASINDEX
+        n, 0, 1, maxsz,    # totalFrames, initialFrames, streams, bufSize
+        w, h, 0, 0, 0, 0,  # width, height, reserved[4]
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, maxsz, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<I2i2H", 40, w, h, 1, 24) + b"MJPG" + struct.pack(
+        "<I2i2I", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b""
+    idx = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<3I", 0x10, 4 + len(movi_payload), len(j))
+        movi_payload += chunk(b"00dc", j)
+    movi = lst(b"movi", movi_payload)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_offset, payload_len) inside a RIFF span."""
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        yield cid, pos + 8, ln
+        pos += 8 + ln + (ln & 1)  # chunks pad to even
+
+
+def _parse_avi(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from the avih header — box walk only."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    for cid, off, ln in _riff_chunks(b, 12, len(b)):
+        if cid == b"LIST" and b[off : off + 4] == b"hdrl":
+            for c2, o2, l2 in _riff_chunks(b, off + 4, off + ln):
+                if c2 == b"avih":
+                    tot, _ini, _ns, _buf, w, h = struct.unpack_from("<6I", b, o2 + 16)
+                    return w, h, tot
+    raise ValueError("AVI without avih header")
+
+
+def avi_mjpeg_frames(b: bytes, every: int = 1):
+    """Yield (frame_idx, luma uint8 (h, w)) for every ``every``-th video
+    frame of a Motion-JPEG AVI: the RIFF walk finds the ``00dc`` chunks
+    in ``movi`` and only the SAMPLED ones pay the JPEG Huffman+IDCT
+    decode (color frames reduce to channel-mean luma). Non-MJPEG codecs
+    inside AVI raise at the JPEG sniff — the documented ffmpeg seam."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    idx = 0
+    for cid, off, ln in _riff_chunks(b, 12, len(b)):
+        if cid == b"LIST" and b[off : off + 4] == b"movi":
+            for c2, o2, l2 in _riff_chunks(b, off + 4, off + ln):
+                if c2[2:4] not in (b"dc", b"db"):
+                    continue  # not a video chunk (audio '01wb', rec lists)
+                if idx % every == 0:
+                    payload = b[o2 : o2 + l2]
+                    if payload[:2] != b"\xff\xd8":
+                        raise NotImplementedError(
+                            "non-MJPEG AVI video codec decode requires ffmpeg"
+                        )
+                    px = jpeg_pixels(payload).astype(np.float64)
+                    yield idx, np.round(px.mean(axis=2)).astype(np.uint8)
+                idx += 1
+
+
+def _parse_mp4(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_video_tracks_as_channels≡3) from the ISO BMFF
+    box tree (moov → trak → tkhd, 16.16 fixed-point dims) — metadata
+    parses natively; FRAME decode (H.264/H.265) is the ffmpeg seam."""
+
+    def boxes(pos: int, end: int):
+        while pos + 8 <= end:
+            (sz,) = struct.unpack_from(">I", b, pos)
+            btype = b[pos + 4 : pos + 8]
+            hdr = 8
+            if sz == 1:  # 64-bit largesize
+                (sz,) = struct.unpack_from(">Q", b, pos + 8)
+                hdr = 16
+            elif sz == 0:  # box extends to EOF
+                sz = end - pos
+            if sz < hdr:
+                raise ValueError("bad MP4 box size")
+            yield btype, pos + hdr, pos + sz
+            pos += sz
+
+    def find(btype: bytes, pos: int, end: int):
+        for t, o, e in boxes(pos, end):
+            if t == btype:
+                yield o, e
+
+    for mo, me in find(b"moov", 0, len(b)):
+        for to, te in find(b"trak", mo, me):
+            for ko, _ke in find(b"tkhd", to, te):
+                ver = b[ko]
+                base = ko + (36 if ver == 0 else 48)  # skip to layer field
+                w16, h16 = struct.unpack_from(">II", b, base + 40)
+                w, h = w16 >> 16, h16 >> 16
+                if w and h:
+                    return w, h, 3
+    raise ValueError("MP4 without a sized video track")
+
+
+def _video_frames(b: bytes, every: int):
+    """Container sniff for the frame-sampling decode: Y4M streams read
+    raw luma planes; RIFF-AVI streams decode their MJPEG frames through
+    the native JPEG codec. Anything else (MP4/H.264, ...) is the
+    documented ffmpeg seam."""
+    if b[: len(_Y4M_SIG)] == _Y4M_SIG:
+        return y4m_luma_frames(b, every)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return avi_mjpeg_frames(b, every)
+    raise NotImplementedError(
+        "video frame decode covers Y4M and MJPEG-AVI natively; "
+        "MP4/H.264 frame decode requires ffmpeg"
+    )
+
+
 def video_frame_stats(
     df: DataFrame, every: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Frame-sampled luminance stats over Y4M video payloads: one row
-    per sampled frame (doc_id, frame_idx, mean_lum, std_lum) — decode
-    runs where the bytes live (Arrow-batched mapInPandas), the video
-    modality analog of ``image_features``."""
+    """Frame-sampled luminance stats over video payloads (Y4M or
+    MJPEG-AVI, sniffed per row): one row per sampled frame (doc_id,
+    frame_idx, mean_lum, std_lum) — decode runs where the bytes live
+    (Arrow-batched mapInPandas), the video modality analog of
+    ``image_features``."""
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -948,7 +1214,7 @@ def video_frame_stats(
             # schema carries the input id dtype, so string/decimal doc
             # ids survive instead of crashing an int() in the executor
             for i, b in zip(pdf[id_col], pdf["payload"]):
-                for idx, luma in y4m_luma_frames(bytes(b), every):
+                for idx, luma in _video_frames(bytes(b), every):
                     lf = luma.astype(np.float64)
                     rows.append((i, idx, float(lf.mean()), float(lf.std())))
             yield pd.DataFrame(

@@ -579,6 +579,68 @@ def video_frame_stats_q(spark, sf_dir):
 
 
 @query(
+    "video_mjpeg_stats",
+    """
+WITH fr AS (
+  SELECT d.doc_id, f.f AS frame_idx
+  FROM documents d, (SELECT unnest([0, 2]) AS f) f
+),
+bx AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         CAST((fr.doc_id * 11 + fr.frame_idx * 37 + b.b * 53) % 240 + 8
+              AS DOUBLE) AS c
+  FROM fr, (SELECT unnest(range(4)) AS b) b
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       ROUND(AVG(c), 6) AS mean_lum,
+       ROUND(SQRT(AVG(c * c) - AVG(c) * AVG(c)), 6) AS std_lum
+FROM bx GROUP BY doc_id, frame_idx""",
+)
+def video_mjpeg_stats_q(spark, sf_dir):
+    """REAL compressed-container video decode through the engine: a
+    4-frame Motion-JPEG AVI per doc — each 16x16 frame is four 8x8
+    blocks of constant luma c(doc, frame, block) = (doc*11 + frame*37
+    + block*53) % 240 + 8 — is RIFF-encoded inside the executors (each
+    frame a complete baseline JPEG), then frame-sampled (every 2nd)
+    and Huffman+IDCT-decoded back by ``video_frame_stats``'s container
+    sniff. At quant step 8 a constant block's only nonzero coefficient
+    is DC = 8·(c−128), which quantizes LOSSLESSLY, so the decoded
+    pixels equal the generator's colors exactly and the oracle replays
+    the per-frame stats symbolically from the color formula — a hash
+    match proves JPEG encode → AVI mux → RIFF walk → JPEG decode →
+    reduce, end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _encode(it):
+        from ..operators.multimodal import encode_avi_mjpeg
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                frames = np.empty((4, 16, 16), dtype=np.uint8)
+                for f in range(4):
+                    for blk in range(4):
+                        c = (int(did) * 11 + f * 37 + blk * 53) % 240 + 8
+                        by, bx = divmod(blk, 2)
+                        frames[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c
+                payloads.append(encode_avi_mjpeg(frames, quant=8))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payload_df = docs.mapInPandas(_encode, schema="doc_id long, payload binary")
+    stats = MM.video_frame_stats(payload_df, every=2)
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        F.round("mean_lum", 6).alias("mean_lum"),
+        F.round("std_lum", 6).alias("std_lum"),
+    )
+
+
+@query(
     "image_resize_stats",
     """
 WITH px AS (

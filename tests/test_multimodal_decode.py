@@ -570,3 +570,90 @@ def test_image_features_query_over_real_420_jpeg(spark):
         assert abs(r["mean_lum"] - lum.mean()) < 1e-12
         assert abs(r["std_lum"] - lum.std()) < 1e-12
         assert abs(r["edge_energy"] - grad.mean()) < 1e-12
+
+
+def test_avi_mjpeg_roundtrip_and_parse():
+    """Motion-JPEG AVI: the RIFF mux + per-frame baseline JPEG encode
+    round-trips through the container walk + native JPEG decode —
+    gradient frames within quantization distance, constant 8x8 blocks
+    EXACTLY (DC = 8·(v−128) is lossless at quant step 8, the property
+    the video_mjpeg_stats oracle relies on). decode_payload sniffs
+    RIFF/AVI vs RIFF/WAVE correctly."""
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    grad = np.stack(
+        [((np.arange(256).reshape(16, 16) * 3 + f * 17) % 256).astype(np.uint8)
+         for f in range(5)]
+    )
+    avi = MM.encode_avi_mjpeg(grad, quant=8)
+    assert MM._parse_avi(avi) == (16, 16, 5)
+    assert MM.decode_payload(avi) == (16, 16, 5)
+    got = dict(MM.avi_mjpeg_frames(avi, every=2))
+    assert sorted(got) == [0, 2, 4]
+    for i, luma in got.items():
+        assert np.abs(luma.astype(int) - grad[i].astype(int)).max() <= 8
+
+    const = np.stack(
+        [np.full((16, 16), 8 + (f * 37) % 240, np.uint8) for f in range(4)]
+    )
+    for i, luma in MM.avi_mjpeg_frames(MM.encode_avi_mjpeg(const), every=1):
+        assert (luma == const[i]).all(), i
+
+    # WAV payloads still route to the WAV parser
+    pcm = np.zeros((64, 1), dtype=np.int16)
+    wav = MM.encode_wav(pcm.reshape(-1), sample_rate=8000)
+    assert MM.decode_payload(wav)[2] == 1  # mono channel count
+
+
+def test_avi_non_mjpeg_codec_hits_seam():
+    """An AVI whose video chunks are not JPEG byte-streams must raise
+    the documented ffmpeg seam, never decode garbage."""
+    import numpy as np
+    import pytest
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    avi = bytearray(
+        MM.encode_avi_mjpeg(np.zeros((1, 16, 16), dtype=np.uint8))
+    )
+    i = avi.find(b"\xff\xd8")  # corrupt the first frame's JPEG SOI
+    avi[i : i + 2] = b"H2".ljust(2, b"\x00")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        list(MM.avi_mjpeg_frames(bytes(avi)))
+    # and a non-video container hits the dispatcher seam
+    with pytest.raises(NotImplementedError, match="MP4"):
+        list(MM._video_frames(b"\x00\x00\x00\x08free", every=1))
+
+
+def test_mp4_metadata_parse():
+    """ISO BMFF box walk: a minimal ftyp+moov/trak/tkhd tree parses
+    dims natively (v0 and v1 tkhd layouts, 16.16 fixed-point), and a
+    video-trackless MP4 falls through decode_payload to the documented
+    seam instead of raising a raw error."""
+    import struct
+
+    import pytest
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def tkhd(w, h, ver=0):
+        if ver == 0:
+            head = bytes([0]) + bytes(3) + bytes(20) + bytes(8) + bytes(8)
+        else:
+            head = bytes([1]) + bytes(3) + bytes(32) + bytes(8) + bytes(8)
+        return head + bytes(36) + struct.pack(">II", w << 16, h << 16)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isommp41")
+    mp4 = ftyp + box(b"moov", box(b"trak", box(b"tkhd", tkhd(640, 360))))
+    assert MM.decode_payload(mp4) == (640, 360, 3)
+    mp4v1 = ftyp + box(b"moov", box(b"trak", box(b"tkhd", tkhd(1920, 1080, ver=1))))
+    assert MM.decode_payload(mp4v1) == (1920, 1080, 3)
+    # audio-only track (zero dims): decode_payload reaches the seam
+    audio = ftyp + box(b"moov", box(b"trak", box(b"tkhd", tkhd(0, 0))))
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload(audio)
