@@ -34,6 +34,8 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf",
     "ann_pq_topk",
+    # round-11 addition: the composed IVFPQ search — the ANN scale path
+    "ann_ivf_pq",
     "kmeans_clusters",
     "curation_pipeline",
     "bars_resample_15m",

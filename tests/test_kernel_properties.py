@@ -190,3 +190,43 @@ def test_footprint_arrow_kernel_matches_per_bar_reference(spark, bars):
             assert r["vp_gini"] == 1.0 - v2 / den
         else:
             assert r["vp_gini"] is None
+
+
+@settings(max_examples=_EX or 25, deadline=None)
+@given(
+    st.integers(1, 33),
+    st.integers(1, 33),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_gray_roundtrip_bounded(h, w, seed):
+    """Any uint8 image must survive the baseline JPEG encode→decode
+    round-trip within quantization distance at step 8 (white noise is
+    the adversarial case — empirical worst max 10 / mean 2.2 over 200
+    seeds; the bounds carry margin). Also pins shape/dtype for
+    non-multiple-of-8 dims (edge-replicated pad + crop)."""
+    from finmlkit_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    px = MM.jpeg_pixels(MM._jpeg_encode_gray(img, quant=8))
+    assert px.shape == (h, w, 1) and px.dtype == np.uint8
+    err = np.abs(px[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 24 and err.mean() <= 6.0
+
+
+@settings(max_examples=_EX or 15, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 4), st.integers(0, 2**32 - 1))
+def test_avi_mjpeg_frame_sampling_indices(n_frames, every, seed):
+    """The AVI RIFF walk must sample exactly frames 0, every, 2·every…
+    and per-frame decode must stay within the JPEG round-trip bound —
+    for any frame count, sampling stride, and content."""
+    from finmlkit_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n_frames, 16, 16)).astype(np.uint8)
+    avi = MM.encode_avi_mjpeg(frames, quant=8)
+    assert MM._parse_avi(avi) == (16, 16, n_frames)
+    got = dict(MM.avi_mjpeg_frames(avi, every=every))
+    assert sorted(got) == list(range(0, n_frames, every))
+    for i, luma in got.items():
+        assert np.abs(luma.astype(int) - frames[i].astype(int)).max() <= 24
