@@ -399,8 +399,15 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     sof = None
     comps: list[list[int]] | None = None
     scan = None
+    # Adobe APP14 color-transform tag: None = untagged (JFIF convention:
+    # 3 components are YCbCr), 0 = components stored as plain R,G,B,
+    # 1 = YCbCr. 2 (YCCK) only occurs on 4-component streams, which the
+    # SOF gate already routes to the PIL seam.
+    adobe_transform = None
     for m, off, ln in _jpeg_segments(b):
-        if m == 0xDD:  # DRI — restart intervals re-align + reset the DC
+        if m == 0xEE and b[off : off + 5] == b"Adobe" and ln >= 12:
+            adobe_transform = b[off + 11]
+        elif m == 0xDD:  # DRI — restart intervals re-align + reset the DC
             # predictor mid-scan; this minimal decoder doesn't track
             # them, so bail at the documented seam instead of decoding
             # garbage past the first RSTn marker
@@ -516,16 +523,21 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
         p = planes[i][:chh, :cww]
         p = np.repeat(np.repeat(p, vmax // cv_, axis=0), hmax // ch_, axis=1)
         full.append(p[:h, :w] + 128.0)
-    y, cb, cr = full
-    # JFIF / CCIR 601 inverse transform
-    rgb = np.stack(
-        [
-            y + 1.402 * (cr - 128.0),
-            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-            y + 1.772 * (cb - 128.0),
-        ],
-        axis=-1,
-    )
+    if adobe_transform == 0:
+        # Adobe APP14 transform 0: the three components ARE R,G,B —
+        # applying the YCbCr inverse would silently mis-decode them
+        rgb = np.stack(full, axis=-1)
+    else:
+        y, cb, cr = full
+        # JFIF / CCIR 601 inverse transform
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
@@ -836,11 +848,12 @@ def image_resize(
 
 
 # --- Y4M video (YUV4MPEG2, public spec) --------------------------------------
-# The REAL video path next to the byte-offset plumbing below: YUV4MPEG2
-# is the standard UNCOMPRESSED interchange format (ffmpeg/mjpegtools) —
-# a one-line ASCII header, then "FRAME\n" + raw planes per frame, so a
-# pure-python parser covers it completely. Compressed containers
-# (MP4/AVI) stay behind the documented ffmpeg seam.
+# The REAL uncompressed video path: YUV4MPEG2 is the standard
+# UNCOMPRESSED interchange format (ffmpeg/mjpegtools) — a one-line
+# ASCII header, then "FRAME\n" + raw planes per frame, so a pure-python
+# parser covers it completely. For COMPRESSED containers see the AVI
+# MJPEG section below (native frame decode) and _parse_mp4 (native
+# metadata; H.264 frame decode is the documented ffmpeg seam).
 
 _Y4M_SIG = b"YUV4MPEG2 "
 
@@ -1100,10 +1113,15 @@ def encode_avi_mjpeg(
 
 
 def _riff_chunks(b: bytes, pos: int, end: int):
-    """Yield (fourcc, payload_offset, payload_len) inside a RIFF span."""
+    """Yield (fourcc, payload_offset, payload_len) inside a RIFF span;
+    truncated chunk headers raise ValueError (the seam contract), never
+    a raw struct.error."""
+    end = min(end, len(b))
     while pos + 8 <= end:
         cid = b[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + ln > end:
+            raise ValueError("truncated RIFF chunk payload")
         yield cid, pos + 8, ln
         pos += 8 + ln + (ln & 1)  # chunks pad to even
 
@@ -1116,25 +1134,39 @@ def _parse_avi(b: bytes) -> tuple[int, int, int]:
         if cid == b"LIST" and b[off : off + 4] == b"hdrl":
             for c2, o2, l2 in _riff_chunks(b, off + 4, off + ln):
                 if c2 == b"avih":
+                    if l2 < 40:
+                        raise ValueError("truncated AVI avih header")
                     tot, _ini, _ns, _buf, w, h = struct.unpack_from("<6I", b, o2 + 16)
                     return w, h, tot
     raise ValueError("AVI without avih header")
 
 
+def _avi_video_chunks(b: bytes, pos: int, end: int):
+    """Yield the primary video stream's frame payload spans in storage
+    order, recursing into ``LIST 'rec '`` groups (the classic VfW
+    interleaved layout wraps each frame group in one). Only stream-00
+    ``dc``/``db`` chunks count — a second stream's ``01dc`` frames must
+    not shift the primary stream's frame numbering."""
+    for cid, off, ln in _riff_chunks(b, pos, end):
+        if cid == b"LIST" and b[off : off + 4] == b"rec ":
+            yield from _avi_video_chunks(b, off + 4, off + ln)
+        elif cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
+            yield off, ln
+
+
 def avi_mjpeg_frames(b: bytes, every: int = 1):
     """Yield (frame_idx, luma uint8 (h, w)) for every ``every``-th video
-    frame of a Motion-JPEG AVI: the RIFF walk finds the ``00dc`` chunks
-    in ``movi`` and only the SAMPLED ones pay the JPEG Huffman+IDCT
-    decode (color frames reduce to channel-mean luma). Non-MJPEG codecs
-    inside AVI raise at the JPEG sniff — the documented ffmpeg seam."""
+    frame of a Motion-JPEG AVI: the RIFF walk finds the stream-00
+    ``dc``/``db`` chunks in ``movi`` (including inside ``rec `` groups)
+    and only the SAMPLED ones pay the JPEG Huffman+IDCT decode (color
+    frames reduce to channel-mean luma). Non-MJPEG codecs inside AVI
+    raise at the JPEG sniff — the documented ffmpeg seam."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     idx = 0
     for cid, off, ln in _riff_chunks(b, 12, len(b)):
         if cid == b"LIST" and b[off : off + 4] == b"movi":
-            for c2, o2, l2 in _riff_chunks(b, off + 4, off + ln):
-                if c2[2:4] not in (b"dc", b"db"):
-                    continue  # not a video chunk (audio '01wb', rec lists)
+            for o2, l2 in _avi_video_chunks(b, off + 4, off + ln):
                 if idx % every == 0:
                     payload = b[o2 : o2 + l2]
                     if payload[:2] != b"\xff\xd8":
@@ -1152,16 +1184,19 @@ def _parse_mp4(b: bytes) -> tuple[int, int, int]:
     parses natively; FRAME decode (H.264/H.265) is the ffmpeg seam."""
 
     def boxes(pos: int, end: int):
+        end = min(end, len(b))
         while pos + 8 <= end:
             (sz,) = struct.unpack_from(">I", b, pos)
             btype = b[pos + 4 : pos + 8]
             hdr = 8
             if sz == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize header")
                 (sz,) = struct.unpack_from(">Q", b, pos + 8)
                 hdr = 16
             elif sz == 0:  # box extends to EOF
                 sz = end - pos
-            if sz < hdr:
+            if sz < hdr or pos + sz > end:
                 raise ValueError("bad MP4 box size")
             yield btype, pos + hdr, pos + sz
             pos += sz
@@ -1173,9 +1208,13 @@ def _parse_mp4(b: bytes) -> tuple[int, int, int]:
 
     for mo, me in find(b"moov", 0, len(b)):
         for to, te in find(b"trak", mo, me):
-            for ko, _ke in find(b"tkhd", to, te):
+            for ko, ke in find(b"tkhd", to, te):
+                if ke - ko < 1:
+                    raise ValueError("empty MP4 tkhd box")
                 ver = b[ko]
                 base = ko + (36 if ver == 0 else 48)  # skip to layer field
+                if base + 48 > ke:
+                    raise ValueError("truncated MP4 tkhd box")
                 w16, h16 = struct.unpack_from(">II", b, base + 40)
                 w, h = w16 >> 16, h16 >> 16
                 if w and h:

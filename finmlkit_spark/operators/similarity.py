@@ -1393,10 +1393,11 @@ def ann_ivf_pq(
     int64s (~1 KB/query at m=8, ksub=16), which stops fitting a
     broadcast at very large query batches. ``"exploded"``:
     :func:`ann_pq_topk`'s long-format ``(query_id, j, code, pd_q)``
-    LUT — the same total bytes but never a per-query array row, at the
-    cost of an m× posexplode of the CANDIDATE side (already
-    nprobe/k_coarse-shrunk, so the explode is of the restricted set,
-    not the corpus). ``"auto"`` (default) takes packed up to
+    LUT, joined WITHOUT a broadcast hint — the planner shuffles both
+    sides on (query_id, j, code), so no LUT copy ever has to fit one
+    executor; the cost is an m× posexplode of the CANDIDATE side
+    (already nprobe/k_coarse-shrunk, so the explode is of the
+    restricted set, not the corpus). ``"auto"`` (default) takes packed up to
     ``_IVFPQ_PACKED_MAX_QUERIES`` and exploded above — the gate is on
     the ``n_queries`` scalar itself (no data probe needed). Both modes
     sum the SAME 1e-6-quantized int64 partials, so they are
@@ -1537,7 +1538,11 @@ def ann_ivf_pq(
             enc.join(F.broadcast(probe), "cell_id")
             .where(F.col("query_id") != F.col(id_col))
             .select("query_id", id_col, F.posexplode("codes").alias("j", "code"))
-            .join(F.broadcast(lutdf), ["query_id", "j", "code"])
+            # deliberately NOT broadcast: above the crossover the LUT is
+            # exactly what no longer fits a broadcast — let the planner
+            # shuffle both sides on (query_id, j, code) (AQE still
+            # broadcast-converts it when a small batch forces this mode)
+            .join(lutdf, ["query_id", "j", "code"])
             .groupBy("query_id", id_col)
             .agg(F.sum("pd_q").alias("_dq"))
             .select("query_id", F.col(id_col).alias("cand_id"), "_dq")

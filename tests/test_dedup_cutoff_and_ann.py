@@ -536,7 +536,11 @@ def test_ann_ivf_pq_lut_modes_bit_identical(spark):
     plan = exploded._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "Cartesian" not in plan
-    assert plan.count("BroadcastExchange") >= 2
+    # the probe join stays an explicit broadcast; the LUT join carries
+    # NO broadcast hint (that's the point of the fallback) — at this
+    # tiny scale AQE may still broadcast-convert it, so only the probe
+    # broadcast is pinned
+    assert plan.count("BroadcastExchange") >= 1
 
     # the auto gate: packed up to the constant, exploded above it
     import pytest

@@ -537,9 +537,10 @@ def test_native_baseline_420_color_jpeg_decode_golden():
     assert MM.decode_payload(b) == (32, 24, 3)  # (width, height, channels)
     px = MM.jpeg_pixels(b)
     assert px.shape == (24, 32, 3) and px.dtype == np.uint8
-    assert hashlib.md5(px.tobytes()).hexdigest() == (
-        "1924073215d0315d64856dcf2c773780"
-    )
+    # NO golden md5 over the decoded matrix: it comes from libm cos +
+    # float matmuls, so a platform whose rounding shifts one pixel
+    # across a .5 boundary would fail the hash while the actual
+    # contract (the tolerance bounds below) still holds
     y, x = np.mgrid[0:24, 0:32]
     src = np.stack(
         [x * 6 + y * 2, 60 + x * 3 + y * 4, 200 - x * 4 - y * 2], axis=-1
@@ -657,3 +658,36 @@ def test_mp4_metadata_parse():
     audio = ftyp + box(b"moov", box(b"trak", box(b"tkhd", tkhd(0, 0))))
     with pytest.raises(NotImplementedError):
         MM.decode_payload(audio)
+
+
+def test_jpeg_adobe_app14_transform_routing():
+    """Adobe APP14 tag routing: transform=1 (explicit YCbCr) must decode
+    byte-identically to the untagged JFIF default, and transform=0
+    (components stored as plain R,G,B) must SKIP the YCbCr inverse —
+    its first output channel is the raw first component plane, not a
+    color-rotated one."""
+    import struct
+
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = open(FIXTURE_420, "rb").read()
+    base = MM.jpeg_pixels(b)
+
+    def with_app14(transform):
+        i = b.find(b"\xff\xdb")
+        seg = (b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+               + bytes(6) + bytes([transform]))
+        return b[:i] + seg + b[i:]
+
+    t1 = MM.jpeg_pixels(with_app14(1))
+    assert (t1 == base).all()
+    t0 = MM.jpeg_pixels(with_app14(0))
+    assert t0.shape == base.shape and t0.dtype == np.uint8
+    assert not (t0 == base).all()
+    # under transform=0 channel 0 is the raw luma-slot plane; recover the
+    # same plane from the YCbCr-decoded output by the forward transform
+    y_from_rgb = (0.299 * base[..., 0].astype(float)
+                  + 0.587 * base[..., 1] + 0.114 * base[..., 2])
+    assert np.abs(t0[..., 0].astype(float) - y_from_rgb).max() <= 2.0
