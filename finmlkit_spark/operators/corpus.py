@@ -280,6 +280,173 @@ def gopher_signals(
     return d.withColumn("keep", keep)
 
 
+#: Gopher repetition thresholds (Rae et al. 2021, Table A1): the most
+#: frequent n-gram's character share for n=2..4, and the duplicated
+#: (count ≥ 2) n-grams' character share for n=5..10, as integer
+#: percentages so the keep decision is an exact cross-multiplication.
+GOPHER_TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_MAX_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Gopher repetition-removal signals + keep (Rae et al. 2021 Table
+    A1, the half :func:`gopher_signals` doesn't cover): for n = 2..4
+    the character share of the MOST FREQUENT n-gram, PROVIDED it
+    actually repeats (count ≥ 2 — a doc whose n-grams are all unique
+    scores 0, so short clean docs aren't rejected for containing one
+    long n-gram once; count × gram chars / total token chars; ties
+    break to the smallest gram hash), for n = 5..10 the character share of ALL duplicated
+    n-grams (Σ over grams with count ≥ 2 of count × chars — the
+    standard Gopher-reproduction convention, counting every
+    occurrence), one row per doc.
+
+    Plan: the whole filter is PER-DOCUMENT, so it compiles to ONE
+    per-row projection — no explode, no shuffle, scale-free like
+    :func:`gopher_signals`. Gram identity is the cross-engine
+    polynomial token-hash fold the dedup tier standardizes on
+    (``text.poly_hash`` per token, then h = fold(h·31 + th[i+j]) % mod
+    via linear shifted-slice ``zip_with``; see
+    ``shingle_hashes_from_tokens`` for why not transform(sequence)),
+    gram chars are the same fold over token lengths, and per-gram
+    counts come from ``sort_array`` + one adjacent-run ``aggregate``
+    per n (the c4 top-token idiom): equal (hash, chars) pairs are
+    adjacent after the sort, so one pass yields the max run (top
+    count; ties resolve to the smallest hash for free — ascending
+    order + strict >) and the Σ run·chars over runs ≥ 2. The keep
+    decision compares 100·covered ≤ pct·total_chars in exact
+    integers; shares are emitted as doubles for inspection.
+
+    ``parallelism``: the per-row fold is CPU-heavy (9 n-gram passes),
+    so a SMALL input file that parquet maps to one partition leaves 31
+    cores idle — callers below a footer-count crossover pass
+    ``parallelism=defaultParallelism`` to spread the rows first (one
+    cheap exchange of raw docs). At corpus scale the scan already has
+    thousands of partitions and the caller leaves this None: the plan
+    stays exchange-free."""
+    from .text import MOD, let_bind, poly_hash, tokens
+
+    if parallelism:
+        docs = docs.repartition(parallelism)
+
+    ns = sorted(GOPHER_TOP_NGRAM_MAX_PCT) + sorted(GOPHER_DUP_NGRAM_MAX_PCT)
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        let_bind(
+            tokens(text_col),
+            lambda tt: F.struct(
+                F.transform(tt, lambda tok: poly_hash(tok)).alias("th"),
+                F.transform(tt, lambda x: F.length(x).cast("long")).alias("lens"),
+            ),
+        ).alias("_b"),
+    ).select(
+        "doc",
+        F.col("_b.th").alias("th"),
+        F.col("_b.lens").alias("lens"),
+    ).withColumn(
+        "total_chars",
+        F.aggregate("lens", F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+
+    def _run_fold(n):
+        """(top_cov, dup_cov) struct for one n: gram (hash, chars)
+        pairs -> sort -> adjacent-run fold, all inside the row."""
+        m = F.size("th") - n + 1
+        h = F.slice("th", 1, m)
+        c = F.slice("lens", 1, m)
+        for j in range(1, n):
+            h = F.zip_with(
+                h, F.slice("th", j + 1, m), lambda a, b: (a * 31 + b) % F.lit(MOD)
+            )
+            c = F.zip_with(c, F.slice("lens", j + 1, m), lambda a, b: a + b)
+        pairs = F.sort_array(
+            F.zip_with(h, c, lambda hh, cc: F.struct(hh.alias("h"), cc.alias("c")))
+        )
+        zero = F.lit(0).cast("long")
+        init = F.struct(
+            F.lit(-1).cast("long").alias("ph"),   # sentinel: hashes are >= 0
+            zero.alias("pc"),
+            zero.alias("run"),
+            zero.alias("best_cnt"),
+            zero.alias("top"),
+            zero.alias("dup"),
+        )
+
+        def step(acc, x):
+            same = (x["h"] == acc["ph"]) & (x["c"] == acc["pc"])
+            # close the previous run when the gram changes
+            close = ~same & (acc["run"] >= 2) & (acc["run"] > acc["best_cnt"])
+            closed_top = F.when(close, acc["run"] * acc["pc"]).otherwise(acc["top"])
+            closed_best = F.when(close, acc["run"]).otherwise(acc["best_cnt"])
+            closed_dup = F.when(
+                ~same & (acc["run"] >= 2), acc["dup"] + acc["run"] * acc["pc"]
+            ).otherwise(acc["dup"])
+            return F.struct(
+                x["h"].alias("ph"),
+                x["c"].alias("pc"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                closed_best.alias("best_cnt"),
+                closed_top.alias("top"),
+                closed_dup.alias("dup"),
+            )
+
+        def finish(acc):
+            top = F.when(
+                (acc["run"] >= 2) & (acc["run"] > acc["best_cnt"]),
+                acc["run"] * acc["pc"],
+            ).otherwise(acc["top"])
+            dup = F.when(acc["run"] >= 2, acc["dup"] + acc["run"] * acc["pc"]).otherwise(
+                acc["dup"]
+            )
+            return F.struct(top.cast("long").alias("top"), dup.cast("long").alias("dup"))
+
+        out = F.aggregate(pairs, init, step, finish)
+        return F.when(F.size("th") >= n, out).otherwise(
+            F.struct(zero.alias("top"), zero.alias("dup"))
+        )
+
+    j = base.select(
+        "doc",
+        "total_chars",
+        *[_run_fold(n).alias(f"_f{n}") for n in ns],
+    ).select(
+        "doc",
+        "total_chars",
+        *[F.col(f"_f{n}.top").alias(f"_top{n}") for n in GOPHER_TOP_NGRAM_MAX_PCT],
+        *[F.col(f"_f{n}.dup").alias(f"_dup{n}") for n in GOPHER_DUP_NGRAM_MAX_PCT],
+    )
+    tot = F.col("total_chars")
+
+    def share(cov):
+        return F.when(tot > 0, cov.cast("double") / tot).otherwise(F.lit(0.0))
+
+    covs = {
+        **{
+            n: F.coalesce(F.col(f"_top{n}"), F.lit(0).cast("long"))
+            for n in GOPHER_TOP_NGRAM_MAX_PCT
+        },
+        **{
+            n: F.coalesce(F.col(f"_dup{n}"), F.lit(0).cast("long"))
+            for n in GOPHER_DUP_NGRAM_MAX_PCT
+        },
+    }
+    keep = None
+    for n, pct in {**GOPHER_TOP_NGRAM_MAX_PCT, **GOPHER_DUP_NGRAM_MAX_PCT}.items():
+        c = F.lit(100) * covs[n] <= F.lit(pct) * tot
+        keep = c if keep is None else (keep & c)
+    return j.select(
+        F.col("doc").alias(id_col),
+        "total_chars",
+        *[share(covs[n]).alias(f"top_{n}gram_share") for n in GOPHER_TOP_NGRAM_MAX_PCT],
+        *[share(covs[n]).alias(f"dup_{n}gram_share") for n in GOPHER_DUP_NGRAM_MAX_PCT],
+        keep.alias("keep"),
+    )
+
+
 def c4_filter_signals(
     docs: DataFrame,
     text_col: str = "text",

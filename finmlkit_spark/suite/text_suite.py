@@ -952,6 +952,122 @@ def gopher_filter_q(spark, sf_dir):
 
 
 @query(
+    "gopher_repetition",
+    _TOKS
+    + """
+, base AS (
+  SELECT doc_id,
+         list_transform(t, tok -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS th,
+         list_transform(t, x -> CAST(length(x) AS BIGINT)) AS lens,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS total_chars
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, CAST(nn.n AS INT) AS n,
+         unnest(list_transform(
+           range(1, greatest(len(th) - nn.n + 1, 0) + 1),
+           i -> struct_pack(
+             h := list_reduce(th[CAST(i AS INT) : CAST(i + nn.n - 1 AS INT)],
+                              (a, b) -> (a * 31 + b) % 1000000007),
+             c := CAST(list_sum(lens[CAST(i AS INT) : CAST(i + nn.n - 1 AS INT)])
+                       AS BIGINT)
+           ))) AS hc
+  FROM base, (SELECT unnest(range(2, 11)) AS n) nn
+),
+cnts AS (
+  SELECT doc_id, n, hc.h AS h, hc.c AS c, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, n, hc.h, hc.c
+),
+per_n AS (
+  SELECT doc_id, n, top_cov, dup_cov FROM (
+    SELECT doc_id, n,
+           CAST(CASE WHEN cnt >= 2 THEN cnt * c ELSE 0 END AS BIGINT) AS top_cov,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * c ELSE 0 END)
+                OVER (PARTITION BY doc_id, n) AS BIGINT) AS dup_cov,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY cnt DESC, h ASC, c ASC) AS rk
+    FROM cnts
+  ) WHERE rk = 1
+),
+wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN top_cov END) AS t2,
+         MAX(CASE WHEN n = 3 THEN top_cov END) AS t3,
+         MAX(CASE WHEN n = 4 THEN top_cov END) AS t4,
+         MAX(CASE WHEN n = 5 THEN dup_cov END) AS d5,
+         MAX(CASE WHEN n = 6 THEN dup_cov END) AS d6,
+         MAX(CASE WHEN n = 7 THEN dup_cov END) AS d7,
+         MAX(CASE WHEN n = 8 THEN dup_cov END) AS d8,
+         MAX(CASE WHEN n = 9 THEN dup_cov END) AS d9,
+         MAX(CASE WHEN n = 10 THEN dup_cov END) AS d10
+  FROM per_n GROUP BY doc_id
+)
+SELECT b.doc_id, b.total_chars,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(t2, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS top_2gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(t3, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS top_3gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(t4, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS top_4gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(d5, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS dup_5gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(d6, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS dup_6gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(d7, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS dup_7gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(d8, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS dup_8gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(d9, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS dup_9gram_share,
+       ROUND(CASE WHEN b.total_chars > 0
+             THEN CAST(coalesce(d10, 0) AS DOUBLE) / b.total_chars ELSE 0 END, 6)
+         AS dup_10gram_share,
+       (100 * coalesce(t2, 0) <= 20 * b.total_chars
+        AND 100 * coalesce(t3, 0) <= 18 * b.total_chars
+        AND 100 * coalesce(t4, 0) <= 16 * b.total_chars
+        AND 100 * coalesce(d5, 0) <= 15 * b.total_chars
+        AND 100 * coalesce(d6, 0) <= 14 * b.total_chars
+        AND 100 * coalesce(d7, 0) <= 13 * b.total_chars
+        AND 100 * coalesce(d8, 0) <= 12 * b.total_chars
+        AND 100 * coalesce(d9, 0) <= 11 * b.total_chars
+        AND 100 * coalesce(d10, 0) <= 10 * b.total_chars) AS keep
+FROM base b LEFT JOIN wide USING (doc_id)""",
+)
+def gopher_repetition_q(spark, sf_dir):
+    """Gopher REPETITION rules (Rae et al. 2021 Table A1 — the other
+    half of gopher_filter): top n-gram character share for n=2..4 and
+    duplicated n-gram character share for n=5..10, plus the combined
+    keep decision. Shares round to 6 digits; the keep decision is
+    exact-integer on both engines."""
+    from ..operators import corpus as CP
+    from .pipeline_suite import _parquet_num_rows
+
+    n = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    par = (
+        spark.sparkContext.defaultParallelism
+        if n is not None and n < 100_000
+        else None
+    )
+    out = CP.gopher_repetition(_docs(spark, sf_dir), parallelism=par)
+    share_cols = [c for c in out.columns if c.endswith("gram_share")]
+    return out.select(
+        "doc_id",
+        "total_chars",
+        *[F.round(c, 6).alias(c) for c in share_cols],
+        "keep",
+    )
+
+
+@query(
     "ann_pq_topk",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -269,3 +269,47 @@ def test_gopher_signals_rules(spark):
     kit2 = CK.CurationKit.from_config(cfg)
     kept = kit2.run(df)
     assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [0]
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Gopher repetition rules on hand-computable docs: a top-2-gram
+    spam doc fails the n=2 share bound, a long duplicated phrase fails
+    the dup-5-gram bound, a clean doc keeps, and an empty doc keeps
+    with all-zero shares."""
+    from finmlkit_spark.operators import corpus as CP
+
+    rows = [
+        # 'ab cd' repeated 6x: top 2-gram cov = 6*4 = 24, total = 24
+        # -> share 1.0 > 0.20: reject
+        (0, "ab cd " * 6),
+        # clean: all 2..10-grams unique
+        (1, "one two three four five six seven eight nine ten eleven"),
+        # a 6-token phrase repeated twice with unique separators between:
+        # every k<=6-gram inside the phrase duplicates -> dup shares > 0
+        (2, "p q r s t u xxx p q r s t u yyy unique1 unique2 unique3 "
+            "unique4 unique5 unique6 unique7 unique8 unique9 unique10 "
+            "unique11 unique12 unique13 unique14 unique15 unique16"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CP.gopher_repetition(df).collect()}
+
+    assert out[0]["top_2gram_share"] == 1.0 and not out[0]["keep"]
+    assert out[1]["keep"]
+    assert all(out[1][f"top_{n}gram_share"] <= 0.25 for n in (2, 3, 4))
+    assert all(out[1][f"dup_{n}gram_share"] == 0.0 for n in range(5, 11))
+    # doc 2: the repeated 6-token phrase gives exactly two duplicated
+    # 5-grams ('p q r s t', 'q r s t u', each twice, 5 chars) and one
+    # duplicated 6-gram; total chars = 6+6+3+3+16*7+... compute: tokens
+    # p..u are 1 char (6), separators xxx/yyy 3 chars, unique1..16 are
+    # 7-9 chars
+    toks = rows[2][1].split()
+    total = sum(len(t) for t in toks)
+    exp5 = 2 * (2 * 5) / total  # two dup 5-grams, cov = cnt*chars = 2*5
+    assert abs(out[2]["dup_5gram_share"] - exp5) < 1e-9
+    exp6 = 2 * 6 / total        # one dup 6-gram ('p q r s t u') twice
+    assert abs(out[2]["dup_6gram_share"] - exp6) < 1e-9
+    assert all(out[2][f"dup_{n}gram_share"] == 0.0 for n in range(7, 11))
+
+    assert out[3]["total_chars"] == 0 and out[3]["keep"]
+    assert out[3]["top_2gram_share"] == 0.0
