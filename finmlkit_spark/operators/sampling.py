@@ -202,3 +202,99 @@ def doc_chunks(
         F.size(F.split("_c", " ")).cast("long").alias("n_tokens"),
         F.md5("_c").alias("chunk_md5"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 64,
+    weight=None,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    chunk: int | None = None,
+) -> DataFrame:
+    """Exact weighted sampling WITH replacement: ``k`` deterministic
+    draws where doc ``d`` is selected with probability ``w_d / W`` —
+    the mixture-construction primitive (sample a training subset
+    proportional to token count, quality score, or any integer
+    weight). Returns one row per draw: (draw_id, doc_id, weight).
+
+    Exactness contract: every step is int64 arithmetic, so both
+    engines agree bit-for-bit. The classic A-ES top-k scheme needs
+    ``u^(1/w)`` (libm pow — last-ulp rank flips between builds), so
+    instead each draw inverts the cumulative weight function: draw j's
+    point is ``p_j = mix(seed, j) mod W`` (multiplicative avalanche in
+    int64; modulo bias O(W/2^61) — negligible, documented), and the
+    selected doc is the one whose interval [cum_lo, cum_hi) in
+    doc_id-order contains ``p_j``.
+
+    Scale shape: the global prefix sum NEVER globally sorts the corpus
+    — docs chunk by ``id // C`` (C footer-derived so the chunk axis
+    stays ≤ ~4k rows; assumes dense-ish ids like the reference's doc
+    ids — pre-densify sparse id spaces first), per-chunk sums take the
+    sanctioned ordered-window prefix on the CHUNK-AXIS table (class-b
+    SinglePartition: bounded at any corpus size), offsets broadcast
+    back, and the interval lookup is a bucketed containment join
+    (bucket = value // max_weight, each interval spans ≤ 2 buckets, the
+    k draws broadcast) — the ``range_join`` idiom, no cartesian, no
+    corpus-scale sort."""
+    w_expr = token_count() if weight is None else weight
+    d = docs.select(
+        F.col(id_col).alias("doc"), w_expr.cast("long").alias("w")
+    ).where(F.col("w") > 0)
+    if chunk is None:
+        # bound the chunk axis at ~4k rows for dense ids; one tiny agg
+        # would also do, but max(id) needs a scan — use a generous
+        # fixed width and let empty chunks vanish (they produce no row)
+        chunk = 8192
+    d = d.withColumn("_ck", (F.col("doc") / F.lit(chunk)).cast("long"))
+    per_chunk = d.groupBy("_ck").agg(F.sum("w").alias("_cw"))
+    # sanctioned class-b ordered prefix over the bounded chunk axis
+    woff = Window.orderBy("_ck").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_chunk.select(
+        "_ck", F.coalesce(F.sum("_cw").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = Window.partitionBy("_ck").orderBy("doc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        d.join(F.broadcast(offsets), "_ck")
+        .withColumn("_hi", F.sum("w").over(wloc) + F.col("_off"))
+        .withColumn("_lo", F.col("_hi") - F.col("w"))
+    )
+    scalars = d.agg(
+        F.sum("w").alias("W"), F.max("w").alias("B")
+    ).collect()[0]
+    total, bucket = int(scalars["W"] or 0), int(scalars["B"] or 1)
+    spark = docs.sparkSession
+    if total <= 0:
+        return spark.createDataFrame(
+            [], f"draw_id long, {id_col} long, weight long"
+        )
+    # k draws: multiplicative avalanche of (seed, j), exact in int64
+    draws = spark.range(k).select(
+        F.col("id").alias("draw_id"),
+        (
+            ((F.col("id") + F.lit(seed)) * F.lit(2654435761)
+             + F.lit(seed) * F.lit(40503))
+            % F.lit(2305843009213693951)  # 2^61 - 1 (Mersenne)
+            % F.lit(total)
+        ).alias("_p"),
+    ).withColumn("_bkt", (F.col("_p") / F.lit(bucket)).cast("long"))
+    iv = cum.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col("_lo") / F.lit(bucket)).cast("long"),
+                ((F.col("_hi") - 1) / F.lit(bucket)).cast("long"),
+            )
+        ),
+    )
+    return (
+        iv.join(F.broadcast(draws), "_bkt")
+        .where((F.col("_p") >= F.col("_lo")) & (F.col("_p") < F.col("_hi")))
+        .select(
+            "draw_id",
+            F.col("doc").alias(id_col),
+            F.col("w").alias("weight"),
+        )
+    )

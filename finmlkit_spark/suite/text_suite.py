@@ -952,6 +952,39 @@ def gopher_filter_q(spark, sf_dir):
 
 
 @query(
+    "weighted_sample",
+    _TOKS
+    + """
+, w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS w FROM toks WHERE len(t) > 0),
+cum AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS hi
+  FROM w
+),
+tot AS (SELECT SUM(w) AS W FROM w),
+draws AS (
+  SELECT CAST(j AS BIGINT) AS draw_id,
+         ((j + 7) * 2654435761 + 7 * 40503)
+           % 2305843009213693951 % (SELECT W FROM tot) AS p
+  FROM (SELECT unnest(range(64)) AS j) jj
+)
+SELECT d.draw_id, c.doc_id, CAST(c.w AS BIGINT) AS weight
+FROM draws d JOIN cum c ON d.p >= c.hi - c.w AND d.p < c.hi""",
+)
+def weighted_sample_q(spark, sf_dir):
+    """Exact weighted sampling with replacement (64 draws, weight =
+    whitespace token count): each draw inverts the integer cumulative
+    weight function at a deterministic avalanche point, so both
+    engines select byte-identical (draw, doc) rows. The oracle uses a
+    plain global window cumsum; the Spark side computes the SAME
+    integer prefix sums via the bounded chunk-axis form — value
+    equality across the two shapes is the point of the check."""
+    from ..operators import sampling as SP
+
+    return SP.weighted_sample(_docs(spark, sf_dir), k=64)
+
+
+@query(
     "gopher_repetition",
     _TOKS
     + """

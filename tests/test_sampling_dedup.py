@@ -679,3 +679,56 @@ def test_token_hash_fold_dense_and_ragged_paths_identical():
     toks = re.split(" +", big[0].strip(" "))
     assert cnt_big[0] == len(toks)
     assert list(th_big) == [poly(t) for t in toks]
+
+
+def test_weighted_sample_exact_and_deterministic(spark):
+    """weighted_sample: draws are deterministic across runs and
+    partitionings, every draw lands on a positive-weight doc, heavy
+    docs dominate (10x weight -> more hits over 512 draws), and the
+    chunked prefix-sum form equals a direct global-cumsum replay."""
+    from finmlkit_spark.operators import sampling as SP
+    from pyspark.sql import functions as F
+
+    rows = [(i, ("word " * (100 if i % 10 == 0 else 10)).strip()) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = sorted(map(tuple, SP.weighted_sample(docs, k=512).collect()))
+    out2 = sorted(map(tuple, SP.weighted_sample(docs.repartition(7), k=512).collect()))
+    assert out1 == out2  # partitioning-independent
+    assert len(out1) == 512  # every draw matched exactly one interval
+
+    # python replay: global cumsum inversion with the same mix
+    w = {i: (100 if i % 10 == 0 else 10) for i in range(50)}
+    ids = sorted(w)
+    total = sum(w.values())
+    cum, hi = {}, 0
+    for i in ids:
+        hi += w[i]
+        cum[i] = hi
+    expect = []
+    for j in range(512):
+        p = ((j + 7) * 2654435761 + 7 * 40503) % 2305843009213693951 % total
+        doc = next(i for i in ids if p < cum[i])
+        expect.append((j, doc, w[doc]))
+    assert out1 == sorted(expect)
+
+    hits_heavy = sum(1 for _, d, _ in out1 if d % 10 == 0)
+    # heavy docs hold 500/950 of the mass; loose 2-sided bound
+    assert 180 <= hits_heavy <= 350, hits_heavy
+
+
+def test_weighted_sample_empty_and_plan(spark):
+    from finmlkit_spark.operators import sampling as SP
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert SP.weighted_sample(empty, k=8).count() == 0
+
+    docs = spark.createDataFrame(
+        [(i, "a few words here") for i in range(200)], "doc_id long, text string"
+    )
+    df = SP.weighted_sample(docs, k=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    # the ONLY SinglePartition is the sanctioned chunk-axis prefix
+    # (bounded rows at any corpus size); the doc-scale side hashes
+    assert plan.count("Exchange SinglePartition") <= 1
