@@ -1560,3 +1560,81 @@ def ann_ivf_pq(
             "rank",
         )
     )
+
+
+def embedding_covariance(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact population covariance matrix of the embedding column —
+    the whitening / OPQ-rotation prep stage (FAISS trains OPQ on
+    exactly this d×d matrix). Returns one row per (j ≤ k) pair:
+    (dim_j, dim_k, cov).
+
+    Exactness posture (the :func:`random_projection` contract, one
+    level up): components quantize to 1e-6 units (int64), every
+    Σq_j·q_k and Σq_j accumulates in EXACT integer arithmetic —
+    order-independent, so any partial/combine schedule yields the same
+    sums — and cov derives from the exact sums with one fixed float
+    expression (E[q_j q_k] − E[q_j]E[q_k], scaled back), identical in
+    both engines bit-for-bit.
+
+    Scale shape: one ``mapInPandas`` pass computes each Arrow batch's
+    int64 Gram partial Qᵀ·Q (numpy integer matmul — exact, no BLAS
+    rounding) plus column sums and count, emitting ≤ d(d+1)/2 + d + 1
+    narrow rows per batch; a (j, k) hash aggregate folds the partials
+    (map-side combine); the d-row column-sum side and the 1-row count
+    broadcast back into the final projection. The corpus crosses the
+    plan once; the shuffle carries only d² partials per batch.
+    Overflow bound: |q| ≤ ~1e6·|v|, so a 10k-row Arrow batch's partial
+    ≤ 1e4·1e12 = 1e16 ≪ 2^63; the terminal fold holds sums as
+    DECIMAL(38,0) so corpus-scale totals cannot overflow."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**ndigits
+    e = emb_df.select(as_double(emb_col).alias("v"))
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].values).astype(np.float64)
+            Q = _saturating_int64(np.floor(A * scale + 0.5))
+            d = Q.shape[1]
+            G = Q.T @ Q  # int64 exact (bounds in the docstring)
+            cs = Q.sum(axis=0)
+            ju, ku = np.triu_indices(d)
+            rows = {
+                "j": np.concatenate([ju, np.arange(d), [-1]]).astype(np.int32),
+                "k": np.concatenate([ku, np.full(d, -1), [-1]]).astype(np.int32),
+                "s": np.concatenate([G[ju, ku], cs, [len(pdf)]]).astype(np.int64),
+            }
+            yield pd.DataFrame(rows)
+
+    partials = e.mapInPandas(fn, "j int, k int, s long")
+    agg = partials.groupBy("j", "k").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+    prods = agg.where(F.col("k") >= 0)
+    sums = agg.where((F.col("j") >= 0) & (F.col("k") == -1)).select(
+        F.col("j").alias("_d"), F.col("s").alias("_cs")
+    )
+    n = agg.where(F.col("j") == -1).select(F.col("s").alias("_n"))
+    out = (
+        prods.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sums.withColumnRenamed("_d", "j").withColumnRenamed("_cs", "_sj")), "j")
+        .join(F.broadcast(sums.withColumnRenamed("_d", "k").withColumnRenamed("_cs", "_sk")), "k")
+    )
+    nn = F.col("_n").cast("double")
+    cov = (
+        F.col("s").cast("double") / nn
+        - (F.col("_sj").cast("double") / nn) * (F.col("_sk").cast("double") / nn)
+    ) / F.lit(float(scale * scale))
+    return out.select(
+        F.col("j").cast("int").alias("dim_j"),
+        F.col("k").cast("int").alias("dim_k"),
+        cov.alias("cov"),
+    )

@@ -952,6 +952,44 @@ def gopher_filter_q(spark, sf_dir):
 
 
 @query(
+    "embedding_covariance",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 1000000.0e0 + 0.5e0) AS BIGINT)) AS q
+      FROM e),
+x AS (SELECT vec_id,
+             CAST(unnest(range(len(q))) AS INT) AS j,
+             unnest(q) AS qv
+      FROM q),
+prods AS (
+  SELECT a.j AS dim_j, b.j AS dim_k, SUM(a.qv * b.qv) AS sjk
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.j <= b.j
+  GROUP BY a.j, b.j
+),
+sums AS (SELECT j, SUM(qv) AS sj FROM x GROUP BY j),
+tot AS (SELECT COUNT(*) AS n FROM e)
+SELECT p.dim_j, p.dim_k,
+       ROUND((CAST(p.sjk AS DOUBLE) / n
+              - (CAST(sa.sj AS DOUBLE) / n) * (CAST(sb.sj AS DOUBLE) / n))
+             / 1000000000000.0e0, 6) AS cov
+FROM prods p, tot,
+     sums sa, sums sb
+WHERE sa.j = p.dim_j AND sb.j = p.dim_k""",
+)
+def embedding_covariance_q(spark, sf_dir):
+    """Exact d×d embedding covariance (1e-6-quantized int64 Gram
+    partials, decimal fold, one terminal float expression) — the
+    whitening/OPQ training input. The Arrow kernel's integer matmul
+    and the oracle's pair-explode compute the SAME exact sums, so the
+    2080 upper-triangle rows hash-match bit-for-bit."""
+    from ..operators import similarity as SIM
+
+    out = SIM.embedding_covariance(_embs(spark, sf_dir))
+    return out.select("dim_j", "dim_k", F.round("cov", 6).alias("cov"))
+
+
+@query(
     "weighted_sample",
     _TOKS
     + """

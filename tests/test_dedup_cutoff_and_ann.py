@@ -559,3 +559,30 @@ def test_ann_ivf_pq_lut_modes_bit_identical(spark):
         )
     finally:
         SIM._IVFPQ_PACKED_MAX_QUERIES = old
+
+
+def test_embedding_covariance_exact_vs_numpy(spark):
+    """The Arrow Gram-partial covariance must equal a direct numpy
+    replay of the same quantized math (bit-exact — integer sums are
+    order-independent), be symmetric-complete (all j<=k pairs), and be
+    partitioning-independent."""
+    import numpy as np
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {(r["dim_j"], r["dim_k"]): r["cov"]
+           for r in SIM.embedding_covariance(embs).collect()}
+    out7 = {(r["dim_j"], r["dim_k"]): r["cov"]
+            for r in SIM.embedding_covariance(embs.repartition(7)).collect()}
+    assert out == out7
+
+    X = np.array([r["embedding"] for r in embs.collect()], dtype=np.float64)
+    Q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+    n, d = Q.shape
+    assert len(out) == d * (d + 1) // 2
+    G = Q.T @ Q
+    cs = Q.sum(axis=0)
+    for (j, k), got in out.items():
+        exp = (G[j, k] / n - (cs[j] / n) * (cs[k] / n)) / 1e12
+        assert got == exp, (j, k, got, exp)
