@@ -96,3 +96,23 @@ def test_streaming_curation_pipeline(spark, docs_stream_dir):
         .count()
     )
     assert len(rows) == exp
+
+
+def test_streaming_gopher_filters_parity(spark, docs_stream_dir):
+    """The Gopher quality AND repetition filters are stateless per-row
+    projections, so they compose onto a stream unchanged: streaming
+    output must equal the batch run row-for-row (incl. the round-11
+    sort_array + adjacent-run repetition fold — no window, no state)."""
+    from finmlkit_spark.operators import corpus as CP
+
+    schema = spark.read.parquet(docs_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_stream_dir)
+    batch_df = spark.read.parquet(docs_stream_dir)
+    out_rep = _run_stream(spark, CP.gopher_repetition(stream), "gopher_rep_stream")
+    out_sig = _run_stream(spark, CP.gopher_signals(stream), "gopher_sig_stream")
+    exp_rep = CP.gopher_repetition(batch_df)
+    exp_sig = CP.gopher_signals(batch_df)
+    got_rep = sorted(map(tuple, out_rep.collect()))
+    assert got_rep == sorted(map(tuple, exp_rep.collect())) and got_rep
+    got_sig = sorted(map(tuple, out_sig.collect()))
+    assert got_sig == sorted(map(tuple, exp_sig.collect())) and got_sig
