@@ -617,17 +617,26 @@ def video_mjpeg_stats_q(spark, sf_dir):
     def _encode(it):
         from ..operators.multimodal import encode_avi_mjpeg
 
+        # the color formula cycles in doc_id mod 240, so whole payloads
+        # repeat — memoize per residue (≤240 pure-Python JPEG encodes
+        # per executor instead of one per doc)
+        memo: dict = {}
         for pdf in it:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
             for did in ids:
-                frames = np.empty((4, 16, 16), dtype=np.uint8)
-                for f in range(4):
-                    for blk in range(4):
-                        c = (int(did) * 11 + f * 37 + blk * 53) % 240 + 8
-                        by, bx = divmod(blk, 2)
-                        frames[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c
-                payloads.append(encode_avi_mjpeg(frames, quant=8))
+                key = int(did) % 240
+                b = memo.get(key)
+                if b is None:
+                    frames = np.empty((4, 16, 16), dtype=np.uint8)
+                    for f in range(4):
+                        for blk in range(4):
+                            c = (key * 11 + f * 37 + blk * 53) % 240 + 8
+                            by, bx = divmod(blk, 2)
+                            frames[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c
+                    b = encode_avi_mjpeg(frames, quant=8)
+                    memo[key] = b
+                payloads.append(b)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     payload_df = docs.mapInPandas(_encode, schema="doc_id long, payload binary")
