@@ -540,3 +540,113 @@ def unigram_logprob(
         F.round(F.avg("lp"), ndigits).alias("mean_logprob"),
         F.round(F.exp(-F.avg("lp")), ndigits).alias("perplexity"),
     ).select(F.col("doc").alias(id_col), "n_tokens", "mean_logprob", "perplexity")
+
+
+#: bpe_train mode=auto crossover: below this vocab size the merge loop
+#: runs driver-side on the collected (word, count) table — the k-scalar
+#: state pattern (each iteration's state is ONE merge pair); above it
+#: the vocab stays a DataFrame and each iteration is one tiny top-1 job.
+_BPE_DRIVER_MAX_VOCAB = 100_000
+
+#: symbol separator inside the word state string — U+001F (unit
+#: separator); the trainer asserts no input token contains it.
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "auto",
+) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) — the merge-table
+    half of the tokenizer-prep story (:func:`vocab_topk` builds the
+    word-count input; this consumes it). Returns ``n_merges`` rows
+    (merge_rank, lhs, rhs, pair_count): iteration i counts all adjacent
+    symbol pairs over the current segmentation weighted by word count,
+    picks the most frequent (ties: smallest (lhs, rhs) — deterministic),
+    and merges every non-overlapping left-to-right occurrence.
+
+    Exact cross-engine trick: a word's segmentation is ONE string with
+    U+001F between symbols, so applying a merge is a single
+    ``replace(state, l⟂r, lr)`` — SQL replace scans the input left to
+    right, non-overlapping, which is exactly BPE's merge rule — and
+    pair counting is a split + adjacent zip. No fold, no UDF, and the
+    DuckDB oracle replays the identical replace chain.
+
+    BPE trains on the WORD-COUNT table, not the corpus: the corpus
+    crosses the plan once (token explode + count), after which every
+    iteration touches ≤ |vocab| rows. ``mode="driver"`` (auto below
+    ``_BPE_DRIVER_MAX_VOCAB``) collects the vocab once and runs the
+    loop in Python — per-iteration state is one merge pair, the
+    sanctioned k-scalar pattern, same bits by construction (pinned by
+    test). ``mode="distributed"`` keeps the vocab as a DataFrame; each
+    iteration is one |vocab|-row pair-count aggregate plus a 1-row
+    ``limit(1).collect()`` — no corpus-scale work after the first
+    pass."""
+    from .text import tokens
+
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"mode must be auto|driver|distributed, got {mode}")
+    e = docs.select(F.explode(tokens(text_col)).alias("token")).where(
+        (F.col("token") != "") & ~F.col("token").contains(_BPE_SEP)
+    )
+    vocab = e.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    spark = docs.sparkSession
+    out_schema = "merge_rank long, lhs string, rhs string, pair_count long"
+
+    if mode == "auto":
+        mode = "driver" if vocab.count() <= _BPE_DRIVER_MAX_VOCAB else "distributed"
+
+    if mode == "driver":
+        rows = [(r["token"], int(r["cnt"])) for r in vocab.collect()]
+        states = {w: _BPE_SEP.join(w) for w, _ in rows}
+        merges = []
+        for rank in range(n_merges):
+            counts: dict = {}
+            for w, c in rows:
+                sy = states[w].split(_BPE_SEP)
+                for j in range(len(sy) - 1):
+                    counts[(sy[j], sy[j + 1])] = counts.get((sy[j], sy[j + 1]), 0) + c
+            if not counts:
+                break
+            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, c))
+            pat, rep = l + _BPE_SEP + r, l + r
+            for w in states:
+                states[w] = states[w].replace(pat, rep)
+        return spark.createDataFrame(merges, out_schema)
+
+    state = vocab.select("token", "cnt", F.array_join(F.split("token", ""), _BPE_SEP).alias("st"))
+    # one materialization of the |vocab|-row table; the per-iteration
+    # replace chain then re-reads this, not the corpus
+    state = state.localCheckpoint(eager=False)
+    merges = []
+    for rank in range(n_merges):
+        sy = F.split("st", _BPE_SEP)
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(sy, 1, F.size(sy) - 1),
+                    F.slice(sy, 2, F.size(sy) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, l, r, c))
+        state = state.withColumn(
+            "st", F.replace("st", F.lit(l + _BPE_SEP + r), F.lit(l + r))
+        )
+    return spark.createDataFrame(merges, out_schema)

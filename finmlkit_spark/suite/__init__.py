@@ -18,10 +18,11 @@ from . import developing_suite  # noqa: F401
 # ROUND-11 WINDOW (rotated as the round's FIRST commit, per the r10 verdict):
 # 1:    ann_ivf_pq — NEW in round 10, the only registry entry with no driver
 #       row ever (the r10 window was not rotated before the round closed);
-# 2-5:  video_mjpeg_stats (Motion-JPEG AVI container + native per-frame
+# 2-6:  video_mjpeg_stats (Motion-JPEG AVI container + native per-frame
 #       JPEG decode), gopher_repetition (Rae et al. Table A1 repetition
-#       rules), weighted_sample (exact integer weighted draws), and
-#       embedding_covariance (exact d×d Gram partials) — NEW in r11;
+#       rules), weighted_sample (exact integer weighted draws),
+#       embedding_covariance (exact d×d Gram partials), and bpe_train
+#       (Sennrich et al. BPE merge-table training) — NEW in r11;
 # 4:    segment_dedup — implementation changed in round 10 (below-crossover
 #       onepart fusion), newest driver row r8;
 # 5:    video_frame_stats — implementation changed in round 11 (container
@@ -33,14 +34,15 @@ from . import developing_suite  # noqa: F401
 #       unchanged since): integrity/preprocess singles, the seq_* filter/
 #       reset/chunked tier, the vp_* family, dedup/corpus singles,
 #       store/io rows, asof joins, imbalance/run bars, zscore peak events;
-# 48-50: the 3 oldest r7 rows (dollar_bars, seq_atr_ema, tbm_labels);
-#       the five displaced r7 rows (tbm_meta, lang_id, doc_fingerprint,
-#       minhash_lsh, simhash_near_pairs) lead the round-12 fill.
+# 49-50: the 2 oldest r7 rows (dollar_bars, seq_atr_ema); the six
+#       displaced r7 rows (tbm_labels, tbm_meta, lang_id,
+#       doc_fingerprint, minhash_lsh, simhash_near_pairs) lead the
+#       round-12 fill.
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. After round 11 no registry row is older than r7.
 # ROUND-12 FRONT-LOAD: anything new/changed in round 12 first, then the
-# remaining 28 r7 rows (tbm_meta, lang_id, doc_fingerprint, minhash_lsh,
-# simhash_near_pairs first, then ann_topk, the tbm tier, corpus
+# remaining 29 r7 rows (tbm_labels, tbm_meta, lang_id, doc_fingerprint,
+# minhash_lsh, simhash_near_pairs first, then ann_topk, the corpus
 # report/sampling tier, the user_* multiuser tier, featurekit_build),
 # then r8 rows as they age.
 _PRIORITY = [
@@ -50,6 +52,7 @@ _PRIORITY = [
     "gopher_repetition",
     "weighted_sample",
     "embedding_covariance",
+    "bpe_train",
     # -- implementation changed in round 10/11 ---------------------------------
     "segment_dedup",
     "video_frame_stats",
@@ -95,10 +98,9 @@ _PRIORITY = [
     "imbalance_bars",
     "run_bars",
     "sql_shared_dialect",
-    # -- the 3 oldest r7 rows --------------------------------------------------
+    # -- the 2 oldest r7 rows --------------------------------------------------
     "dollar_bars",
     "seq_atr_ema",
-    "tbm_labels",
 ]
 
 

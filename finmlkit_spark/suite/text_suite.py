@@ -960,6 +960,60 @@ def gopher_filter_q(spark, sf_dir):
     return CP.gopher_signals(_docs(spark, sf_dir))
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled-CTE replay of bpe_train: iteration i = pair-count CTE +
+    top-1 CTE + replace CTE — the same split/zip/replace semantics the
+    Spark side uses (SQL replace is left-to-right non-overlapping, the
+    BPE merge rule)."""
+    parts = [
+        _TOKS,
+        """, wc AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS token FROM toks)
+  WHERE token != '' AND NOT contains(token, chr(31))
+  GROUP BY token
+), v0 AS (
+  SELECT token, cnt,
+         array_to_string(string_split(token, ''), chr(31)) AS st
+  FROM wc
+)""",
+    ]
+    for i in range(n_merges):
+        parts.append(f""", p{i} AS (
+  SELECT pp.l AS l, pp.r AS r, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+        j -> struct_pack(l := sy[CAST(j AS INT)], r := sy[CAST(j AS INT) + 1]))) AS pp
+    FROM (SELECT cnt, string_split(st, chr(31)) AS sy FROM v{i})
+  ) GROUP BY pp.l, pp.r
+), m{i} AS MATERIALIZED (
+  SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+), v{i + 1} AS MATERIALIZED (
+  SELECT token, cnt,
+         replace(st, (SELECT l || chr(31) || r FROM m{i}),
+                     (SELECT l || r FROM m{i})) AS st
+  FROM v{i}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(n_merges)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@query("bpe_train", _bpe_oracle_sql(10))
+def bpe_train_q(spark, sf_dir):
+    """BPE tokenizer training, 10 merges over the corpus word-count
+    table (Sennrich et al. 2016). The oracle replays the identical
+    split → adjacent-pair-count → top-1 (count DESC, pair ASC) →
+    non-overlapping replace chain as 10 unrolled CTE stages, so the
+    merge table matches byte-for-byte."""
+    from ..operators import corpus as CP
+
+    return CP.bpe_train(_docs(spark, sf_dir), n_merges=10)
+
+
+
 @query(
     "embedding_covariance",
     """

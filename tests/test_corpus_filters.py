@@ -313,3 +313,41 @@ def test_gopher_repetition_hand_computed(spark):
 
     assert out[3]["total_chars"] == 0 and out[3]["keep"]
     assert out[3]["top_2gram_share"] == 0.0
+
+
+def test_bpe_train_hand_computed_and_modes(spark):
+    """BPE merges on a hand-checkable corpus: 'aaab aaab ab' — pair
+    counts round 1: (a,a)=4, (a,b)=3 -> merge (a,a); round 2 over
+    {aa,a,b / aa,a,b / a,b}: (aa,a)=2, (a,b)=3 -> merge (a,b); round 3:
+    (aa,ab)=2 wins. Driver and distributed modes must agree
+    byte-for-byte; ties break to the smallest (lhs, rhs)."""
+    from finmlkit_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab ab")], "doc_id long, text string"
+    )
+    exp = [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "ab", 2)]
+    for mode in ("driver", "distributed"):
+        got = sorted(
+            map(tuple, CP.bpe_train(docs, n_merges=3, mode=mode).collect())
+        )
+        assert got == exp, (mode, got)
+
+    # dry corpus: fewer merges exist than requested -> early stop
+    tiny = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    out = CP.bpe_train(tiny, n_merges=5, mode="driver").collect()
+    assert [tuple(r) for r in out] == [(0, "a", "b", 1)]
+    # after merging 'ab' the word is one symbol: no pairs remain
+    assert len(out) == 1
+
+
+def test_bpe_train_modes_identical_on_real_docs(spark):
+    """Mode A/B on the sf0.001 documents table: the driver-carried loop
+    and the distributed per-iteration top-1 job must produce the same
+    merge table (same splits, same tie-breaks, same replace)."""
+    from finmlkit_spark.operators import corpus as CP
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, CP.bpe_train(docs, n_merges=6, mode="driver").collect()))
+    b = sorted(map(tuple, CP.bpe_train(docs, n_merges=6, mode="distributed").collect()))
+    assert a == b and len(a) == 6
