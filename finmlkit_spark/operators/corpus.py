@@ -650,3 +650,51 @@ def bpe_train(
             "st", F.replace("st", F.lit(l + _BPE_SEP + r), F.lit(l + r))
         )
     return spark.createDataFrame(merges, out_schema)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table (rank order) to every document —
+    the consuming half of :func:`bpe_train`, and the realistic
+    token-count stage for sequence budgeting: after n merges a word's
+    symbol count is its BPE token count under that vocabulary.
+
+    Pure per-row projection (scale-free, no shuffle): each word becomes
+    a U+001F-joined character string and every merge is ONE chained
+    non-overlapping ``replace`` — the training loop's exact semantics,
+    so segmenting the training corpus with its own merge table
+    reproduces the trainer's final state. Returns (doc_id,
+    n_bpe_tokens, seg_md5) where seg_md5 fingerprints the full
+    segmentation (symbols joined by ' ', words by ' | ')."""
+    from .text import tokens
+
+    t = F.filter(
+        tokens(text_col),
+        lambda x: (x != "") & ~x.contains(_BPE_SEP),
+    )
+    st = F.transform(t, lambda w: F.array_join(F.split(w, ""), _BPE_SEP))
+
+    def _rep(l, r):
+        # closure factory, NOT `lambda x, l=l, r=r:` — pyspark's
+        # transform() binds extra lambda parameters as the array index
+        return lambda x: F.replace(x, F.lit(l + _BPE_SEP + r), F.lit(l + r))
+
+    for l, r in merges:
+        st = F.transform(st, _rep(l, r))
+    words = F.transform(
+        st, lambda x: F.array_join(F.split(x, _BPE_SEP), " ")
+    )
+    n_bpe = F.aggregate(
+        st,
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.size(F.split(x, _BPE_SEP)),
+    )
+    return docs.select(
+        id_col,
+        n_bpe.alias("n_bpe_tokens"),
+        F.md5(F.array_join(words, " | ")).alias("seg_md5"),
+    )

@@ -22,7 +22,8 @@ from . import developing_suite  # noqa: F401
 #       JPEG decode), gopher_repetition (Rae et al. Table A1 repetition
 #       rules), weighted_sample (exact integer weighted draws),
 #       embedding_covariance (exact d×d Gram partials), and bpe_train
-#       (Sennrich et al. BPE merge-table training) — NEW in r11;
+#       (Sennrich et al. BPE merge-table training) and bpe_segment
+#       (train + apply end-to-end) — NEW in r11;
 # 4:    segment_dedup — implementation changed in round 10 (below-crossover
 #       onepart fusion), newest driver row r8;
 # 5:    video_frame_stats — implementation changed in round 11 (container
@@ -34,17 +35,16 @@ from . import developing_suite  # noqa: F401
 #       unchanged since): integrity/preprocess singles, the seq_* filter/
 #       reset/chunked tier, the vp_* family, dedup/corpus singles,
 #       store/io rows, asof joins, imbalance/run bars, zscore peak events;
-# 49-50: the 2 oldest r7 rows (dollar_bars, seq_atr_ema); the six
-#       displaced r7 rows (tbm_labels, tbm_meta, lang_id,
-#       doc_fingerprint, minhash_lsh, simhash_near_pairs) lead the
-#       round-12 fill.
+# 50:   the oldest r7 row (dollar_bars); the seven displaced r7 rows
+#       (seq_atr_ema, tbm_labels, tbm_meta, lang_id, doc_fingerprint,
+#       minhash_lsh, simhash_near_pairs) lead the round-12 fill.
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. After round 11 no registry row is older than r7.
 # ROUND-12 FRONT-LOAD: anything new/changed in round 12 first, then the
-# remaining 29 r7 rows (tbm_labels, tbm_meta, lang_id, doc_fingerprint,
-# minhash_lsh, simhash_near_pairs first, then ann_topk, the corpus
-# report/sampling tier, the user_* multiuser tier, featurekit_build),
-# then r8 rows as they age.
+# remaining 30 r7 rows (seq_atr_ema, tbm_labels, tbm_meta, lang_id,
+# doc_fingerprint, minhash_lsh, simhash_near_pairs first, then
+# ann_topk, the corpus report/sampling tier, the user_* multiuser
+# tier, featurekit_build), then r8 rows as they age.
 _PRIORITY = [
     # -- NEW in round 10/11 (no driver row yet) --------------------------------
     "ann_ivf_pq",
@@ -53,6 +53,7 @@ _PRIORITY = [
     "weighted_sample",
     "embedding_covariance",
     "bpe_train",
+    "bpe_segment",
     # -- implementation changed in round 10/11 ---------------------------------
     "segment_dedup",
     "video_frame_stats",
@@ -98,9 +99,8 @@ _PRIORITY = [
     "imbalance_bars",
     "run_bars",
     "sql_shared_dialect",
-    # -- the 2 oldest r7 rows --------------------------------------------------
+    # -- the oldest r7 row -------------------------------------------------------
     "dollar_bars",
-    "seq_atr_ema",
 ]
 
 

@@ -1014,6 +1014,61 @@ def bpe_train_q(spark, sf_dir):
 
 
 
+def _bpe_segment_oracle_sql(n_merges: int) -> str:
+    """bpe_train's CTE stages (for m0..m{n-1}) + a per-doc application:
+    the same chained non-overlapping replaces over every word. The
+    merge scalars hoist into one cross-joined row (`mall`) because
+    DuckDB lambdas cannot contain subqueries — outer-row COLUMNS are
+    fine inside a lambda."""
+    train = _bpe_oracle_sql(n_merges)
+    with_part = train[: train.rindex("\nSELECT CAST(0 AS BIGINT)")]
+    mall = ", mall AS MATERIALIZED (SELECT " + ", ".join(
+        f"(SELECT l FROM m{i}) AS l{i}, (SELECT r FROM m{i}) AS r{i}"
+        for i in range(n_merges)
+    ) + ")"
+    expr = "array_to_string(string_split(w, ''), chr(31))"
+    for i in range(n_merges):
+        expr = f"replace({expr}, l{i} || chr(31) || r{i}, l{i} || r{i})"
+    return (
+        with_part
+        + mall
+        + f"""
+, seg AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(t, w -> w != '' AND NOT contains(w, chr(31))),
+           w -> {expr}) AS sts
+  FROM toks, mall
+)
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(sts, x -> len(string_split(x, chr(31))))), 0)
+            AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(
+             list_transform(sts, x -> array_to_string(string_split(x, chr(31)), ' ')),
+             ' | ')) AS seg_md5
+FROM seg"""
+    )
+
+
+@query("bpe_segment", _bpe_segment_oracle_sql(10))
+def bpe_segment_q(spark, sf_dir):
+    """Train 10 BPE merges on the corpus, then segment the SAME corpus
+    with them: per doc the BPE token count and an md5 fingerprint of
+    the full segmentation. The merge table collects to the driver (10
+    scalar pairs — sanctioned config) and applies as a chained
+    replace projection; the oracle replays training AND application in
+    one unrolled CTE chain, so a hash match proves the whole
+    train → apply loop end-to-end."""
+    from ..operators import corpus as CP
+
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in CP.bpe_train(_docs(spark, sf_dir), n_merges=10).collect()
+    ]
+    return CP.bpe_apply(_docs(spark, sf_dir), merges)
+
+
+
 @query(
     "embedding_covariance",
     """

@@ -351,3 +351,23 @@ def test_bpe_train_modes_identical_on_real_docs(spark):
     a = sorted(map(tuple, CP.bpe_train(docs, n_merges=6, mode="driver").collect()))
     b = sorted(map(tuple, CP.bpe_train(docs, n_merges=6, mode="distributed").collect()))
     assert a == b and len(a) == 6
+
+
+def test_bpe_apply_reproduces_trainer_state(spark):
+    """Segmenting the training corpus with its own merge table must
+    reproduce the trainer's final segmentation: on 'aaab aaab ab' after
+    merges (a,a),(a,b),(aa,ab) the words segment as [aaab] [aaab]
+    [a b->ab] — wait, the third merge (aa,ab) makes 'aaab' ONE symbol
+    and 'ab' stays the merged pair from round 2. So n_bpe_tokens =
+    1 + 1 + 1 = 3."""
+    from finmlkit_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame([(0, "aaab aaab ab")], "doc_id long, text string")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in CP.bpe_train(docs, n_merges=3).collect()
+    ]
+    out = CP.bpe_apply(docs, merges).collect()[0]
+    assert out["n_bpe_tokens"] == 3
+    # zero merges: every char is a token
+    out0 = CP.bpe_apply(docs, []).collect()[0]
+    assert out0["n_bpe_tokens"] == len("aaab") + len("aaab") + len("ab")
