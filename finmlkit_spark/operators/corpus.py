@@ -553,6 +553,22 @@ _BPE_DRIVER_MAX_VOCAB = 100_000
 _BPE_SEP = "\x1f"
 
 
+def _bpe_merge_expr(st, l: str, r: str):
+    """Symbol-aligned non-overlapping merge of pair (l, r) applied to a
+    separator-joined state string: left-to-right fold with a string
+    accumulator (see bpe_train's docstring for why plain replace is
+    wrong). The leading separator the fold produces is stripped."""
+    folded = F.aggregate(
+        F.split(st, _BPE_SEP),
+        F.lit(""),
+        lambda acc, x: F.when(
+            (x == F.lit(r)) & F.endswith(acc, F.lit(_BPE_SEP + l)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
+    )
+    return F.substring(folded, 2, 2147483647)
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
@@ -569,11 +585,18 @@ def bpe_train(
     and merges every non-overlapping left-to-right occurrence.
 
     Exact cross-engine trick: a word's segmentation is ONE string with
-    U+001F between symbols, so applying a merge is a single
-    ``replace(state, l⟂r, lr)`` — SQL replace scans the input left to
-    right, non-overlapping, which is exactly BPE's merge rule — and
-    pair counting is a split + adjacent zip. No fold, no UDF, and the
-    DuckDB oracle replays the identical replace chain.
+    U+001F between symbols; applying a merge is a left-to-right fold
+    with a STRING accumulator — append ``x`` without a separator when
+    the accumulator ends with ``⟂l`` and ``x == r``, else append
+    ``⟂x`` — which is symbol-aligned (the separator before ``l`` makes
+    a partial-symbol suffix impossible), non-overlapping by
+    construction (the just-merged symbol ``lr`` never re-ends with
+    ``⟂l``), and expressible identically in Spark's ``aggregate`` HOF,
+    Python, and DuckDB's same-type ``list_reduce``. A plain substring
+    ``replace`` of ``l⟂r`` is NOT correct: it fires when a neighboring
+    symbol merely ends with ``l`` (e.g. after merging (a,b), word
+    'abc' is ``ab⟂c`` and replacing ``b⟂c`` would merge INSIDE the
+    symbol 'ab').
 
     BPE trains on the WORD-COUNT table, not the corpus: the corpus
     crosses the plan once (token explode + count), after which every
@@ -597,6 +620,9 @@ def bpe_train(
     out_schema = "merge_rank long, lhs string, rhs string, pair_count long"
 
     if mode == "auto":
+        # materialize the |vocab|-row table ONCE so the gate's count and
+        # the chosen mode's collect/iterations never rescan the corpus
+        vocab = vocab.localCheckpoint()
         mode = "driver" if vocab.count() <= _BPE_DRIVER_MAX_VOCAB else "distributed"
 
     if mode == "driver":
@@ -613,9 +639,15 @@ def bpe_train(
                 break
             (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             merges.append((rank, l, r, c))
-            pat, rep = l + _BPE_SEP + r, l + r
+            suffix = _BPE_SEP + l
             for w in states:
-                states[w] = states[w].replace(pat, rep)
+                acc = ""
+                for sym in states[w].split(_BPE_SEP):
+                    if sym == r and acc.endswith(suffix):
+                        acc += sym  # merge: drop the separator
+                    else:
+                        acc += _BPE_SEP + sym
+                states[w] = acc[1:]
         return spark.createDataFrame(merges, out_schema)
 
     state = vocab.select("token", "cnt", F.array_join(F.split("token", ""), _BPE_SEP).alias("st"))
@@ -646,9 +678,7 @@ def bpe_train(
             break
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rank, l, r, c))
-        state = state.withColumn(
-            "st", F.replace("st", F.lit(l + _BPE_SEP + r), F.lit(l + r))
-        )
+        state = state.withColumn("st", _bpe_merge_expr(F.col("st"), l, r))
     return spark.createDataFrame(merges, out_schema)
 
 
@@ -664,10 +694,10 @@ def bpe_apply(
     symbol count is its BPE token count under that vocabulary.
 
     Pure per-row projection (scale-free, no shuffle): each word becomes
-    a U+001F-joined character string and every merge is ONE chained
-    non-overlapping ``replace`` — the training loop's exact semantics,
-    so segmenting the training corpus with its own merge table
-    reproduces the trainer's final state. Returns (doc_id,
+    a U+001F-joined character string and every merge is one chained
+    symbol-aligned fold (``_bpe_merge_expr`` — the training loop's
+    exact semantics), so segmenting the training corpus with its own
+    merge table reproduces the trainer's final state. Returns (doc_id,
     n_bpe_tokens, seg_md5) where seg_md5 fingerprints the full
     segmentation (symbols joined by ' ', words by ' | ')."""
     from .text import tokens
@@ -681,7 +711,7 @@ def bpe_apply(
     def _rep(l, r):
         # closure factory, NOT `lambda x, l=l, r=r:` — pyspark's
         # transform() binds extra lambda parameters as the array index
-        return lambda x: F.replace(x, F.lit(l + _BPE_SEP + r), F.lit(l + r))
+        return lambda x: _bpe_merge_expr(x, l, r)
 
     for l, r in merges:
         st = F.transform(st, _rep(l, r))

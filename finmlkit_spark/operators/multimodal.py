@@ -405,7 +405,8 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     # SOF gate already routes to the PIL seam.
     adobe_transform = None
     for m, off, ln in _jpeg_segments(b):
-        if m == 0xEE and b[off : off + 5] == b"Adobe" and ln >= 12:
+        if (m == 0xEE and b[off : off + 5] == b"Adobe" and ln >= 12
+                and off + 12 <= len(b)):
             adobe_transform = b[off + 11]
         elif m == 0xDD:  # DRI — restart intervals re-align + reset the DC
             # predictor mid-scan; this minimal decoder doesn't track
@@ -1141,32 +1142,53 @@ def _parse_avi(b: bytes) -> tuple[int, int, int]:
     raise ValueError("AVI without avih header")
 
 
-def _avi_video_chunks(b: bytes, pos: int, end: int):
-    """Yield the primary video stream's frame payload spans in storage
+def _avi_video_stream(b: bytes) -> bytes:
+    """Two-digit chunk-id prefix of the FIRST 'vids' stream: stream
+    numbers are strl positions within hdrl, so an AVI muxed audio-first
+    carries its video as '01dc' — hardcoding '00' would silently yield
+    zero frames for it. Raises when no video stream exists."""
+    for cid, off, ln in _riff_chunks(b, 12, len(b)):
+        if cid == b"LIST" and b[off : off + 4] == b"hdrl":
+            idx = 0
+            for c2, o2, l2 in _riff_chunks(b, off + 4, off + ln):
+                if c2 == b"LIST" and b[o2 : o2 + 4] == b"strl":
+                    for c3, o3, l3 in _riff_chunks(b, o2 + 4, o2 + l2):
+                        if c3 == b"strh":
+                            if b[o3 : o3 + 4] == b"vids":
+                                return b"%02d" % idx
+                            break
+                    idx += 1
+    raise ValueError("AVI without a video stream")
+
+
+def _avi_video_chunks(b: bytes, pos: int, end: int, prefix: bytes):
+    """Yield the selected video stream's frame payload spans in storage
     order, recursing into ``LIST 'rec '`` groups (the classic VfW
-    interleaved layout wraps each frame group in one). Only stream-00
-    ``dc``/``db`` chunks count — a second stream's ``01dc`` frames must
-    not shift the primary stream's frame numbering."""
+    interleaved layout wraps each frame group in one). Only the video
+    stream's ``dc``/``db`` chunks count — another stream's frames must
+    not shift the video stream's frame numbering."""
     for cid, off, ln in _riff_chunks(b, pos, end):
         if cid == b"LIST" and b[off : off + 4] == b"rec ":
-            yield from _avi_video_chunks(b, off + 4, off + ln)
-        elif cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
+            yield from _avi_video_chunks(b, off + 4, off + ln, prefix)
+        elif cid[:2] == prefix and cid[2:4] in (b"dc", b"db"):
             yield off, ln
 
 
 def avi_mjpeg_frames(b: bytes, every: int = 1):
     """Yield (frame_idx, luma uint8 (h, w)) for every ``every``-th video
-    frame of a Motion-JPEG AVI: the RIFF walk finds the stream-00
-    ``dc``/``db`` chunks in ``movi`` (including inside ``rec `` groups)
+    frame of a Motion-JPEG AVI: the RIFF walk locates the 'vids'
+    stream via the strl headers, then finds that stream's ``dc``/``db``
+    chunks in ``movi`` (including inside ``rec `` groups)
     and only the SAMPLED ones pay the JPEG Huffman+IDCT decode (color
     frames reduce to channel-mean luma). Non-MJPEG codecs inside AVI
     raise at the JPEG sniff — the documented ffmpeg seam."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
+    prefix = _avi_video_stream(b)
     idx = 0
     for cid, off, ln in _riff_chunks(b, 12, len(b)):
         if cid == b"LIST" and b[off : off + 4] == b"movi":
-            for o2, l2 in _avi_video_chunks(b, off + 4, off + ln):
+            for o2, l2 in _avi_video_chunks(b, off + 4, off + ln, prefix):
                 if idx % every == 0:
                     payload = b[o2 : o2 + l2]
                     if payload[:2] != b"\xff\xd8":

@@ -218,8 +218,10 @@ def weighted_sample(
     proportional to token count, quality score, or any integer
     weight). Returns one row per draw: (draw_id, doc_id, weight).
 
-    Exactness contract: every step is int64 arithmetic, so both
-    engines agree bit-for-bit. The classic A-ES top-k scheme needs
+    Exactness contract: every step is int64 arithmetic (bucket and
+    chunk indices use integer DIV, never a double division that loses
+    exactness past 2^53), so both engines agree bit-for-bit at ANY
+    cumulative weight. The classic A-ES top-k scheme needs
     ``u^(1/w)`` (libm pow — last-ulp rank flips between builds), so
     instead each draw inverts the cumulative weight function: draw j's
     point is ``p_j = mix(seed, j) mod W`` (multiplicative avalanche in
@@ -246,7 +248,7 @@ def weighted_sample(
         # would also do, but max(id) needs a scan — use a generous
         # fixed width and let empty chunks vanish (they produce no row)
         chunk = 8192
-    d = d.withColumn("_ck", (F.col("doc") / F.lit(chunk)).cast("long"))
+    d = d.withColumn("_ck", F.expr(f"doc DIV {int(chunk)}"))
     per_chunk = d.groupBy("_ck").agg(F.sum("w").alias("_cw"))
     # sanctioned class-b ordered prefix over the bounded chunk axis
     woff = Window.orderBy("_ck").rowsBetween(Window.unboundedPreceding, -1)
@@ -275,17 +277,17 @@ def weighted_sample(
         F.col("id").alias("draw_id"),
         (
             ((F.col("id") + F.lit(seed)) * F.lit(2654435761)
-             + F.lit(seed) * F.lit(40503))
+             + F.lit(seed).cast("long") * F.lit(40503))
             % F.lit(2305843009213693951)  # 2^61 - 1 (Mersenne)
             % F.lit(total)
         ).alias("_p"),
-    ).withColumn("_bkt", (F.col("_p") / F.lit(bucket)).cast("long"))
+    ).withColumn("_bkt", F.expr(f"_p DIV {bucket}"))
     iv = cum.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (F.col("_lo") / F.lit(bucket)).cast("long"),
-                ((F.col("_hi") - 1) / F.lit(bucket)).cast("long"),
+                F.expr(f"_lo DIV {bucket}"),
+                F.expr(f"(_hi - 1) DIV {bucket}"),
             )
         ),
     )

@@ -962,9 +962,9 @@ def gopher_filter_q(spark, sf_dir):
 
 def _bpe_oracle_sql(n_merges: int) -> str:
     """Unrolled-CTE replay of bpe_train: iteration i = pair-count CTE +
-    top-1 CTE + replace CTE — the same split/zip/replace semantics the
-    Spark side uses (SQL replace is left-to-right non-overlapping, the
-    BPE merge rule)."""
+    top-1 CTE + merge CTE. The merge is the same symbol-aligned string
+    fold the Spark side uses (list_reduce with a string accumulator —
+    see bpe_train's docstring for why plain replace() is wrong)."""
     parts = [
         _TOKS,
         """, wc AS (
@@ -989,9 +989,11 @@ def _bpe_oracle_sql(n_merges: int) -> str:
   SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
 ), v{i + 1} AS MATERIALIZED (
   SELECT token, cnt,
-         replace(st, (SELECT l || chr(31) || r FROM m{i}),
-                     (SELECT l || r FROM m{i})) AS st
-  FROM v{i}
+         substr(list_reduce(
+           list_prepend('', string_split(st, chr(31))),
+           (acc, x) -> CASE WHEN x = m.r AND ends_with(acc, chr(31) || m.l)
+                       THEN acc || x ELSE acc || chr(31) || x END), 2) AS st
+  FROM v{i}, m{i} m
 )""")
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
@@ -1016,7 +1018,7 @@ def bpe_train_q(spark, sf_dir):
 
 def _bpe_segment_oracle_sql(n_merges: int) -> str:
     """bpe_train's CTE stages (for m0..m{n-1}) + a per-doc application:
-    the same chained non-overlapping replaces over every word. The
+    the same chained symbol-aligned merge folds over every word. The
     merge scalars hoist into one cross-joined row (`mall`) because
     DuckDB lambdas cannot contain subqueries — outer-row COLUMNS are
     fine inside a lambda."""
@@ -1028,7 +1030,11 @@ def _bpe_segment_oracle_sql(n_merges: int) -> str:
     ) + ")"
     expr = "array_to_string(string_split(w, ''), chr(31))"
     for i in range(n_merges):
-        expr = f"replace({expr}, l{i} || chr(31) || r{i}, l{i} || r{i})"
+        expr = (
+            f"substr(list_reduce(list_prepend('', string_split({expr}, chr(31))), "
+            f"(a{i}, x{i}) -> CASE WHEN x{i} = r{i} AND ends_with(a{i}, chr(31) || l{i}) "
+            f"THEN a{i} || x{i} ELSE a{i} || chr(31) || x{i} END), 2)"
+        )
     return (
         with_part
         + mall

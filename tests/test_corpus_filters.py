@@ -355,11 +355,10 @@ def test_bpe_train_modes_identical_on_real_docs(spark):
 
 def test_bpe_apply_reproduces_trainer_state(spark):
     """Segmenting the training corpus with its own merge table must
-    reproduce the trainer's final segmentation: on 'aaab aaab ab' after
-    merges (a,a),(a,b),(aa,ab) the words segment as [aaab] [aaab]
-    [a b->ab] — wait, the third merge (aa,ab) makes 'aaab' ONE symbol
-    and 'ab' stays the merged pair from round 2. So n_bpe_tokens =
-    1 + 1 + 1 = 3."""
+    reproduce the trainer's final segmentation: on 'aaab aaab ab',
+    after merges (a,a), (a,b), (aa,ab) every word is ONE symbol
+    ('aaab' via aa+ab, 'ab' via the round-2 merge), so
+    n_bpe_tokens = 3."""
     from finmlkit_spark.operators import corpus as CP
 
     docs = spark.createDataFrame([(0, "aaab aaab ab")], "doc_id long, text string")
@@ -371,3 +370,26 @@ def test_bpe_apply_reproduces_trainer_state(spark):
     # zero merges: every char is a token
     out0 = CP.bpe_apply(docs, []).collect()[0]
     assert out0["n_bpe_tokens"] == len("aaab") + len("aaab") + len("ab")
+
+
+def test_bpe_merge_is_symbol_aligned(spark):
+    """Regression for the substring-replace bug: on 'ab ab bc bc abc',
+    round 0 merges (a,b) — word 'abc' becomes [ab, c]. Round 1 merges
+    (b,c) with count 2 (the two 'bc' words ONLY: 'abc' has no (b,c)
+    pair any more, and the 'ab' symbol must NOT be torn apart by a
+    substring match of 'b⟂c'). Round 2 then merges (ab, c) from 'abc'
+    — true Sennrich behavior. All three implementations must agree."""
+    from finmlkit_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab bc bc abc")], "doc_id long, text string"
+    )
+    exp = [(0, "a", "b", 3), (1, "b", "c", 2), (2, "ab", "c", 1)]
+    for mode in ("driver", "distributed"):
+        got = sorted(
+            map(tuple, CP.bpe_train(docs, n_merges=3, mode=mode).collect())
+        )
+        assert got == exp, (mode, got)
+    seg = CP.bpe_apply(docs, [(l, r) for _, l, r, _ in exp]).collect()[0]
+    # ab, ab, bc, bc, abc -> one symbol each
+    assert seg["n_bpe_tokens"] == 5

@@ -691,3 +691,54 @@ def test_jpeg_adobe_app14_transform_routing():
     y_from_rgb = (0.299 * base[..., 0].astype(float)
                   + 0.587 * base[..., 1] + 0.114 * base[..., 2])
     assert np.abs(t0[..., 0].astype(float) - y_from_rgb).max() <= 2.0
+
+
+def test_avi_video_as_second_stream():
+    """An AVI muxed audio-first (video = stream 01) must decode its
+    '01dc' frames — the stream number comes from the strl order, not a
+    hardcoded '00'. And with no 'vids' stream at all, the walk raises
+    the ValueError seam rather than silently yielding nothing."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    frames = np.stack([np.full((16, 16), 30 * (f + 1), np.uint8) for f in range(3)])
+    jpegs = [MM._jpeg_encode_gray(frames[i]) for i in range(3)]
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(t, payload):
+        return chunk(b"LIST", t + payload)
+
+    def strh(fcc, handler):
+        return chunk(
+            b"strh",
+            fcc + handler
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 3, 4096, 0, 0)
+            + struct.pack("<4H", 0, 0, 16, 16),
+        )
+
+    avih = chunk(b"avih", struct.pack("<14I", 40000, 0, 0, 0x10, 3, 0, 2,
+                                      4096, 16, 16, 0, 0, 0, 0))
+    auds = lst(b"strl", strh(b"auds", b"\x00\x00\x00\x00")
+               + chunk(b"strf", bytes(16)))
+    vids = lst(b"strl", strh(b"vids", b"MJPG") + chunk(b"strf", bytes(40)))
+    movi = lst(b"movi", b"".join(chunk(b"01dc", j) for j in jpegs))
+    body = b"AVI " + lst(b"hdrl", avih + auds + vids) + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got = dict(MM.avi_mjpeg_frames(avi, every=1))
+    assert sorted(got) == [0, 1, 2]
+    for i, luma in got.items():
+        assert (luma == frames[i]).all(), i
+
+    # audio-only AVI: the seam, not silence
+    body2 = b"AVI " + lst(b"hdrl", avih + auds) + movi
+    avi2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    with pytest.raises(ValueError, match="video stream"):
+        list(MM.avi_mjpeg_frames(avi2))
