@@ -1067,11 +1067,20 @@ def bpe_segment_q(spark, sf_dir):
     train → apply loop end-to-end."""
     from ..operators import corpus as CP
 
+    from .pipeline_suite import _parquet_num_rows
+
     merges = [
         (r["lhs"], r["rhs"])
         for r in CP.bpe_train(_docs(spark, sf_dir), n_merges=10).collect()
     ]
-    return CP.bpe_apply(_docs(spark, sf_dir), merges)
+    docs = _docs(spark, sf_dir)
+    # the chained merge folds are CPU-bound per row: spread a small
+    # single-partition file across cores (the gopher_repetition
+    # crossover); at corpus scale the scan is already parallel
+    n = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    if n is not None and n < 100_000:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return CP.bpe_apply(docs, merges)
 
 
 
