@@ -18,20 +18,20 @@ from . import developing_suite  # noqa: F401
 # ROUND-11 WINDOW (rotated as the round's FIRST commit, per the r10 verdict):
 # 1:    ann_ivf_pq — NEW in round 10, the only registry entry with no driver
 #       row ever (the r10 window was not rotated before the round closed);
-# 2-6:  video_mjpeg_stats (Motion-JPEG AVI container + native per-frame
-#       JPEG decode), gopher_repetition (Rae et al. Table A1 repetition
-#       rules), weighted_sample (exact integer weighted draws),
-#       embedding_covariance (exact d×d Gram partials), and bpe_train
-#       (Sennrich et al. BPE merge-table training) and bpe_segment
-#       (train + apply end-to-end) — NEW in r11;
-# 4:    segment_dedup — implementation changed in round 10 (below-crossover
+# 2-7:  NEW in round 11 — video_mjpeg_stats (Motion-JPEG AVI container +
+#       native per-frame JPEG decode), gopher_repetition (Rae et al.
+#       Table A1 repetition rules), weighted_sample (exact integer
+#       weighted draws), embedding_covariance (exact d×d Gram
+#       partials), bpe_train (Sennrich et al. BPE merge-table
+#       training), and bpe_segment (train + apply end-to-end);
+# 8:    segment_dedup — implementation changed in round 10 (below-crossover
 #       onepart fusion), newest driver row r8;
-# 5:    video_frame_stats — implementation changed in round 11 (container
+# 9:    video_frame_stats — implementation changed in round 11 (container
 #       sniff dispatches Y4M vs MJPEG-AVI);
-# 6-8:  image_phash_pairs (newest row r5 — 5 rounds stale) plus
+# 10-12: image_phash_pairs (newest row r5 — 5 rounds stale) plus
 #       image_decode_stats / image_resize_stats, whose shared native JPEG
 #       decoder gains 4:2:0 baseline color support in round 11;
-# 9-45: the full 37-query r6 cohort (newest green row 4 rounds old,
+# 13-49: the full 37-query r6 cohort (newest green row 4 rounds old,
 #       unchanged since): integrity/preprocess singles, the seq_* filter/
 #       reset/chunked tier, the vp_* family, dedup/corpus singles,
 #       store/io rows, asof joins, imbalance/run bars, zscore peak events;
