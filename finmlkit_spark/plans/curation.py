@@ -88,6 +88,19 @@ class GopherFilter(Stage):
 
 
 @register_stage
+class GopherRepetitionFilter(Stage):
+    """Gopher repetition rule set (``corpus.gopher_repetition``, Rae et
+    al. 2021 Table A1 — top/duplicated n-gram character shares): keep
+    only docs passing every repetition bound."""
+
+    kind = "gopher_repetition"
+
+    def apply(self, docs: DataFrame) -> DataFrame:
+        keep = CP.gopher_repetition(docs).where("keep").select("doc_id")
+        return docs.join(keep, "doc_id")
+
+
+@register_stage
 class C4Filter(Stage):
     """C4 rule set (``corpus.c4_filter_signals``): keep only docs
     passing every heuristic."""

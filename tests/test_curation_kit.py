@@ -91,3 +91,33 @@ def test_persist_after_round_trip(spark):
     assert kit2.persist_after == ["exact_dedup"]
     out = kit2.run(_docs(spark))
     assert out.count() > 0
+
+
+def test_gopher_repetition_stage(spark):
+    """The repetition stage drops exactly the docs gopher_repetition
+    rejects, composes in a kit, and JSON round-trips."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),           # top-2gram > 0.2
+            (1, "a perfectly ordinary sentence with words"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    kit = C.CurationKit([C.GopherRepetitionFilter()])
+    out = sorted(r["doc_id"] for r in kit.run(docs).collect())
+    exp = sorted(
+        r["doc_id"]
+        for r in CP.gopher_repetition(docs).where("keep").collect()
+    )
+    assert out == exp and 0 not in out and 1 in out
+    # config round-trip through the registry
+    cfg = kit.to_config()
+    kit2 = C.CurationKit(
+        [C.stage_from_config(sc) for sc in cfg["stages"]]
+    )
+    assert kit2.to_config() == cfg
