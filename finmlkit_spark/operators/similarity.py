@@ -1364,6 +1364,8 @@ def ann_ivf_pq(
     emb_col: str = "embedding",
     ndigits: int = 6,
     lut: str = "auto",
+    seeds: list | None = None,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """IVF×PQ composed ANN — the full FAISS IVFPQ search shape: the
     corpus is ONE map-only pass to ``(id, cell, m codes)``
@@ -1410,8 +1412,14 @@ def ann_ivf_pq(
     if lut not in ("auto", "packed", "exploded"):
         raise ValueError(f"lut must be auto|packed|exploded, got {lut!r}")
     scale = 10**ndigits
-    seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
-    books = pq_codebooks(emb_df, m, ksub, id_col, emb_col)
+    # trained quantizers flow through here (kmeans_centroids +
+    # pq_train_sampled — the production FAISS shape); the defaults are
+    # the sampled seed centroids/codebooks the oracle replays
+    if seeds is None:
+        seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
+    books = codebooks if codebooks is not None else pq_codebooks(
+        emb_df, m, ksub, id_col, emb_col
+    )
     q = emb_df.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
     )

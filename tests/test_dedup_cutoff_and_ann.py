@@ -586,3 +586,53 @@ def test_embedding_covariance_exact_vs_numpy(spark):
     for (j, k), got in out.items():
         exp = (G[j, k] / n - (cs[j] / n) * (cs[k] / n)) / 1e12
         assert got == exp, (j, k, got, exp)
+
+
+def test_ann_ivf_pq_with_trained_quantizers(spark):
+    """The production FAISS shape — TRAINED coarse centroids
+    (kmeans_centroids) and TRAINED codebooks (pq_train_sampled) through
+    the same composed search: every query returns k ranked rows with
+    non-decreasing distance, never itself, and every candidate's cell
+    is one of the query's nprobe probed cells under the trained
+    quantizer (the invariant that holds whatever the training did)."""
+    import numpy as np
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = SIM.kmeans_centroids(embs, k=8, iters=2)
+    books = SIM.pq_train_sampled(embs, m=8, ksub=16, iters=3)
+    out = SIM.ann_ivf_pq(
+        embs, n_queries=5, k=4, k_coarse=8, nprobe=2,
+        seeds=seeds, codebooks=books,
+    )
+    enc = {
+        r["vec_id"]: r["cell_id"]
+        for r in SIM.ivf_pq_encode(
+            embs, k_coarse=8, m=8, ksub=16, seeds=seeds, codebooks=books
+        ).collect()
+    }
+    X = {r["vec_id"]: np.asarray(r["embedding"], float)
+         for r in embs.where("vec_id < 5").collect()}
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for qid, rs in by_q.items():
+        # probed cells: top-2 by cosine against the trained centroids
+        v = X[qid]
+        nv = np.sqrt((v * v).cumsum()[-1])
+        sims = sorted(
+            (
+                (-(v * np.asarray(c, float)).cumsum()[-1] / (nv * cn), cid)
+                for cid, c, cn in seeds
+            )
+        )[:2]
+        probed = {cid for _, cid in sims}
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        for r in rs:
+            assert r["cand_id"] != qid
+            assert enc[r["cand_id"]] in probed, (qid, r["cand_id"])
