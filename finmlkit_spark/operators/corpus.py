@@ -542,6 +542,60 @@ def unigram_logprob(
     ).select(F.col("doc").alias(id_col), "n_tokens", "mean_logprob", "perplexity")
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document mean transition log-probability under the corpus
+    bigram LM with add-one (Laplace) smoothing — the next quality tier
+    above :func:`unigram_logprob`: it scores word ORDER, so shuffled
+    or template-stitched text that passes the unigram filter scores
+    low here. P(w_i | w_{i-1}) = (C(w_{i-1} w_i) + 1) / (C(w_{i-1}) +
+    V); docs with fewer than two tokens emit no row (no transitions to
+    score).
+
+    Plan: one adjacent-pair explode (zip of shifted slices — narrow
+    (doc, l, r) rows), a (l, r) bigram count and a token unigram count
+    (both map-side combined), V as a driver scalar, two joins back to
+    the pair stream, one per-doc aggregate. ln() rounds to ``ndigits``
+    on both engines (libm last-ulp, same rationale as TimeCues)."""
+    from .text import let_bind
+
+    t = tokens(text_col)
+    pairs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            let_bind(
+                t,
+                lambda tt: F.zip_with(
+                    F.slice(tt, 1, F.size(tt) - 1),
+                    F.slice(tt, 2, F.size(tt) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    e = docs.select(F.explode(t).alias("token"))
+    uni = e.groupBy("token").agg(F.count("*").alias("cl"))
+    v_size = uni.count()  # vocab size — driver scalar, one tiny job
+    bi = pairs.groupBy("l", "r").agg(F.count("*").alias("cbi"))
+    scored = (
+        pairs.join(bi, ["l", "r"])
+        .join(uni.withColumnRenamed("token", "l"), "l")
+        .withColumn(
+            "lp",
+            F.log((F.col("cbi") + 1).cast("double") / (F.col("cl") + F.lit(int(v_size)))),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), ndigits).alias("mean_logprob"),
+        F.round(F.exp(-F.avg("lp")), ndigits).alias("perplexity"),
+    ).select(F.col("doc").alias(id_col), "n_bigrams", "mean_logprob", "perplexity")
+
+
 #: bpe_train mode=auto crossover: below this vocab size the merge loop
 #: runs driver-side on the collected (word, count) table — the k-scalar
 #: state pattern (each iteration's state is ONE merge pair); above it

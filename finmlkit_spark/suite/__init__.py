@@ -18,30 +18,31 @@ from . import developing_suite  # noqa: F401
 # ROUND-11 WINDOW (rotated as the round's FIRST commit, per the r10 verdict):
 # 1:    ann_ivf_pq — NEW in round 10, the only registry entry with no driver
 #       row ever (the r10 window was not rotated before the round closed);
-# 2-7:  NEW in round 11 — video_mjpeg_stats (Motion-JPEG AVI container +
+# 2-8:  NEW in round 11 — video_mjpeg_stats (Motion-JPEG AVI container +
 #       native per-frame JPEG decode), gopher_repetition (Rae et al.
 #       Table A1 repetition rules), weighted_sample (exact integer
 #       weighted draws), embedding_covariance (exact d×d Gram
 #       partials), bpe_train (Sennrich et al. BPE merge-table
-#       training), and bpe_segment (train + apply end-to-end);
-# 8:    segment_dedup — implementation changed in round 10 (below-crossover
+#       training), bpe_segment (train + apply end-to-end), and
+#       bigram_logprob (add-one bigram LM word-order score);
+# 9:    segment_dedup — implementation changed in round 10 (below-crossover
 #       onepart fusion), newest driver row r8;
-# 9:    video_frame_stats — implementation changed in round 11 (container
+# 10:   video_frame_stats — implementation changed in round 11 (container
 #       sniff dispatches Y4M vs MJPEG-AVI);
-# 10-12: image_phash_pairs (newest row r5 — 5 rounds stale) plus
+# 11-13: image_phash_pairs (newest row r5 — 5 rounds stale) plus
 #       image_decode_stats / image_resize_stats, whose shared native JPEG
 #       decoder gains 4:2:0 baseline color support in round 11;
-# 13-49: the full 37-query r6 cohort (newest green row 4 rounds old,
+# 14-50: the full 37-query r6 cohort (newest green row 4 rounds old,
 #       unchanged since): integrity/preprocess singles, the seq_* filter/
 #       reset/chunked tier, the vp_* family, dedup/corpus singles,
 #       store/io rows, asof joins, imbalance/run bars, zscore peak events;
-# 50:   the oldest r7 row (dollar_bars); the seven displaced r7 rows
-#       (seq_atr_ema, tbm_labels, tbm_meta, lang_id, doc_fingerprint,
-#       minhash_lsh, simhash_near_pairs) lead the round-12 fill.
+# (the eight displaced r7 rows — dollar_bars, seq_atr_ema, tbm_labels,
+#       tbm_meta, lang_id, doc_fingerprint, minhash_lsh,
+#       simhash_near_pairs — lead the round-12 fill.)
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. After round 11 no registry row is older than r7.
 # ROUND-12 FRONT-LOAD: anything new/changed in round 12 first, then the
-# remaining 30 r7 rows (seq_atr_ema, tbm_labels, tbm_meta, lang_id,
+# 31 r7 rows (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta, lang_id,
 # doc_fingerprint, minhash_lsh, simhash_near_pairs first, then
 # ann_topk, the corpus report/sampling tier, the user_* multiuser
 # tier, featurekit_build), then r8 rows as they age.
@@ -54,6 +55,7 @@ _PRIORITY = [
     "embedding_covariance",
     "bpe_train",
     "bpe_segment",
+    "bigram_logprob",
     # -- implementation changed in round 10/11 ---------------------------------
     "segment_dedup",
     "video_frame_stats",
@@ -99,8 +101,6 @@ _PRIORITY = [
     "imbalance_bars",
     "run_bars",
     "sql_shared_dialect",
-    # -- the oldest r7 row -------------------------------------------------------
-    "dollar_bars",
 ]
 
 

@@ -2025,6 +2025,38 @@ def unigram_logprob_q(spark, sf_dir):
     return CP.unigram_logprob(_docs(spark, sf_dir))
 
 
+@query(
+    "bigram_logprob",
+    _TOKS
+    + """
+, pr AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+             i -> struct_pack(l := t[CAST(i AS INT)], r := t[CAST(i AS INT) + 1]))) AS p
+  FROM toks
+),
+pairs AS (SELECT doc, p.l AS l, p.r AS r FROM pr),
+uni AS (SELECT token AS l, count(*) AS cl
+        FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+vsz AS (SELECT count(*) AS v FROM uni),
+bi AS (SELECT l, r, count(*) AS cbi FROM pairs GROUP BY l, r),
+lp AS (
+  SELECT pairs.doc,
+         ln(CAST(bi.cbi + 1 AS DOUBLE) / (uni.cl + vsz.v)) AS lp
+  FROM pairs JOIN bi USING (l, r) JOIN uni USING (l), vsz
+)
+SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS mean_logprob,
+       round(exp(-avg(lp)), 6) AS perplexity
+FROM lp GROUP BY doc""",
+)
+def bigram_logprob_q(spark, sf_dir):
+    """Corpus bigram-LM (add-one smoothed) mean transition log-prob per
+    doc — scores word ORDER on top of unigram_logprob's vocabulary
+    score. Docs shorter than two tokens emit no row."""
+    return CP.bigram_logprob(_docs(spark, sf_dir))
+
+
 def _km_sim(v: str, c: str) -> str:
     return (
         f"list_dot_product({v}, {c}) / "

@@ -393,3 +393,35 @@ def test_bpe_merge_is_symbol_aligned(spark):
     seg = CP.bpe_apply(docs, [(l, r) for _, l, r, _ in exp]).collect()[0]
     # ab, ab, bc, bc, abc -> one symbol each
     assert seg["n_bpe_tokens"] == 5
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Bigram LM on a 2-doc corpus replayed in Python: Laplace-smoothed
+    transition probabilities, doc rows only for docs with >= 2 tokens,
+    and the word-order property (a shuffled doc scores lower than the
+    in-distribution one)."""
+    import math
+
+    from finmlkit_spark.operators import corpus as CP
+
+    rows = [(0, "a b a b a b"), (1, "b a"), (2, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CP.bigram_logprob(docs).collect()}
+    assert set(out) == {0, 1}  # doc 2 has no transitions
+
+    uni = {"a": 4, "b": 4, "x": 1}
+    v = 3
+    bi = {("a", "b"): 3, ("b", "a"): 3}
+    def lp(l, r):
+        return math.log((bi.get((l, r), 0) + 1) / (uni[l] + v))
+    exp0 = (3 * lp("a", "b") + 2 * lp("b", "a")) / 5
+    assert out[0]["n_bigrams"] == 5
+    assert abs(out[0]["mean_logprob"] - round(exp0, 6)) < 1e-9
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["mean_logprob"] - round(lp("b", "a"), 6)) < 1e-9
+    # word order matters: 'b b' is an unseen transition, scores lower
+    docs2 = spark.createDataFrame(
+        rows + [(3, "b b")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in CP.bigram_logprob(docs2).collect()}
+    assert out2[3]["mean_logprob"] < out2[1]["mean_logprob"]
