@@ -542,6 +542,48 @@ def unigram_logprob(
     ).select(F.col("doc").alias(id_col), "n_tokens", "mean_logprob", "perplexity")
 
 
+def token_length_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    quantiles: tuple = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group token-length distribution — the sequence-budget
+    planning table (context-window fill rates, packing bin sizing,
+    truncation loss estimates all read exactly this): exact linear-
+    interpolated percentiles + mean/max/count of the whitespace token
+    count, one row per ``group_col`` value.
+
+    Exactness: Spark's ``percentile`` (exact, linear interpolation)
+    and DuckDB's ``quantile_cont`` implement the same definition and
+    agree bit-for-bit on int64 inputs (interpolation is one float
+    expression of two exact integers). One hash aggregate on the group
+    key; the shuffle carries (group, count) partials — map-side
+    combined, scale-free."""
+    L = F.size(tokens(text_col)).cast("long")
+    pct = F.percentile(F.col("_L"), F.array(*[F.lit(q) for q in quantiles]))
+    out = (
+        docs.select(F.col(group_col).alias("grp"), L.alias("_L"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("_L"), 6).alias("mean_tokens"),
+            F.max("_L").alias("max_tokens"),
+            pct.alias("_p"),
+        )
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "mean_tokens",
+        "max_tokens",
+        *[
+            F.round(F.element_at("_p", i + 1), 6).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(quantiles)
+        ],
+    )
+
+
 def bigram_logprob(
     docs: DataFrame,
     text_col: str = "text",

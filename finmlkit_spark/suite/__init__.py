@@ -23,8 +23,10 @@ from . import developing_suite  # noqa: F401
 #       Table A1 repetition rules), weighted_sample (exact integer
 #       weighted draws), embedding_covariance (exact d×d Gram
 #       partials), bpe_train (Sennrich et al. BPE merge-table
-#       training), bpe_segment (train + apply end-to-end), and
-#       bigram_logprob (add-one bigram LM word-order score);
+#       training), bpe_segment (train + apply end-to-end),
+#       bigram_logprob (add-one bigram LM word-order score), and
+#       token_length_stats (exact per-lang length percentiles) — so
+#       slots 2-9 are the round-11 additions;
 # 9:    segment_dedup — implementation changed in round 10 (below-crossover
 #       onepart fusion), newest driver row r8;
 # 10:   video_frame_stats — implementation changed in round 11 (container
@@ -32,7 +34,8 @@ from . import developing_suite  # noqa: F401
 # 11-13: image_phash_pairs (newest row r5 — 5 rounds stale) plus
 #       image_decode_stats / image_resize_stats, whose shared native JPEG
 #       decoder gains 4:2:0 baseline color support in round 11;
-# 14-50: the full 37-query r6 cohort (newest green row 4 rounds old,
+# 15-50:36 of the 37-query r6 cohort (newest green row 4 rounds old,
+#       sql_shared_dialect displaced to the r12 fill;
 #       unchanged since): integrity/preprocess singles, the seq_* filter/
 #       reset/chunked tier, the vp_* family, dedup/corpus singles,
 #       store/io rows, asof joins, imbalance/run bars, zscore peak events;
@@ -42,7 +45,8 @@ from . import developing_suite  # noqa: F401
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. After round 11 no registry row is older than r7.
 # ROUND-12 FRONT-LOAD: anything new/changed in round 12 first, then the
-# 31 r7 rows (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta, lang_id,
+# displaced r6 row (sql_shared_dialect) and the 31 r7 rows
+# (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta, lang_id,
 # doc_fingerprint, minhash_lsh, simhash_near_pairs first, then
 # ann_topk, the corpus report/sampling tier, the user_* multiuser
 # tier, featurekit_build), then r8 rows as they age.
@@ -56,6 +60,7 @@ _PRIORITY = [
     "bpe_train",
     "bpe_segment",
     "bigram_logprob",
+    "token_length_stats",
     # -- implementation changed in round 10/11 ---------------------------------
     "segment_dedup",
     "video_frame_stats",
@@ -100,7 +105,6 @@ _PRIORITY = [
     "regional_revenue",
     "imbalance_bars",
     "run_bars",
-    "sql_shared_dialect",
 ]
 
 

@@ -2026,6 +2026,31 @@ def unigram_logprob_q(spark, sf_dir):
 
 
 @query(
+    "token_length_stats",
+    _TOKS
+    + """
+, L AS (SELECT lang, CAST(len(t) AS BIGINT) AS l
+        FROM toks JOIN documents USING (doc_id))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(l), 6) AS mean_tokens,
+       max(l) AS max_tokens,
+       round(quantile_cont(l, 0.1), 6) AS p10,
+       round(quantile_cont(l, 0.25), 6) AS p25,
+       round(quantile_cont(l, 0.5), 6) AS p50,
+       round(quantile_cont(l, 0.75), 6) AS p75,
+       round(quantile_cont(l, 0.9), 6) AS p90,
+       round(quantile_cont(l, 0.99), 6) AS p99
+FROM L GROUP BY lang""",
+)
+def token_length_stats_q(spark, sf_dir):
+    """Per-language token-length distribution (exact interpolated
+    percentiles + mean/max/count) — the sequence-budget planning table.
+    Spark percentile() and DuckDB quantile_cont() share the linear-
+    interpolation definition and agree bit-for-bit on int64 inputs."""
+    return CP.token_length_stats(_docs(spark, sf_dir))
+
+
+@query(
     "bigram_logprob",
     _TOKS
     + """
