@@ -578,7 +578,7 @@ def token_length_stats(
         "mean_tokens",
         "max_tokens",
         *[
-            F.round(F.element_at("_p", i + 1), 6).alias(f"p{int(q * 100)}")
+            F.round(F.element_at("_p", i + 1), 6).alias(f"p{round(q * 100)}")
             for i, q in enumerate(quantiles)
         ],
     )
@@ -600,7 +600,7 @@ def bigram_logprob(
 
     Plan: one adjacent-pair explode (zip of shifted slices — narrow
     (doc, l, r) rows), a (l, r) bigram count and a token unigram count
-    (both map-side combined), V as a driver scalar, two joins back to
+    (both map-side combined), V as a lazy broadcast scalar, two joins back to
     the pair stream, one per-doc aggregate. ln() rounds to ``ndigits``
     on both engines (libm last-ulp, same rationale as TimeCues)."""
     from .text import let_bind
@@ -621,14 +621,17 @@ def bigram_logprob(
     ).select("doc", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
     e = docs.select(F.explode(t).alias("token"))
     uni = e.groupBy("token").agg(F.count("*").alias("cl"))
-    v_size = uni.count()  # vocab size — driver scalar, one tiny job
+    # vocab size as a LAZY broadcast scalar (the unigram_logprob
+    # pattern) — no eager job at build time, no recomputed aggregate
+    vsz = uni.agg(F.count("*").alias("_v"))
     bi = pairs.groupBy("l", "r").agg(F.count("*").alias("cbi"))
     scored = (
         pairs.join(bi, ["l", "r"])
         .join(uni.withColumnRenamed("token", "l"), "l")
+        .crossJoin(F.broadcast(vsz))
         .withColumn(
             "lp",
-            F.log((F.col("cbi") + 1).cast("double") / (F.col("cl") + F.lit(int(v_size)))),
+            F.log((F.col("cbi") + 1).cast("double") / (F.col("cl") + F.col("_v"))),
         )
     )
     return scored.groupBy("doc").agg(

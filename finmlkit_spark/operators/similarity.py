@@ -1477,17 +1477,23 @@ def ann_ivf_pq(
                 if len(pdf) == 0:
                     continue
                 X = np.stack(pdf["qv"].values).astype(np.float64)
-                luts = np.empty(
-                    (X.shape[0], len(books), books[0].shape[0]), np.int64
-                )
-                for j, Cj in enumerate(books):
-                    luts[:, j, :] = _pq_dist_q(
-                        X[:, j * dsub : (j + 1) * dsub], Cj, scale
-                    )
+                # per-subspace blocks may be RAGGED: pq_train_sampled
+                # drops empty clusters per subspace independently, so
+                # trained codebooks can have different row counts —
+                # build array<array<bigint>> rows per subspace instead
+                # of one dense (nq, m, ksub) tensor (codes are bounded
+                # by each subspace's own width, so ragged rows are safe)
+                blocks = [
+                    _pq_dist_q(X[:, j * dsub : (j + 1) * dsub], Cj, scale)
+                    for j, Cj in enumerate(books)
+                ]
                 yield pd.DataFrame(
                     {
                         "query_id": pdf["query_id"].values,
-                        "luts": [list(map(list, r)) for r in luts],
+                        "luts": [
+                            [blocks[j][i].tolist() for j in range(len(books))]
+                            for i in range(X.shape[0])
+                        ],
                     }
                 )
 

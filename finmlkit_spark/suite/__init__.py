@@ -18,27 +18,26 @@ from . import developing_suite  # noqa: F401
 # ROUND-11 WINDOW (rotated as the round's FIRST commit, per the r10 verdict):
 # 1:    ann_ivf_pq — NEW in round 10, the only registry entry with no driver
 #       row ever (the r10 window was not rotated before the round closed);
-# 2-8:  NEW in round 11 — video_mjpeg_stats (Motion-JPEG AVI container +
+# 2-9:  NEW in round 11 — video_mjpeg_stats (Motion-JPEG AVI container +
 #       native per-frame JPEG decode), gopher_repetition (Rae et al.
 #       Table A1 repetition rules), weighted_sample (exact integer
 #       weighted draws), embedding_covariance (exact d×d Gram
 #       partials), bpe_train (Sennrich et al. BPE merge-table
 #       training), bpe_segment (train + apply end-to-end),
 #       bigram_logprob (add-one bigram LM word-order score), and
-#       token_length_stats (exact per-lang length percentiles) — so
-#       slots 2-9 are the round-11 additions;
-# 9:    segment_dedup — implementation changed in round 10 (below-crossover
+#       token_length_stats (exact per-lang length percentiles);
+# 10:   segment_dedup — implementation changed in round 10 (below-crossover
 #       onepart fusion), newest driver row r8;
-# 10:   video_frame_stats — implementation changed in round 11 (container
+# 11:   video_frame_stats — implementation changed in round 11 (container
 #       sniff dispatches Y4M vs MJPEG-AVI);
-# 11-13: image_phash_pairs (newest row r5 — 5 rounds stale) plus
+# 12-14: image_phash_pairs (newest row r5 — 5 rounds stale) plus
 #       image_decode_stats / image_resize_stats, whose shared native JPEG
 #       decoder gains 4:2:0 baseline color support in round 11;
-# 15-50:36 of the 37-query r6 cohort (newest green row 4 rounds old,
-#       sql_shared_dialect displaced to the r12 fill;
-#       unchanged since): integrity/preprocess singles, the seq_* filter/
-#       reset/chunked tier, the vp_* family, dedup/corpus singles,
-#       store/io rows, asof joins, imbalance/run bars, zscore peak events;
+# 15-50: 36 of the 37-query r6 cohort (newest green row 4 rounds old,
+#       unchanged since; sql_shared_dialect displaced to the r12 fill):
+#       integrity/preprocess singles, the seq_* filter/reset/chunked
+#       tier, the vp_* family, dedup/corpus singles, store/io rows,
+#       asof joins, imbalance/run bars, zscore peak events;
 # (the eight displaced r7 rows — dollar_bars, seq_atr_ema, tbm_labels,
 #       tbm_meta, lang_id, doc_fingerprint, minhash_lsh,
 #       simhash_near_pairs — lead the round-12 fill.)

@@ -82,15 +82,16 @@ COPY (
     con.execute(
         f"""
 COPY (
-  SELECT d.doc_id + cp * 1000000 AS doc_id,
-         CASE WHEN cp = 0 THEN d.text
-              ELSE d.text || ' nonce' || CAST(cp AS VARCHAR) || 'x'
-                   || CAST(d.doc_id % 101 AS VARCHAR) END AS text,
-         d.lang, d.source,
-         CAST(length(CASE WHEN cp = 0 THEN d.text
-              ELSE d.text || ' nonce' || CAST(cp AS VARCHAR) || 'x'
-                   || CAST(d.doc_id % 101 AS VARCHAR) END) AS BIGINT) AS n_chars
-  FROM read_parquet('{SF01}/documents.parquet') d, {copies}
+  SELECT doc_id, text, lang, source,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM (
+    SELECT d.doc_id + cp * 1000000 AS doc_id,
+           CASE WHEN cp = 0 THEN d.text
+                ELSE d.text || ' nonce' || CAST(cp AS VARCHAR) || 'x'
+                     || CAST(d.doc_id % 101 AS VARCHAR) END AS text,
+           d.lang, d.source
+    FROM read_parquet('{SF01}/documents.parquet') d, {copies}
+  )
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
