@@ -1,0 +1,224 @@
+"""Retrieval operators for training-data pipelines: inverted-index
+build, BM25 ranked search, and link-analysis (PageRank) over the
+near-duplicate graph.
+
+Beyond-reference surface (the reference engine has no retrieval tier;
+BASELINE.json north star): a 100 TB curation pipeline needs an index
+over its corpus (dedup forensics, contamination lookups, mixture
+audits), a ranked-retrieval primitive (BM25 is the lexical baseline
+every retrieval paper reports), and a graph-centrality score for
+choosing the canonical document inside a near-dup cluster (keep the
+"most linked" page, not an arbitrary min-id). All three are pure
+DataFrame compositions — no UDFs anywhere in this module.
+
+Scale shapes:
+
+- ``inverted_index``: two token-keyed aggregations plus a
+  ``row_number``-capped postings window that compiles to
+  ``WindowGroupLimit`` (partial per-partition limit before the final),
+  so a stopword's billion-row posting list never materializes — the
+  cap bounds state per token on both the map and reduce side.
+- ``bm25_topk``: per-doc term frequencies are a narrow let-bound
+  projection (no explode), corpus statistics fold to ONE broadcast
+  row, and the top-k is ``orderBy().limit()`` — Spark's distributed
+  ``TakeOrderedAndProject``, not a SinglePartition window sort.
+- ``pagerank``: each iteration is one hash join + one integer-sum
+  aggregation over the edge list (the classic message-passing round);
+  the edge list is pinned once via the tracked-cache registry so the
+  upstream LSH candidate build runs once, not once per iteration.
+  All rank arithmetic is int64 fixed-point (micro-units with integer
+  DIV), so partial-sum order cannot perturb results — both engines
+  agree bit-for-bit, and so would any executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import cache
+from . import text as TX
+
+#: fixed-point unit for integer PageRank (1.0 == 1e12 micro-units)
+PR_UNIT = 1_000_000_000_000
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 32,
+) -> DataFrame:
+    """Build an inverted index over whitespace tokens: one row per
+    term with document frequency, total term frequency, and a capped
+    champion list of the first ``postings_cap`` doc ids (ascending).
+
+    Returns (token, df, total_tf, postings) where ``postings`` is a
+    comma-joined string (cross-engine-stable representation; array
+    columns stringify differently between Arrow and DuckDB pandas
+    bridges).
+
+    Plan: explode → (token, doc) counts → (a) token-keyed stats
+    aggregation (map-side partial combine) and (b) a
+    ``row_number() <= cap`` window that the optimizer compiles to
+    ``WindowGroupLimit`` partial/final — each map task keeps at most
+    ``cap`` rows per token before the shuffle, so skewed terms
+    (stopwords at 100 TB) cross the exchange as ``cap`` rows, never as
+    their full posting list. Both branches and the final join share
+    the same hash partitioning on ``token``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(TX.tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tfs = toks.groupBy("token", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tfs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    w = Window.partitionBy("token").orderBy("doc")
+    top = (
+        tfs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= postings_cap)
+        .groupBy("token")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc")), ",").alias("postings")
+        )
+    )
+    return stats.join(top, "token").select("token", "df", "total_tf", "postings")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones): score every
+    document against ``terms`` and return the top ``k`` rows
+    (doc_id, score), score descending, doc_id ascending on ties.
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term score
+    tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)); the document score is
+    the FIXED-ORDER sum over ``terms`` (no group-dependent float
+    summation order — cross-engine reproducible to the last ulp).
+
+    Plan shape: one narrow projection computes dl and every per-term
+    tf from a single let-bound token array (no explode — the term
+    list is a query, not data); corpus stats (N, Σdl, per-term df)
+    fold to ONE row that re-enters via broadcast; the top-k is
+    ``orderBy().limit()`` = ``TakeOrderedAndProject`` (each task keeps
+    k rows; no SinglePartition sort). The projection subtree is read
+    twice (stats + scoring) — both are pushdown-pruned scans of
+    (id, text) only.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+
+    # NB: factory closure, not a `lambda t, w=w:` default-arg — that
+    # would give the lambda arity 2, which the HOFs interpret as
+    # (element, index) (same gotcha as text.lang_scores)
+    def _tf_body(w: str):
+        return lambda t: F.size(F.filter(t, lambda x: x == F.lit(w))).cast("long")
+
+    proj = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TX.token_count(text_col).alias("_dl"),
+        *[
+            TX.let_bind(TX.tokens(text_col), _tf_body(w)).alias(f"_tf{i}")
+            for i, w in enumerate(terms)
+        ],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = proj.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        df_t = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / avgdl
+        )
+        score = score + F.when(
+            F.col(f"_tf{i}") > 0, idf * tf * F.lit(k1 + 1.0) / norm
+        ).otherwise(F.lit(0.0))
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 5,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    unit: int = PR_UNIT,
+) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85, ``iters`` synchronous
+    rounds) over an undirected pair graph — centrality for picking the
+    canonical representative of a near-dup cluster. Returns
+    (id, rank_fp) with rank in micro-units of ``unit`` (1.0 ≡ unit).
+
+    Exactness contract: ranks live in int64 micro-units; the
+    per-neighbor contribution is ``r DIV deg`` and the damped update
+    is ``base + (85·Σcontrib) DIV 100`` — every step integer, so the
+    aggregation's partial-sum order (executor count, AQE coalescing)
+    cannot move a single bit, and the DuckDB oracle unrolls the same
+    recurrence to byte-identical values. The classic double-precision
+    form would differ in ulps per engine/partitioning and is exactly
+    what this avoids (same discipline as ``sampling.weighted_sample``).
+
+    Scale shape: the symmetric edge list is pinned once via the
+    tracked-cache registry (``cache.keep`` — callers/batch runners
+    release via ``cache.release_all``), so the upstream candidate
+    build (LSH join) is not re-run per iteration; each round is one
+    edge-scale hash join (rank table keyed by node — AQE picks
+    broadcast when it fits) plus one integer-sum groupBy. Isolated
+    nodes are not ranked (every node in a pair has degree ≥ 1, so
+    every node receives messages each round — no dangling-mass term).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    und = cache.keep(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = deg.agg(F.count(F.lit(1)).alias("_n"))
+    # r0 = unit DIV N for every node; carry deg alongside the rank so
+    # each round's contribution needs no extra join
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        F.col("src").alias("id"),
+        F.expr(f"CAST({unit} AS BIGINT) DIV _n").alias("r"),
+        "deg",
+        "_n",
+    )
+    for _ in range(iters):
+        msgs = und.join(ranks, und["src"] == ranks["id"]).select(
+            F.col("dst").alias("_to"),
+            F.expr("r DIV deg").alias("_c"),
+            F.col("_n"),
+        )
+        nxt = msgs.groupBy("_to").agg(
+            F.sum("_c").alias("_s"), F.first("_n").alias("_n")
+        )
+        ranks = nxt.select(
+            F.col("_to").alias("id"),
+            (
+                F.expr(f"(CAST({unit} AS BIGINT) * 15) DIV (100 * _n)")
+                + F.expr("(85 * _s) DIV 100")
+            ).alias("r"),
+            "_n",
+        ).join(deg, F.col("id") == F.col("src")).select("id", "r", "deg", "_n")
+    return ranks.select("id", F.col("r").alias("rank_fp"))

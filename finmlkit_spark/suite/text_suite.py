@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import corpus as CP
 from ..operators import dedup as D
 from ..operators import multimodal as MM
+from ..operators import retrieval as RT
 from ..operators import sampling as SMP
 from ..operators import similarity as SIM
 from ..operators import text as TX
@@ -2219,3 +2220,139 @@ def semantic_dedup_q(spark, sf_dir):
     0.4 here because the synthetic embeddings are near-orthogonal
     (max pairwise cos ~0.51); production text embeddings use ~0.95."""
     return SIM.semantic_dup_pairs(_embs(spark, sf_dir), k=8, iters=2, threshold=0.4, dim=64)
+
+
+# --- retrieval tier ----------------------------------------------------------
+
+@query(
+    "inverted_index",
+    _TOKS
+    + """
+, tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tfs AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY token, doc_id
+),
+stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tfs GROUP BY token
+),
+topn AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM tfs
+),
+post AS (
+  SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM topn WHERE rn <= 32 GROUP BY token
+)
+SELECT s.token, s.df, s.total_tf, p.postings
+FROM stats s JOIN post p USING (token)""",
+)
+def inverted_index_q(spark, sf_dir):
+    """Inverted-index build: term -> (df, total_tf, capped champion
+    list). The postings cap rides WindowGroupLimit (partial per-task
+    limit before the final), so a stopword's posting list crosses the
+    shuffle as <= 32 rows at any corpus size."""
+    return RT.inverted_index(_docs(spark, sf_dir), postings_cap=32)
+
+
+#: fixed BM25 benchmark query: one rare term (df ~5%) + two common ones
+BM25_TERMS = ["dup", "join", "table"]
+
+
+def _bm25_oracle_sql(terms: list[str], k: int, k1: float, b: float) -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf{i}"
+        for i, w in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"""CASE WHEN p.tf{i} > 0 THEN
+          ln(1.0 + (st.n - CAST(st.df{i} AS DOUBLE) + 0.5) / (CAST(st.df{i} AS DOUBLE) + 0.5))
+          * CAST(p.tf{i} AS DOUBLE) * {k1 + 1.0}
+          / (CAST(p.tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * p.dl / (CAST(st.sumdl AS DOUBLE) / st.n)))
+        ELSE 0.0 END"""
+        for i in range(len(terms))
+    )
+    return (
+        _TOKS
+        + f"""
+, proj AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, {tf_cols} FROM toks),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, {df_cols} FROM proj)
+SELECT p.doc_id, ({score_terms}) AS score
+FROM proj p CROSS JOIN st
+ORDER BY score DESC, p.doc_id
+LIMIT {k}"""
+    )
+
+
+@query("bm25_topk", _bm25_oracle_sql(BM25_TERMS, 10, 1.2, 0.75))
+def bm25_topk_q(spark, sf_dir):
+    """BM25 ranked retrieval for a 3-term query (one discriminative
+    term, two common): fixed-order float score sum (cross-engine ulp
+    stability), TakeOrderedAndProject top-k — no SinglePartition sort."""
+    return RT.bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
+def _pagerank_oracle_sql(iters: int, unit: int) -> str:
+    # simhash near-pair edges (the simhash_near_pairs oracle as CTEs)
+    edges = (
+        _SHQ
+        + """
+, hsq AS (SELECT doc_id, sh AS hs FROM shq),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> CAST(i AS INT)) & 1) - 1)) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fingerprint
+  FROM hsq
+),
+k AS (SELECT doc_id, fingerprint, unnest(range(0, 4)) AS band FROM fp),
+kk AS (
+  SELECT doc_id, fingerprint, band,
+         (fingerprint >> CAST(band * 8 AS INT)) & 255 AS segv
+  FROM k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fingerprint AS fp_a, b.fingerprint AS fp_b
+  FROM kk a JOIN kk b ON a.band = b.band AND a.segv = b.segv AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+)"""
+    )
+    body = """
+, und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION ALL SELECT doc_b, doc_a FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+pr0 AS (SELECT deg.src AS id, CAST({u} // st.n AS BIGINT) AS r, deg.d FROM deg CROSS JOIN st)"""
+    for it in range(1, iters + 1):
+        body += f""",
+m{it} AS (SELECT u.dst AS id, CAST(sum(p.r // p.d) AS BIGINT) AS s
+         FROM und u JOIN pr{it - 1} p ON u.src = p.id GROUP BY u.dst),
+pr{it} AS (SELECT m.id,
+                 CAST(({{u}} * 15) // (100 * st.n) + (85 * m.s) // 100 AS BIGINT) AS r,
+                 deg.d
+          FROM m{it} m CROSS JOIN st JOIN deg ON m.id = deg.src)"""
+    body += f"""
+SELECT id AS doc_id, r AS rank_fp FROM pr{iters}"""
+    return edges + body.replace("{u}", str(unit))
+
+
+@query("dup_graph_pagerank", _pagerank_oracle_sql(5, RT.PR_UNIT))
+def dup_graph_pagerank_q(spark, sf_dir):
+    """PageRank centrality (5 integer fixed-point rounds, damping
+    0.85) over the SimHash near-dup graph — rank the canonical doc in
+    each near-dup chain. Int64 micro-unit arithmetic end-to-end, so
+    partial-sum order (executors, AQE) cannot move a bit and the
+    unrolled DuckDB recurrence matches exactly."""
+    edges = D.simhash_near_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    return RT.pagerank(edges, iters=5, a_col="doc_a", b_col="doc_b").select(
+        F.col("id").alias("doc_id"), "rank_fp"
+    )

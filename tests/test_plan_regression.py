@@ -63,6 +63,10 @@ GUARDED = [
     # below — the bench-scale fused form is single-partition BY DESIGN and
     # is pinned separately by test_segment_dedup_modes_bit_identical)
     "segment_dedup",
+    # retrieval tier: the postings cap must ride WindowGroupLimit, never
+    # a global sort (bm25_topk is pinned separately — its one-row corpus
+    # stats aggregate is a sanctioned scalar-agg SinglePartition)
+    "inverted_index",
 ]
 
 

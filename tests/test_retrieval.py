@@ -1,0 +1,136 @@
+"""Unit tests for the retrieval tier: inverted index, BM25 top-k,
+integer fixed-point PageRank — hand-computed references on tiny
+in-memory corpora plus the plan shapes the docstrings promise."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from finmlkit_spark.operators import retrieval as RT
+
+DOCS = [
+    (0, "the cat sat"),
+    (1, "the cat"),
+    (2, "dog"),
+    (3, "the dog ran the race"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_inverted_index_counts_and_postings(docs_df):
+    rows = {
+        r["token"]: r
+        for r in RT.inverted_index(docs_df, postings_cap=32).collect()
+    }
+    # empty doc 4 contributes nothing (its single '' token is filtered)
+    assert set(rows) == {"the", "cat", "sat", "dog", "ran", "race"}
+    assert rows["the"]["df"] == 3 and rows["the"]["total_tf"] == 4
+    assert rows["the"]["postings"] == "0,1,3"
+    assert rows["cat"]["df"] == 2 and rows["cat"]["total_tf"] == 2
+    assert rows["dog"]["postings"] == "2,3"
+    assert rows["sat"]["df"] == 1 and rows["sat"]["postings"] == "0"
+
+
+def test_inverted_index_cap_keeps_smallest_ids_but_full_counts(docs_df):
+    rows = {
+        r["token"]: r
+        for r in RT.inverted_index(docs_df, postings_cap=1).collect()
+    }
+    # df/total_tf count EVERY doc; only the champion list is capped
+    assert rows["the"]["df"] == 3 and rows["the"]["total_tf"] == 4
+    assert rows["the"]["postings"] == "0"
+    assert rows["dog"]["postings"] == "2"
+
+
+def _bm25_reference(terms, k1=1.2, b=0.75):
+    toks = [t.split() if t else [""] for _, t in DOCS]
+    # Spark's split(trim('')) yields [''] — one empty token; the scorer
+    # sees dl=1, tf=0 for every real term, score 0
+    dls = [len(t) for t in toks]
+    n = len(DOCS)
+    avgdl = sum(dls) / n
+    out = {}
+    for doc_id, _ in DOCS:
+        s = 0.0
+        for w in terms:
+            tf = toks[doc_id].count(w)
+            if tf == 0:
+                continue
+            df = sum(1 for t in toks if w in t)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dls[doc_id] / avgdl))
+        out[doc_id] = s
+    return out
+
+
+def test_bm25_scores_match_reference(docs_df):
+    got = RT.bm25_topk(docs_df, ["cat", "dog"], k=5).collect()
+    want = _bm25_reference(["cat", "dog"])
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert [r["doc_id"] for r in got] == order
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]], abs=1e-12)
+
+
+def test_bm25_tie_breaks_by_doc_id(spark):
+    # identical docs tie exactly; ascending doc_id decides the cut
+    df = spark.createDataFrame(
+        [(i, "x y") for i in range(6)] + [(9, "z")], ["doc_id", "text"]
+    )
+    got = [r["doc_id"] for r in RT.bm25_topk(df, ["x"], k=3).collect()]
+    assert got == [0, 1, 2]
+
+
+def _pagerank_reference(pairs, iters=5, unit=RT.PR_UNIT):
+    und = {}
+    for a, b in pairs:
+        und.setdefault(a, []).append(b)
+        und.setdefault(b, []).append(a)
+    n = len(und)
+    deg = {u: len(vs) for u, vs in und.items()}
+    r = {u: unit // n for u in und}
+    base = (unit * 15) // (100 * n)
+    for _ in range(iters):
+        s = {u: 0 for u in und}
+        for u, vs in und.items():
+            c = r[u] // deg[u]
+            for v in vs:
+                s[v] += c
+        r = {u: base + (85 * s[u]) // 100 for u in und}
+    return r
+
+
+def test_pagerank_path_graph_exact(spark):
+    # path 1-2-3: the center accumulates from both leaves; all values
+    # must match the integer recurrence bit-for-bit
+    pairs = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["rank_fp"] for r in RT.pagerank(df).collect()}
+    want = _pagerank_reference(pairs)
+    assert got == want
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_disjoint_pairs_uniform(spark):
+    pairs = [(1, 2), (5, 9)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["rank_fp"] for r in RT.pagerank(df).collect()}
+    assert got == _pagerank_reference(pairs)
+    assert len(set(got.values())) == 1  # symmetric graph -> equal ranks
+
+
+def test_bm25_plan_is_take_ordered(spark):
+    from finmlkit_spark.suite import QUERIES
+
+    df = QUERIES["bm25_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only SinglePartition is the one-row corpus-stats aggregate
+    assert plan.count("Exchange SinglePartition") <= 1, plan
