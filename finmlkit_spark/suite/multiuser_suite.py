@@ -284,3 +284,129 @@ def user_fast_features(spark, sf_dir):
     bars = B.bar_ohlcv(df, key="bar_close_ns", by="symbol")
     out = R.fast_feature_stage_ticks(bars, by="symbol", order_col="bar_close_ns")
     return out.select("symbol", "bar_close_ns", "sma", "z", "k", "roc", "vd", "bb")
+
+
+# --- product-analytics tier: funnel + cohort retention over events ----------
+
+DAY_NS = 86_400_000_000_000
+
+
+def _events_ns(spark, sf_dir):
+    """events with ts normalized to epoch ns (µs-floored) — the same
+    dtype-branch contract as ``events_to_trades`` (the physical type of
+    ``ts`` has drifted across driver regenerations: TIMESTAMP(NANOS)
+    arrives as long ns under nanosAsLong, timestamp[us] as
+    TIMESTAMP_NTZ), but keeping ``event_type`` which the trade adapter
+    drops."""
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype.startswith("timestamp"):
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    elif ts_dtype == "bigint":
+        ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
+    else:
+        raise TypeError(f"events.ts: unsupported dtype {ts_dtype!r}")
+    return ev.select("user_id", "event_type", ts_ns.alias("ts_ns"))
+
+
+@query(
+    "event_funnel",
+    """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns FROM events),
+s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2 FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_ns > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3 FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2 GROUP BY e.user_id),
+c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3)
+SELECT CAST(1 AS BIGINT) AS step_ord, 'view' AS step, c1.n AS n_users,
+       1.0 AS conv_from_top FROM c1
+UNION ALL
+SELECT 2, 'click', c2.n, CAST(c2.n AS DOUBLE) / c1.n FROM c1, c2
+UNION ALL
+SELECT 3, 'purchase', c3.n, CAST(c3.n AS DOUBLE) / c1.n FROM c1, c3""",
+)
+def event_funnel(spark, sf_dir):
+    """Strictly-ordered conversion funnel (first view → later click →
+    later purchase): each stage is one user-keyed aggregate joined to
+    the previous stage's first-touch time — user-hash shuffles only;
+    the three stage counts are sanctioned 1-row scalar aggregates
+    composed by a 3-row union."""
+    ev = _events_ns(spark, sf_dir)
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    top = c1.select(
+        F.lit(1).cast("long").alias("step_ord"),
+        F.lit("view").alias("step"),
+        F.col("n1").alias("n_users"),
+        F.lit(1.0).alias("conv_from_top"),
+    )
+    mid = c2.crossJoin(F.broadcast(c1)).select(
+        F.lit(2).cast("long").alias("step_ord"),
+        F.lit("click").alias("step"),
+        F.col("n2").alias("n_users"),
+        (F.col("n2").cast("double") / F.col("n1")).alias("conv_from_top"),
+    )
+    bot = c3.crossJoin(F.broadcast(c1)).select(
+        F.lit(3).cast("long").alias("step_ord"),
+        F.lit("purchase").alias("step"),
+        F.col("n3").alias("n_users"),
+        (F.col("n3").cast("double") / F.col("n1")).alias("conv_from_top"),
+    )
+    return top.unionAll(mid).unionAll(bot)
+
+
+@query(
+    "cohort_retention",
+    f"""
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) * 1000) // {DAY_NS} AS day FROM events
+),
+ud AS (SELECT DISTINCT user_id, day FROM ev),
+coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day, CAST(u.day - c.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud u JOIN coh c USING (user_id)
+GROUP BY c.cohort_day, day_offset""",
+)
+def cohort_retention(spark, sf_dir):
+    """Daily cohort retention triangle (the classic D30 matrix): users
+    grouped by first-activity epoch day, counted in each later day
+    they return. Pure integer day arithmetic (ts_ns DIV day-ns) —
+    exact in both engines; two user-keyed aggregates + one join, no
+    windows."""
+    ev = _events_ns(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.expr(f"ts_ns DIV {DAY_NS}").alias("day")
+    ).distinct()
+    coh = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(coh, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
