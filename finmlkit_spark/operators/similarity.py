@@ -1652,3 +1652,158 @@ def embedding_covariance(
         F.col("k").cast("int").alias("dim_k"),
         cov.alias("cov"),
     )
+
+
+# --- scalar quantization (SQ8) ------------------------------------------------
+
+#: bounded training sample for the per-dim min/max (ascending id —
+#: deterministic), the same posture as PQ_TRAIN_MAX_SAMPLE
+SQ8_TRAIN_MAX_SAMPLE = 262_144
+
+
+def sq8_train(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_sample: int = SQ8_TRAIN_MAX_SAMPLE,
+):
+    """Train the SQ8 (8-bit scalar) quantizer: per-dimension (min, max)
+    over a bounded LIMIT-probed sample by ascending id — the FAISS
+    ScalarQuantizer training posture (d pairs of scalars, never a
+    full-corpus pass; out-of-range corpus values clip at encode).
+    Returns ``(vmin, vmax)`` float64 arrays of length dim."""
+    import numpy as np
+
+    e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+    tbl = e.orderBy("vid").limit(max_sample).toArrow()
+    col = tbl.column("v").combine_chunks()
+    n = len(col)
+    if n == 0:
+        return None
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    if widths.size and (widths != widths[0]).any():
+        raise ValueError("sq8: ragged embeddings — pad upstream")
+    dim = int(widths[0]) if widths.size else 0
+    X = flat.reshape(n, dim)
+    return X.min(axis=0), X.max(axis=0)
+
+
+def sq8_encode(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bounds=None,
+) -> DataFrame:
+    """Encode every vector to dim uint8 codes — a MAP-ONLY stage (the
+    trained (min, max) arrays are closure-shipped scalars): no shuffle,
+    no join, linear in the corpus; payload shrinks 8× vs float64.
+    ``code_d = clip(HALF_UP((x_d − vmin_d) / ((vmax_d − vmin_d)/255)),
+    0, 255)`` — the float expression shape matches the oracle SQL
+    token-for-token so both engines emit identical codes. A constant
+    dimension (vmax == vmin) encodes to 0."""
+    import numpy as np
+    import pandas as pd
+
+    b = bounds if bounds is not None else sq8_train(emb_df, id_col, emb_col)
+    e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+    if b is None:
+        return e.select(
+            F.col("vid").alias(id_col),
+            F.array().cast("array<int>").alias("codes"),
+        ).where(F.lit(False))
+    vmin, vmax = b
+    d255 = (vmax - vmin) / 255.0
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].values).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = (X - vmin) / d255
+            codes = np.clip(np.floor(r + 0.5), 0, 255)
+            codes = np.where(d255 > 0, codes, 0.0).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf["vid"].values, "codes": list(codes)})
+
+    vid_type = dict(e.dtypes)["vid"]
+    return e.mapInPandas(fn, f"{id_col} {vid_type}, codes array<int>")
+
+
+def ann_sq8_topk(
+    emb_df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+    bounds=None,
+) -> DataFrame:
+    """SQ8 asymmetric top-k: queries (ids < ``n_queries``) score the
+    ENCODED corpus by exact-query-vs-dequantized-candidate squared L2
+    — the FAISS ScalarQuantizer search path, completing the quantized
+    family next to PQ/IVFPQ (SQ8 trades PQ's m-byte compression for
+    dim bytes and a much smaller reconstruction error).
+
+    Shape at 100 TB: the corpus crosses the plan as (id, dim codes)
+    from a map-only encode; the ``n_queries`` quantized query rows
+    broadcast into a nested-loop join whose distance fold is ONE
+    whole-stage-codegen HOF over int64 — no explode, no LUT join, no
+    Python in the scoring path; the only shuffle is the per-query
+    top-k (WindowGroupLimit partial/final). All distance arithmetic is
+    1e-6-quantized int64 (reconstruction = vminq + code·deltaq), so
+    partial order cannot perturb ranks and the oracle matches exactly.
+    """
+    import math
+
+    scale = 10**ndigits
+    b = bounds if bounds is not None else sq8_train(emb_df, id_col, emb_col)
+    q = emb_df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
+    )
+    if b is None:
+        return q.select(
+            "query_id",
+            F.col("query_id").alias("cand_id"),
+            F.lit(0.0).alias("sq_dist"),
+            F.lit(0).cast("long").alias("rank"),
+        ).where(F.lit(False))
+    vmin, vmax = b
+    d255 = (vmax - vmin) / 255.0
+    vminq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in vmin])
+    deltaq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in d255])
+    enc = sq8_encode(emb_df, id_col, emb_col, bounds=b)
+    qq = q.select(
+        "query_id",
+        F.transform(
+            "qv", lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+        ).alias("qs"),
+    )
+    j = enc.crossJoin(F.broadcast(qq)).where(F.col("query_id") != F.col(id_col))
+    # diff_d = qs_d − (vminq_d + code_d·deltaq_d); Σ diff² in int64.
+    # The diff expression appears twice (d·d) — cheap attribute/literal
+    # arithmetic, not a let-bind case
+    dist = F.aggregate(
+        F.transform(
+            "codes",
+            lambda c, i: (
+                (F.get(F.col("qs"), i) - (F.get(vminq, i) + c.cast("long") * F.get(deltaq, i)))
+                * (F.get(F.col("qs"), i) - (F.get(vminq, i) + c.cast("long") * F.get(deltaq, i)))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select("query_id", F.col(id_col).alias("cand_id"), dist.alias("_dq"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_dq").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("_dq").cast("double") / (scale * scale)).alias("sq_dist"),
+            "rank",
+        )
+    )

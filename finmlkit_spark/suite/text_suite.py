@@ -2356,3 +2356,43 @@ def dup_graph_pagerank_q(spark, sf_dir):
     return RT.pagerank(edges, iters=5, a_col="doc_a", b_col="doc_b").select(
         F.col("id").alias("doc_id"), "rank_fp"
     )
+
+
+@query(
+    "ann_sq8_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+smp AS (SELECT v FROM e ORDER BY vec_id LIMIT 262144),
+dims AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS d),
+mm AS (SELECT d, min(v[d + 1]) AS vmin, max(v[d + 1]) AS vmax
+       FROM smp CROSS JOIN dims GROUP BY d),
+qc AS (SELECT d, CAST(floor(vmin * 1000000 + 0.5) AS BIGINT) AS vminq,
+              CAST(floor(((vmax - vmin) / 255.0) * 1000000 + 0.5) AS BIGINT) AS deltaq,
+              vmin, vmax FROM mm),
+codes AS (
+  SELECT e.vec_id, qc.d, qc.vminq, qc.deltaq,
+         CASE WHEN qc.vmax > qc.vmin
+              THEN CAST(least(greatest(floor((e.v[qc.d + 1] - qc.vmin) / ((qc.vmax - qc.vmin) / 255.0) + 0.5), 0), 255) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS code
+  FROM e CROSS JOIN qc
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+sc AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         sum((CAST(floor(q.qv[c.d + 1] * 1000000.0 + 0.5) AS BIGINT) - (c.vminq + c.code * c.deltaq))
+           * (CAST(floor(q.qv[c.d + 1] * 1000000.0 + 0.5) AS BIGINT) - (c.vminq + c.code * c.deltaq))) AS dq
+  FROM q JOIN codes c ON q.query_id <> c.vec_id
+  GROUP BY q.query_id, c.vec_id
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dq, cand_id) AS rank FROM sc)
+SELECT query_id, cand_id, CAST(dq AS DOUBLE) / 1000000000000.0 AS sq_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5""",
+)
+def ann_sq8_topk_q(spark, sf_dir):
+    """SQ8 (8-bit scalar quantizer) asymmetric top-k — the FAISS
+    ScalarQuantizer search path: per-dim min/max trained on a bounded
+    sample, map-only encode to dim uint8 codes (8× payload shrink),
+    exact-query-vs-dequantized-candidate squared L2 in 1e-6-quantized
+    int64 (rank-exact vs the oracle)."""
+    return SIM.ann_sq8_topk(_embs(spark, sf_dir), n_queries=10, k=5)
