@@ -60,6 +60,14 @@ HEADLINE = [
     "late_shipment_priority",
     "large_volume_orders",
     "top_supplier_revenue",
+    # late-round-11 additions: retrieval, product analytics, SQ8 ANN
+    "inverted_index",
+    "bm25_topk",
+    "dup_graph_pagerank",
+    "event_funnel",
+    "cohort_retention",
+    "ann_sq8_topk",
+    "keep_central",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -222,3 +222,41 @@ def pagerank(
             "_n",
         ).join(deg, F.col("id") == F.col("src")).select("id", "r", "deg", "_n")
     return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def central_reps(
+    pairs: DataFrame,
+    iters: int = 5,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    unit: int = PR_UNIT,
+) -> DataFrame:
+    """Canonical-representative election by centrality: connected
+    components over the near-dup pair graph, one representative per
+    cluster — the node with the HIGHEST PageRank (lowest id on exact
+    ties), not an arbitrary min-id. In a boilerplate chain the center
+    page is the best exemplar of the cluster; min-id picks whichever
+    crawled first. Returns (cluster_id, rep_id, rank_fp).
+
+    Plan: the pair list is lineage-cut once (ids only — scalar columns)
+    and feeds both the component labeling (``dedup_clusters`` — driver
+    union-find below its edge gate, distributed min-label above) and
+    the integer PageRank; the election is one per-cluster
+    ``row_number() = 1`` (WindowGroupLimit). Exact end-to-end: CC
+    labels and fixed-point ranks are integers, the tie-break total."""
+    from . import dedup as DD
+
+    e = cache.cut(
+        pairs.select(F.col(a_col).alias("doc_a"), F.col(b_col).alias("doc_b"))
+    )
+    pr = pagerank(e, iters=iters, a_col="doc_a", b_col="doc_b", unit=unit)
+    comp = DD.dedup_clusters(e, None, id_col="id")
+    j = comp.join(pr, "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank_fp").desc(), F.col("id").asc()
+    )
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("cluster_id", F.col("id").alias("rep_id"), "rank_fp")
+    )

@@ -41,9 +41,9 @@ from . import developing_suite  # noqa: F401
 # (the eight displaced r7 rows — dollar_bars, seq_atr_ema, tbm_labels,
 #       tbm_meta, lang_id, doc_fingerprint, minhash_lsh,
 #       simhash_near_pairs — lead the round-12 fill, together with the
-#       six r6 rows the late retrieval/analytics/SQ8 tiers displaced:
+#       seven r6 rows the late retrieval/analytics/SQ8 tiers displaced:
 #       regional_revenue, imbalance_bars, run_bars, zscore_peak_events,
-#       pricing_summary, asof_tolerance.)
+#       pricing_summary, asof_tolerance, asof_sigma.)
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. After round 11 no registry row is older than r7.
 # ROUND-12 FRONT-LOAD: anything new/changed in round 12 first, then the
@@ -64,15 +64,16 @@ _PRIORITY = [
     "bigram_logprob",
     "token_length_stats",
     # -- NEW retrieval + product-analytics + SQ8 tiers (late round 11;
-    #    displace the last six r6 rows — regional_revenue, imbalance_bars,
-    #    run_bars, zscore_peak_events, pricing_summary, asof_tolerance —
-    #    to the round-12 fill) ------------------------------------------------
+    #    displace the last seven r6 rows — regional_revenue,
+    #    imbalance_bars, run_bars, zscore_peak_events, pricing_summary,
+    #    asof_tolerance, asof_sigma — to the round-12 fill) -------------------
     "inverted_index",
     "bm25_topk",
     "dup_graph_pagerank",
     "event_funnel",
     "cohort_retention",
     "ann_sq8_topk",
+    "keep_central",
     # -- implementation changed in round 10/11 ---------------------------------
     "segment_dedup",
     "video_frame_stats",

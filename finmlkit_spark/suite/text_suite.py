@@ -2396,3 +2396,36 @@ def ann_sq8_topk_q(spark, sf_dir):
     exact-query-vs-dequantized-candidate squared L2 in 1e-6-quantized
     int64 (rank-exact vs the oracle)."""
     return SIM.ann_sq8_topk(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def _keep_central_oracle_sql(iters: int, unit: int) -> str:
+    # pagerank oracle body + recursive transitive closure over the same
+    # simhash edges, then the per-cluster centrality election
+    base = _pagerank_oracle_sql(iters, unit)
+    head, tail = base.rsplit("\nSELECT id AS doc_id", 1)
+    assert tail.startswith(f", r AS rank_fp FROM pr{iters}")
+    return (
+        head.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+reach AS (
+  SELECT src AS a, dst AS r FROM und
+  UNION
+  SELECT reach.a, u.dst AS r FROM reach JOIN und u ON reach.r = u.src
+),
+comp AS (SELECT a AS id, least(a, min(r)) AS cluster_id FROM reach GROUP BY a),
+jr AS (SELECT comp.cluster_id, comp.id, pr{iters}.r AS rank_fp
+       FROM comp JOIN pr{iters} ON comp.id = pr{iters}.id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY rank_fp DESC, id) AS rk FROM jr)
+SELECT cluster_id, id AS rep_id, rank_fp FROM rk WHERE rk = 1"""
+    )
+
+
+@query("keep_central", _keep_central_oracle_sql(5, RT.PR_UNIT))
+def keep_central_q(spark, sf_dir):
+    """Canonical-representative election: connected components over the
+    SimHash near-dup graph, representative = the max-PageRank node per
+    cluster (lowest id on exact integer ties) — keep the best exemplar
+    of a boilerplate chain, not whichever page crawled first."""
+    edges = D.simhash_near_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    return RT.central_reps(edges, iters=5, a_col="doc_a", b_col="doc_b")

@@ -134,3 +134,20 @@ def test_bm25_plan_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # the only SinglePartition is the one-row corpus-stats aggregate
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_central_reps_elects_center_not_min_id(spark):
+    # path 5-2-9: node 2 (the center) has the highest rank; min-id
+    # would pick 2 here too, so ALSO test path 1-7-3 where the center
+    # is 7 but the min id is 1 — centrality must beat crawl order
+    pairs = [(5, 2), (2, 9), (1, 7), (7, 3)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["cluster_id"]: r["rep_id"] for r in RT.central_reps(df).collect()}
+    assert got == {2: 2, 1: 7}
+
+
+def test_central_reps_tie_breaks_by_id(spark):
+    # disjoint pair: both nodes tie exactly (symmetric) -> lower id wins
+    df = spark.createDataFrame([(8, 4)], ["id_a", "id_b"])
+    rows = RT.central_reps(df).collect()
+    assert len(rows) == 1 and rows[0]["rep_id"] == 4 and rows[0]["cluster_id"] == 4
