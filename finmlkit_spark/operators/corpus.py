@@ -827,3 +827,37 @@ def bpe_apply(
         n_bpe.alias("n_bpe_tokens"),
         F.md5(F.array_join(words, " | ")).alias("seg_md5"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    d: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing text vectorizer (Weinberger et al. 2009, the
+    "hashing trick"): every token folds into one of ``d`` buckets via
+    its polynomial hash, with a ±1 sign drawn from the next hash bit so
+    collisions cancel in expectation — the fixed-width featurization a
+    downstream classifier (quality model, lang filter) trains on
+    without a vocabulary pass. Returns the SPARSE long form
+    (doc_id, dim, weight): only non-zero buckets, weight = signed
+    occurrence count (int64 — exact in both engines).
+
+    Plan: the per-token hashes are computed INSIDE the token-hash array
+    HOF (one projection), the explode fans out narrow int64 rows only
+    (never text), and one (doc, dim) hash aggregate with map-side
+    combine produces the sparse vector — no windows, no joins, no UDFs.
+    """
+    from .text import token_hashes
+
+    th = docs.select(
+        F.col(id_col).alias("doc"), F.explode(token_hashes(text_col)).alias("h")
+    )
+    # integer DIV, not float division + cast: exact at any hash width
+    sign = F.lit(1) - F.lit(2) * (F.expr(f"h DIV {int(d)}") % F.lit(2))
+    return (
+        th.groupBy("doc", (F.col("h") % F.lit(d)).alias("dim"))
+        .agg(F.sum(sign).alias("weight"))
+        .select(F.col("doc").alias(id_col), F.col("dim").cast("long"), "weight")
+    )

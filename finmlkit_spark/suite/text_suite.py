@@ -2429,3 +2429,20 @@ def keep_central_q(spark, sf_dir):
     of a boilerplate chain, not whichever page crawled first."""
     edges = D.simhash_near_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
     return RT.central_reps(edges, iters=5, a_col="doc_a", b_col="doc_b")
+
+
+@query(
+    "hashed_features",
+    _TOKS
+    + f"""
+, th AS (SELECT doc_id, unnest({_TH}) AS h FROM toks)
+SELECT doc_id, CAST(h % 16 AS BIGINT) AS dim,
+       CAST(sum(1 - 2 * ((h // 16) % 2)) AS BIGINT) AS weight
+FROM th GROUP BY doc_id, dim""",
+)
+def hashed_features_q(spark, sf_dir):
+    """Feature-hashing vectorizer (the hashing trick): tokens fold into
+    16 signed buckets via their polynomial hash — the vocabulary-free
+    fixed-width featurization; sparse long-form output, exact int64
+    weights."""
+    return CP.hashed_features(_docs(spark, sf_dir), d=16)

@@ -425,3 +425,32 @@ def test_bigram_logprob_hand_computed(spark):
     )
     out2 = {r["doc_id"]: r for r in CP.bigram_logprob(docs2).collect()}
     assert out2[3]["mean_logprob"] < out2[1]["mean_logprob"]
+
+
+def _poly(tok: str, mod: int = 1_000_000_007) -> int:
+    acc = 0
+    for ch in tok:
+        acc = (acc * 31 + ord(ch)) % mod
+    return acc
+
+
+def test_hashed_features_matches_python_reference(spark):
+    rows = [(0, "cat dog cat"), (1, "x"), (2, "")]
+    got = {
+        (r["doc_id"], r["dim"]): r["weight"]
+        for r in CP.hashed_features(_docs(spark, rows), d=16).collect()
+    }
+    want: dict = {}
+    for doc_id, text in rows:
+        toks = text.strip().split() if text.strip() else [""]
+        for t in toks:
+            h = _poly(t)
+            dim, sign = h % 16, 1 - 2 * ((h // 16) % 2)
+            key = (doc_id, dim)
+            want[key] = want.get(key, 0) + sign
+    # NB: a (doc, dim) group whose signs cancel to 0 still emits a row
+    # in both engines (it is a real group), so zeros stay in `want` too
+    assert got == want
+    # repeated token accumulates: |weight| of cat's bucket is 2
+    cat_dim = _poly("cat") % 16
+    assert abs(got[(0, cat_dim)]) >= 1
