@@ -420,3 +420,51 @@ def streaming_cusum_bars(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+FUNNEL_OUT_SCHEMA = "user_id long, t1 long, t2 long, t3 long"
+
+
+def streaming_funnel(
+    stream: DataFrame, steps: tuple = ("view", "click", "purchase")
+) -> DataFrame:
+    """Stateful first-touch funnel per user — the streaming form of the
+    batch ``event_funnel`` (suite.multiuser_suite): the state machine
+    advances a stage when the NEXT step's event arrives strictly after
+    the previous stage's first-touch time, exactly the batch
+    min-after-min semantics under in-order delivery (the same ordered
+    contract as the sequential bar state machines; `_ordered_batch`
+    restores order within a micro-batch, cross-batch late data is the
+    documented watermark tradeoff). State per user = 3 int64 epoch-ns
+    times (-1 = stage not reached), emitted each micro-batch the user
+    appears in (update mode) — the stages only ever advance, so a
+    max-per-user read of the sink gives the final funnel."""
+
+    def fn(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        pdf = _ordered_batch(pdfs)
+        if len(pdf):
+            for ts, et in zip(pdf["ts_ns"], pdf["event_type"]):
+                ts = int(ts)
+                if et == steps[0]:
+                    if t1 < 0:
+                        t1 = ts
+                elif et == steps[1]:
+                    if t1 >= 0 and ts > t1 and t2 < 0:
+                        t2 = ts
+                elif et == steps[2]:
+                    if t2 >= 0 and ts > t2 and t3 < 0:
+                        t3 = ts
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            [(key[0], t1, t2, t3)], columns=["user_id", "t1", "t2", "t3"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -649,3 +649,85 @@ def test_tws_volume_bars_probe_gated(spark, stream_dir):
     exp = dict(zip(pdf["ts"].to_numpy().tolist(),
                    volume_bar_ids_exact(qty, 50.0).tolist()))
     assert got == exp
+
+
+def test_streaming_funnel_parity(spark, stream_dir, tmp_path):
+    """Multi-batch streaming funnel == the batch min-after-min funnel.
+
+    maxFilesPerTrigger=1 over a 3-file split forces the first-touch
+    state to carry across micro-batches (a user's view can land in
+    batch 0 and their click in batch 2)."""
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.streaming.bars import streaming_funnel
+
+    src = str(tmp_path / "funnel_split")
+    tbl = pq.read_table(f"{stream_dir}/events.parquet")
+    import os
+
+    os.makedirs(src)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(tbl.slice(i * n // 3, (n // 3) if i < 2 else n), f"{src}/p{i}.parquet")
+
+    batch = spark.read.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr("user_id", "event_type", "ts - ts % 1000 as ts_ns", "event_id")
+    )
+    out = streaming_funnel(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # stages only advance: the per-user max over all emissions is the
+    # final state
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in spark.sql(
+            "select user_id, max(t1) t1, max(t2) t2, max(t3) t3 "
+            "from funnel_stream group by user_id"
+        ).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    ev = batch.selectExpr("user_id", "event_type", "ts - ts % 1000 as ts_ns")
+    s1 = ev.where("event_type = 'view'").groupBy("user_id").agg(F.min("ts_ns").alias("t1"))
+    s2 = (
+        ev.where("event_type = 'click'")
+        .join(s1, "user_id")
+        .where("ts_ns > t1")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    s3 = (
+        ev.where("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .where("ts_ns > t2")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    want_raw = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in s1.join(s2, "user_id", "left").join(s3, "user_id", "left").collect()
+    }
+    want = {
+        u: (t1, t2 if t2 is not None else -1, t3 if t3 is not None else -1)
+        for u, (t1, t2, t3) in want_raw.items()
+    }
+    got_reached = {u: v for u, v in got.items() if v[0] >= 0}
+    assert got_reached == want
+    # cross-check the aggregate counts against the registered batch query
+    from finmlkit_spark.suite.multiuser_suite import event_funnel
+
+    counts = {r["step"]: r["n_users"] for r in event_funnel(spark, SF).collect()}
+    assert counts["view"] == sum(1 for v in got_reached.values())
+    assert counts["click"] == sum(1 for v in got_reached.values() if v[1] >= 0)
+    assert counts["purchase"] == sum(1 for v in got_reached.values() if v[2] >= 0)
