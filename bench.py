@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "keep_central",
     "hashed_features",
+    "knn_graph",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

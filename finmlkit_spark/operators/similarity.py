@@ -1807,3 +1807,44 @@ def ann_sq8_topk(
             "rank",
         )
     )
+
+
+def knn_graph(
+    emb_df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    k_neighbors: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cluster-restricted k-NN graph: each vector's ``k_neighbors``
+    nearest neighbors by cosine, candidates drawn only from its k-means
+    cell (the SemDeDup restriction — Σ|cluster|² candidate pairs, not
+    |corpus|²). The input graph for semantic clustering, diversity
+    sampling, and the centrality election. Returns
+    (src_id, dst_id, cos_sim, rank); vectors alone in their cell have
+    no neighbors (raise k_neighbors' reach by lowering k).
+
+    Plan: one within-cluster Arrow pair scan (every vector crosses the
+    UDF boundary once; pair products exist only inside numpy,
+    row-blocked) produces each unordered pair ONCE; both directions
+    then fan out as narrow (id, id, cos) rows and the per-node top-k
+    compiles to WindowGroupLimit partial/final."""
+    pairs = semantic_dup_pairs(
+        emb_df, k=k, iters=iters, threshold=-2.0, id_col=id_col,
+        emb_col=emb_col, dim=dim,
+    )
+    und = pairs.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "cos_sim"
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
+    return (
+        und.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+        .select("src_id", "dst_id", "cos_sim", "rank")
+    )

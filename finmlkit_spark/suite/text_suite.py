@@ -2446,3 +2446,33 @@ def hashed_features_q(spark, sf_dir):
     fixed-width featurization; sparse long-form output, exact int64
     weights."""
     return CP.hashed_features(_docs(spark, sf_dir), d=16)
+
+
+@query(
+    "knn_graph",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    "c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM e WHERE vec_id < 8),"
+    + _km_iter(1)
+    + ","
+    + _km_iter(2)
+    + f""",
+sf AS (SELECT e.vec_id, e.v, c.cid, {_km_sim('e.v', 'c.cv')} AS sim FROM e, c2 c),
+af AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM sf),
+m AS (SELECT vec_id, v, cid FROM af WHERE rk = 1),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_km_sim('a.v', 'b.v')} AS cos_sim
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+und AS (SELECT id_a AS src_id, id_b AS dst_id, cos_sim FROM p
+        UNION ALL SELECT id_b, id_a, cos_sim FROM p),
+rk AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos_sim DESC, dst_id) AS rank FROM und)
+SELECT src_id, dst_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3""",
+)
+def knn_graph_q(spark, sf_dir):
+    """Cluster-restricted k-NN graph (SemDeDup candidate restriction):
+    each vector's 3 nearest within-cell neighbors by cosine — the input
+    graph for semantic clustering / diversity sampling / centrality."""
+    return SIM.knn_graph(_embs(spark, sf_dir), k=8, iters=2, k_neighbors=3, dim=64)

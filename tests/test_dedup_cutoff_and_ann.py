@@ -636,3 +636,35 @@ def test_ann_ivf_pq_with_trained_quantizers(spark):
         for r in rs:
             assert r["cand_id"] != qid
             assert enc[r["cand_id"]] in probed, (qid, r["cand_id"])
+
+
+def test_knn_graph_single_cell_equals_brute_force(spark):
+    """With every vector in one k-means cell the cluster restriction is
+    vacuous, so knn_graph must equal the exact brute-force ranking."""
+    import numpy as np
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    rng = [
+        (0, [1.0, 0.0, 0.0, 0.1]),
+        (1, [0.9, 0.1, 0.0, 0.1]),
+        (2, [0.0, 1.0, 0.0, 0.1]),
+        (3, [0.0, 0.9, 0.2, 0.1]),
+        (4, [0.5, 0.5, 0.5, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rng],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["src_id"], r["rank"]): r["dst_id"]
+        for r in SIM.knn_graph(df, k=1, iters=1, k_neighbors=2, dim=4).collect()
+    }
+    X = np.array([v for _, v in rng])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    for i in range(len(rng)):
+        sims = sorted(
+            ((-(X[i] @ X[j]) / (nrm[i] * nrm[j]), j) for j in range(len(rng)) if j != i)
+        )
+        for rank, (_, j) in enumerate(sims[:2], 1):
+            assert got[(i, rank)] == j, (i, rank, got.get((i, rank)), j)
