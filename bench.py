@@ -70,6 +70,7 @@ HEADLINE = [
     "keep_central",
     "hashed_features",
     "knn_graph",
+    "normalized_dedup",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -36,6 +36,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def normalized_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED text (``text.normalize_text``:
+    lowercase, punctuation→space, collapsed whitespace) — catches the
+    case/punct/whitespace variants raw content-hash dedup misses.
+    Returns (norm_md5, keep_id, n_copies, n_exact_forms):
+    ``n_exact_forms`` counts the distinct RAW digests folding into the
+    group, so ``n_exact_forms > 1`` rows are exactly the dedup wins the
+    normalization adds over :func:`exact_dedup`. Same shape: one
+    digest-keyed hash aggregate; only digests shuffle."""
+    from .text import normalize_text
+
+    return docs.groupBy(F.md5(normalize_text(text_col)).alias("norm_md5")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct(F.md5(F.col(text_col))).cast("long").alias("n_exact_forms"),
+    )
+
+
 #: shingle_hashes engine force hook ("arrow"/"hof") — tests pin the
 #: element-identity of the two forms with it
 _FORCE_SHINGLE_ENGINE: str | None = None

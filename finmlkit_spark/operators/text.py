@@ -426,3 +426,17 @@ def pii_counts(col: str = "text") -> dict[str, Column]:
         "n_urls": F.regexp_count(F.col(col), F.lit(URL_RE)).cast("long"),
         "n_long_nums": F.regexp_count(F.col(col), F.lit(LONG_NUM_RE)).cast("long"),
     }
+
+
+def normalize_text(col: str = "text") -> Column:
+    """Canonical text normal form for dedup: lowercase, every
+    non-alphanumeric folded to a space, space runs collapsed, ends
+    trimmed — catches the case/punctuation/whitespace variants exact
+    content-hash dedup misses (the C4/RefinedWeb normalization step).
+    Regex kept to the subset with identical semantics in Java regex
+    (Spark) and RE2 (DuckDB): char classes + ``+``, no lookaround."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )

@@ -2476,3 +2476,23 @@ def knn_graph_q(spark, sf_dir):
     each vector's 3 nearest within-cell neighbors by cosine — the input
     graph for semantic clustering / diversity sampling / centrality."""
     return SIM.knn_graph(_embs(spark, sf_dir), k=8, iters=2, k_neighbors=3, dim=64)
+
+
+@query(
+    "normalized_dedup",
+    """
+WITH n AS (
+  SELECT doc_id, md5(text) AS raw_md5,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+  FROM documents
+)
+SELECT norm_md5, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT raw_md5) AS BIGINT) AS n_exact_forms
+FROM n GROUP BY norm_md5""",
+)
+def normalized_dedup_q(spark, sf_dir):
+    """Exact dedup on the canonical normal form (lowercase, punct→space,
+    collapsed whitespace) — the C4-style normalization step; rows with
+    n_exact_forms > 1 are the wins over raw content-hash dedup."""
+    return D.normalized_dedup(_docs(spark, sf_dir))

@@ -454,3 +454,18 @@ def test_hashed_features_matches_python_reference(spark):
     # repeated token accumulates: |weight| of cat's bucket is 2
     cat_dim = _poly("cat") % 16
     assert abs(got[(0, cat_dim)]) >= 1
+
+
+def test_normalized_dedup_folds_case_and_punct_variants(spark):
+    from finmlkit_spark.operators import dedup as D
+
+    rows = [
+        (0, "Hello, World!"),
+        (1, "hello world"),
+        (2, "HELLO   world."),
+        (3, "different doc"),
+    ]
+    out = {r["keep_id"]: r for r in D.normalized_dedup(_docs(spark, rows)).collect()}
+    assert set(out) == {0, 3}
+    assert out[0]["n_copies"] == 3 and out[0]["n_exact_forms"] == 3
+    assert out[3]["n_copies"] == 1 and out[3]["n_exact_forms"] == 1
