@@ -71,6 +71,7 @@ HEADLINE = [
     "hashed_features",
     "knn_graph",
     "normalized_dedup",
+    "source_length_trim",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

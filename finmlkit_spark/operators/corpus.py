@@ -861,3 +861,37 @@ def hashed_features(
         .agg(F.sum(sign).alias("weight"))
         .select(F.col("doc").alias(id_col), F.col("dim").cast("long"), "weight")
     )
+
+
+def source_length_trim(
+    docs: DataFrame,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    len_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adaptive per-source length trimming: keep documents whose length
+    lies within the source's own [lo, hi] exact interpolated
+    percentiles — the adaptive form of Gopher's absolute length bounds
+    (a crawl dump and a books corpus need different cutoffs; percentile
+    gating needs no per-source tuning). Returns the kept rows
+    (doc_id, source, n_chars, p_lo, p_hi).
+
+    Scale shape: the percentile table is one row per SOURCE (k rows —
+    sources are a catalog, not data), computed by a single group
+    aggregate and re-entering via broadcast hash join; the corpus
+    itself crosses the plan once as a narrow projection. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition and agree bit-for-bit on int64 inputs
+    (the token_length_stats parity)."""
+    d = docs.select(id_col, group_col, F.col(len_col).cast("long").alias("l"))
+    q = d.groupBy(group_col).agg(
+        F.percentile("l", F.lit(lo)).alias("p_lo"),
+        F.percentile("l", F.lit(hi)).alias("p_hi"),
+    )
+    return (
+        d.join(F.broadcast(q), group_col)
+        .where((F.col("l") >= F.col("p_lo")) & (F.col("l") <= F.col("p_hi")))
+        .select(id_col, group_col, F.col("l").alias(len_col), "p_lo", "p_hi")
+    )

@@ -2496,3 +2496,21 @@ def normalized_dedup_q(spark, sf_dir):
     collapsed whitespace) — the C4-style normalization step; rows with
     n_exact_forms > 1 are the wins over raw content-hash dedup."""
     return D.normalized_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "source_length_trim",
+    """
+WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS l FROM documents),
+q AS (SELECT source, quantile_cont(l, 0.01) AS p_lo, quantile_cont(l, 0.99) AS p_hi
+      FROM d GROUP BY source)
+SELECT d.doc_id, d.source, d.l AS n_chars, q.p_lo, q.p_hi
+FROM d JOIN q USING (source)
+WHERE d.l >= q.p_lo AND d.l <= q.p_hi""",
+)
+def source_length_trim_q(spark, sf_dir):
+    """Adaptive per-source length trimming: keep docs inside the
+    source's own [p01, p99] exact percentiles — Gopher's length rule
+    without per-source tuning; the percentile table is k rows,
+    broadcast back."""
+    return CP.source_length_trim(_docs(spark, sf_dir))
