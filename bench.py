@@ -72,6 +72,7 @@ HEADLINE = [
     "knn_graph",
     "normalized_dedup",
     "source_length_trim",
+    "ann_ivf_sq8",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -1731,6 +1731,25 @@ def sq8_encode(
     return e.mapInPandas(fn, f"{id_col} {vid_type}, codes array<int>")
 
 
+def _sq8_dist_fold(vminq, deltaq):
+    """The shared SQ8 asymmetric distance expression: Σ_d (qs_d −
+    (vminq_d + code_d·deltaq_d))² folded in int64 over the row's
+    ``codes`` array against its ``qs`` query array. The diff expression
+    appears twice (d·d) — cheap attribute/literal arithmetic, not a
+    let-bind case. Used by both the full-scan and the IVF-restricted
+    search, so the two are bit-identical by construction."""
+
+    def term(c, i):
+        diff = F.get(F.col("qs"), i) - (
+            F.get(vminq, i) + c.cast("long") * F.get(deltaq, i)
+        )
+        return diff * diff
+
+    return F.aggregate(
+        F.transform("codes", term), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
 def ann_sq8_topk(
     emb_df: DataFrame,
     n_queries: int = 10,
@@ -1781,21 +1800,11 @@ def ann_sq8_topk(
         ).alias("qs"),
     )
     j = enc.crossJoin(F.broadcast(qq)).where(F.col("query_id") != F.col(id_col))
-    # diff_d = qs_d − (vminq_d + code_d·deltaq_d); Σ diff² in int64.
-    # The diff expression appears twice (d·d) — cheap attribute/literal
-    # arithmetic, not a let-bind case
-    dist = F.aggregate(
-        F.transform(
-            "codes",
-            lambda c, i: (
-                (F.get(F.col("qs"), i) - (F.get(vminq, i) + c.cast("long") * F.get(deltaq, i)))
-                * (F.get(F.col("qs"), i) - (F.get(vminq, i) + c.cast("long") * F.get(deltaq, i)))
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    scored = j.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        _sq8_dist_fold(vminq, deltaq).alias("_dq"),
     )
-    scored = j.select("query_id", F.col(id_col).alias("cand_id"), dist.alias("_dq"))
     w = Window.partitionBy("query_id").orderBy(F.col("_dq").asc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1847,4 +1856,168 @@ def knn_graph(
         und.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k_neighbors)
         .select("src_id", "dst_id", "cos_sim", "rank")
+    )
+
+
+def ivf_sq8_encode(
+    emb_df: DataFrame,
+    k_coarse: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seeds: list | None = None,
+    bounds=None,
+) -> DataFrame:
+    """One map-only pass building the composed IVF-SQ8 index row:
+    ``(id, cell_id, codes)`` — the coarse max-cosine cell (the
+    :func:`kmeans_assign` rule, lower-cid tie-break) AND the dim SQ8
+    codes, computed together so the corpus is scanned ONCE (the
+    :func:`ivf_pq_encode` shape with the scalar quantizer in place of
+    the product quantizer). Centroids and (min, max) bounds are
+    closure-shipped scalars; no shuffle, no join, linear in the
+    corpus."""
+    import numpy as np
+    import pandas as pd
+
+    if seeds is None:
+        seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
+    b = bounds if bounds is not None else sq8_train(emb_df, id_col, emb_col)
+    e = emb_df.select(F.col(id_col).alias("vid"), as_double(emb_col).alias("v"))
+    vid_type = dict(e.dtypes)["vid"]
+    schema = f"{id_col} {vid_type}, cell_id bigint, codes array<int>"
+    if not seeds or b is None:
+        return e.select(
+            F.col("vid").alias(id_col),
+            F.lit(0).cast("long").alias("cell_id"),
+            F.array().cast("array<int>").alias("codes"),
+        ).where(F.lit(False))
+    core = _km_core(seeds)
+    vmin, vmax = b
+    d255 = (vmax - vmin) / 255.0
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].values).astype(np.float64)
+            cids, best, _sim = core(X)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = (X - vmin) / d255
+            codes = np.clip(np.floor(r + 0.5), 0, 255)
+            codes = np.where(d255 > 0, codes, 0.0).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["vid"].values,
+                    "cell_id": cids[best],
+                    "codes": list(codes),
+                }
+            )
+
+    return e.mapInPandas(fn, schema)
+
+
+def ann_ivf_sq8(
+    emb_df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    k_coarse: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+    seeds: list | None = None,
+    bounds=None,
+) -> DataFrame:
+    """IVF×SQ8 composed ANN — cell-probed scalar-quantizer search: the
+    corpus builds its index in ONE map-only pass (coarse cell + dim
+    SQ8 codes, :func:`ivf_sq8_encode`), each query probes its
+    ``nprobe`` nearest coarse cells, and only THOSE cells' candidates
+    run the int64 asymmetric distance fold. Completes the quantizer ×
+    partitioner matrix next to :func:`ann_ivf_pq`: SQ8 keeps dim bytes
+    per vector (8× vs float64, far lower reconstruction error than
+    PQ's m bytes) while the IVF restriction shrinks the scored set
+    ~nprobe/k_coarse-fold — without it the SQ8 search scans every
+    encoded row per query (:func:`ann_sq8_topk`'s labeled posture).
+
+    Plan at 100 TB: candidate restriction is a broadcast hash join on
+    ``cell_id`` (n_queries·nprobe rows), the quantized query arrays
+    broadcast on ``query_id``, the distance is one whole-stage-codegen
+    fold (no explode, no LUT), and the only corpus-scale exchange is
+    the top-k WindowGroupLimit. Determinism mirrors ann_ivf_pq: probes
+    rank by sequential-fold cosine (DESC, lower cid first) and every
+    distance is quantized int64 — bit-exact vs the oracle.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**ndigits
+    if seeds is None:
+        seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
+    b = bounds if bounds is not None else sq8_train(emb_df, id_col, emb_col)
+    q = emb_df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
+    )
+    if not seeds or b is None:
+        return q.select(
+            "query_id",
+            F.col("query_id").alias("cand_id"),
+            F.lit(0.0).alias("sq_dist"),
+            F.lit(0).cast("long").alias("rank"),
+        ).where(F.lit(False))
+    vmin, vmax = b
+    d255 = (vmax - vmin) / 255.0
+    vminq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in vmin])
+    deltaq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in d255])
+    enc = ivf_sq8_encode(emb_df, k_coarse, id_col, emb_col, seeds=seeds, bounds=b)
+    cids = np.array([c[0] for c in seeds], dtype=np.int64)
+    npb = min(int(nprobe), len(seeds))
+    qid_type = dict(q.dtypes)["query_id"]
+
+    def probe_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qv"].values).astype(np.float64)
+            nv = np.sqrt((X * X).cumsum(axis=1)[:, -1])
+            sims = np.empty((X.shape[0], len(cids)), dtype=np.float64)
+            for j in range(len(cids)):
+                Cj = np.asarray(seeds[j][1], dtype=np.float64)
+                dots = (X * Cj).cumsum(axis=1)[:, -1]
+                sims[:, j] = dots / (nv * seeds[j][2])
+            # ORDER BY cos DESC, cid ASC: stable argsort of the negated
+            # sims — column order is ascending cid (ann_ivf_pq's rule)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].values, npb),
+                    "cell_id": cids[order].reshape(-1),
+                }
+            )
+
+    probe = q.mapInPandas(probe_fn, f"query_id {qid_type}, cell_id bigint")
+    qq = q.select(
+        "query_id",
+        F.transform(
+            "qv", lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+        ).alias("qs"),
+    )
+    cand = enc.join(F.broadcast(probe), "cell_id").join(
+        F.broadcast(qq), "query_id"
+    ).where(F.col("query_id") != F.col(id_col))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        _sq8_dist_fold(vminq, deltaq).alias("_dq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_dq").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("_dq").cast("double") / (scale * scale)).alias("sq_dist"),
+            "rank",
+        )
     )

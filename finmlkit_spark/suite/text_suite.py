@@ -2514,3 +2514,58 @@ def source_length_trim_q(spark, sf_dir):
     without per-source tuning; the percentile table is k rows,
     broadcast back."""
     return CP.source_length_trim(_docs(spark, sf_dir))
+
+
+@query(
+    "ann_ivf_sq8",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           c.cid) AS rk
+  FROM e, cent c
+),
+cells AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+probe AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < 10 AND rk <= 2),
+smp AS (SELECT v FROM e ORDER BY vec_id LIMIT 262144),
+dims AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS d),
+mm AS (SELECT d, min(v[d + 1]) AS vmin, max(v[d + 1]) AS vmax
+       FROM smp CROSS JOIN dims GROUP BY d),
+qc AS (SELECT d, CAST(floor(vmin * 1000000 + 0.5) AS BIGINT) AS vminq,
+              CAST(floor(((vmax - vmin) / 255.0) * 1000000 + 0.5) AS BIGINT) AS deltaq,
+              vmin, vmax FROM mm),
+codes AS (
+  SELECT e.vec_id, qc.d, qc.vminq, qc.deltaq,
+         CASE WHEN qc.vmax > qc.vmin
+              THEN CAST(least(greatest(floor((e.v[qc.d + 1] - qc.vmin) / ((qc.vmax - qc.vmin) / 255.0) + 0.5), 0), 255) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS code
+  FROM e CROSS JOIN qc
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+sc AS (
+  SELECT p.query_id, c.vec_id AS cand_id,
+         sum((CAST(floor(q.qv[c.d + 1] * 1000000.0 + 0.5) AS BIGINT) - (c.vminq + c.code * c.deltaq))
+           * (CAST(floor(q.qv[c.d + 1] * 1000000.0 + 0.5) AS BIGINT) - (c.vminq + c.code * c.deltaq))) AS dq
+  FROM codes c
+  JOIN cells ON c.vec_id = cells.vec_id
+  JOIN probe p ON p.cid = cells.cid
+  JOIN q ON q.query_id = p.query_id
+  WHERE q.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dq, cand_id) AS rank FROM sc)
+SELECT query_id, cand_id, CAST(dq AS DOUBLE) / 1000000000000.0 AS sq_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5""",
+)
+def ann_ivf_sq8_q(spark, sf_dir):
+    """IVF×SQ8 composed ANN: one map-only (cell, SQ8-codes) index pass,
+    nprobe=2 cell probe, int64 asymmetric distance over only the probed
+    cells' candidates — the scalar-quantizer sibling of ann_ivf_pq."""
+    return SIM.ann_ivf_sq8(
+        _embs(spark, sf_dir), n_queries=10, k=5, k_coarse=8, nprobe=2
+    )

@@ -109,3 +109,53 @@ def test_ann_sq8_plan_shape(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "Generate explode" not in plan and "PosExplode" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ann_ivf_sq8_full_probe_equals_sq8_topk(spark):
+    """With nprobe == k_coarse the IVF restriction admits the whole
+    corpus, so ann_ivf_sq8 must return EXACTLY ann_sq8_topk's rows —
+    same int64 fold, same (dist ASC, cand_id ASC) tie-break, same
+    ranks. Pins the probe ranking, the shared distance fold, and the
+    rank ordering in one shot."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = sorted(
+        map(tuple, SIM.ann_ivf_sq8(embs, n_queries=6, k=4, k_coarse=8, nprobe=8).collect())
+    )
+    flat = sorted(map(tuple, SIM.ann_sq8_topk(embs, n_queries=6, k=4).collect()))
+    assert full == flat and len(full) == 24
+
+
+def test_ann_ivf_sq8_probe_restriction_and_plan(spark):
+    """nprobe=1: every candidate must live in its query's one probed
+    (max-cosine) cell; plan keeps the audited shape — zero
+    SinglePartition, broadcast probe + query joins, WindowGroupLimit
+    top-k, no cartesian."""
+    import numpy as np
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = SIM.ann_ivf_sq8(embs, n_queries=6, k=4, k_coarse=8, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "WindowGroupLimit" in plan
+    assert "Cartesian" not in plan
+    rows = out.collect()
+    assert rows
+    enc = {
+        r["vec_id"]: r["cell_id"]
+        for r in SIM.ivf_sq8_encode(embs, k_coarse=8).collect()
+    }
+    seeds = SIM.kmeans_seeds(embs, 8)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embs.where("vec_id < 6").collect()
+    }
+    for r in rows:
+        q = vecs[r["query_id"]]
+        nv = np.sqrt((q * q).cumsum()[-1])
+        best = sorted(
+            (-(q * np.asarray(c, float)).cumsum()[-1] / (nv * cn), cid)
+            for cid, c, cn in seeds
+        )[0][1]
+        assert enc[r["cand_id"]] == best, (r["query_id"], r["cand_id"])
+        assert r["cand_id"] != r["query_id"]
