@@ -2021,3 +2021,69 @@ def ann_ivf_sq8(
             "rank",
         )
     )
+
+
+def diverse_sample(
+    emb_df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (Gonzalez) max-min selection: start from the
+    lowest id, then repeatedly select the vector FARTHEST (cosine
+    distance 1 − cos) from everything already selected — the classic
+    coreset / diversity-sampling primitive for choosing maximally
+    spread exemplars from a corpus. Returns k rows
+    (sel_order, vec_id, min_dist) where min_dist is the selected
+    vector's distance to the prior set at selection time (0 for the
+    seed).
+
+    Scale shape: the algorithm is inherently sequential in k, so the
+    plan is k corpus passes — each ONE narrow projection computing
+    ``least()`` over ≤k broadcast-literal cosine folds plus ONE
+    max-struct scalar aggregate (map-side partials; the argmax row,
+    vector included, is the only thing collected — k driver rows
+    total, the kmeans driver-mode posture). k is a coreset size
+    (constant), never data-scale.
+
+    Determinism: cosines are the sequential HOF fold (identical
+    doubles in both engines), argmax breaks exact ties toward the
+    LOWER id via a max over ``struct(dist, −id, …)`` — mirrored by the
+    oracle's ``row_number() ORDER BY md DESC, vec_id``."""
+    import math
+
+    import numpy as np
+
+    e = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
+    first = e.orderBy("id").limit(1).collect()
+    if not first:
+        return e.select(
+            F.lit(0).cast("long").alias("sel_order"),
+            F.col("id").alias(id_col),
+            F.lit(0.0).alias("min_dist"),
+        ).where(F.lit(False))
+    sel = [(first[0]["id"], np.asarray(first[0]["v"], dtype=np.float64), 0.0)]
+    out_rows = [(1, int(sel[0][0]), 0.0)]
+    for _ in range(1, k):
+        dists = []
+        for sid, sv, _d in sel:
+            # sequential cumsum == the oracle's list_dot_product fold
+            nrm = math.sqrt(float((sv * sv).cumsum()[-1]))
+            lit_v = F.array(*[F.lit(float(x)) for x in sv])
+            cos = dot(F.col("v"), lit_v) / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.lit(nrm))
+            dists.append(F.lit(1.0) - cos)
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        win = (
+            e.where(~F.col("id").isin([int(s[0]) for s in sel]))
+            .select(F.struct(md.alias("md"), (-F.col("id")).alias("ni"), F.col("id"), F.col("v")).alias("s"))
+            .agg(F.max("s").alias("w"))
+            .collect()[0]["w"]
+        )
+        if win is None:
+            break
+        sel.append((win["id"], np.asarray(win["v"], dtype=np.float64), float(win["md"])))
+        out_rows.append((len(sel), int(win["id"]), float(win["md"])))
+    spark = emb_df.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"sel_order long, {id_col} long, min_dist double"
+    )

@@ -2569,3 +2569,40 @@ def ann_ivf_sq8_q(spark, sf_dir):
     return SIM.ann_ivf_sq8(
         _embs(spark, sf_dir), n_queries=10, k=5, k_coarse=8, nprobe=2
     )
+
+
+def _diverse_oracle_sql(k: int) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    sql = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+s1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+d1 AS (SELECT e.id, e.v, 1.0 - {c} AS md FROM e, s1 s WHERE e.id <> s.id)""".format(
+        c=cos("e.v", "s.v")
+    )
+    for i in range(2, k + 1):
+        sql += f""",
+p{i} AS (SELECT *, row_number() OVER (ORDER BY md DESC, id) AS rk FROM d{i - 1}),
+s{i} AS (SELECT id, v, md FROM p{i} WHERE rk = 1)"""
+        if i < k:
+            sql += f""",
+d{i} AS (SELECT d.id, d.v, least(d.md, 1.0 - {cos('d.v', 's.v')}) AS md
+        FROM d{i - 1} d, s{i} s WHERE d.id <> s.id)"""
+    parts = ["SELECT CAST(1 AS BIGINT) AS sel_order, s1.id AS vec_id, 0.0 AS min_dist FROM s1"]
+    for i in range(2, k + 1):
+        parts.append(f"SELECT {i}, s{i}.id, s{i}.md FROM s{i}")
+    return sql + "\n" + "\nUNION ALL ".join(parts)
+
+
+@query("diverse_sample", _diverse_oracle_sql(8))
+def diverse_sample_q(spark, sf_dir):
+    """Greedy k-center (Gonzalez) max-min diversity selection: 8
+    maximally spread exemplars by cosine distance — the coreset /
+    diverse-subset curation primitive. k sequential corpus passes
+    (inherent to the greedy algorithm; k is a constant coreset size),
+    each one narrow projection + one max-struct scalar aggregate."""
+    return SIM.diverse_sample(_embs(spark, sf_dir), k=8)

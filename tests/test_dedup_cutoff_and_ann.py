@@ -3,6 +3,7 @@ skewed corpus) and IVF-ANN recall vs the brute-force baseline."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from finmlkit_spark.operators import dedup as D
@@ -668,3 +669,41 @@ def test_knn_graph_single_cell_equals_brute_force(spark):
         )
         for rank, (_, j) in enumerate(sims[:2], 1):
             assert got[(i, rank)] == j, (i, rank, got.get((i, rank)), j)
+
+
+def test_diverse_sample_max_min_property(spark):
+    """Every selected vector (after the seed) must be the point
+    maximizing the min cosine distance to the prior selection —
+    verified against an exhaustive python replay on the small table."""
+    import numpy as np
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sorted(
+        (r["sel_order"], r["vec_id"], r["min_dist"])
+        for r in SIM.diverse_sample(embs, k=5).collect()
+    )
+    V = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embs.collect()
+    }
+
+    def cos(a, b):
+        return float((a * b).cumsum()[-1]) / (
+            np.sqrt((a * a).cumsum()[-1]) * np.sqrt((b * b).cumsum()[-1])
+        )
+
+    sel = [min(V)]
+    want = [(1, sel[0], 0.0)]
+    for order in range(2, 6):
+        best = max(
+            (min(1.0 - cos(V[i], V[s]) for s in sel), -i)
+            for i in V
+            if i not in sel
+        )
+        sel.append(-best[1])
+        want.append((order, -best[1], best[0]))
+    assert [(o, i) for o, i, _ in got] == [(o, i) for o, i, _ in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
