@@ -74,6 +74,7 @@ HEADLINE = [
     "source_length_trim",
     "ann_ivf_sq8",
     "diverse_sample",
+    "wordpiece_stats",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

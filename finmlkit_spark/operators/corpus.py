@@ -895,3 +895,121 @@ def source_length_trim(
         .where((F.col("l") >= F.col("p_lo")) & (F.col("l") <= F.col("p_hi")))
         .select(id_col, group_col, F.col("l").alias(len_col), "p_lo", "p_hi")
     )
+
+
+#: WordPiece fold accumulator encoding: acc = next_pos * ENC + count.
+#: Positions and counts stay < ENC, so the packed value stays < ~1e7 —
+#: exact under both engines' integer arithmetic.
+WP_ENC = 100_000
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    vocab_size: int = 48,
+    max_len: int = 4,
+    text_col: str = "text",
+) -> list[str]:
+    """Train the WordPiece-style subword vocabulary: the ``vocab_size``
+    most frequent word substrings of length 2..``max_len`` (counted
+    with multiplicity over every word occurrence; ties break on the
+    substring). Single characters are the implicit fallback tier, so
+    any word segments without an UNK. Returns a sorted python list —
+    bounded driver state (the kmeans-seeds posture); the oracle derives
+    the identical set in SQL (exact integer counts, same tie-break)."""
+    w = docs.select(F.explode(tokens(text_col)).alias("w"))
+    # NB: F.sequence(1, stop) with stop < 1 generates a DESCENDING
+    # [1, 0] (not an empty array like the oracle's range()), so words
+    # shorter than l must short-circuit to an empty list explicitly
+    subs = w.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(max_len)),
+                    lambda l: F.when(
+                        F.length("w") >= l,
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("w") - l + 1),
+                            lambda i: F.col("w").substr(i, l),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        ).alias("sub")
+    )
+    cnt = subs.groupBy("sub").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.orderBy(F.col("c").desc(), F.col("sub"))
+    top = (
+        cnt.withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= vocab_size)
+        .select("sub")
+        .collect()
+    )
+    return sorted(r["sub"] for r in top)
+
+
+def wordpiece_stats(
+    docs: DataFrame,
+    vocab_size: int = 48,
+    max_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """Greedy longest-match-first subword segmentation (the WordPiece
+    inference rule, Wu et al. 2016) with the trained substring
+    vocabulary + single-character fallback: at each position take the
+    longest vocab piece (``max_len``..2) starting there, else one
+    character. Returns (doc_id, n_pieces, n_words) — the sequence
+    budget under the subword tokenizer (compare ``token_counts``'
+    whitespace/BPE-ish estimates).
+
+    Exactness: the per-word greedy walk is ONE integer-encoded
+    ``aggregate`` fold over char positions (acc = next_pos·ENC+count —
+    steps that land mid-piece are no-ops), every piece-length test an
+    ``array_contains`` against the ≤vocab_size literal array, all
+    JVM-side whole-stage codegen; the oracle replays the identical
+    fold via ``list_reduce`` on the identically derived vocabulary, so
+    counts match exactly. Scale: the vocab is bounded driver state;
+    the segmentation is a narrow per-word projection + one doc-keyed
+    aggregate — text fans out only as words."""
+    voc = vocab if vocab is not None else wordpiece_vocab(
+        docs, vocab_size, max_len, text_col
+    )
+    voc_lit = F.array(*[F.lit(v) for v in voc])
+    wdf = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w")
+    )
+    ln = F.length("w")
+
+    def step(acc, i):
+        np_ = (acc / F.lit(WP_ENC)).cast("long")
+        il = i.cast("long")
+        plen = F.lit(1).cast("long")
+        for l in range(2, max_len + 1):
+            plen = F.when(
+                (il + l - 1 <= ln)
+                & F.array_contains(voc_lit, F.col("w").substr(i, F.lit(l))),
+                l,
+            ).otherwise(plen)
+        return F.when(il < np_, acc).otherwise(
+            (il + plen) * WP_ENC + (acc % WP_ENC) + 1
+        )
+
+    # same sequence(1, 0) == [1, 0] hazard as the vocab builder: an
+    # empty word must fold over an EMPTY position list (0 pieces)
+    positions = F.when(ln >= 1, F.sequence(F.lit(1), ln)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pieces = (
+        F.aggregate(
+            positions,
+            F.lit(WP_ENC).cast("long"),
+            step,
+        )
+        % WP_ENC
+    )
+    per_word = wdf.select("doc", pieces.alias("p"))
+    return per_word.groupBy("doc").agg(
+        F.sum("p").cast("long").alias("n_pieces"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    ).select(F.col("doc").alias(id_col), "n_pieces", "n_words")

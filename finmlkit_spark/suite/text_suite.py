@@ -2606,3 +2606,64 @@ def diverse_sample_q(spark, sf_dir):
     (inherent to the greedy algorithm; k is a constant coreset size),
     each one narrow projection + one max-struct scalar aggregate."""
     return SIM.diverse_sample(_embs(spark, sf_dir), k=8)
+
+
+def _wordpiece_oracle_sql(vocab_size: int = 48, max_len: int = 4) -> str:
+    # NB: no list_reduce — DuckDB v1.0.0 mis-executes the greedy fold
+    # lambda under some plan shapes (same list, different results when
+    # the surrounding projection changes; reproduced on the documents
+    # table, correct standalone). The greedy walk is replayed with the
+    # repo's lockstep recursive-CTE pattern instead: plen per (word
+    # instance, position) is a plain projection, the recursion jumps
+    # pos -> pos + plen(pos), and the piece count is the step count.
+    plen = "1"
+    for l in range(2, max_len + 1):
+        plen = (
+            f"CASE WHEN t.i + {l - 1} <= length(w) "
+            f"AND list_contains(vv.voc, substr(w, CAST(t.i AS INT), {l})) "
+            f"THEN {l} ELSE {plen} END"
+        )
+    return (
+        _TOKS.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f"""
+, words AS (
+  SELECT doc_id, w, row_number() OVER (ORDER BY doc_id, w) AS wid,
+         CAST(length(w) AS BIGINT) AS len
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+),
+subs AS (
+  SELECT unnest(flatten(list_transform(range(2, {max_len + 1}), l ->
+    list_transform(range(1, greatest(length(w) - CAST(l AS INT) + 1, 0) + 1),
+      i -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS sub
+  FROM words
+),
+cnt AS (SELECT sub, count(*) AS c FROM subs GROUP BY sub),
+topv AS (SELECT sub FROM (SELECT *, row_number() OVER (ORDER BY c DESC, sub) AS rk FROM cnt)
+         WHERE rk <= {vocab_size}),
+vv AS (SELECT list(sub) AS voc FROM topv),
+pls AS (
+  SELECT words.wid, CAST(t.i AS BIGINT) AS pos, CAST(({plen}) AS BIGINT) AS plen
+  FROM words CROSS JOIN vv, unnest(range(1, length(w) + 1)) t(i)
+),
+rec AS (
+  SELECT wid, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS c, len FROM words
+  UNION ALL
+  SELECT r.wid, r.pos + p.plen, r.c + 1, r.len
+  FROM rec r JOIN pls p ON p.wid = r.wid AND p.pos = r.pos
+  WHERE r.pos <= r.len
+),
+done AS (SELECT wid, max(c) AS pieces FROM rec GROUP BY wid)
+SELECT w.doc_id, CAST(sum(d.pieces) AS BIGINT) AS n_pieces,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM words w JOIN done d USING (wid)
+GROUP BY w.doc_id"""
+    )
+
+
+@query("wordpiece_stats", _wordpiece_oracle_sql(48, 4))
+def wordpiece_stats_q(spark, sf_dir):
+    """WordPiece-style greedy longest-match subword segmentation (Wu et
+    al. 2016 inference rule): top-48 frequent substrings (len 2-4) +
+    single-char fallback; per-doc piece counts via an integer-encoded
+    greedy fold both engines replay exactly."""
+    return CP.wordpiece_stats(_docs(spark, sf_dir), vocab_size=48, max_len=4)

@@ -469,3 +469,39 @@ def test_normalized_dedup_folds_case_and_punct_variants(spark):
     assert set(out) == {0, 3}
     assert out[0]["n_copies"] == 3 and out[0]["n_exact_forms"] == 3
     assert out[3]["n_copies"] == 1 and out[3]["n_exact_forms"] == 1
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """Pins the greedy inference rule on a crafted vocab: longest match
+    wins at each position, single-char fallback, empty word = 0
+    pieces; counts must equal the python replay exactly."""
+    rows = [(0, "abcab xyz a"), (1, "abcabc"), (2, "")]
+    vocab = ["ab", "abc", "ca"]
+
+    def greedy(w, max_len=4):
+        i, cnt, vs = 0, 0, set(vocab)
+        while i < len(w):
+            for l in range(max_len, 1, -1):
+                if i + l <= len(w) and w[i : i + l] in vs:
+                    i += l
+                    break
+            else:
+                i += 1
+            cnt += 1
+        return cnt
+
+    out = {
+        r["doc_id"]: (r["n_pieces"], r["n_words"])
+        for r in CP.wordpiece_stats(_docs(spark, rows), vocab=vocab).collect()
+    }
+    # 'abcab' -> abc|ab (2), 'xyz' -> x|y|z (3), 'a' -> 1; 'abcabc' -> abc|abc (2)
+    assert out[0] == (sum(greedy(w) for w in "abcab xyz a".split()), 3) == (6, 3)
+    assert out[1] == (greedy("abcabc"), 1) == (2, 1)
+    assert out[2] == (0, 1)  # empty doc: one empty token, zero pieces
+
+
+def test_wordpiece_vocab_top_by_count_then_substring(spark):
+    rows = [(0, "aaab aaab xy")]
+    # substrings with multiplicity: 'aa' x2 per word x2 words = 4 ...
+    voc = CP.wordpiece_vocab(_docs(spark, rows), vocab_size=3, max_len=3)
+    assert voc == sorted(["aa", "aaa", "aab"])  # counts 4, 2, 2; tie by substring
