@@ -75,6 +75,9 @@ HEADLINE = [
     "ann_ivf_sq8",
     "diverse_sample",
     "wordpiece_stats",
+    "revenue_rollup",
+    "price_histogram_equidepth",
+    "nation_customer_deciles",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -646,3 +646,147 @@ def forecast_revenue(spark, sf_dir):
         (F.sum(F.col("l_extendedprice") * F.col("l_discount")) / 1e3).alias("forecast_revenue_k"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "revenue_rollup",
+    """
+SELECT coalesce(n.n_name, 'ALL') AS nation,
+       coalesce(o.o_orderpriority, 'ALL') AS priority,
+       sum(o.o_totalprice) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, o.o_orderpriority)""",
+)
+def revenue_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (nation → priority → grand total)
+    in one pass — Spark expands the grouping sets into one hash
+    aggregate with map-side partials, no per-level re-scan; dims
+    broadcast. NULL grouping levels are coalesced to 'ALL' so both
+    engines emit identical keys."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    j = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return (
+        j.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "price_histogram_equidepth",
+    """
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, 0.1) c1, quantile_cont(o_totalprice, 0.2) c2,
+         quantile_cont(o_totalprice, 0.3) c3, quantile_cont(o_totalprice, 0.4) c4,
+         quantile_cont(o_totalprice, 0.5) c5, quantile_cont(o_totalprice, 0.6) c6,
+         quantile_cont(o_totalprice, 0.7) c7, quantile_cont(o_totalprice, 0.8) c8,
+         quantile_cont(o_totalprice, 0.9) c9
+  FROM orders
+),
+b AS (
+  SELECT CAST((CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c4 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c5 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c6 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c7 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c8 THEN 1 ELSE 0 END
+             + CASE WHEN o_totalprice > c9 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+         o_totalprice AS p
+  FROM orders CROSS JOIN cuts
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       min(p) AS lo, max(p) AS hi
+FROM b GROUP BY bucket""",
+)
+def price_histogram_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram WITHOUT a global sort: nine exact
+    interpolated percentile cutpoints fold to ONE broadcast row, bucket
+    assignment is a narrow projection (sum of 9 comparisons), and the
+    histogram is a 10-group aggregate — the scalable alternative to a
+    global ntile(), whose single ordered partition cannot scale."""
+    o = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    cuts = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(q / 10)).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    b = o.crossJoin(F.broadcast(cuts)).select(
+        sum(
+            [
+                F.when(F.col("o_totalprice") > F.col(f"c{q}"), 1).otherwise(0)
+                for q in range(1, 10)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.col("o_totalprice").alias("p"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("p").alias("lo"),
+        F.max("p").alias("hi"),
+    )
+
+
+@query(
+    "nation_customer_deciles",
+    """
+WITH rev AS (
+  SELECT n.n_name AS nation, c.c_custkey, sum(o.o_totalprice) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT nation, revenue,
+         ntile(10) OVER (PARTITION BY nation ORDER BY revenue DESC, c_custkey) AS decile
+  FROM rev
+)
+SELECT nation, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       sum(revenue) AS revenue
+FROM d GROUP BY nation, decile""",
+)
+def nation_customer_deciles(spark, sf_dir):
+    """Per-nation customer revenue deciles: ntile over the NATION
+    partition (partition-parallel ranked window — never a global
+    sort), aggregated to the decile summary. Deterministic tie-break
+    by customer key."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    d = rev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("nation", "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("revenue").alias("revenue")
+    )
