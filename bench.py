@@ -78,6 +78,8 @@ HEADLINE = [
     "revenue_rollup",
     "price_histogram_equidepth",
     "nation_customer_deciles",
+    "funnel_latency",
+    "zipf_fit",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

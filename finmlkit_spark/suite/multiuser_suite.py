@@ -337,26 +337,7 @@ def event_funnel(spark, sf_dir):
     the previous stage's first-touch time — user-hash shuffles only;
     the three stage counts are sanctioned 1-row scalar aggregates
     composed by a 3-row union."""
-    ev = _events_ns(spark, sf_dir)
-    s1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t1"))
-    )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts_ns") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t2"))
-    )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts_ns") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t3"))
-    )
+    s1, s2, s3 = _funnel_stage_times(spark, sf_dir)
     c1 = s1.agg(F.count(F.lit(1)).alias("n1"))
     c2 = s2.agg(F.count(F.lit(1)).alias("n2"))
     c3 = s3.agg(F.count(F.lit(1)).alias("n3"))
@@ -410,3 +391,71 @@ def cohort_retention(spark, sf_dir):
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def _funnel_stage_times(spark, sf_dir):
+    """(user_id, t1[, t2[, t3]]) first-touch frames shared by
+    event_funnel and funnel_latency: s1 = first view, s2 = first click
+    strictly after it, s3 = first purchase strictly after that."""
+    ev = _events_ns(spark, sf_dir)
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    return s1, s2, s3
+
+
+@query(
+    "funnel_latency",
+    """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns FROM events),
+s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2 FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_ns > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3 FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2 GROUP BY e.user_id),
+l1 AS (SELECT s2.t2 - s1.t1 AS lat FROM s1 JOIN s2 USING (user_id)),
+l2 AS (SELECT s3.t3 - s2.t2 AS lat FROM s2 JOIN s3 USING (user_id))
+SELECT 'view_to_click' AS hop, CAST(count(*) AS BIGINT) AS n_users,
+       avg(lat) / 1e9 AS mean_sec,
+       quantile_cont(lat, 0.5) / 1e9 AS p50_sec,
+       quantile_cont(lat, 0.9) / 1e9 AS p90_sec
+FROM l1
+UNION ALL
+SELECT 'click_to_purchase', CAST(count(*) AS BIGINT),
+       avg(lat) / 1e9, quantile_cont(lat, 0.5) / 1e9, quantile_cont(lat, 0.9) / 1e9
+FROM l2""",
+)
+def funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution per funnel hop: exact interpolated
+    percentiles of the first-touch latencies (int64 ns diffs — the
+    percentile parity), one 2-row summary."""
+    s1, s2, s3 = _funnel_stage_times(spark, sf_dir)
+    l1 = s1.join(s2, "user_id").select((F.col("t2") - F.col("t1")).alias("lat"))
+    l2 = s2.join(s3, "user_id").select((F.col("t3") - F.col("t2")).alias("lat"))
+
+    def summ(df, hop):
+        return df.agg(
+            F.lit(hop).alias("hop"),
+            F.count(F.lit(1)).alias("n_users"),
+            (F.avg("lat") / 1e9).alias("mean_sec"),
+            (F.percentile("lat", F.lit(0.5)) / 1e9).alias("p50_sec"),
+            (F.percentile("lat", F.lit(0.9)) / 1e9).alias("p90_sec"),
+        )
+
+    return summ(l1, "view_to_click").unionAll(summ(l2, "click_to_purchase"))

@@ -2667,3 +2667,29 @@ def wordpiece_stats_q(spark, sf_dir):
     single-char fallback; per-doc piece counts via an integer-encoded
     greedy fold both engines replay exactly."""
     return CP.wordpiece_stats(_docs(spark, sf_dir), vocab_size=48, max_len=4)
+
+
+@query(
+    "zipf_fit",
+    _TOKS
+    + """
+, e AS (SELECT doc_id, unnest(t) AS token FROM toks),
+pd AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY doc_id, token),
+c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences FROM pd GROUP BY token),
+r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank FROM c),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n_occurrences AS DOUBLE)) AS y
+       FROM r WHERE rank <= 100),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM s""",
+)
+def zipf_fit_q(spark, sf_dir):
+    """Zipf rank-frequency OLS over the top-100 vocabulary — slope ≈ −1
+    for natural text; the corpus-quality audit scalar."""
+    return CP.zipf_fit(_docs(spark, sf_dir), k=100)
