@@ -86,3 +86,23 @@ def streaming_curation_pipeline(
     dedup state store only ever holds keep-worthy docs)."""
     kept = streaming_quality_filter(stream, text_col, min_chars, min_quality)
     return streaming_exact_dedup(kept, ts_col, watermark, text_col)
+
+
+def streaming_normalized_dedup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Watermark-bounded dedup on the NORMALIZED content digest
+    (``text.normalize_text`` — lowercase, punct→space, collapsed
+    whitespace): the streaming form of ``dedup.normalized_dedup``,
+    catching case/punct/whitespace variants the raw digest misses.
+    Same bounded-state contract as ``streaming_exact_dedup``; the
+    digest state lives in the state store hashed by ``norm_md5``."""
+    from ..operators.text import normalize_text
+
+    ann = stream.withColumn("norm_md5", F.md5(normalize_text(text_col)))
+    return ann.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["norm_md5"]
+    )

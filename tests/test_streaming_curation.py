@@ -116,3 +116,39 @@ def test_streaming_gopher_filters_parity(spark, docs_stream_dir):
     assert got_rep == sorted(map(tuple, exp_rep.collect())) and got_rep
     got_sig = sorted(map(tuple, out_sig.collect()))
     assert got_sig == sorted(map(tuple, exp_sig.collect())) and got_sig
+
+
+def test_streaming_normalized_dedup_parity(spark, docs_stream_dir):
+    """The normalized-digest stream dedup must keep exactly one
+    survivor per distinct NORMAL FORM — including case/punct variants
+    the raw digest keeps apart."""
+    from finmlkit_spark.operators.text import normalize_text
+
+    batch = spark.read.parquet(docs_stream_dir)
+    # inject a case variant of an existing text: raw dedup would keep
+    # it, normalized dedup must fold it
+    extra = batch.limit(1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        F.col("ts"),
+    )
+    import tempfile
+
+    d2 = tempfile.mkdtemp(prefix="docs_norm_stream")
+    batch.unionByName(extra).coalesce(1).write.parquet(d2, mode="overwrite")
+    b2 = spark.read.parquet(d2)
+    stream = spark.readStream.schema(b2.schema).parquet(d2)
+    got = _run_stream(
+        spark, C.streaming_normalized_dedup(stream, watermark="1 hour"), "ndedup_stream"
+    )
+    rows = got.collect()
+    md5s = [r["norm_md5"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    exp = {
+        r["h"]
+        for r in b2.select(F.md5(normalize_text("text")).alias("h")).distinct().collect()
+    }
+    assert set(md5s) == exp
+    # the upper-cased injection normalizes onto an existing digest:
+    # survivors = the 500 distinct normal forms, not 501
+    assert len(rows) == 500
