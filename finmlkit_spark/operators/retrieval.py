@@ -102,7 +102,14 @@ def bm25_topk(
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term score
     tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)); the document score is
     the FIXED-ORDER sum over ``terms`` (no group-dependent float
-    summation order — cross-engine reproducible to the last ulp).
+    summation order). Cross-engine caveat: the expression tree is
+    identical on both sides, but ``ln`` itself may differ in the last
+    ulp between the JVM and libm — EXACT score ties break
+    deterministically on doc_id, while a sub-ulp near-tie straddling
+    the k-cut could in principle select a different row (the same
+    residual hazard class as the cosine-threshold queries;
+    ``tfidf_keywords`` sidesteps it with a rational idf, which BM25's
+    definition does not admit).
 
     Plan shape: one narrow projection computes dl and every per-term
     tf from a single let-bound token array (no explode — the term

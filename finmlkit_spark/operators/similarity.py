@@ -1352,6 +1352,45 @@ def ivf_pq_encode(
 _IVFPQ_PACKED_MAX_QUERIES = 200_000
 
 
+def _ivf_probe_fn(seeds: list, nprobe: int):
+    """Shared mapInPandas body ranking each query's top-``nprobe``
+    coarse cells — the determinism-critical probe used by BOTH
+    quantized ANN families (ann_ivf_pq and ann_ivf_sq8): sequential-
+    fold cosines against every centroid, ORDER BY cos DESC, cid ASC
+    via stable argsort of the negated sims (negation is order-exact on
+    doubles; column order IS ascending cid). Expects batches with
+    (query_id, qv) columns; yields (query_id, cell_id)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c[0] for c in seeds], dtype=np.int64)
+    npb = min(int(nprobe), len(seeds))
+
+    def probe_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qv"].values).astype(np.float64)
+            # the same sequential-fold cosines the assignment core
+            # computes — re-derived against ALL centroids for the
+            # top-nprobe ranking (core() only returns the argmax)
+            nv = np.sqrt((X * X).cumsum(axis=1)[:, -1])
+            sims = np.empty((X.shape[0], len(cids)), dtype=np.float64)
+            for j in range(len(cids)):
+                Cj = np.asarray(seeds[j][1], dtype=np.float64)
+                dots = (X * Cj).cumsum(axis=1)[:, -1]
+                sims[:, j] = dots / (nv * seeds[j][2])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].values, npb),
+                    "cell_id": cids[order].reshape(-1),
+                }
+            )
+
+    return probe_fn
+
+
 def ann_ivf_pq(
     emb_df: DataFrame,
     n_queries: int = 10,
@@ -1435,37 +1474,10 @@ def ann_ivf_pq(
         seeds=seeds, codebooks=books,
     )
     dsub = books[0].shape[1]
-    cids = np.array([c[0] for c in seeds], dtype=np.int64)
-    npb = min(int(nprobe), len(seeds))
-
     qid_type = dict(q.dtypes)["query_id"]
-
-    def probe_fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["qv"].values).astype(np.float64)
-            # the same sequential-fold cosines the assignment core
-            # computes — re-derived against ALL centroids for the
-            # top-nprobe ranking (core() only returns the argmax)
-            nv = np.sqrt((X * X).cumsum(axis=1)[:, -1])
-            sims = np.empty((X.shape[0], len(cids)), dtype=np.float64)
-            for j in range(len(cids)):
-                Cj = np.asarray(seeds[j][1], dtype=np.float64)
-                dots = (X * Cj).cumsum(axis=1)[:, -1]
-                sims[:, j] = dots / (nv * seeds[j][2])
-            # ORDER BY cos DESC, cid ASC — negation is order-exact on
-            # doubles; stable argsort breaks ties by column position,
-            # and column order IS ascending cid
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["query_id"].values, npb),
-                    "cell_id": cids[order].reshape(-1),
-                }
-            )
-
-    probe = q.mapInPandas(probe_fn, f"query_id {qid_type}, cell_id bigint")
+    probe = q.mapInPandas(
+        _ivf_probe_fn(seeds, nprobe), f"query_id {qid_type}, cell_id bigint"
+    )
 
     use_packed = lut == "packed" or (
         lut == "auto" and n_queries <= _IVFPQ_PACKED_MAX_QUERIES
@@ -1721,14 +1733,36 @@ def sq8_encode(
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["v"].values).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                r = (X - vmin) / d255
-            codes = np.clip(np.floor(r + 0.5), 0, 255)
-            codes = np.where(d255 > 0, codes, 0.0).astype(np.int32)
-            yield pd.DataFrame({id_col: pdf["vid"].values, "codes": list(codes)})
+            yield pd.DataFrame(
+                {id_col: pdf["vid"].values, "codes": list(_sq8_codes_np(X, vmin, d255))}
+            )
 
     vid_type = dict(e.dtypes)["vid"]
     return e.mapInPandas(fn, f"{id_col} {vid_type}, codes array<int>")
+
+
+def _sq8_codes_np(X, vmin, d255):
+    """The shared SQ8 encode kernel: ``clip(HALF_UP((x − vmin)/d255),
+    0, 255)``, constant dims (d255 == 0) to 0 — ONE implementation so
+    the full-scan and IVF-fused encodes cannot drift (the oracle SQL
+    matches this expression token-for-token)."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = (X - vmin) / d255
+    codes = np.clip(np.floor(r + 0.5), 0, 255)
+    return np.where(d255 > 0, codes, 0.0).astype(np.int32)
+
+
+def _sq8_quantized_consts(vmin, d255, scale: int):
+    """The shared 1e-``ndigits`` integer quantization of the SQ8
+    reconstruction constants — literal arrays for the distance fold;
+    one implementation for ann_sq8_topk and ann_ivf_sq8."""
+    import math
+
+    vminq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in vmin])
+    deltaq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in d255])
+    return vminq, deltaq
 
 
 def _sq8_dist_fold(vminq, deltaq):
@@ -1774,8 +1808,6 @@ def ann_sq8_topk(
     1e-6-quantized int64 (reconstruction = vminq + code·deltaq), so
     partial order cannot perturb ranks and the oracle matches exactly.
     """
-    import math
-
     scale = 10**ndigits
     b = bounds if bounds is not None else sq8_train(emb_df, id_col, emb_col)
     q = emb_df.where(F.col(id_col) < n_queries).select(
@@ -1790,8 +1822,7 @@ def ann_sq8_topk(
         ).where(F.lit(False))
     vmin, vmax = b
     d255 = (vmax - vmin) / 255.0
-    vminq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in vmin])
-    deltaq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in d255])
+    vminq, deltaq = _sq8_quantized_consts(vmin, d255, scale)
     enc = sq8_encode(emb_df, id_col, emb_col, bounds=b)
     qq = q.select(
         "query_id",
@@ -1900,15 +1931,11 @@ def ivf_sq8_encode(
                 continue
             X = np.stack(pdf["v"].values).astype(np.float64)
             cids, best, _sim = core(X)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                r = (X - vmin) / d255
-            codes = np.clip(np.floor(r + 0.5), 0, 255)
-            codes = np.where(d255 > 0, codes, 0.0).astype(np.int32)
             yield pd.DataFrame(
                 {
                     id_col: pdf["vid"].values,
                     "cell_id": cids[best],
-                    "codes": list(codes),
+                    "codes": list(_sq8_codes_np(X, vmin, d255)),
                 }
             )
 
@@ -1946,11 +1973,6 @@ def ann_ivf_sq8(
     rank by sequential-fold cosine (DESC, lower cid first) and every
     distance is quantized int64 — bit-exact vs the oracle.
     """
-    import math
-
-    import numpy as np
-    import pandas as pd
-
     scale = 10**ndigits
     if seeds is None:
         seeds = kmeans_seeds(emb_df, k_coarse, id_col, emb_col)
@@ -1967,35 +1989,12 @@ def ann_ivf_sq8(
         ).where(F.lit(False))
     vmin, vmax = b
     d255 = (vmax - vmin) / 255.0
-    vminq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in vmin])
-    deltaq = F.array(*[F.lit(int(math.floor(v * scale + 0.5))) for v in d255])
+    vminq, deltaq = _sq8_quantized_consts(vmin, d255, scale)
     enc = ivf_sq8_encode(emb_df, k_coarse, id_col, emb_col, seeds=seeds, bounds=b)
-    cids = np.array([c[0] for c in seeds], dtype=np.int64)
-    npb = min(int(nprobe), len(seeds))
     qid_type = dict(q.dtypes)["query_id"]
-
-    def probe_fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["qv"].values).astype(np.float64)
-            nv = np.sqrt((X * X).cumsum(axis=1)[:, -1])
-            sims = np.empty((X.shape[0], len(cids)), dtype=np.float64)
-            for j in range(len(cids)):
-                Cj = np.asarray(seeds[j][1], dtype=np.float64)
-                dots = (X * Cj).cumsum(axis=1)[:, -1]
-                sims[:, j] = dots / (nv * seeds[j][2])
-            # ORDER BY cos DESC, cid ASC: stable argsort of the negated
-            # sims — column order is ascending cid (ann_ivf_pq's rule)
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["query_id"].values, npb),
-                    "cell_id": cids[order].reshape(-1),
-                }
-            )
-
-    probe = q.mapInPandas(probe_fn, f"query_id {qid_type}, cell_id bigint")
+    probe = q.mapInPandas(
+        _ivf_probe_fn(seeds, nprobe), f"query_id {qid_type}, cell_id bigint"
+    )
     qq = q.select(
         "query_id",
         F.transform(

@@ -297,11 +297,23 @@ def _events_ns(spark, sf_dir):
     ``ts`` has drifted across driver regenerations: TIMESTAMP(NANOS)
     arrives as long ns under nanosAsLong, timestamp[us] as
     TIMESTAMP_NTZ), but keeping ``event_type`` which the trade adapter
-    drops."""
-    from ..sources.tables import ensure_session_confs
+    drops. Session-memoized like the trade adapter (the raw read costs
+    ~100 ms of file listing + footer schema per plan build; three
+    analytics queries share this relation per bench pass)."""
+    from ..sources.tables import (
+        _RELATION_MEMO,
+        _memo_key,
+        ensure_session_confs,
+        memo_put,
+    )
 
     ensure_session_confs(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    key = _memo_key(spark, path, "events_ns")
+    cached = _RELATION_MEMO.get(key)
+    if cached is not None:
+        return cached
+    ev = spark.read.parquet(path)
     ts_dtype = dict(ev.dtypes)["ts"]
     if ts_dtype.startswith("timestamp"):
         ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
@@ -309,18 +321,24 @@ def _events_ns(spark, sf_dir):
         ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
     else:
         raise TypeError(f"events.ts: unsupported dtype {ts_dtype!r}")
-    return ev.select("user_id", "event_type", ts_ns.alias("ts_ns"))
+    out = ev.select("user_id", "event_type", ts_ns.alias("ts_ns"))
+    return memo_put(spark, path, "events_ns", out, key=key)
 
 
-@query(
-    "event_funnel",
-    """
-WITH ev AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns FROM events),
+#: shared first-touch funnel stage CTEs (ev/s1/s2/s3) — ONE definition
+#: for both funnel oracles, mirroring the Spark-side _funnel_stage_times
+_FUNNEL_STAGES_SQL = """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns FROM events),
 s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
 s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2 FROM ev e JOIN s1 USING (user_id)
        WHERE e.event_type = 'click' AND e.ts_ns > s1.t1 GROUP BY e.user_id),
 s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3 FROM ev e JOIN s2 USING (user_id)
-       WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2 GROUP BY e.user_id),
+       WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2 GROUP BY e.user_id)"""
+
+
+@query(
+    "event_funnel",
+    _FUNNEL_STAGES_SQL
+    + """,
 c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
 c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
 c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3)
@@ -422,13 +440,8 @@ def _funnel_stage_times(spark, sf_dir):
 
 @query(
     "funnel_latency",
-    """
-WITH ev AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns FROM events),
-s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2 FROM ev e JOIN s1 USING (user_id)
-       WHERE e.event_type = 'click' AND e.ts_ns > s1.t1 GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3 FROM ev e JOIN s2 USING (user_id)
-       WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2 GROUP BY e.user_id),
+    _FUNNEL_STAGES_SQL
+    + """,
 l1 AS (SELECT s2.t2 - s1.t1 AS lat FROM s1 JOIN s2 USING (user_id)),
 l2 AS (SELECT s3.t3 - s2.t2 AS lat FROM s2 JOIN s3 USING (user_id))
 SELECT 'view_to_click' AS hop, CAST(count(*) AS BIGINT) AS n_users,
