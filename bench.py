@@ -80,6 +80,7 @@ HEADLINE = [
     "nation_customer_deciles",
     "funnel_latency",
     "zipf_fit",
+    "pii_redact",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

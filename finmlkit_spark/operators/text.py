@@ -440,3 +440,15 @@ def normalize_text(col: str = "text") -> Column:
             F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9 ]", " "), " +", " "
         )
     )
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Apply the PII scrub policy: emails → ``<EMAIL>``, URLs →
+    ``<URL>``, long digit runs → ``<NUM>`` — the consuming half of
+    :func:`pii_counts` (counts tell you the exposure; this removes it).
+    Fixed replacement order (emails before URLs before digit runs) so
+    both engines rewrite identical bytes; pure JVM regexp_replace
+    chain, no UDF."""
+    out = F.regexp_replace(F.col(col), EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, LONG_NUM_RE, "<NUM>")

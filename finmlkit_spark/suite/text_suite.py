@@ -2693,3 +2693,32 @@ def zipf_fit_q(spark, sf_dir):
     """Zipf rank-frequency OLS over the top-100 vocabulary — slope ≈ −1
     for natural text; the corpus-quality audit scalar."""
     return CP.zipf_fit(_docs(spark, sf_dir), k=100)
+
+
+@query(
+    "pii_redact",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TX.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{TX.URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{TX.LONG_NUM_RE}')) AS BIGINT) AS n_long_nums,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{TX.URL_RE}', '<URL>', 'g'),
+             '{TX.LONG_NUM_RE}', '<NUM>', 'g')) AS redacted_md5
+FROM documents""",
+)
+def pii_redact_q(spark, sf_dir):
+    """PII redaction (the consuming half of the pii counters): emails/
+    URLs/long digit runs replaced by typed placeholders in a fixed
+    order; output carries the counts and the md5 of the rewritten text
+    so the byte-level rewrite is value-checked, not just counted."""
+    d = _docs(spark, sf_dir)
+    counts = TX.pii_counts()
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_urls"].alias("n_urls"),
+        counts["n_long_nums"].alias("n_long_nums"),
+        F.md5(TX.redact_pii()).alias("redacted_md5"),
+    )

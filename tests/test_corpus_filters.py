@@ -505,3 +505,19 @@ def test_wordpiece_vocab_top_by_count_then_substring(spark):
     # substrings with multiplicity: 'aa' x2 per word x2 words = 4 ...
     voc = CP.wordpiece_vocab(_docs(spark, rows), vocab_size=3, max_len=3)
     assert voc == sorted(["aa", "aaa", "aab"])  # counts 4, 2, 2; tie by substring
+
+
+def test_redact_pii_rewrites_and_counts(spark):
+    from finmlkit_spark.operators import text as TX
+
+    rows = [(0, "mail me at a.b@x.io or see https://x.io/page id 123456789")]
+    out = (
+        _docs(spark, rows)
+        .select(
+            TX.redact_pii().alias("red"),
+            *[c.alias(n) for n, c in TX.pii_counts().items()],
+        )
+        .collect()[0]
+    )
+    assert out["red"] == "mail me at <EMAIL> or see <URL> id <NUM>"
+    assert (out["n_emails"], out["n_urls"], out["n_long_nums"]) == (1, 1, 1)

@@ -67,6 +67,16 @@ GUARDED = [
     # a global sort (bm25_topk is pinned separately — its one-row corpus
     # stats aggregate is a sanctioned scalar-agg SinglePartition)
     "inverted_index",
+    # late-round-11 additions that plan fully partition-parallel
+    # (event_funnel / dup_graph_pagerank / bm25 / zipf / trim carry
+    # sanctioned scalar aggregates and are excluded)
+    "revenue_rollup",
+    "cohort_retention",
+    "hashed_features",
+    "normalized_dedup",
+    "knn_graph",
+    "wordpiece_stats",
+    "nation_customer_deciles",
 ]
 
 
