@@ -81,6 +81,8 @@ HEADLINE = [
     "funnel_latency",
     "zipf_fit",
     "pii_redact",
+    "oov_rate",
+    "rfm_segments",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -1054,3 +1054,43 @@ def zipf_fit(
         ((sy - (cov / varx) * sx) / n).alias("intercept"),
         ((cov * cov) / (varx * vary)).alias("r2"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    k: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the top-``k`` corpus
+    vocabulary — the tokenizer-coverage audit (a doc full of tokens a
+    k-entry vocab can't cover costs UNK-heavy training sequences).
+    Returns (doc_id, n_tokens, n_oov, oov_rate).
+
+    Plan: the vocabulary is the bounded ``vocab_topk`` table collected
+    to a k-string literal array (trained scalar state, the kmeans-seeds
+    posture), so the scoring pass is ONE narrow let-bound HOF
+    projection — no join, no second shuffle."""
+    voc = [
+        r["token"] for r in vocab_topk(docs, k=k, text_col=text_col).collect()
+    ]
+    arr = F.array(*[F.lit(v) for v in sorted(voc)])
+
+    def body(t):
+        n = F.size(t)
+        oov = F.size(F.filter(t, lambda x: ~F.array_contains(arr, x)))
+        return F.struct(
+            n.cast("long").alias("n"),
+            oov.cast("long").alias("o"),
+        )
+
+    from .text import let_bind, tokens
+
+    st = let_bind(tokens(text_col), body)
+    d = docs.select(F.col(id_col), st.alias("_s"))
+    return d.select(
+        id_col,
+        F.col("_s.n").alias("n_tokens"),
+        F.col("_s.o").alias("n_oov"),
+        (F.col("_s.o").cast("double") / F.col("_s.n")).alias("oov_rate"),
+    )

@@ -472,3 +472,87 @@ def funnel_latency(spark, sf_dir):
         )
 
     return summ(l1, "view_to_click").unionAll(summ(l2, "click_to_purchase"))
+
+
+@query(
+    "rfm_segments",
+    f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, value
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(ts_ns) AS now_ns FROM ev),
+rfm AS (
+  SELECT user_id,
+         CAST((mx.now_ns - max(ev.ts_ns)) // {DAY_NS} AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(ev.value) AS monetary
+  FROM ev CROSS JOIN mx
+  GROUP BY user_id, mx.now_ns
+),
+q AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM rfm
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_users,
+       sum(monetary) AS monetary
+FROM q GROUP BY r_q, f_q, m_q""",
+)
+def rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency/frequency/monetary quintiles over
+    purchase events) aggregated to the segment grid — the classic
+    product-analytics cohorting. The ntile windows run over the USER
+    table (one row per purchasing user — k-row scale, a sanctioned
+    bounded ordered window like the per-day tables), never over the
+    event stream; deterministic tie-breaks by user_id."""
+    # value lives on the raw table (_events_ns projects it away), so
+    # this query does its own narrow projection with the same dtype
+    # branch
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(raw.dtypes)["ts"]
+    if ts_dtype.startswith("timestamp"):
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    else:
+        ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
+    ev = raw.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_ns.alias("ts_ns"), "value"
+    )
+    mx = ev.agg(F.max("ts_ns").alias("now_ns"))
+    rfm = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "now_ns")
+        .agg(
+            F.max("ts_ns").alias("last_ns"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"(now_ns - last_ns) DIV {DAY_NS}").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    from pyspark.sql import Window
+
+    q = (
+        rfm.withColumn(
+            "r_q",
+            F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), "user_id")).cast("long"),
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id")).cast("long"),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "user_id")).cast("long"),
+        )
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("monetary").alias("monetary")
+    )

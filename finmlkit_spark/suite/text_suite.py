@@ -2722,3 +2722,26 @@ def pii_redact_q(spark, sf_dir):
         counts["n_long_nums"].alias("n_long_nums"),
         F.md5(TX.redact_pii()).alias("redacted_md5"),
     )
+
+
+@query(
+    "oov_rate",
+    _TOKS
+    + """
+, e AS (SELECT doc_id, unnest(t) AS token FROM toks),
+pd AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY doc_id, token),
+c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n FROM pd GROUP BY token),
+topv AS (SELECT token FROM (SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c)
+         WHERE rk <= 24),
+vv AS (SELECT list(token) AS voc FROM topv)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t.t, x -> NOT list_contains(vv.voc, x))) AS BIGINT) AS n_oov,
+       CAST(len(list_filter(t.t, x -> NOT list_contains(vv.voc, x))) AS DOUBLE) / len(t.t) AS oov_rate
+FROM toks t CROSS JOIN vv""",
+)
+def oov_rate_q(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate vs the top-24 corpus vocabulary —
+    the tokenizer-coverage audit; one let-bound HOF projection against
+    the collected k-string vocab (no join)."""
+    return CP.oov_rate(_docs(spark, sf_dir), k=24)
