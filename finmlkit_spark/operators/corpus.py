@@ -886,9 +886,13 @@ def source_length_trim(
     interpolation definition and agree bit-for-bit on int64 inputs
     (the token_length_stats parity)."""
     d = docs.select(id_col, group_col, F.col(len_col).cast("long").alias("l"))
+    # one array-percentile agg (single sort buffer per group), not two
     q = d.groupBy(group_col).agg(
-        F.percentile("l", F.lit(lo)).alias("p_lo"),
-        F.percentile("l", F.lit(hi)).alias("p_hi"),
+        F.percentile("l", F.array(F.lit(lo), F.lit(hi))).alias("_p")
+    ).select(
+        group_col,
+        F.get("_p", 0).alias("p_lo"),
+        F.get("_p", 1).alias("p_hi"),
     )
     return (
         d.join(F.broadcast(q), group_col)
