@@ -83,6 +83,8 @@ HEADLINE = [
     "pii_redact",
     "oov_rate",
     "rfm_segments",
+    "cross_source_dup_matrix",
+    "error_rate_spikes",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -556,3 +556,66 @@ def rfm_segments(spark, sf_dir):
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("monetary").alias("monetary")
     )
+
+
+MINUTE_NS = 60_000_000_000
+
+
+@query(
+    "error_rate_spikes",
+    f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) * 1000 AS ts_ns FROM events),
+m AS (
+  SELECT (ts_ns // {MINUTE_NS}) * {MINUTE_NS} AS minute_ns,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM ev GROUP BY 1
+),
+r AS (
+  SELECT *,
+         CAST(n_errors AS DOUBLE) / n_events AS err_rate,
+         avg(CAST(n_errors AS DOUBLE) / n_events)
+           OVER (ORDER BY minute_ns ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS mu,
+         stddev_samp(CAST(n_errors AS DOUBLE) / n_events)
+           OVER (ORDER BY minute_ns ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS sd,
+         row_number() OVER (ORDER BY minute_ns) AS rn
+  FROM m
+)
+SELECT minute_ns, n_events, n_errors, err_rate,
+       (err_rate - mu) / sd AS z
+FROM r
+WHERE rn > 30 AND sd > 0 AND (err_rate - mu) / sd >= 2.0""",
+)
+def error_rate_spikes(spark, sf_dir):
+    """Operational anomaly detection on the event stream: per-minute
+    error rate vs a trailing 30-minute rolling baseline, flag minutes
+    ≥ 2σ above it. The ordered window runs over the MINUTE table (one
+    row per minute — the sanctioned bounded k-row ordered-window class,
+    like feat_daily_gap), never the event stream; at scale the minute
+    rollup is one hash aggregate with map-side combine."""
+    from pyspark.sql import Window
+
+    ev = _events_ns(spark, sf_dir)
+    m = (
+        ev.groupBy(
+            (F.expr(f"ts_ns DIV {MINUTE_NS}") * MINUTE_NS).alias("minute_ns")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .withColumn("err_rate", F.col("n_errors").cast("double") / F.col("n_events"))
+    )
+    w = Window.orderBy("minute_ns").rowsBetween(-30, -1)
+    wr = Window.orderBy("minute_ns")
+    r = (
+        m.withColumn("mu", F.avg("err_rate").over(w))
+        .withColumn("sd", F.stddev_samp("err_rate").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    return (
+        r.where((F.col("rn") > 30) & (F.col("sd") > 0))
+        .withColumn("z", (F.col("err_rate") - F.col("mu")) / F.col("sd"))
+        .where(F.col("z") >= 2.0)
+        .select("minute_ns", "n_events", "n_errors", "err_rate", "z")
+    )

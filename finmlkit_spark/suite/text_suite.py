@@ -2745,3 +2745,61 @@ def oov_rate_q(spark, sf_dir):
     the tokenizer-coverage audit; one let-bound HOF projection against
     the collected k-string vocab (no join)."""
     return CP.oov_rate(_docs(spark, sf_dir), k=24)
+
+
+@query(
+    "cross_source_dup_matrix",
+    _SHQ
+    + """
+, hsq AS (SELECT doc_id, sh AS hs FROM shq),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> CAST(i AS INT)) & 1) - 1)) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fingerprint
+  FROM hsq
+),
+k AS (SELECT doc_id, fingerprint, unnest(range(0, 4)) AS band FROM fp),
+kk AS (
+  SELECT doc_id, fingerprint, band,
+         (fingerprint >> CAST(band * 8 AS INT)) & 255 AS segv
+  FROM k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fingerprint AS fp_a, b.fingerprint AS fp_b
+  FROM kk a JOIN kk b ON a.band = b.band AND a.segv = b.segv AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM edges e
+JOIN documents da ON e.doc_a = da.doc_id
+JOIN documents db ON e.doc_b = db.doc_id
+GROUP BY 1, 2""",
+)
+def cross_source_dup_matrix_q(spark, sf_dir):
+    """Cross-source duplication matrix: SimHash near-dup pairs labeled
+    by the (unordered) source pair — which corpora copy from each
+    other, the provenance audit behind source-level dedup decisions.
+    The doc→source joins broadcast the narrow (id, source) projection;
+    output is a |sources|² grid at most."""
+    docs = _docs(spark, sf_dir)
+    edges = D.simhash_near_pairs(docs).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    j = (
+        edges.join(
+            F.broadcast(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "_sa")),
+            "doc_a",
+        ).join(
+            F.broadcast(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "_sb")),
+            "doc_b",
+        )
+    )
+    return j.groupBy(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
