@@ -85,6 +85,8 @@ HEADLINE = [
     "rfm_segments",
     "cross_source_dup_matrix",
     "error_rate_spikes",
+    "session_path_topk",
+    "pmi_top_pairs",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

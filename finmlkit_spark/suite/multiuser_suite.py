@@ -619,3 +619,75 @@ def error_rate_spikes(spark, sf_dir):
         .where(F.col("z") >= 2.0)
         .select("minute_ns", "n_events", "n_errors", "err_rate", "z")
     )
+
+
+@query(
+    "session_path_topk",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) * 1000 AS ts_ns FROM events
+),
+g AS (
+  SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+                     > {SESSION_GAP_NS} OR lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_ns, event_id) AS path
+  FROM s GROUP BY user_id, session_id
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 20""",
+)
+def session_path_topk(spark, sf_dir):
+    """Top-20 session paths (ordered event-type sequences within the
+    30-min-gap sessions) — the navigation-pattern mining classic. The
+    per-session path is an ordered collect bounded by session length;
+    path counting is one hash aggregate and the top-k a TakeOrdered-
+    style window (WindowGroupLimit on the single rank)."""
+    from pyspark.sql import Window
+
+    # event_id is needed for deterministic ordering ties, and
+    # _events_ns projects it away — own narrow projection here
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(raw.dtypes)["ts"]
+    if ts_dtype.startswith("timestamp"):
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    else:
+        ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
+    ev = raw.select("user_id", "event_id", "event_type", ts_ns.alias("ts_ns"))
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("ts_ns").over(w)
+    s = ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | ((F.col("ts_ns") - prev) > SESSION_GAP_NS), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    p = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        c.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 20)
+    )

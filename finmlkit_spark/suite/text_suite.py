@@ -10,6 +10,7 @@ expressions bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import corpus as CP
@@ -2803,3 +2804,80 @@ def cross_source_dup_matrix_q(spark, sf_dir):
         F.least("_sa", "_sb").alias("source_a"),
         F.greatest("_sa", "_sb").alias("source_b"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "pmi_top_pairs",
+    _TOKS
+    + """
+, pr AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      i -> struct_pack(l := t[CAST(i AS INT)], r := t[CAST(i AS INT) + 1]))) AS p
+  FROM toks
+),
+pairs AS (SELECT p.l AS l, p.r AS r FROM pr),
+bi AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY l, r),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT l AS tok FROM pairs UNION ALL SELECT r FROM pairs
+  ) GROUP BY tok
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM pairs),
+sc AS (
+  SELECT bi.l, bi.r, bi.c_ab,
+         CAST(bi.c_ab AS DOUBLE) * 2.0 * n.total / (ul.c * ur.c) AS ratio
+  FROM bi JOIN uni ul ON bi.l = ul.tok JOIN uni ur ON bi.r = ur.tok
+  CROSS JOIN n
+  WHERE bi.c_ab >= 5
+)
+SELECT l, r, c_ab, ln(ratio) AS pmi,
+       CAST(row_number() OVER (ORDER BY ratio DESC, l, r) AS BIGINT) AS rank
+FROM sc QUALIFY rank <= 20""",
+)
+def pmi_top_pairs_q(spark, sf_dir):
+    """Top-20 adjacent-token collocations by pointwise mutual
+    information (min count 5). RANKED BY THE EXACT RATIONAL RATIO
+    c_ab·2N/(c_l·c_r) — one IEEE division, identical in both engines —
+    not by ln(ratio), whose last-ulp libm differences could flip
+    near-tie ranks (the tfidf_keywords discipline); pmi = ln(ratio) is
+    exposed for reading only. Narrow (l, r) keys, map-side combined;
+    the unigram side counts PAIR-SLOT occurrences (2N total) so the
+    ratio is the textbook PMI estimator."""
+    docs = _docs(spark, sf_dir)
+    t = TX.tokens()
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("p")
+    ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    bi = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        pairs.select(F.col("l").alias("tok"))
+        .unionAll(pairs.select(F.col("r").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = pairs.agg(F.count(F.lit(1)).alias("total"))
+    sc = (
+        bi.join(uni.withColumnRenamed("tok", "l").withColumnRenamed("c", "_cl"), "l")
+        .join(uni.withColumnRenamed("tok", "r").withColumnRenamed("c", "_cr"), "r")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("c_ab") >= 5)
+        .withColumn(
+            "ratio",
+            F.col("c_ab").cast("double") * 2.0 * F.col("total") / (F.col("_cl") * F.col("_cr")),
+        )
+    )
+    w = Window.orderBy(F.col("ratio").desc(), F.col("l"), F.col("r"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("l", "r", "c_ab", F.log("ratio").alias("pmi"), "rank")
+    )
