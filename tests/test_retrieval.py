@@ -151,3 +151,73 @@ def test_central_reps_tie_breaks_by_id(spark):
     df = spark.createDataFrame([(8, 4)], ["id_a", "id_b"])
     rows = RT.central_reps(df).collect()
     assert len(rows) == 1 and rows[0]["rep_id"] == 4 and rows[0]["cluster_id"] == 4
+
+
+def test_event_funnel_strict_ordering(spark, tmp_path):
+    """A click BEFORE the first view must not count; one at the same
+    timestamp must not count (strict >); later ones do."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 1: click before view -> reaches view only
+        (1, 1, 1_000, "click"), (2, 1, 2_000, "view"),
+        # user 2: full funnel in order
+        (3, 2, 1_000, "view"), (4, 2, 2_000, "click"), (5, 2, 3_000, "purchase"),
+        # user 3: click at the SAME us-floored ts as the view -> view only
+        (6, 3, 5_000, "view"), (7, 3, 5_000, "click"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] * 1_000_000_000 for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = str(tmp_path / "ev")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    from finmlkit_spark.suite.multiuser_suite import event_funnel
+
+    got = {r["step"]: r["n_users"] for r in event_funnel(spark, d).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    """Two users: one active on days 0 and 2 (same cohort, offsets 0
+    and 2), one active on day 1 only."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    DAY = 86_400_000_000_000
+    rows = [
+        (1, 10, 0), (2, 10, 2 * DAY), (3, 10, 2 * DAY + 5),
+        (4, 20, 1 * DAY),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = str(tmp_path / "ev2")
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    from finmlkit_spark.suite.multiuser_suite import cohort_retention
+
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(spark, d).collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
