@@ -140,14 +140,14 @@ def main() -> None:
         write_corpus(out, td, partition_by=("split",))
         print("train partition rows:", read_corpus(spark, td, split="train").count())
 
-    # 8. retrieval tier over the curated corpus (late round 11): build
-    #    the inverted index, run a BM25 query, and elect each near-dup
-    #    cluster's most-central representative instead of the min id
+    # 8. retrieval tier (late round 11): index + BM25 over the CURATED
+    #    corpus; the centrality election runs on the RAW corpus, where
+    #    the near-dup clusters still exist (election precedes removal)
     from finmlkit_spark.operators import retrieval as RT
 
-    inv = RT.inverted_index(docs, postings_cap=8)
+    inv = RT.inverted_index(curated, postings_cap=8)
     print("index terms:", inv.count())
-    hits = RT.bm25_topk(docs, ["dup", "join", "table"], k=5)
+    hits = RT.bm25_topk(curated, ["dup", "join", "table"], k=5)
     print("bm25 top-5:", [(r["doc_id"], round(r["score"], 3)) for r in hits.collect()])
     edges = D.simhash_near_pairs(docs).select("doc_a", "doc_b")
     reps = RT.central_reps(edges, a_col="doc_a", b_col="doc_b")

@@ -291,15 +291,18 @@ def user_fast_features(spark, sf_dir):
 DAY_NS = 86_400_000_000_000
 
 
-def _events_ns(spark, sf_dir):
-    """events with ts normalized to epoch ns (µs-floored) — the same
-    dtype-branch contract as ``events_to_trades`` (the physical type of
-    ``ts`` has drifted across driver regenerations: TIMESTAMP(NANOS)
-    arrives as long ns under nanosAsLong, timestamp[us] as
-    TIMESTAMP_NTZ), but keeping ``event_type`` which the trade adapter
-    drops. Session-memoized like the trade adapter (the raw read costs
-    ~100 ms of file listing + footer schema per plan build; three
-    analytics queries share this relation per bench pass)."""
+def _events_ns(spark, sf_dir, cols: tuple = ("user_id", "event_type")):
+    """events with ts normalized to epoch ns (µs-floored) plus the
+    requested raw columns — the same dtype-branch contract as
+    ``events_to_trades`` (the physical type of ``ts`` has drifted
+    across driver regenerations: TIMESTAMP(NANOS) arrives as long ns
+    under nanosAsLong, timestamp[us] as TIMESTAMP_NTZ), keeping
+    whichever columns the caller names (the trade adapter drops
+    ``event_type``). Session-memoized per column set like the trade
+    adapter (the raw read costs ~100 ms of file listing + footer
+    schema per plan build; the analytics queries share these relations
+    per bench pass). The UTC/nanosAsLong session confs are ensured
+    here, so every caller inherits the read_table contract."""
     from ..sources.tables import (
         _RELATION_MEMO,
         _memo_key,
@@ -309,7 +312,8 @@ def _events_ns(spark, sf_dir):
 
     ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    key = _memo_key(spark, path, "events_ns")
+    tag = "events_ns:" + ",".join(cols)
+    key = _memo_key(spark, path, tag)
     cached = _RELATION_MEMO.get(key)
     if cached is not None:
         return cached
@@ -321,8 +325,8 @@ def _events_ns(spark, sf_dir):
         ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
     else:
         raise TypeError(f"events.ts: unsupported dtype {ts_dtype!r}")
-    out = ev.select("user_id", "event_type", ts_ns.alias("ts_ns"))
-    return memo_put(spark, path, "events_ns", out, key=key)
+    out = ev.select(*cols, ts_ns.alias("ts_ns"))
+    return memo_put(spark, path, tag, out, key=key)
 
 
 #: shared first-touch funnel stage CTEs (ev/s1/s2/s3) — ONE definition
@@ -486,7 +490,8 @@ rfm AS (
   SELECT user_id,
          CAST((mx.now_ns - max(ev.ts_ns)) // {DAY_NS} AS BIGINT) AS recency_days,
          CAST(count(*) AS BIGINT) AS frequency,
-         sum(ev.value) AS monetary
+         CAST(sum(CAST(floor(ev.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(floor(ev.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS monetary
   FROM ev CROSS JOIN mx
   GROUP BY user_id, mx.now_ns
 ),
@@ -494,7 +499,7 @@ q AS (
   SELECT *,
          ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
          ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
-         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+         ntile(5) OVER (ORDER BY cents DESC, user_id) AS m_q
   FROM rfm
 )
 SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
@@ -509,32 +514,28 @@ def rfm_segments(spark, sf_dir):
     table (one row per purchasing user — k-row scale, a sanctioned
     bounded ordered window like the per-day tables), never over the
     event stream; deterministic tie-breaks by user_id."""
-    # value lives on the raw table (_events_ns projects it away), so
-    # this query does its own narrow projection with the same dtype
-    # branch
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_dtype = dict(raw.dtypes)["ts"]
-    if ts_dtype.startswith("timestamp"):
-        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-    else:
-        ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
-    ev = raw.where(F.col("event_type") == "purchase").select(
-        "user_id", ts_ns.alias("ts_ns"), "value"
+    ev = _events_ns(spark, sf_dir, cols=("user_id", "event_type", "value")).where(
+        F.col("event_type") == "purchase"
     )
     mx = ev.agg(F.max("ts_ns").alias("now_ns"))
+    # monetary ranks on EXACT integer cents (values are 2-decimal;
+    # HALF_UP to cents is deterministic, integer sums are
+    # order-independent) — a float sum's last-ulp summation-order
+    # differences could flip quintile membership near a boundary
     rfm = (
         ev.crossJoin(F.broadcast(mx))
         .groupBy("user_id", "now_ns")
         .agg(
             F.max("ts_ns").alias("last_ns"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum("value").alias("monetary"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("_cents"),
         )
         .select(
             "user_id",
             F.expr(f"(now_ns - last_ns) DIV {DAY_NS}").alias("recency_days"),
             "frequency",
-            "monetary",
+            "_cents",
+            (F.col("_cents").cast("double") / 100).alias("monetary"),
         )
     )
     from pyspark.sql import Window
@@ -550,7 +551,7 @@ def rfm_segments(spark, sf_dir):
         )
         .withColumn(
             "m_q",
-            F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "user_id")).cast("long"),
+            F.ntile(5).over(Window.orderBy(F.col("_cents").desc(), "user_id")).cast("long"),
         )
     )
     return q.groupBy("r_q", "f_q", "m_q").agg(
@@ -571,20 +572,25 @@ m AS (
          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
   FROM ev GROUP BY 1
 ),
+p AS (SELECT *, (n_errors * 1000000) // n_events AS ppm FROM m),
 r AS (
   SELECT *,
-         CAST(n_errors AS DOUBLE) / n_events AS err_rate,
-         avg(CAST(n_errors AS DOUBLE) / n_events)
-           OVER (ORDER BY minute_ns ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS mu,
-         stddev_samp(CAST(n_errors AS DOUBLE) / n_events)
-           OVER (ORDER BY minute_ns ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS sd,
+         sum(ppm) OVER (ORDER BY minute_ns ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS s1,
+         sum(ppm * ppm) OVER (ORDER BY minute_ns ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS s2,
          row_number() OVER (ORDER BY minute_ns) AS rn
-  FROM m
+  FROM p
+),
+zc AS (
+  SELECT *,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 30.0) / 29.0) AS sd,
+         CAST(s1 AS DOUBLE) / 30.0 AS mu
+  FROM r WHERE rn > 30
 )
-SELECT minute_ns, n_events, n_errors, err_rate,
-       (err_rate - mu) / sd AS z
-FROM r
-WHERE rn > 30 AND sd > 0 AND (err_rate - mu) / sd >= 2.0""",
+SELECT minute_ns, n_events, n_errors,
+       CAST(ppm AS DOUBLE) / 1000000.0 AS err_rate,
+       (ppm - mu) / sd AS z
+FROM zc
+WHERE sd > 0 AND (ppm - mu) / sd >= 2.0""",
 )
 def error_rate_spikes(spark, sf_dir):
     """Operational anomaly detection on the event stream: per-minute
@@ -604,20 +610,41 @@ def error_rate_spikes(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
         )
-        .withColumn("err_rate", F.col("n_errors").cast("double") / F.col("n_events"))
+        # rates in EXACT integer ppm, baseline from exact int64 window
+        # sums: float avg/stddev window aggregation associates
+        # differently between engines (segment-tree vs sequential
+        # frames), so a z within ulps of the 2.0 cut could flip row
+        # membership — with integer s1/s2 every downstream double is
+        # bit-identical
+        .withColumn("ppm", F.expr("(n_errors * 1000000) DIV n_events"))
     )
     w = Window.orderBy("minute_ns").rowsBetween(-30, -1)
     wr = Window.orderBy("minute_ns")
     r = (
-        m.withColumn("mu", F.avg("err_rate").over(w))
-        .withColumn("sd", F.stddev_samp("err_rate").over(w))
+        m.withColumn("s1", F.sum("ppm").over(w))
+        .withColumn("s2", F.sum(F.col("ppm") * F.col("ppm")).over(w))
         .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") > 30)
+        .withColumn("mu", F.col("s1").cast("double") / 30.0)
+        .withColumn(
+            "sd",
+            F.sqrt(
+                (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / 30.0)
+                / 29.0
+            ),
+        )
     )
     return (
-        r.where((F.col("rn") > 30) & (F.col("sd") > 0))
-        .withColumn("z", (F.col("err_rate") - F.col("mu")) / F.col("sd"))
+        r.where(F.col("sd") > 0)
+        .withColumn("z", (F.col("ppm") - F.col("mu")) / F.col("sd"))
         .where(F.col("z") >= 2.0)
-        .select("minute_ns", "n_events", "n_errors", "err_rate", "z")
+        .select(
+            "minute_ns",
+            "n_events",
+            "n_errors",
+            (F.col("ppm").cast("double") / 1e6).alias("err_rate"),
+            "z",
+        )
     )
 
 
@@ -656,15 +683,8 @@ def session_path_topk(spark, sf_dir):
     style window (WindowGroupLimit on the single rank)."""
     from pyspark.sql import Window
 
-    # event_id is needed for deterministic ordering ties, and
-    # _events_ns projects it away — own narrow projection here
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_dtype = dict(raw.dtypes)["ts"]
-    if ts_dtype.startswith("timestamp"):
-        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-    else:
-        ts_ns = F.col("ts") - F.col("ts") % F.lit(1000)
-    ev = raw.select("user_id", "event_id", "event_type", ts_ns.alias("ts_ns"))
+    # event_id is needed for deterministic ordering ties
+    ev = _events_ns(spark, sf_dir, cols=("user_id", "event_id", "event_type"))
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     prev = F.lag("ts_ns").over(w)
     s = ev.withColumn(

@@ -2791,12 +2791,15 @@ def cross_source_dup_matrix_q(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     edges = D.simhash_near_pairs(docs).select("doc_a", "doc_b")
     src = docs.select("doc_id", "source")
+    # no broadcast hint on src: it is the CORPUS-scale side (one row
+    # per document); edges is the small output-scale relation, so AQE
+    # broadcasts that end when it fits and plain hash joins otherwise
     j = (
         edges.join(
-            F.broadcast(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "_sa")),
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "_sa"),
             "doc_a",
         ).join(
-            F.broadcast(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "_sb")),
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "_sb"),
             "doc_b",
         )
     )
