@@ -1113,3 +1113,84 @@ def remove_dup_spans(
         F.col("_o.n_tokens").alias("n_tokens"),
         F.col("_o.n_kept").alias("n_kept"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 256,
+    scale: int = 1_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted lexical near-dup pairs by TF·IDF cosine — the all-pairs
+    similarity classic (Bayardo et al., WWW'07): documents sharing rare
+    terms score high even when their raw token overlap (Jaccard) is
+    modest. Returns (doc_a, doc_b, cos_sim) with doc_a < doc_b,
+    cos_sim >= threshold.
+
+    Exactness: weights are the rational idf form quantized ONCE to
+    integers — wq = HALF_UP(scale · tf · N / df) — so dot products and
+    squared norms are exact int64 sums (order-independent); the final
+    cosine is one sqrt+division over exact integers, bit-identical in
+    both engines (the ``tfidf_keywords`` libm discipline extended to
+    the pair score). int64 headroom: wq ≤ scale·tf·N, and the dot sums
+    |shared terms| such products — scale=1e3 keeps sf-scale corpora
+    ~1e15, far under 2^63; raise ``scale`` only with corpus-size
+    awareness.
+
+    Scale shape: the same ``max_doc_freq`` stop-term cutoff as
+    ``ngram_jaccard_pairs`` — candidates come only from tokens whose df
+    is ≤ the cap (a stop-token fans the self-join to df² rows), norms
+    still use EVERY token, so only pairs whose entire overlap is
+    corpus-wide boilerplate are lost. One token-keyed self-join +
+    one (a, b) hash aggregate; text never shuffles (token hashes do).
+    """
+    from .text import token_hashes
+
+    t = docs.select(
+        F.col(id_col).alias("doc"), F.explode(token_hashes(text_col)).alias("h")
+    )
+    tf = t.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    w = (
+        tf.join(df_, "h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "h",
+            "df",
+            F.floor(
+                F.lit(float(scale)) * F.col("tf") * F.col("n_total") / F.col("df")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    cand = w.where(
+        F.lit(True) if max_doc_freq is None else (F.col("df") <= max_doc_freq)
+    )
+    l = cand.select(F.col("doc").alias("doc_a"), "h", F.col("wq").alias("wa"))
+    r = cand.select(F.col("doc").alias("doc_b"), "h", F.col("wq").alias("wb"))
+    dots = (
+        l.join(r, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dots.join(norms.withColumnRenamed("doc", "doc_a").withColumnRenamed("n2", "na2"), "doc_a")
+        .join(norms.withColumnRenamed("doc", "doc_b").withColumnRenamed("n2", "nb2"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cos_sim"),
+        )
+    )
+    return out.where(F.col("cos_sim") >= threshold)

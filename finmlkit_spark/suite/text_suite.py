@@ -2884,3 +2884,39 @@ def pmi_top_pairs_q(spark, sf_dir):
         .where(F.col("rank") <= 20)
         .select("l", "r", "c_ab", F.log("ratio").alias("pmi"), "rank")
     )
+
+
+@query(
+    "tfidf_cosine_pairs",
+    _TOKS
+    + f"""
+, th AS (SELECT doc_id AS doc, unnest({_TH}) AS h FROM toks),
+tf AS (SELECT doc, h, CAST(count(*) AS BIGINT) AS tf FROM th GROUP BY doc, h),
+dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+w AS (
+  SELECT tf.doc, tf.h, dfq.df,
+         CAST(floor(1000.0 * tf.tf * nn.n_total / dfq.df + 0.5) AS BIGINT) AS wq
+  FROM tf JOIN dfq USING (h) CROSS JOIN nn
+),
+nrm AS (SELECT doc, CAST(sum(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY doc),
+cand AS (SELECT * FROM w WHERE df <= 256),
+dots AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+  FROM cand a JOIN cand b ON a.h = b.h AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+FROM dots d
+JOIN nrm na ON d.doc_a = na.doc
+JOIN nrm nb ON d.doc_b = nb.doc
+WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5""",
+)
+def tfidf_cosine_pairs_q(spark, sf_dir):
+    """TF·IDF-weighted lexical cosine pairs (Bayardo et al. all-pairs
+    similarity): rare shared terms score high where raw Jaccard stays
+    modest. Integer-quantized rational weights → exact int64 dots and
+    norms → one deterministic sqrt/divide; stop-term df cap bounds the
+    token self-join (the ngram_jaccard discipline)."""
+    return D.tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5, max_doc_freq=256)

@@ -732,3 +732,56 @@ def test_weighted_sample_empty_and_plan(spark):
     # the ONLY SinglePartition is the sanctioned chunk-axis prefix
     # (bounded rows at any corpus size); the doc-scale side hashes
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_tfidf_cosine_pairs_matches_python_reference(spark):
+    """Weighted cosine on a crafted corpus: docs sharing a RARE term
+    score above docs sharing only common terms; values match the exact
+    integer-quantized reference."""
+    import math
+
+    from finmlkit_spark.operators import dedup as D
+
+    rows = [
+        (0, "rare common common"),
+        (1, "rare common other"),
+        (2, "common other thing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in D.tfidf_cosine_pairs(df, threshold=0.0, scale=1000).collect()
+    }
+
+    def poly(tok, mod=1_000_000_007):
+        a = 0
+        for ch in tok:
+            a = (a * 31 + ord(ch)) % mod
+        return a
+
+    corp = [r[1].split() for r in rows]
+    n = len(rows)
+    dfc: dict = {}
+    for t in corp:
+        for h in {poly(x) for x in t}:
+            dfc[h] = dfc.get(h, 0) + 1
+    W = []
+    for t in corp:
+        w = {}
+        for x in t:
+            h = poly(x)
+            w[h] = w.get(h, 0) + 1
+        W.append({h: math.floor(1000.0 * c * n / dfc[h] + 0.5) for h, c in w.items()})
+
+    def cos(a, b):
+        dot = sum(W[a][h] * W[b][h] for h in W[a] if h in W[b])
+        na = math.sqrt(sum(v * v for v in W[a].values()))
+        nb = math.sqrt(sum(v * v for v in W[b].values()))
+        return dot / (na * nb)
+
+    import pytest as _pt
+
+    for (a, b), v in got.items():
+        assert v == _pt.approx(cos(a, b), abs=1e-12)
+    # the rare-term pair outranks the common-overlap pairs
+    assert got[(0, 1)] > got[(1, 2)]
