@@ -88,6 +88,7 @@ HEADLINE = [
     "session_path_topk",
     "pmi_top_pairs",
     "tfidf_cosine_pairs",
+    "lsh_recall_audit",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

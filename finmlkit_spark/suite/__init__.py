@@ -41,7 +41,7 @@ from . import developing_suite  # noqa: F401
 # (the eight displaced r7 rows — dollar_bars, seq_atr_ema, tbm_labels,
 #       tbm_meta, lang_id, doc_fingerprint, minhash_lsh,
 #       simhash_near_pairs — lead the round-12 fill, together with the
-#       twenty-seven r6 rows the late retrieval/analytics/SQ8 tiers displaced:
+#       twenty-eight r6 rows the late retrieval/analytics/SQ8 tiers displaced:
 #       regional_revenue, imbalance_bars, run_bars, zscore_peak_events,
 #       pricing_summary, asof_tolerance, asof_sigma,
 #       seq_cusum_bars_chunked, store_inspector, unigram_logprob,
@@ -49,7 +49,7 @@ from . import developing_suite  # noqa: F401
 #       sequence_packing, multimodal_meta, simhash_fp, exact_dedup,
 #       text_stats, vp_developing, vp_hva_lva, vp_poc, vp_profile,
 #       seq_cusum_test_chunked, seq_cusum_test, seq_volume_bars_exact,
-#       seq_cusum_filter_chunked.)
+#       seq_cusum_filter_chunked, seq_cusum_filter.)
 # Still-green-and-unchanged queries sit behind position 50; their prior
 # evidence stands. After round 11 no registry row is older than r7.
 # ROUND-12 FRONT-LOAD: anything new/changed in round 12 first, then the
@@ -70,7 +70,7 @@ _PRIORITY = [
     "bigram_logprob",
     "token_length_stats",
     # -- NEW retrieval + product-analytics + SQ8 tiers (late round 11;
-    #    displace the last twenty-seven r6 rows — regional_revenue,
+    #    displace the last twenty-eight r6 rows — regional_revenue,
     #    imbalance_bars, run_bars, zscore_peak_events, pricing_summary,
     #    asof_tolerance, asof_sigma, seq_cusum_bars_chunked,
     #    store_inspector, unigram_logprob, c4_filter, dedup_keep_best,
@@ -78,7 +78,8 @@ _PRIORITY = [
     #    multimodal_meta, simhash_fp, exact_dedup, text_stats,
     #    vp_developing, vp_hva_lva, vp_poc, vp_profile,
     #    seq_cusum_test_chunked, seq_cusum_test, seq_volume_bars_exact,
-    #    seq_cusum_filter_chunked — to the round-12 fill) -----------------------------
+    #    seq_cusum_filter_chunked, seq_cusum_filter — to the round-12
+    #    fill) -------------------------------------------------------------------------
     "inverted_index",
     "bm25_topk",
     "dup_graph_pagerank",
@@ -106,6 +107,7 @@ _PRIORITY = [
     "session_path_topk",
     "pmi_top_pairs",
     "tfidf_cosine_pairs",
+    "lsh_recall_audit",
     # -- implementation changed in round 10/11 ---------------------------------
     "segment_dedup",
     "video_frame_stats",

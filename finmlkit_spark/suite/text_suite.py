@@ -2920,3 +2920,72 @@ def tfidf_cosine_pairs_q(spark, sf_dir):
     norms → one deterministic sqrt/divide; stop-term df cap bounds the
     token self-join (the ngram_jaccard discipline)."""
     return D.tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5, max_doc_freq=256)
+
+
+@query(
+    "lsh_recall_audit",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+sc AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+  FROM q JOIN e ON q.query_id <> e.vec_id
+),
+topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rk
+    FROM sc
+  ) WHERE rk <= 5
+),
+b AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(0, 16), j ->
+           CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                  v[CAST(i AS INT) + 1] *
+                  (CAST((1103515245 * (j * 64 + i + 1) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)
+                )) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM e
+),
+cand AS (
+  SELECT bq.vec_id AS query_id, bc.vec_id AS cand_id
+  FROM b bq JOIN b bc ON bq.bucket = bc.bucket AND bq.vec_id <> bc.vec_id
+  WHERE bq.vec_id < 10
+)
+SELECT t.query_id,
+       CAST(count(c.cand_id) AS BIGINT) AS n_found,
+       CAST(count(c.cand_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM topk t LEFT JOIN cand c
+  ON t.query_id = c.query_id AND t.cand_id = c.cand_id
+GROUP BY t.query_id""",
+)
+def lsh_recall_audit_q(spark, sf_dir):
+    """Approximation-quality audit: recall@5 of the 16-hyperplane LSH
+    bucket candidates against the exact brute-force cosine top-5, per
+    query — the number an ANN deployment monitors before trusting the
+    cheap path. Brute side restricted to the 10 query rows (broadcast
+    against the corpus, never corpus²); candidate side is the bucket
+    equi-join."""
+    embs = _embs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    exact = SIM.ann_brute_topk(embs, query_ids=list(range(10)), k=5).select(
+        "query_id", "cand_id"
+    )
+    d = embs.select(
+        F.col("vec_id").alias("id"), SIM.as_double("embedding").alias("v")
+    ).withColumn("bucket", SIM.lsh_bucket_arrow(F.col("v")))
+    bq = d.where(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("bucket").alias("_bq")
+    )
+    bc = d.select(F.col("id").alias("cand_id"), F.col("bucket").alias("_bc"))
+    cand = bq.join(bc, bq["_bq"] == bc["_bc"]).where(
+        F.col("query_id") != F.col("cand_id")
+    ).select("query_id", "cand_id").withColumn("_hit", F.lit(1))
+    j = exact.join(cand, ["query_id", "cand_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("_hit").alias("n_found"),
+        (F.count("_hit").cast("double") / 5.0).alias("recall_at_5"),
+    )
