@@ -1131,13 +1131,25 @@ def tfidf_cosine_pairs(
 
     Exactness: weights are the rational idf form quantized ONCE to
     integers — wq = HALF_UP(scale · tf · N / df) — so dot products and
-    squared norms are exact int64 sums (order-independent); the final
-    cosine is one sqrt+division over exact integers, bit-identical in
-    both engines (the ``tfidf_keywords`` libm discipline extended to
-    the pair score). int64 headroom: wq ≤ scale·tf·N, and the dot sums
-    |shared terms| such products — scale=1e3 keeps sf-scale corpora
-    ~1e15, far under 2^63; raise ``scale`` only with corpus-size
-    awareness.
+    squared norms are exact integer sums (order-independent); the
+    final cosine is one sqrt+division over exact integers,
+    bit-identical in both engines (the ``tfidf_keywords`` libm
+    discipline extended to the pair score).
+
+    Overflow posture (round-12, after the r11 advisory): wq for a
+    UNIQUE token (df=1) is ~scale·tf·N, so wq² reaches 2^63 at only
+    ~3M documents — int64 sums would wrap silently under Spark's
+    non-ANSI mode. Dots and norms therefore fold as
+    ``decimal(19,0)·int → decimal(38,0)`` partials (Spark) /
+    ``HUGEINT`` (DuckDB) — the ``embedding_covariance`` decimal-fold
+    posture. Each product wq² < (2^63)² < 1e38 is always
+    representable; an aggregate past 1e38 surfaces as NULL (decimal
+    overflow), never as wrapped garbage. Remaining int64 constraint is
+    wq itself: scale·tf·N < 9.2e18 — at scale=1e3 that is tf·N < 9e15
+    (a 1e9-doc corpus tolerates tf ≤ 9e6); quantization happens in
+    double, so exactness additionally needs scale·tf·N < 2^53
+    (tf·N < 9e12 at the default scale) — raise ``scale`` only with
+    corpus-size awareness.
 
     Scale shape: the same ``max_doc_freq`` stop-term cutoff as
     ``ngram_jaccard_pairs`` — candidates come only from tokens whose df
@@ -1169,7 +1181,11 @@ def tfidf_cosine_pairs(
             .alias("wq"),
         )
     )
-    norms = w.groupBy("doc").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    # decimal(19,0) holds any int64; the product is decimal(38,0) —
+    # wq² < 2^126 bits never truncates, and a sum past 1e38 nulls
+    # instead of wrapping (see docstring overflow posture)
+    wq_dec = F.col("wq").cast("decimal(19,0)")
+    norms = w.groupBy("doc").agg(F.sum(wq_dec * F.col("wq")).alias("n2"))
     cand = w.where(
         F.lit(True) if max_doc_freq is None else (F.col("df") <= max_doc_freq)
     )
@@ -1179,7 +1195,7 @@ def tfidf_cosine_pairs(
         l.join(r, "h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(F.sum(F.col("wa").cast("decimal(19,0)") * F.col("wb")).alias("dot"))
     )
     out = (
         dots.join(norms.withColumnRenamed("doc", "doc_a").withColumnRenamed("n2", "na2"), "doc_a")

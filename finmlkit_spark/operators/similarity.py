@@ -2039,11 +2039,15 @@ def diverse_sample(
 
     Scale shape: the algorithm is inherently sequential in k, so the
     plan is k corpus passes — each ONE narrow projection computing
-    ``least()`` over ≤k broadcast-literal cosine folds plus ONE
+    ``least()`` over ≤k array-literal cosine folds plus ONE
     max-struct scalar aggregate (map-side partials; the argmax row,
     vector included, is the only thing collected — k driver rows
-    total, the kmeans driver-mode posture). k is a coreset size
-    (constant), never data-scale.
+    total, the kmeans driver-mode posture). The projected frame is
+    lineage-cut ONCE before the loop (``cache.cut``), so the k passes
+    scan the checkpointed narrow frame, not the source parquet k+1
+    times (the round-11 plan defect). Each selected vector enters the
+    plan as ONE ArrayType literal (``F.lit(list)``), not d stacked
+    scalar literals. k is a coreset size (constant), never data-scale.
 
     Determinism: cosines are the sequential HOF fold (identical
     doubles in both engines), argmax breaks exact ties toward the
@@ -2053,7 +2057,10 @@ def diverse_sample(
 
     import numpy as np
 
-    e = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
+    id_type = dict(emb_df.dtypes)[id_col]
+    e = cache.cut(
+        emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
+    )
     first = e.orderBy("id").limit(1).collect()
     if not first:
         return e.select(
@@ -2062,18 +2069,18 @@ def diverse_sample(
             F.lit(0.0).alias("min_dist"),
         ).where(F.lit(False))
     sel = [(first[0]["id"], np.asarray(first[0]["v"], dtype=np.float64), 0.0)]
-    out_rows = [(1, int(sel[0][0]), 0.0)]
+    out_rows = [(1, sel[0][0], 0.0)]
     for _ in range(1, k):
         dists = []
         for sid, sv, _d in sel:
             # sequential cumsum == the oracle's list_dot_product fold
             nrm = math.sqrt(float((sv * sv).cumsum()[-1]))
-            lit_v = F.array(*[F.lit(float(x)) for x in sv])
+            lit_v = F.lit([float(x) for x in sv])
             cos = dot(F.col("v"), lit_v) / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.lit(nrm))
             dists.append(F.lit(1.0) - cos)
         md = dists[0] if len(dists) == 1 else F.least(*dists)
         win = (
-            e.where(~F.col("id").isin([int(s[0]) for s in sel]))
+            e.where(~F.col("id").isin([s[0] for s in sel]))
             .select(F.struct(md.alias("md"), (-F.col("id")).alias("ni"), F.col("id"), F.col("v")).alias("s"))
             .agg(F.max("s").alias("w"))
             .collect()[0]["w"]
@@ -2081,8 +2088,8 @@ def diverse_sample(
         if win is None:
             break
         sel.append((win["id"], np.asarray(win["v"], dtype=np.float64), float(win["md"])))
-        out_rows.append((len(sel), int(win["id"]), float(win["md"])))
+        out_rows.append((len(sel), win["id"], float(win["md"])))
     spark = emb_df.sparkSession
     return spark.createDataFrame(
-        out_rows, f"sel_order long, {id_col} long, min_dist double"
+        out_rows, f"sel_order long, {id_col} {id_type}, min_dist double"
     )

@@ -1107,7 +1107,7 @@ tot AS (SELECT COUNT(*) AS n FROM e)
 SELECT p.dim_j, p.dim_k,
        ROUND((CAST(p.sjk AS DOUBLE) / n
               - (CAST(sa.sj AS DOUBLE) / n) * (CAST(sb.sj AS DOUBLE) / n))
-             / 1000000000000.0e0, 6) AS cov
+             / 1000000000000.0e0, 6) + 0.0e0 AS cov
 FROM prods p, tot,
      sums sa, sums sb
 WHERE sa.j = p.dim_j AND sb.j = p.dim_k""",
@@ -1117,11 +1117,17 @@ def embedding_covariance_q(spark, sf_dir):
     partials, decimal fold, one terminal float expression) — the
     whitening/OPQ training input. The Arrow kernel's integer matmul
     and the oracle's pair-explode compute the SAME exact sums, so the
-    2080 upper-triangle rows hash-match bit-for-bit."""
+    2080 upper-triangle rows hash-match bit-for-bit. Both sides add
+    +0.0 after rounding: IEEE -0.0 + 0.0 = +0.0, so a covariance that
+    rounds to zero canonicalizes to the same sign bit in both engines
+    (DuckDB ROUND preserves the sign of tiny negatives; Spark does
+    not — the round-11 driver red on dim pair (5, 9))."""
     from ..operators import similarity as SIM
 
     out = SIM.embedding_covariance(_embs(spark, sf_dir))
-    return out.select("dim_j", "dim_k", F.round("cov", 6).alias("cov"))
+    return out.select(
+        "dim_j", "dim_k", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )
 
 
 @query(
@@ -2899,10 +2905,10 @@ w AS (
          CAST(floor(1000.0 * tf.tf * nn.n_total / dfq.df + 0.5) AS BIGINT) AS wq
   FROM tf JOIN dfq USING (h) CROSS JOIN nn
 ),
-nrm AS (SELECT doc, CAST(sum(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY doc),
+nrm AS (SELECT doc, sum(CAST(wq AS HUGEINT) * wq) AS n2 FROM w GROUP BY doc),
 cand AS (SELECT * FROM w WHERE df <= 256),
 dots AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+  SELECT a.doc AS doc_a, b.doc AS doc_b, sum(CAST(a.wq AS HUGEINT) * b.wq) AS dot
   FROM cand a JOIN cand b ON a.h = b.h AND a.doc < b.doc
   GROUP BY 1, 2
 )

@@ -785,3 +785,39 @@ def test_tfidf_cosine_pairs_matches_python_reference(spark):
         assert v == _pt.approx(cos(a, b), abs=1e-12)
     # the rare-term pair outranks the common-overlap pairs
     assert got[(0, 1)] > got[(1, 2)]
+
+
+def test_tfidf_cosine_pairs_norm_no_int64_wrap(spark):
+    """Round-12 overflow regression (r11 advisory): with a scale big
+    enough that wq² exceeds 2^63, the decimal(38,0) dot/norm fold must
+    still produce the exact cosine — the previous int64 sum wrapped
+    silently under Spark's non-ANSI mode and emitted garbage. wq here
+    is ~2.2e12 (unique token, df=1), so wq² ≈ 4.8e24 ≫ 9.2e18."""
+    import math
+
+    import pytest as _pt
+
+    from finmlkit_spark.operators import dedup as D
+
+    big = 2**41  # scale; wq = big·tf·N/df = 2.2e12·3 for df=1
+    rows = [
+        (0, "unique_alpha shared"),
+        (1, "unique_beta shared"),
+        (2, "unique_gamma shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in D.tfidf_cosine_pairs(df, threshold=0.0, scale=big).collect()
+    }
+    n = len(rows)
+    w_unique = math.floor(big * 1.0 * n / 1 + 0.5)  # df=1
+    w_shared = math.floor(big * 1.0 * n / 3 + 0.5)  # df=3
+    assert w_unique * w_unique > 2**63  # the wrap precondition
+    # every doc vector = (one unique token, one shared token)
+    dot = w_shared * w_shared
+    nrm = math.sqrt(w_unique * w_unique + w_shared * w_shared)
+    want = dot / (nrm * nrm)
+    for pair in [(0, 1), (0, 2), (1, 2)]:
+        assert got[pair] == _pt.approx(want, rel=1e-12)
+        assert 0.0 < got[pair] < 1.0  # a wrapped sum goes negative/huge

@@ -6,16 +6,26 @@ row count, schema arity, and order-insensitive values (columns sorted by
 name, rows sorted, floats rounded).
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+
+FMK_STRICT=1 switches to driver-parity comparison: no -0.0 -> 0.0
+normalization, no rounding, no tolerance — float columns compare by
+bit pattern, exactly like the driver's value hash. The round-11 driver
+red (`embedding_covariance` -0.0 vs +0.0) passed the default lenient
+comparator; run the full registry once per round under FMK_STRICT=1 so
+a bytes-differ-values-equal hazard can never again pass the gate.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+STRICT = os.environ.get("FMK_STRICT", "0") == "1"
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -31,8 +41,11 @@ def canon(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(ndigits)
-            df[c] = df[c].replace(-0.0, 0.0)
+            if STRICT:
+                df[c] = df[c].astype("float64")  # driver-parity: raw bits
+            else:
+                df[c] = df[c].astype("float64").round(ndigits)
+                df[c] = df[c].replace(-0.0, 0.0)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
@@ -54,8 +67,16 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
-            tol = float(__import__("os").environ.get("FMK_TOL", "1e-6"))
-            ok = np.allclose(av.astype(float), bv.astype(float), rtol=tol, atol=tol, equal_nan=True)
+            if STRICT:
+                ok = bool(
+                    np.array_equal(
+                        av.astype("float64").view("uint64"),
+                        bv.astype("float64").view("uint64"),
+                    )
+                )
+            else:
+                tol = float(os.environ.get("FMK_TOL", "1e-6"))
+                ok = np.allclose(av.astype(float), bv.astype(float), rtol=tol, atol=tol, equal_nan=True)
         else:
             try:
                 ok = (pd.Series(av).fillna("<NA>") == pd.Series(bv).fillna("<NA>")).all()
@@ -108,7 +129,8 @@ def main():
         else:
             print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    mode = "STRICT driver-parity" if STRICT else "lenient 1e-6"
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak ({mode})")
     sys.exit(1 if n_fail else 0)
 
 
