@@ -111,31 +111,47 @@ def bm25_topk(
     ``tfidf_keywords`` sidesteps it with a rational idf, which BM25's
     definition does not admit).
 
-    Plan shape: one narrow projection computes dl and every per-term
-    tf from a single let-bound token array (no explode — the term
-    list is a query, not data); corpus stats (N, Σdl, per-term df)
-    fold to ONE row that re-enters via broadcast; the top-k is
-    ``orderBy().limit()`` = ``TakeOrderedAndProject`` (each task keeps
-    k rows; no SinglePartition sort). The projection subtree is read
-    twice (stats + scoring) — both are pushdown-pruned scans of
-    (id, text) only.
+    Plan shape: ONE let-bound tokenizer pass per row feeds dl AND every
+    per-term tf — the bind's body returns a struct of all |terms|+1
+    counts, and the struct lands in its own projection before the
+    field unpack so CollapseProject cannot re-inline the split (the
+    SCALE.md let-bind-once discipline; the previous form let-bound one
+    ``tokens()`` call PER TERM plus one for dl — |terms|+1 full split
+    passes, doubled by the stats/scoring dual scan). Corpus stats
+    (N, Σdl, per-term df) fold to ONE row that re-enters via
+    broadcast; the top-k is ``orderBy().limit()`` =
+    ``TakeOrderedAndProject`` (each task keeps k rows; no
+    SinglePartition sort). The projection subtree is read twice
+    (stats + scoring) — both are pushdown-pruned scans of (id, text)
+    only.
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
 
-    # NB: factory closure, not a `lambda t, w=w:` default-arg — that
-    # would give the lambda arity 2, which the HOFs interpret as
-    # (element, index) (same gotcha as text.lang_scores)
-    def _tf_body(w: str):
-        return lambda t: F.size(F.filter(t, lambda x: x == F.lit(w))).cast("long")
+    # NB: the per-term filter lambdas close over `w` but F.filter
+    # BUILDS the expression immediately inside the comprehension, so
+    # Python late binding never bites; the outer body keeps arity 1
+    # (a 2-arg lambda would be read as (element, index) by the HOFs —
+    # same gotcha as text.lang_scores)
+    def _counts_body(t):
+        return F.struct(
+            F.size(t).cast("long").alias("dl"),
+            *[
+                F.size(F.filter(t, lambda x: x == F.lit(w)))
+                .cast("long")
+                .alias(f"tf{i}")
+                for i, w in enumerate(terms)
+            ],
+        )
 
-    proj = docs.select(
+    packed = docs.select(
         F.col(id_col).alias("doc_id"),
-        TX.token_count(text_col).alias("_dl"),
-        *[
-            TX.let_bind(TX.tokens(text_col), _tf_body(w)).alias(f"_tf{i}")
-            for i, w in enumerate(terms)
-        ],
+        TX.let_bind(TX.tokens(text_col), _counts_body).alias("_o"),
+    )
+    proj = packed.select(
+        "doc_id",
+        F.col("_o.dl").alias("_dl"),
+        *[F.col(f"_o.tf{i}").alias(f"_tf{i}") for i in range(len(terms))],
     )
     stats = proj.agg(
         F.count(F.lit(1)).alias("_n"),

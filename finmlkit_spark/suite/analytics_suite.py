@@ -653,6 +653,8 @@ def forecast_revenue(spark, sf_dir):
     """
 SELECT coalesce(n.n_name, 'ALL') AS nation,
        coalesce(o.o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(n.n_name) AS BIGINT) AS nation_subtotal,
+       CAST(GROUPING(o.o_orderpriority) AS BIGINT) AS priority_subtotal,
        sum(o.o_totalprice) AS revenue,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
@@ -664,8 +666,11 @@ def revenue_rollup(spark, sf_dir):
     """Hierarchical ROLLUP aggregate (nation → priority → grand total)
     in one pass — Spark expands the grouping sets into one hash
     aggregate with map-side partials, no per-level re-scan; dims
-    broadcast. NULL grouping levels are coalesced to 'ALL' so both
-    engines emit identical keys."""
+    broadcast. Subtotal rows are tagged with explicit ``GROUPING()``
+    flags (round-12 advisory: a real dimension value equal to the
+    display sentinel 'ALL' must stay distinguishable from a subtotal
+    row — the sentinel is for display only, the flag is the contract;
+    both engines compute GROUPING identically)."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
@@ -675,12 +680,16 @@ def revenue_rollup(spark, sf_dir):
     return (
         j.rollup("n_name", "o_orderpriority")
         .agg(
+            F.grouping("n_name").cast("long").alias("nation_subtotal"),
+            F.grouping("o_orderpriority").cast("long").alias("priority_subtotal"),
             F.sum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "nation_subtotal",
+            "priority_subtotal",
             "revenue",
             "n_orders",
         )

@@ -679,8 +679,9 @@ def session_path_topk(spark, sf_dir):
     """Top-20 session paths (ordered event-type sequences within the
     30-min-gap sessions) — the navigation-pattern mining classic. The
     per-session path is an ordered collect bounded by session length;
-    path counting is one hash aggregate and the top-k a TakeOrdered-
-    style window (WindowGroupLimit on the single rank)."""
+    path counting is one hash aggregate and the top-k a true
+    TakeOrderedAndProject (per-partition top-20 partials, no global
+    exchange of the path table) + a 20-row re-rank."""
     from pyspark.sql import Window
 
     # event_id is needed for deterministic ordering ties
@@ -706,8 +707,10 @@ def session_path_topk(spark, sf_dir):
         ).alias("path")
     )
     c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    # TakeOrderedAndProject over the unbounded distinct-path aggregate,
+    # then re-rank the 20 survivors — replaces a global row_number()
+    # window that single-partitioned every distinct session path
+    # (round-12 advisory); the re-rank window is bounded at 20 rows.
+    top = c.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(20)
     wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
-    return (
-        c.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .where(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))

@@ -2884,10 +2884,15 @@ def pmi_top_pairs_q(spark, sf_dir):
             F.col("c_ab").cast("double") * 2.0 * F.col("total") / (F.col("_cl") * F.col("_cr")),
         )
     )
+    # TakeOrderedAndProject over the unbounded bigram aggregate, then
+    # re-rank the surviving 20 rows — the global row_number() window
+    # this replaces forced an Exchange SinglePartition of EVERY
+    # distinct bigram with c_ab >= 5 (round-12 advisory); the re-rank
+    # window still single-partitions, but over exactly 20 rows.
+    top = sc.orderBy(F.col("ratio").desc(), F.col("l"), F.col("r")).limit(20)
     w = Window.orderBy(F.col("ratio").desc(), F.col("l"), F.col("r"))
     return (
-        sc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("l", "r", "c_ab", F.log("ratio").alias("pmi"), "rank")
     )
 

@@ -77,6 +77,10 @@ GUARDED = [
     "knn_graph",
     "wordpiece_stats",
     "nation_customer_deciles",
+    # round-12: top-k over an unbounded aggregate rides
+    # TakeOrderedAndProject + a 20-row re-rank, never a global
+    # row_number window over every distinct path
+    "session_path_topk",
 ]
 
 
@@ -141,6 +145,20 @@ def test_segment_dedup_modes_bit_identical(spark):
     assert results[False] == results[True]
     assert "Exchange SinglePartition" not in plans[False]
     assert "Exchange SinglePartition" in plans[True]
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """pmi_top_pairs must plan its top-20 as TakeOrderedAndProject
+    (per-partition partial top-k) — the round-12 rewrite replaced a
+    global row_number window that single-partitioned every distinct
+    bigram with c_ab >= 5. The ONE sanctioned SinglePartition left is
+    the 1-row total-pair-count scalar aggregate it broadcasts; the
+    20-row re-rank window rides the TakeOrdered output without a
+    second exchange."""
+    df = QUERIES["pmi_top_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
 
 
 def test_guard_covers_current_feat_tier():

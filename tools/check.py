@@ -7,12 +7,17 @@ name, rows sorted, floats rounded).
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
 
-FMK_STRICT=1 switches to driver-parity comparison: no -0.0 -> 0.0
-normalization, no rounding, no tolerance — float columns compare by
-bit pattern, exactly like the driver's value hash. The round-11 driver
-red (`embedding_covariance` -0.0 vs +0.0) passed the default lenient
-comparator; run the full registry once per round under FMK_STRICT=1 so
-a bytes-differ-values-equal hazard can never again pass the gate.
+FMK_STRICT=1 switches to driver-parity comparison: floats are rounded
+to 6 digits and then compared by BIT PATTERN — no -0.0 -> 0.0
+normalization, no tolerance. This emulates the driver's value hash as
+evidenced by round 11: ulp-floor libm deltas (e.g. pmi_top_pairs' 1-ulp
+ln) hashed GREEN there, while embedding_covariance's -0.0-after-ROUND
+hashed RED — so the driver rounds before hashing but the rounding
+preserves the sign of zero. The old lenient comparator normalized
+-0.0 and so was MORE forgiving than the driver; run the full registry
+once per round under FMK_STRICT=1 so a bytes-differ-values-equal hazard
+can never again pass the gate. (tools/bitcheck.py is stricter still:
+raw bits, no rounding — use it for determinism hunting.)
 """
 
 from __future__ import annotations
@@ -42,7 +47,8 @@ def canon(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             if STRICT:
-                df[c] = df[c].astype("float64")  # driver-parity: raw bits
+                # driver-parity: round, but keep the sign of zero
+                df[c] = df[c].astype("float64").round(ndigits)
             else:
                 df[c] = df[c].astype("float64").round(ndigits)
                 df[c] = df[c].replace(-0.0, 0.0)
