@@ -2022,6 +2022,69 @@ def ann_ivf_sq8(
     )
 
 
+def ann_sq8_search(
+    emb_df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    mode: str = "auto",
+    n_rows: int | None = None,
+    ivf_crossover: int = 262_144,
+    k_coarse: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+    seeds: list | None = None,
+    bounds=None,
+) -> DataFrame:
+    """Routed SQ8 ANN entry point — the round-12 auto-crossover the
+    segment_dedup/flagship gates use (``corpus.py::segment_dedup``):
+    small corpora take the exact full-scan :func:`ann_sq8_topk`
+    (every encoded row scored per query — the honest baseline, and
+    cheaper than building a coarse index below the crossover), large
+    corpora take the IVF-restricted :func:`ann_ivf_sq8` (only the
+    ``nprobe`` probed cells' candidates are scored — the 100 TB path;
+    measured sf0.1→sf1 growth 2.0× vs the full scan's 3.6×, SCALE.md).
+
+    ``mode``: ``"full"`` / ``"ivf"`` force a side; ``"auto"`` routes on
+    ``n_rows`` (pass a parquet-footer count when you have one — the
+    suite's ``_parquet_num_rows`` posture, no Spark job). When
+    ``n_rows`` is None under auto, ONE narrow count job on the pruned
+    id column decides (cheap next to the search itself; documented
+    rather than hidden).
+
+    The two sides agree WHERE THEY OVERLAP: both score with the same
+    int64 asymmetric distance over the same SQ8 codes, so any
+    (query, cand) pair ranked by both carries the bit-identical
+    sq_dist (pinned by ``test_ann_sq8_route_crossover``); IVF may
+    legitimately return different top-k MEMBERS for candidates outside
+    the probed cells — that recall trade is the point of the index
+    (measured honestly by ``lsh_recall_audit``'s sibling posture).
+    """
+    if mode not in ("auto", "full", "ivf"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        if n_rows is None:
+            n_rows = emb_df.select(id_col).count()
+        mode = "full" if n_rows < ivf_crossover else "ivf"
+    if mode == "full":
+        return ann_sq8_topk(
+            emb_df, n_queries, k, id_col, emb_col, ndigits, bounds=bounds
+        )
+    return ann_ivf_sq8(
+        emb_df,
+        n_queries,
+        k,
+        k_coarse,
+        nprobe,
+        id_col,
+        emb_col,
+        ndigits,
+        seeds=seeds,
+        bounds=bounds,
+    )
+
+
 def diverse_sample(
     emb_df: DataFrame,
     k: int = 8,

@@ -2401,7 +2401,11 @@ def ann_sq8_topk_q(spark, sf_dir):
     ScalarQuantizer search path: per-dim min/max trained on a bounded
     sample, map-only encode to dim uint8 codes (8× payload shrink),
     exact-query-vs-dequantized-candidate squared L2 in 1e-6-quantized
-    int64 (rank-exact vs the oracle)."""
+    int64 (rank-exact vs the oracle). This registration pins the
+    LABELED full-scan baseline so the oracle stays total; user code
+    should call ``similarity.ann_sq8_search`` (round-12), which
+    footer-gates onto ``ann_ivf_sq8`` above the corpus-size crossover
+    — the scale path this baseline exists to be measured against."""
     return SIM.ann_sq8_topk(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
