@@ -207,11 +207,13 @@ def encode_png(arr: np.ndarray) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-# --- baseline JPEG (ITU-T T.81, public spec) --------------------------------
-# Native minimal codec: SOF dims parse for ANY JPEG, and a pure-numpy
-# pixel decoder for BASELINE SEQUENTIAL GRAYSCALE scans (the committed
-# test fixture's shape). Multi-component / progressive pixel decode
-# stays behind the PIL seam — dims still parse natively.
+# --- JPEG (ITU-T T.81, public spec) ------------------------------------------
+# Native codec: SOF dims parse for ANY JPEG; pure-numpy pixel decode for
+# baseline/extended SEQUENTIAL (grayscale + interleaved YCbCr color up
+# to 2x2 sampling) and PROGRESSIVE (Annex G spectral selection +
+# successive approximation) Huffman scans, restart intervals included.
+# Remaining PIL seams: arithmetic coding, 12-bit precision, CMYK/4-comp,
+# >2x2 sampling, lossless and hierarchical modes.
 
 _JPEG_SOF_MARKERS = frozenset(
     [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
@@ -294,11 +296,20 @@ def _jpeg_dct_matrix() -> np.ndarray:
 
 
 class _JpegBits:
-    """MSB-first bit reader over the entropy-coded scan bytes (0xFF00
-    stuffing removed; stops before the next marker)."""
+    """MSB-first bit reader over ONE scan's entropy-coded bytes (0xFF00
+    stuffing removed; stops before the next non-restart marker).
+
+    RSTn markers (0xFFD0-D7) inside the scan are consumed and their
+    byte positions in the CLEANED stream recorded (``self.marks``) —
+    :meth:`restart` jumps the cursor to the next one, which is how the
+    MCU loops realign at DRI boundaries. ``self.end`` is the
+    original-buffer offset of the marker that TERMINATED the scan, so
+    a multi-scan (progressive) walker can resume segment parsing
+    there."""
 
     def __init__(self, b: bytes, start: int):
         data = bytearray()
+        marks: list[int] = []
         i = start
         n = len(b)
         while i < n:
@@ -309,23 +320,40 @@ class _JpegBits:
                     data.append(0xFF)
                     i += 2
                     continue
-                break  # a real marker (EOI/RSTn/...) ends the scan
+                if 0xD0 <= nx <= 0xD7:  # RSTn: a restart boundary
+                    marks.append(len(data))
+                    i += 2
+                    continue
+                break  # a real marker (EOI/DHT/SOS/...) ends the scan
             data.append(x)
             i += 1
         self.d = bytes(data)
         self.pos = 0  # bit position
+        self.marks = marks
+        self._next_mark = 0
+        self.end = i  # original-buffer offset of the terminating marker
+
+    def restart(self) -> None:
+        """Byte-align onto the next recorded RSTn boundary (caller
+        resets DC predictors / EOB run). Raises the documented error
+        when the stream declared DRI but carries no marker."""
+        if self._next_mark >= len(self.marks):
+            raise ValueError(
+                "JPEG declares a restart interval but the scan has no "
+                "further RSTn marker"
+            )
+        self.pos = self.marks[self._next_mark] * 8
+        self._next_mark += 1
 
     def read(self, nbits: int) -> int:
         v = 0
         for _ in range(nbits):
             if (self.pos >> 3) >= len(self.d):
-                # exhausted mid-image (restart-interval streams stop at
-                # the first RSTn marker; truncated payloads end early) —
-                # surface the documented seam, never a raw IndexError
-                raise NotImplementedError(
-                    "JPEG scan data exhausted mid-image (restart markers "
-                    "or truncation) — full restart-interval decode "
-                    "requires PIL"
+                # exhausted mid-image (truncated payloads end early) —
+                # surface a clean error, never a raw IndexError
+                raise ValueError(
+                    "JPEG scan data exhausted mid-image (truncated "
+                    "payload or corrupt entropy stream)"
                 )
             byte = self.d[self.pos >> 3]
             v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
@@ -382,18 +410,21 @@ def _jpeg_decode_block(bits: "_JpegBits", dc_tab: dict, ac_tab: dict,
 
 
 def jpeg_pixels(b: bytes) -> np.ndarray:
-    """Baseline sequential JPEG -> uint8 pixels: (h, w, 1) for
-    grayscale, (h, w, 3) RGB for interleaved YCbCr color — including
-    the 4:2:0 / 4:2:2 chroma subsampling real corpora use.
+    """JPEG -> uint8 pixels: (h, w, 1) for grayscale, (h, w, 3) RGB
+    for interleaved YCbCr color — including the 4:2:0 / 4:2:2 chroma
+    subsampling real corpora use. Baseline/extended sequential (SOF0/1)
+    decodes here; progressive (SOF2) routes to
+    :func:`_jpeg_progressive_pixels`; both honor restart intervals
+    (DRI + RSTn realign, DC predictors reset — T.81 F.2.2.1).
 
     Pure numpy/stdlib: marker walk, canonical Huffman decode, dequant,
     zigzag de-scan, orthonormal 8x8 IDCT per data unit in MCU
     interleave order (T.81 A.2.3), chroma upsampled by replication,
     JFIF/CCIR-601 YCbCr->RGB, level shift + clamp — ITU-T T.81 Annex F.
-    Progressive, restart-interval (DRI), non-interleaved multi-scan,
-    and >2x2-sampled payloads raise NotImplementedError (the documented
-    PIL seam); dims for those still parse natively via
-    :func:`_parse_jpeg`."""
+    Arithmetic-coded, 12-bit, CMYK/4-component, >2x2-sampled,
+    non-interleaved-multi-scan-sequential, lossless and hierarchical
+    payloads raise NotImplementedError (the documented PIL seam); dims
+    for those still parse natively via :func:`_parse_jpeg`."""
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
@@ -404,19 +435,15 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     # 1 = YCbCr. 2 (YCCK) only occurs on 4-component streams, which the
     # SOF gate already routes to the PIL seam.
     adobe_transform = None
+    ri = 0  # restart interval in MCUs (0 = none)
     for m, off, ln in _jpeg_segments(b):
         if (m == 0xEE and b[off : off + 5] == b"Adobe" and ln >= 12
                 and off + 12 <= len(b)):
             adobe_transform = b[off + 11]
-        elif m == 0xDD:  # DRI — restart intervals re-align + reset the DC
-            # predictor mid-scan; this minimal decoder doesn't track
-            # them, so bail at the documented seam instead of decoding
-            # garbage past the first RSTn marker
+        elif m == 0xDD:  # DRI — every `ri` MCUs the stream byte-aligns
+            # on an RSTn marker and the DC predictors reset (T.81
+            # F.2.2.1); tracked and honored in the MCU loops below
             (ri,) = struct.unpack_from(">H", b, off)
-            if ri != 0:
-                raise NotImplementedError(
-                    "restart-interval (DRI) JPEG decode requires PIL"
-                )
         elif m == 0xDB:  # DQT (possibly several tables per segment)
             j = off
             while j < off + ln:
@@ -426,10 +453,18 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 qt[tq] = np.frombuffer(b, np.uint8, 64, j + 1).astype(np.float64)
                 j += 65
         elif m in _JPEG_SOF_MARKERS:
-            if m != 0xC0:
+            if m == 0xC2:
+                # progressive DCT: multi-scan spectral-selection /
+                # successive-approximation decode (T.81 Annex G)
+                return _jpeg_progressive_pixels(b)
+            if m not in (0xC0, 0xC1):
                 raise NotImplementedError(
-                    "only baseline sequential JPEG decodes natively"
+                    "only baseline/extended sequential and progressive "
+                    "Huffman JPEG decode natively (arithmetic-coded, "
+                    "lossless and hierarchical modes need PIL)"
                 )
+            if b[off] != 8:
+                raise NotImplementedError("12-bit JPEG precision needs PIL")
             h, w = struct.unpack_from(">HH", b, off + 1)
             ncomp = b[off + 5]
             if ncomp not in (1, 3):
@@ -485,10 +520,15 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
         by, bx = (h + 7) // 8, (w + 7) // 8
         out = np.empty((by * 8, bx * 8), dtype=np.float64)
         pred = 0
+        nmcu = 0
         for r in range(by):
             for c in range(bx):
+                if ri and nmcu and nmcu % ri == 0:
+                    bits.restart()
+                    pred = 0
                 px, pred = _jpeg_decode_block(bits, dc_tab, ac_tab, q, C, pred)
                 out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = px
+                nmcu += 1
         img = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
         return img[:, :, None]
     # interleaved YCbCr scan: each MCU carries ch_i x cv_i data units
@@ -502,8 +542,13 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
         for _cid, ch_, cv_, _tq in comps
     ]
     preds = [0] * len(comps)
+    nmcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and nmcu and nmcu % ri == 0:
+                bits.restart()
+                preds = [0] * len(comps)
+            nmcu += 1
             for i, (cid, ch_, cv_, tq) in enumerate(comps):
                 td, ta = stabs[cid]
                 dc_tab, ac_tab, q = huff[(0, td)], huff[(1, ta)], qt[tq]
@@ -531,6 +576,332 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     else:
         y, cb, cr = full
         # JFIF / CCIR 601 inverse transform
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _prog_dc_scan(bits, scomps, coefs, huff, stabs, Ah, Al, ri, geom):
+    """One progressive DC scan (T.81 G.2): first pass (Ah=0) decodes
+    Huffman DC diffs into bit-plane-shifted coefficients; refinement
+    passes (Ah>0) append one bit per block at position Al (two's-
+    complement OR — the libjpeg convention the spec's successive
+    approximation reduces to). Interleaved over the full MCU grid when
+    the scan carries several components, raster over the component's
+    own block grid when it carries one."""
+    mcux, mcuy = geom
+    preds = {ci: 0 for ci, _c in scomps}
+    if len(scomps) == 1:
+        ci, comp = scomps[0]
+        BH, BW, _ = coefs[ci].shape
+        units = [(ci, by, bx) for by in range(BH) for bx in range(BW)]
+    else:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_cid, ch_, cv_, _tq) in scomps:
+                    for vv in range(cv_):
+                        for hh in range(ch_):
+                            units.append((ci, my * cv_ + vv, mx * ch_ + hh))
+        # restart counts MCUs, not data units
+        upm = sum(c[1] * c[2] for _ci, c in scomps)
+    nmcu = 0
+    for j, (ci, by, bx) in enumerate(units):
+        at_mcu = (j % upm == 0) if len(scomps) > 1 else True
+        if ri and at_mcu:
+            if nmcu and nmcu % ri == 0:
+                bits.restart()
+                preds = {k: 0 for k in preds}
+            nmcu += 1
+        if Ah == 0:
+            td = stabs[ci][0]
+            t = bits.huff(huff[(0, td)])
+            preds[ci] += _jpeg_extend(bits.read(t), t)
+            coefs[ci][by, bx, 0] = preds[ci] << Al
+        elif bits.read(1):
+            coefs[ci][by, bx, 0] |= 1 << Al
+
+
+def _prog_ac_first(bits, arr, ac_tab, Ss, Se, Al, ri, true_bh, true_bw):
+    """Progressive AC first scan (Ah=0, T.81 G.2.2 / F.2.2.2 with EOB
+    runs): non-interleaved raster over the component's true block
+    grid; an EOBn symbol skips 2^r-1+ext further all-zero bands."""
+    eobrun = 0
+    nmcu = 0
+    for by in range(true_bh):
+        for bx in range(true_bw):
+            if ri:
+                if nmcu and nmcu % ri == 0:
+                    bits.restart()
+                    eobrun = 0
+                nmcu += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            blk = arr[by, bx]
+            k = Ss
+            while k <= Se:
+                sym = bits.huff(ac_tab)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.read(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > Se:
+                    raise ValueError("invalid JPEG AC run past band end")
+                blk[k] = _jpeg_extend(bits.read(s), s) << Al
+                k += 1
+
+
+def _prog_ac_refine(bits, arr, ac_tab, Ss, Se, Al, ri, true_bh, true_bw):
+    """Progressive AC refinement scan (Ah=Al+1, T.81 G.2.2): newly
+    significant coefficients arrive as ±2^Al; every already-nonzero
+    coefficient traversed emits one correction bit (added at bit Al
+    when set and not yet present) — the libjpeg decode_mcu_AC_refine
+    control flow, which is the de-facto reading of the spec."""
+    p1, m1 = 1 << Al, -1 << Al
+    eobrun = 0
+    nmcu = 0
+    for by in range(true_bh):
+        for bx in range(true_bw):
+            if ri:
+                if nmcu and nmcu % ri == 0:
+                    bits.restart()
+                    eobrun = 0
+                nmcu += 1
+            blk = arr[by, bx]
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    sym = bits.huff(ac_tab)
+                    r, s = sym >> 4, sym & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.read(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history slots
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid JPEG refinement magnitude"
+                            )
+                        val = p1 if bits.read(1) else m1
+                    while k <= Se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if bits.read(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= Se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    c = int(blk[k])
+                    if c != 0 and bits.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _jpeg_progressive_pixels(b: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) -> uint8 pixels, pure numpy/stdlib —
+    ITU-T T.81 Annex G spectral-selection + successive-approximation
+    Huffman decode, restart intervals included. Every scan accumulates
+    into per-component zigzag coefficient planes; dequant, IDCT,
+    upsample, and color transform run ONCE at the end and reproduce the
+    baseline path's float expressions exactly, so a progressive
+    re-encode of the same quantized coefficients decodes bit-identically
+    to the sequential stream (pinned by the golden tests). Same scope
+    gates as the baseline path: 8-bit precision, 1 or 3 components,
+    sampling factors <= 2."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps: list[list[int]] | None = None
+    coefs: list[np.ndarray] | None = None
+    adobe_transform = None
+    ri = 0
+    hmax = vmax = mcux = mcuy = 1
+    true_dims: list[tuple[int, int]] = []
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i, n = 2, len(b)
+    while i + 2 <= n:
+        if b[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while i + 2 <= n and b[i + 1] == 0xFF:
+            i += 1
+        m = b[i + 1] if i + 1 < n else 0xD9
+        if m == 0xD9:  # EOI
+            break
+        if i + 4 > n:
+            raise ValueError("truncated JPEG")
+        (seglen,) = struct.unpack_from(">H", b, i + 2)
+        off, ln = i + 4, seglen - 2
+        if m == 0xEE and b[off : off + 5] == b"Adobe" and ln >= 12 and off + 12 <= n:
+            adobe_transform = b[off + 11]
+        elif m == 0xDD:
+            (ri,) = struct.unpack_from(">H", b, off)
+        elif m == 0xDB:
+            j = off
+            while j < off + ln:
+                pq, tq = b[j] >> 4, b[j] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qt[tq] = np.frombuffer(b, np.uint8, 64, j + 1).astype(np.float64)
+                j += 65
+        elif m == 0xC4:
+            j = off
+            while j < off + ln:
+                tc, th = b[j] >> 4, b[j] & 15
+                counts = b[j + 1 : j + 17]
+                nsym = sum(counts)
+                huff[(tc, th)] = _jpeg_huff_table(counts, b[j + 17 : j + 17 + nsym])
+                j += 17 + nsym
+        elif m in _JPEG_SOF_MARKERS:
+            if m != 0xC2:
+                raise ValueError("non-progressive SOF inside progressive decode")
+            if b[off] != 8:
+                raise NotImplementedError("12-bit JPEG precision needs PIL")
+            h, w = struct.unpack_from(">HH", b, off + 1)
+            ncomp = b[off + 5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "native JPEG pixel decode covers grayscale and "
+                    "3-component YCbCr; CMYK/4-component needs PIL"
+                )
+            comps = []
+            for ci in range(ncomp):
+                cid = b[off + 6 + 3 * ci]
+                hv = b[off + 7 + 3 * ci]
+                ch_, cv_ = hv >> 4, hv & 15
+                if not (1 <= ch_ <= 2 and 1 <= cv_ <= 2):
+                    raise NotImplementedError(
+                        "JPEG sampling factors beyond 2x2 need PIL"
+                    )
+                comps.append([cid, ch_, cv_, b[off + 8 + 3 * ci]])
+            if ncomp == 1:
+                # single-component frames decode non-interleaved
+                # throughout (T.81 A.2.2) — sampling factors moot
+                comps[0][1] = comps[0][2] = 1
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs, true_dims = [], []
+            for _cid, ch_, cv_, _tq in comps:
+                coefs.append(
+                    np.zeros((mcuy * cv_, mcux * ch_, 64), dtype=np.int32)
+                )
+                chh = (h * cv_ + vmax - 1) // vmax
+                cww = (w * ch_ + hmax - 1) // hmax
+                true_dims.append(((chh + 7) // 8, (cww + 7) // 8))
+            sof = (h, w)
+        elif m == 0xDA:
+            if sof is None or comps is None or coefs is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = b[off]
+            stabs = {}
+            order = []
+            for j in range(ns):
+                cs = b[off + 1 + 2 * j]
+                tdta = b[off + 2 + 2 * j]
+                ci = next(
+                    (x for x, c in enumerate(comps) if c[0] == cs), None
+                )
+                if ci is None:
+                    raise ValueError("JPEG scan names unknown component")
+                stabs[ci] = (tdta >> 4, tdta & 15)
+                order.append(ci)
+            Ss = b[off + 1 + 2 * ns]
+            Se = b[off + 2 + 2 * ns]
+            ahal = b[off + 3 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 15
+            bits = _JpegBits(b, off + 4 + 2 * ns)
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError(
+                        "progressive frame carries a sequential "
+                        "(Ss=0, Se>0) scan"
+                    )
+                if ns > 1 and ns != len(comps):
+                    raise NotImplementedError(
+                        "partially-interleaved progressive DC scans "
+                        "need PIL"
+                    )
+                scomps = [(ci, comps[ci]) for ci in order]
+                _prog_dc_scan(
+                    bits, scomps, coefs, huff, stabs, Ah, Al, ri, (mcux, mcuy)
+                )
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                ci = order[0]
+                ta = stabs[ci][1]
+                tbh, tbw = true_dims[ci]
+                if Ah == 0:
+                    _prog_ac_first(
+                        bits, coefs[ci], huff[(1, ta)], Ss, Se, Al, ri, tbh, tbw
+                    )
+                else:
+                    _prog_ac_refine(
+                        bits, coefs[ci], huff[(1, ta)], Ss, Se, Al, ri, tbh, tbw
+                    )
+            i = bits.end
+            continue
+        i += 2 + seglen
+    if sof is None or comps is None or coefs is None:
+        raise ValueError("JPEG without SOF/SOS")
+    h, w = sof
+    C = _jpeg_dct_matrix()
+    full = []
+    for ci, (_cid, ch_, cv_, tq) in enumerate(comps):
+        q = qt[tq]
+        arr = coefs[ci]
+        BH, BW = arr.shape[:2]
+        plane = np.empty((BH * 8, BW * 8), dtype=np.float64)
+        for by in range(BH):
+            for bx in range(BW):
+                blk = np.zeros(64, dtype=np.float64)
+                # DQT is zigzag-ordered like the coefficient vector;
+                # dequant multiplies before the de-scan (baseline path)
+                blk[_ZZ] = arr[by, bx].astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ blk.reshape(8, 8) @ C
+                )
+        if len(comps) == 1:
+            img = np.clip(np.round(plane[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+            return img[:, :, None]
+        chh = (h * cv_ + vmax - 1) // vmax
+        cww = (w * ch_ + hmax - 1) // hmax
+        p = plane[:chh, :cww]
+        p = np.repeat(np.repeat(p, vmax // cv_, axis=0), hmax // ch_, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if adobe_transform == 0:
+        rgb = np.stack(full, axis=-1)
+    else:
+        y, cb, cr = full
+        # JFIF / CCIR 601 inverse transform — identical expressions to
+        # the baseline path so shared-coefficient streams match bit-for-bit
         rgb = np.stack(
             [
                 y + 1.402 * (cr - 128.0),

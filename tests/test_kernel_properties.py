@@ -230,3 +230,62 @@ def test_avi_mjpeg_frame_sampling_indices(n_frames, every, seed):
     assert sorted(got) == list(range(0, n_frames, every))
     for i, luma in got.items():
         assert np.abs(luma.astype(int) - frames[i].astype(int)).max() <= 24
+
+
+@settings(max_examples=_EX or 25, deadline=None)
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 3),  # 0 = no restart interval
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_coef_roundtrip_exact(bh, bw, ri, seed):
+    """Random sparse coefficient matrices pushed through the progressive
+    entropy layers (DC first/refine, split-band AC first, AC refine,
+    EOB runs, ZRLs, optional restart intervals) must decode to EXACTLY
+    the reference reconstruction of those coefficients — the entropy
+    coding is lossless, so any deviation is a scan-layer bug. The
+    encoder is tools/make_jpeg_fixture.py's independent implementation;
+    the reference reconstruction is computed here with a third copy of
+    the dequant+IDCT math."""
+    import importlib.util
+    import os
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "make_jpeg_fixture.py",
+    )
+    spec = importlib.util.spec_from_file_location("_mjf", tool)
+    mjf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mjf)
+
+    rng = np.random.default_rng(seed)
+    # sparse zigzag coefficients: mostly zero (real DCT statistics),
+    # magnitudes up to ±200 so multi-bit categories + refinement bits
+    # + long zero runs + all-zero bands (EOB runs) all occur
+    coefs = rng.integers(-200, 201, (bh, bw, 64))
+    mask = rng.random((bh, bw, 64)) < 0.8
+    coefs[mask] = 0
+    coefs[..., 0] = rng.integers(-80, 81, (bh, bw))  # DC always present
+
+    quant = 8
+    h, w = bh * 8, bw * 8
+    b = mjf.encode_progressive_gray_from_coefs(coefs, h, w, ri=ri, quant=quant)
+    px = MM.jpeg_pixels(b)
+    assert px.shape == (h, w, 1)
+
+    # independent reference reconstruction
+    C = MM._jpeg_dct_matrix()
+    want = np.empty((h, w), dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = np.zeros(64)
+            blk[MM._ZZ] = coefs[by, bx].astype(np.float64) * float(quant)
+            want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ blk.reshape(8, 8) @ C
+            )
+    want = np.clip(np.round(want + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(px[:, :, 0], want)

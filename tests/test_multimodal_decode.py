@@ -397,9 +397,11 @@ def test_native_baseline_jpeg_decode_golden():
 
 def test_native_jpeg_seams_still_guarded():
     """SOF-less / truncated JPEG payloads still hit the documented
-    NotImplementedError seam in decode_payload, and color / progressive
-    pixel decode stays behind it — the native path only claims baseline
-    grayscale."""
+    NotImplementedError seam in decode_payload; arithmetic-coded SOF
+    types stay behind the PIL seam; and a byte stream whose SOF0 is
+    flipped to SOF2 without restructuring the scans is structurally
+    INVALID progressive (a full-band Ss=0..63 scan) — a clean
+    ValueError, never garbage pixels."""
     import pytest
 
     from finmlkit_spark.operators import multimodal as MM
@@ -409,9 +411,12 @@ def test_native_jpeg_seams_still_guarded():
         MM.decode_payload(header_only)
     b = bytearray(open(FIXTURE_JPG, "rb").read())
     i = b.find(bytes([0xFF, 0xC0]))
-    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive) without new scans
     assert MM.decode_payload(bytes(b)) == (32, 24, 1)  # dims still parse
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="sequential"):
+        MM.jpeg_gray_pixels(bytes(b))
+    b[i + 1] = 0xC9  # arithmetic-coded sequential: a true PIL seam
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         MM.jpeg_gray_pixels(bytes(b))
 
 
@@ -440,29 +445,101 @@ def test_image_features_query_over_real_jpeg(spark):
         assert abs(r["edge_energy"] - grad.mean()) < 1e-12
 
 
-def test_native_jpeg_restart_interval_hits_seam():
-    """A baseline grayscale JPEG with restart intervals (DRI + RSTn) is
-    spec-valid but outside the minimal decoder's scope — it must raise
-    the documented NotImplementedError, never a raw IndexError: dims
-    still parse, pixels hit the seam."""
+FIXTURE_DRI_JPG = os.path.join(
+    os.path.dirname(__file__), "fixtures", "gradient_dri_32x24.jpg"
+)
+FIXTURE_PROG_JPG = os.path.join(
+    os.path.dirname(__file__), "fixtures", "gradient_prog_32x24.jpg"
+)
+FIXTURE_PROG420_JPG = os.path.join(
+    os.path.dirname(__file__), "fixtures", "gradient_prog_420_32x24.jpg"
+)
+
+
+def test_native_jpeg_restart_interval_decodes():
+    """Round 12: baseline grayscale with restart intervals (DRI + RSTn
+    every 2 MCUs, DC predictors reset) decodes natively — and, since
+    the DRI fixture encodes the SAME quantized coefficients as the
+    plain fixture, the pixel matrices must match bit-for-bit. A stream
+    that DECLARES a restart interval but carries no RSTn markers is
+    corrupt and must fail cleanly, never decode garbage."""
+    import hashlib
     import struct
 
+    import numpy as np
     import pytest
 
     from finmlkit_spark.operators import multimodal as MM
 
-    b = bytearray(open(FIXTURE_JPG, "rb").read())
-    # inject a DRI segment (interval 4) right before SOS
-    i = b.find(bytes([0xFF, 0xDA]))
+    b = open(FIXTURE_DRI_JPG, "rb").read()
+    assert hashlib.md5(b).hexdigest() == "a333a877fcd15cff36c5a5f90249bd7a"
+    assert MM.decode_payload(b) == (32, 24, 1)
+    px = MM.jpeg_gray_pixels(b)
+    base = MM.jpeg_gray_pixels(open(FIXTURE_JPG, "rb").read())
+    assert np.array_equal(px, base)
+
+    # hostile: DRI declared on the plain (marker-free) stream
+    plain = bytearray(open(FIXTURE_JPG, "rb").read())
+    i = plain.find(bytes([0xFF, 0xDA]))
     dri = bytes([0xFF, 0xDD]) + struct.pack(">H", 4) + struct.pack(">H", 4)
-    b2 = bytes(b[:i]) + dri + bytes(b[i:])
-    assert MM.decode_payload(b2) == (32, 24, 1)  # dims parse natively
-    with pytest.raises(NotImplementedError, match="restart"):
+    b2 = bytes(plain[:i]) + dri + bytes(plain[i:])
+    with pytest.raises(ValueError, match="RSTn"):
         MM.jpeg_gray_pixels(b2)
     # truncated scan: cut the stream mid-entropy-data
-    b3 = bytes(b[: i + 60])
+    b3 = bytes(plain[: i + 60])
     with pytest.raises((NotImplementedError, ValueError)):
         MM.jpeg_gray_pixels(b3)
+
+
+def test_native_progressive_jpeg_decode_golden():
+    """Progressive grayscale (SOF2: DC-first at Al=1, split AC bands,
+    DC + AC refinement scans, restart interval 3) decodes natively and
+    matches the SEQUENTIAL fixture bit-for-bit — both streams encode
+    the same quantized coefficients, so any divergence is an entropy-
+    layer bug, not quantization noise. Byte-stream and pixel md5s are
+    pinned; the encoder lives in tools/make_jpeg_fixture.py and is a
+    separate implementation (EOB-run assembly vs consumption,
+    correction-bit buffering vs application)."""
+    import hashlib
+
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = open(FIXTURE_PROG_JPG, "rb").read()
+    assert hashlib.md5(b).hexdigest() == "a2f832130a7f954d6062e47e91a6a5b0"
+    assert MM.decode_payload(b) == (32, 24, 1)
+    px = MM.jpeg_pixels(b)
+    assert px.shape == (24, 32, 1) and px.dtype == np.uint8
+    assert (
+        hashlib.md5(px.tobytes()).hexdigest()
+        == "a1bb1fdb72fe7961059fdc5bbc3ff321"  # == the sequential golden
+    )
+    base = MM.jpeg_pixels(open(FIXTURE_JPG, "rb").read())
+    assert np.array_equal(px, base)
+
+
+def test_native_progressive_420_color_jpeg_decode_golden():
+    """Progressive 4:2:0 COLOR (interleaved 3-component DC scan,
+    per-component AC first + refinement scans, two quant/Huffman table
+    ids) decodes natively and matches the sequential 4:2:0 fixture
+    bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = open(FIXTURE_PROG420_JPG, "rb").read()
+    assert hashlib.md5(b).hexdigest() == "557da61cbbb8e668670487c6d2645c16"
+    assert MM.decode_payload(b) == (32, 24, 3)
+    px = MM.jpeg_pixels(b)
+    assert px.shape == (24, 32, 3)
+    base = MM.jpeg_pixels(
+        open(os.path.join(os.path.dirname(__file__), "fixtures",
+                          "gradient_420_32x24.jpg"), "rb").read()
+    )
+    assert np.array_equal(px, base)
 
 
 def test_y4m_codec_roundtrip_and_seams():
@@ -559,6 +636,30 @@ def test_image_features_query_over_real_420_jpeg(spark):
     from finmlkit_spark.operators import multimodal as MM
 
     b = open(FIXTURE_420, "rb").read()
+    df = spark.createDataFrame([(i, bytearray(b)) for i in range(3)],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in MM.image_features(df).collect()}
+    px = MM.jpeg_pixels(b).astype(np.float64)
+    lum = px.mean(axis=2)
+    grad = np.abs(np.diff(lum, axis=1))
+    assert len(rows) == 3
+    for r in rows.values():
+        assert (r["width"], r["height"], r["channels"]) == (32, 24, 3)
+        assert abs(r["mean_lum"] - lum.mean()) < 1e-12
+        assert abs(r["std_lum"] - lum.std()) < 1e-12
+        assert abs(r["edge_energy"] - grad.mean()) < 1e-12
+
+
+def test_image_features_query_over_progressive_jpeg(spark):
+    """End-to-end multimodal query over the PROGRESSIVE color JPEG: the
+    payload rides a binary column through image_features' mapInPandas —
+    a multi-scan SOF2 stream exercised through the Spark plumbing, with
+    stats identical to the sequential fixture's (same coefficients)."""
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = open(FIXTURE_PROG420_JPG, "rb").read()
     df = spark.createDataFrame([(i, bytearray(b)) for i in range(3)],
                                "doc_id long, payload binary")
     rows = {r["doc_id"]: r for r in MM.image_features(df).collect()}
