@@ -15,6 +15,24 @@ from . import developing_suite  # noqa: F401
 
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
+#
+# ROUND-12 WINDOW:
+# 1-12:  every query whose implementation (or oracle) CHANGED in round
+#        12 — embedding_covariance (the r11 red row: -0.0 canonicalized
+#        on both engine sides), diverse_sample (lineage-cut + array
+#        literals + id-dtype), tfidf_cosine_pairs (decimal/HUGEINT
+#        dot+norm folds), revenue_rollup (GROUPING flags), pmi_top_pairs
+#        + session_path_topk (TakeOrdered top-k), bm25_topk (let-bind-
+#        once tokenizer), and the five image/video queries riding the
+#        JPEG decoder that gained progressive + DRI support;
+# 13-41: the 29-row r6 tail (newest green row 5 rounds stale — the
+#        seq_cusum_* family, vp_* family, asof_*, store/io singles,
+#        corpus singles, imbalance/run bars, sql_shared_dialect);
+# 42-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta,
+#        lang_id, doc_fingerprint, minhash_lsh, simhash_near_pairs,
+#        ann_topk). The remaining 22 r7 rows lead the round-13 fill,
+#        then the r8 cohort as it ages.
+#
 # ROUND-11 WINDOW (rotated as the round's FIRST commit, per the r10 verdict):
 # 1:    ann_ivf_pq — NEW in round 10, the only registry entry with no driver
 #       row ever (the r10 window was not rotated before the round closed);
@@ -51,84 +69,30 @@ from . import developing_suite  # noqa: F401
 #       seq_cusum_test_chunked, seq_cusum_test, seq_volume_bars_exact,
 #       seq_cusum_filter_chunked, seq_cusum_filter.)
 # Still-green-and-unchanged queries sit behind position 50; their prior
-# evidence stands. After round 11 no registry row is older than r7.
-# ROUND-12 FRONT-LOAD: anything new/changed in round 12 first, then the
-# displaced r6 row (sql_shared_dialect) and the 31 r7 rows
-# (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta, lang_id,
-# doc_fingerprint, minhash_lsh, simhash_near_pairs first, then
-# ann_topk, the corpus report/sampling tier, the user_* multiuser
-# tier, featurekit_build), then r8 rows as they age.
+# evidence stands. After round 12 no registry row is older than r7, and
+# the remaining r7 cohort (corpus report/sampling tier, user_* multiuser
+# tier, featurekit_build, hurst/approx-entropy singles) leads round 13.
 _PRIORITY = [
-    # -- NEW in round 10/11 (no driver row yet) --------------------------------
-    "ann_ivf_pq",
-    "video_mjpeg_stats",
-    "gopher_repetition",
-    "weighted_sample",
+    # -- changed in round 12 (re-verify first) --------------------------------
     "embedding_covariance",
-    "bpe_train",
-    "bpe_segment",
-    "bigram_logprob",
-    "token_length_stats",
-    # -- NEW retrieval + product-analytics + SQ8 tiers (late round 11;
-    #    displace the last twenty-eight r6 rows — regional_revenue,
-    #    imbalance_bars, run_bars, zscore_peak_events, pricing_summary,
-    #    asof_tolerance, asof_sigma, seq_cusum_bars_chunked,
-    #    store_inspector, unigram_logprob, c4_filter, dedup_keep_best,
-    #    mixture_sample, decontamination, sequence_packing,
-    #    multimodal_meta, simhash_fp, exact_dedup, text_stats,
-    #    vp_developing, vp_hva_lva, vp_poc, vp_profile,
-    #    seq_cusum_test_chunked, seq_cusum_test, seq_volume_bars_exact,
-    #    seq_cusum_filter_chunked, seq_cusum_filter — to the round-12
-    #    fill) -------------------------------------------------------------------------
-    "inverted_index",
-    "bm25_topk",
-    "dup_graph_pagerank",
-    "event_funnel",
-    "cohort_retention",
-    "ann_sq8_topk",
-    "keep_central",
-    "hashed_features",
-    "knn_graph",
-    "normalized_dedup",
-    "source_length_trim",
-    "ann_ivf_sq8",
     "diverse_sample",
-    "wordpiece_stats",
-    "revenue_rollup",
-    "price_histogram_equidepth",
-    "nation_customer_deciles",
-    "funnel_latency",
-    "zipf_fit",
-    "pii_redact",
-    "oov_rate",
-    "rfm_segments",
-    "cross_source_dup_matrix",
-    "error_rate_spikes",
-    "session_path_topk",
-    "pmi_top_pairs",
     "tfidf_cosine_pairs",
-    "lsh_recall_audit",
-    # -- implementation changed in round 10/11 ---------------------------------
-    "segment_dedup",
-    "video_frame_stats",
-    # -- stalest row (r5) + round-11 JPEG-codec-touched image queries ---------
-    "image_phash_pairs",
+    "revenue_rollup",
+    "pmi_top_pairs",
+    "session_path_topk",
+    "bm25_topk",
     "image_decode_stats",
     "image_resize_stats",
-    # -- the 37-query r6 cohort (newest green row 4 rounds old) ---------------
-    "integrity_report",
-    "merge_split_trades",
-    "bar_trade_size_1m",
-    "feat_dir_run_len",
-    "seq_ewma",
-    "seq_ewms",
-    "seq_ewmst",
-    "seq_adx",
+    "image_phash_pairs",
+    "video_frame_stats",
+    "video_mjpeg_stats",
+    # -- the r6 tail: newest driver row five rounds old ------------------------
     "seq_cusum_filter",
     "seq_cusum_filter_chunked",
     "seq_volume_bars_exact",
     "seq_cusum_test",
     "seq_cusum_test_chunked",
+    "seq_cusum_bars_chunked",
     "vp_profile",
     "vp_poc",
     "vp_hva_lva",
@@ -144,7 +108,6 @@ _PRIORITY = [
     "c4_filter",
     "unigram_logprob",
     "store_inspector",
-    "seq_cusum_bars_chunked",
     "asof_sigma",
     "asof_tolerance",
     "zscore_peak_events",
@@ -152,6 +115,17 @@ _PRIORITY = [
     "regional_revenue",
     "imbalance_bars",
     "run_bars",
+    "sql_shared_dialect",
+    # -- the r7 head (the rest of r7 leads the round-13 fill) ------------------
+    "dollar_bars",
+    "seq_atr_ema",
+    "tbm_labels",
+    "tbm_meta",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_lsh",
+    "simhash_near_pairs",
+    "ann_topk",
 ]
 
 
