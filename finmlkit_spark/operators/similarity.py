@@ -2085,11 +2085,16 @@ def ann_sq8_search(
     )
 
 
+_FORCE_DIVERSE_MODE: str | None = None  # test hook: "onebatch" | "perpass"
+
+
 def diverse_sample(
     emb_df: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_rows: int | None = None,
+    onebatch_bytes_cap: int = 64 << 20,
 ) -> DataFrame:
     """Greedy k-center (Gonzalez) max-min selection: start from the
     lowest id, then repeatedly select the vector FARTHEST (cosine
@@ -2100,59 +2105,116 @@ def diverse_sample(
     vector's distance to the prior set at selection time (0 for the
     seed).
 
-    Scale shape: the algorithm is inherently sequential in k, so the
-    plan is k corpus passes — each ONE narrow projection computing
-    ``least()`` over ≤k array-literal cosine folds plus ONE
-    max-struct scalar aggregate (map-side partials; the argmax row,
-    vector included, is the only thing collected — k driver rows
-    total, the kmeans driver-mode posture). The projected frame is
-    lineage-cut ONCE before the loop (``cache.cut``), so the k passes
-    scan the checkpointed narrow frame, not the source parquet k+1
-    times (the round-11 plan defect). Each selected vector enters the
-    plan as ONE ArrayType literal (``F.lit(list)``), not d stacked
-    scalar literals. k is a coreset size (constant), never data-scale.
+    Scale shape — two execution modes, bit-identical results (pinned by
+    ``test_diverse_sample_modes_bit_identical``):
 
-    Determinism: cosines are the sequential HOF fold (identical
-    doubles in both engines), argmax breaks exact ties toward the
-    LOWER id via a max over ``struct(dist, −id, …)`` — mirrored by the
-    oracle's ``row_number() ORDER BY md DESC, vec_id``."""
-    import math
+    - ``onebatch`` (below ``onebatch_bytes_cap``, default 64 MB of
+      vectors, footer-count-gated via ``n_rows`` — the suite passes the
+      parquet footer count, unhinted calls run one narrow count job):
+      the (id, vector) projection crosses to the driver ONCE and the k
+      greedy steps run in numpy — one Spark job total instead of k,
+      which at bench scale (2k vectors) removes ~0.25 s of per-pass
+      job+Arrow latency × k. The collect is explicitly bounded by the
+      byte cap — never data-scale.
+    - ``perpass`` (the 100 TB path): k map-only ``mapInPandas`` argmax
+      jobs over the lineage-cut narrow frame (the kmeans driver-mode
+      posture) — every partition emits at most ONE (min_dist, id,
+      vector) candidate and the driver folds ≤P partials, so only k·P
+      tiny rows ever leave the executors. The round-11 form expressed
+      the ≤k cosine folds as interpreted HOFs — the Σi fold work, not
+      the scans, dominated at 3.1-3.6 s; the Arrow kernel computes the
+      same folds as numpy row-batch cumsums.
 
+    Determinism (both modes): dots are SEQUENTIAL left-to-right sums
+    (``(V*s).cumsum(axis=1)[:,-1]`` — the :func:`cosine_batch`
+    discipline, bit-identical to the engines' list folds), the min over
+    the selected set folds in selection order (``np.minimum`` — exact,
+    associative), and the argmax breaks exact ties toward the LOWER id
+    (lexsort; across-partition partials by tuple compare) — mirroring
+    the oracle's ``row_number() ORDER BY md DESC, vec_id``."""
     import numpy as np
+    import pandas as pd
 
     id_type = dict(emb_df.dtypes)[id_col]
-    e = cache.cut(
-        emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
-    )
-    first = e.orderBy("id").limit(1).collect()
+    proj = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
+    first = proj.orderBy("id").limit(1).collect()
+    spark = emb_df.sparkSession
+    out_schema = f"sel_order long, {id_col} {id_type}, min_dist double"
     if not first:
-        return e.select(
+        return proj.select(
             F.lit(0).cast("long").alias("sel_order"),
             F.col("id").alias(id_col),
             F.lit(0.0).alias("min_dist"),
         ).where(F.lit(False))
-    sel = [(first[0]["id"], np.asarray(first[0]["v"], dtype=np.float64), 0.0)]
-    out_rows = [(1, sel[0][0], 0.0)]
+    dim = len(first[0]["v"])
+    mode = _FORCE_DIVERSE_MODE
+    if mode is None:
+        if n_rows is None:
+            n_rows = proj.select("id").count()
+        mode = "onebatch" if n_rows * dim * 8 <= onebatch_bytes_cap else "perpass"
+
+    if mode == "onebatch":
+        pdf = proj.toPandas()
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        vn = np.sqrt((V * V).cumsum(axis=1)[:, -1])
+        cur = int(np.argmin(ids))
+        taken = np.zeros(len(ids), dtype=bool)
+        taken[cur] = True
+        out_rows = [(1, ids[cur].item(), 0.0)]
+        md = None
+        for step in range(2, k + 1):
+            s = V[cur]
+            nrm = np.sqrt((s * s).cumsum()[-1])
+            d = 1.0 - (V * s).cumsum(axis=1)[:, -1] / (vn * nrm)
+            md = d if md is None else np.minimum(md, d)
+            cand = np.where(taken, -np.inf, md)
+            cur = int(np.lexsort((ids, -cand))[0])
+            if taken[cur]:
+                break  # fewer than k vectors
+            taken[cur] = True
+            out_rows.append((step, ids[cur].item(), float(md[cur])))
+        return spark.createDataFrame(out_rows, out_schema)
+
+    e = cache.cut(proj)
+    sel_ids = [first[0]["id"]]
+    sel_vecs = [np.asarray(first[0]["v"], dtype=np.float64)]
+    out_rows = [(1, sel_ids[0], 0.0)]
+    part_schema = f"md double, id {id_type}, v array<double>"
     for _ in range(1, k):
-        dists = []
-        for sid, sv, _d in sel:
-            # sequential cumsum == the oracle's list_dot_product fold
-            nrm = math.sqrt(float((sv * sv).cumsum()[-1]))
-            lit_v = F.lit([float(x) for x in sv])
-            cos = dot(F.col("v"), lit_v) / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.lit(nrm))
-            dists.append(F.lit(1.0) - cos)
-        md = dists[0] if len(dists) == 1 else F.least(*dists)
-        win = (
-            e.where(~F.col("id").isin([s[0] for s in sel]))
-            .select(F.struct(md.alias("md"), (-F.col("id")).alias("ni"), F.col("id"), F.col("v")).alias("s"))
-            .agg(F.max("s").alias("w"))
-            .collect()[0]["w"]
-        )
-        if win is None:
+        S = np.stack(sel_vecs)
+        nrms = np.sqrt((S * S).cumsum(axis=1)[:, -1])
+        excl = np.asarray(sel_ids)
+
+        def _argmax(it, S=S, nrms=nrms, excl=excl):
+            best = None
+            for pdf in it:
+                ids = pdf["id"].to_numpy()
+                mask = ~np.isin(ids, excl)
+                if not mask.any():
+                    continue
+                ids = ids[mask]
+                V = np.stack(pdf["v"].to_numpy()[mask]).astype(np.float64)
+                vn = np.sqrt((V * V).cumsum(axis=1)[:, -1])
+                md = None
+                for j in range(S.shape[0]):
+                    dots = (V * S[j]).cumsum(axis=1)[:, -1]
+                    d = 1.0 - dots / (vn * nrms[j])
+                    md = d if md is None else np.minimum(md, d)
+                i0 = np.lexsort((ids, -md))[0]
+                cand = (float(md[i0]), ids[i0], V[i0])
+                if best is None or (cand[0], -cand[1]) > (best[0], -best[1]):
+                    best = cand
+            if best is not None:
+                yield pd.DataFrame(
+                    {"md": [best[0]], "id": [best[1]], "v": [list(best[2])]}
+                )
+
+        parts = e.mapInPandas(_argmax, part_schema).collect()
+        if not parts:
             break
-        sel.append((win["id"], np.asarray(win["v"], dtype=np.float64), float(win["md"])))
-        out_rows.append((len(sel), win["id"], float(win["md"])))
-    spark = emb_df.sparkSession
-    return spark.createDataFrame(
-        out_rows, f"sel_order long, {id_col} {id_type}, min_dist double"
-    )
+        win = max(parts, key=lambda r: (r["md"], -r["id"]))
+        sel_ids.append(win["id"])
+        sel_vecs.append(np.asarray(win["v"], dtype=np.float64))
+        out_rows.append((len(sel_ids), win["id"], float(win["md"])))
+    return spark.createDataFrame(out_rows, out_schema)

@@ -755,3 +755,26 @@ def test_ann_sq8_route_auto_counts_when_unhinted(spark):
     full = SIM.ann_sq8_search(embs, n_queries=3, k=3, mode="full").collect()
     key = lambda rows: sorted(tuple(r) for r in rows)
     assert key(auto) == key(full)
+
+
+def test_diverse_sample_modes_bit_identical(spark):
+    """Round-12 crossover: the onebatch (driver-numpy, one job) and
+    perpass (distributed Arrow argmax) modes must yield byte-identical
+    rows — same seeds, same sequential-fold cosines, same tie rules."""
+    import struct
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {}
+    for mode in ("onebatch", "perpass"):
+        SIM._FORCE_DIVERSE_MODE = mode
+        try:
+            got[mode] = sorted(
+                (r["sel_order"], r["vec_id"], struct.pack("<d", r["min_dist"]))
+                for r in SIM.diverse_sample(embs, k=6).collect()
+            )
+        finally:
+            SIM._FORCE_DIVERSE_MODE = None
+    assert got["onebatch"] == got["perpass"]
+    assert len(got["onebatch"]) == 6
