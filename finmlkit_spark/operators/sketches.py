@@ -1,0 +1,183 @@
+"""Deterministic cross-engine cardinality sketches: HyperLogLog and
+K-minimum-values distinct-count estimators whose every arithmetic step
+is reproducible bit-for-bit in plain SQL on any engine.
+
+Why not ``approx_count_distinct``: Spark's HLL++ and DuckDB's HLL use
+different hash functions and register encodings, so their estimates
+differ — unusable under an exact differential oracle, and unportable
+between engines in general. These sketches instead build on the repo's
+portable polynomial hash (``text.poly_hash``: acc = acc·31 + char mod
+1e9+7 — exactly expressible as a list fold in both engines), and keep
+every aggregate an exact integer (register sums as scaled int64, KMV
+order statistics as int64 keys), so the one terminal float expression
+is bit-identical across engines.
+
+Scale shape (both): ONE narrow (group, hashed-key) projection, one
+group-keyed aggregate with map-side partials, and a k-row-per-group
+reduction — the sketch property itself is the 100 TB story: a distinct
+count over any number of rows folds to m=2^p registers (HLL) or k
+order statistics (KMV) per group, mergeable across partitions (max /
+min are associative), no distinct-shuffle of the raw keys at any
+scale. (The implementations below DO shuffle the distinct (group,
+hash) pairs — the honest bench-scale form; the register/top-k folds
+are what a partial-aggregate rewrite would push map-side.)
+
+Accuracy: the polynomial hash is weaker than xxhash/murmur (it is a
+base-31 digit fold mod a prime); the unit tests pin observed error
+against exact counts on the test corpus (HLL ±~1.04/√m asymptotic,
+KMV ±~1/√(k−2)). For production-grade uniformity swap ``_salted_hash``
+for a stronger portable mix — the estimator algebra is unchanged.
+
+No reference-repo counterpart: this tier extends the engine for
+LLM-pipeline bookkeeping (per-source distinct doc/user tallies at
+corpus scale) where exact distincts are the dominant shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import poly_hash
+
+_MASK31 = 0x7FFFFFFF  # 2^31 − 1: all products stay under 2^63
+
+
+def sql_salted_hash(salt: str, e: str) -> str:
+    """DuckDB mirror of :func:`_salted_hash` — keep in sync. ``salt``
+    is the literal salt prefix, ``e`` the key expression."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(concat('{salt}', CAST({e} AS VARCHAR)), ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    x1 = f"xor({fold}, {fold} >> 16)"
+    x2 = f"((({x1}) * 2246822519) & 2147483647)"
+    x3 = f"xor({x2}, ({x2}) >> 13)"
+    x4 = f"((({x3}) * 3266489917) & 2147483647)"
+    return f"xor({x4}, ({x4}) >> 16)"
+
+
+def _mix31(x: Column) -> Column:
+    """Murmur/xxhash-style avalanche finalizer on 31 bits, int64-safe:
+    xorshift + odd-multiply rounds with a 2^31 mask (largest product
+    2^31 · 3.27e9 < 2^63 — never wraps under Spark's non-ANSI mode).
+    NON-LINEAR, which is load-bearing: the raw polynomial fold of a
+    short key never wraps the modulus (a 5-char salted id stays below
+    ~1e8 — ordered, tiny, useless as a sketch hash), and two salted
+    folds of the same key differ only AFFINELY (fold(salt+x) =
+    poly(salt)·31^len + poly(x)); the avalanche both spreads the value
+    over [0, 2^31) and breaks the cross-salt correlation."""
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * F.lit(2246822519)).bitwiseAND(F.lit(_MASK31))
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = (x * F.lit(3266489917)).bitwiseAND(F.lit(_MASK31))
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def _salted_hash(key: Column, salt: str) -> Column:
+    """Portable salted hash: the repo's polynomial rolling hash over the
+    key's decimal/string form with a salt prefix, avalanched to a
+    uniform 31-bit value — two different salts give two (approximately)
+    independent hashes."""
+    return _mix31(poly_hash(F.concat(F.lit(salt), key.cast("string"))))
+
+
+def hll_counts(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet et al.
+    2007), fully deterministic cross-engine.
+
+    Register index = h1 mod m (m = 2^p); rank = trailing zeros of an
+    independent second hash + 1 (the Flajolet–Martin geometric — an
+    exact integer: ``bit_count((h2 & -h2) - 1) + 1``). The harmonic
+    denominator folds as an EXACT scaled int64: Σ 2^(32−rho) with empty
+    registers contributing 2^32, bounded by m·2^32 ≤ 2^44 — no float
+    fold order anywhere. Outputs per group:
+
+    - ``est``: the standard corrected estimate — linear counting
+      m·ln(m/V) in the small range (raw ≤ 2.5m and V>0), else the raw
+      harmonic estimate. ``ln`` may differ in the last ulp across
+      libms (the pmi_top_pairs posture); every branch CONDITION is
+      bit-identical, so both engines always take the same branch.
+    - ``est_raw``: alpha·m²·2^32 / S — bit-identical across engines.
+    - ``n_empty``: untouched registers (V).
+    """
+    m = 1 << p
+    h1 = _salted_hash(F.col(key_col), "r|")
+    h2 = _salted_hash(F.col(key_col), "s|")
+    rho = F.when(h2 == 0, F.lit(31)).otherwise(
+        F.bit_count((h2.bitwiseAND(-h2) - F.lit(1)).cast("long")) + F.lit(1)
+    )
+    regs = (
+        df.select(F.col(group_col).alias("g"), (h1 % m).alias("ridx"), rho.alias("rho"))
+        .groupBy("g", "ridx")
+        .agg(F.max("rho").alias("r"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    num = alpha * float(m) * float(m) * 4294967296.0  # alpha·m²·2^32, exact fold
+    per_g = regs.groupBy("g").agg(
+        F.sum(F.expr("shiftleft(1L, cast(32 - r as int))")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(4294967296)
+    v = (F.lit(m) - F.col("n_present")).cast("long")
+    est_raw = F.lit(num) / s_total.cast("double")
+    est_linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((est_raw <= F.lit(2.5 * m)) & (v > 0), est_linear).otherwise(est_raw)
+    return per_g.select(
+        F.col("g").alias(group_col),
+        est.alias("est"),
+        est_raw.alias("est_raw"),
+        v.alias("n_empty"),
+    )
+
+
+def kmv_counts(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group (Bar-Yossef
+    et al. 2002): keep the k smallest distinct hash values; the k-th
+    smallest, as a fraction of the hash range R, estimates density —
+    est = (k−1)·R / h_(k). Groups with fewer than k distinct hashes are
+    EXACT (the sketch degenerates to a distinct count).
+
+    Keys hash to a 62-bit combined value h1·2^31 + h2 (two
+    independently salted+avalanched 31-bit hashes), uniform on
+    [0, 2^62) — all order statistics are exact int64 comparisons, and
+    the single terminal division is bit-identical across engines. The
+    per-group top-k rides a WindowGroupLimit (rank ≤ k partial per
+    partition — never a global sort)."""
+    h = (
+        _salted_hash(F.col(key_col), "r|") * F.lit(2147483648)
+        + _salted_hash(F.col(key_col), "s|")
+    )
+    dh = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    topk = dh.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    r_total = 4611686018427387904.0  # 2^62 — exactly representable
+    agg = topk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(r_total) / F.col("h_k").cast("double"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        est.alias("est"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("h_k").alias("kth_hash"),
+    )

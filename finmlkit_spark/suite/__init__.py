@@ -17,21 +17,24 @@ from . import developing_suite  # noqa: F401
 # The external driver verifies the FIRST 50 registered queries per round.
 #
 # ROUND-12 WINDOW:
-# 1-12:  every query whose implementation (or oracle) CHANGED in round
+# 1-2:   NEW in round 12 — hll_user_count / kmv_user_count (the
+#        deterministic cross-engine cardinality-sketch tier);
+# 3-14:  every query whose implementation (or oracle) CHANGED in round
 #        12 — embedding_covariance (the r11 red row: -0.0 canonicalized
-#        on both engine sides), diverse_sample (lineage-cut + array
-#        literals + id-dtype), tfidf_cosine_pairs (decimal/HUGEINT
-#        dot+norm folds), revenue_rollup (GROUPING flags), pmi_top_pairs
-#        + session_path_topk (TakeOrdered top-k), bm25_topk (let-bind-
-#        once tokenizer), and the five image/video queries riding the
-#        JPEG decoder that gained progressive + DRI support;
-# 13-41: the 29-row r6 tail (newest green row 5 rounds stale — the
+#        on both engine sides), diverse_sample (Arrow argmax passes +
+#        one-batch crossover + id-dtype), tfidf_cosine_pairs
+#        (decimal/HUGEINT dot+norm folds), revenue_rollup (GROUPING
+#        flags), pmi_top_pairs + session_path_topk (TakeOrdered top-k),
+#        bm25_topk (let-bind-once tokenizer), and the five image/video
+#        queries riding the JPEG decoder that gained progressive + DRI
+#        support;
+# 15-43: the 29-row r6 tail (newest green row 5 rounds stale — the
 #        seq_cusum_* family, vp_* family, asof_*, store/io singles,
 #        corpus singles, imbalance/run bars, sql_shared_dialect);
-# 42-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta,
-#        lang_id, doc_fingerprint, minhash_lsh, simhash_near_pairs,
-#        ann_topk). The remaining 22 r7 rows lead the round-13 fill,
-#        then the r8 cohort as it ages.
+# 44-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta,
+#        lang_id, doc_fingerprint, minhash_lsh). The remaining 24 r7
+#        rows (simhash_near_pairs and ann_topk first) lead the
+#        round-13 fill, then the r8 cohort as it ages.
 #
 # ROUND-11 WINDOW (rotated as the round's FIRST commit, per the r10 verdict):
 # 1:    ann_ivf_pq — NEW in round 10, the only registry entry with no driver
@@ -73,6 +76,9 @@ from . import developing_suite  # noqa: F401
 # the remaining r7 cohort (corpus report/sampling tier, user_* multiuser
 # tier, featurekit_build, hurst/approx-entropy singles) leads round 13.
 _PRIORITY = [
+    # -- NEW in round 12 (no driver row yet) -----------------------------------
+    "hll_user_count",
+    "kmv_user_count",
     # -- changed in round 12 (re-verify first) --------------------------------
     "embedding_covariance",
     "diverse_sample",
@@ -124,8 +130,6 @@ _PRIORITY = [
     "lang_id",
     "doc_fingerprint",
     "minhash_lsh",
-    "simhash_near_pairs",
-    "ann_topk",
 ]
 
 

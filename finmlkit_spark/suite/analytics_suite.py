@@ -802,3 +802,92 @@ def nation_customer_deciles(spark, sf_dir):
     return d.groupBy("nation", "decile").agg(
         F.count(F.lit(1)).alias("n_customers"), F.sum("revenue").alias("revenue")
     )
+
+
+# --- cardinality sketches (round 12) -----------------------------------------
+
+from ..operators.sketches import sql_salted_hash as _SSH
+
+_H1 = _SSH("r|", "user_id")
+_H2 = _SSH("s|", "user_id")
+
+
+@query(
+    "hll_user_count",
+    f"""
+WITH h AS (SELECT event_type AS g, {_H1} AS h1, {_H2} AS h2 FROM events),
+r AS (
+  SELECT g, h1 % 64 AS ridx,
+         CASE WHEN h2 = 0 THEN 31
+              ELSE bit_count((h2 & -h2) - 1) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT g, ridx, max(rho) AS r FROM r GROUP BY g, ridx),
+pg AS (
+  SELECT g,
+         sum(CAST(1 AS BIGINT) << CAST(32 - r AS INT)) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY g
+),
+e AS (
+  SELECT g,
+         ((((0.7213 / (1.0 + 1.079 / 64.0)) * 64.0) * 64.0) * 4294967296.0)
+           / CAST(s_present + (64 - n_present) * 4294967296 AS DOUBLE) AS est_raw,
+         CAST(64 - n_present AS BIGINT) AS n_empty
+  FROM pg
+)
+SELECT g AS event_type,
+       CASE WHEN est_raw <= 160.0 AND n_empty > 0
+            THEN 64.0 * ln(64.0 / CAST(n_empty AS DOUBLE))
+            ELSE est_raw END AS est,
+       est_raw, n_empty
+FROM e""",
+)
+def hll_user_count(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type — the
+    deterministic cross-engine sketch tier (operators/sketches.py):
+    portable polynomial hashes, exact scaled-int64 register sums, one
+    terminal float expression, linear-counting small-range correction
+    on a branch condition that is bit-identical in both engines. The
+    sketch is the 100 TB answer to per-group distinct counts: any row
+    count folds to 64 mergeable registers per group."""
+    from ..operators import sketches as SK
+    from .multiuser_suite import _events_ns
+
+    ev = _events_ns(spark, sf_dir, cols=("user_id", "event_type")).select(
+        "user_id", "event_type"
+    )
+    return SK.hll_counts(ev, "event_type", "user_id", p=6)
+
+
+@query(
+    "kmv_user_count",
+    f"""
+WITH h AS (
+  SELECT event_type AS g, {_H1} * 2147483648 + {_H2} AS h FROM events
+),
+d AS (SELECT DISTINCT g, h FROM h),
+rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM d),
+t AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k
+  FROM rk WHERE rk <= 64 GROUP BY g
+)
+SELECT g AS event_type,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE (63.0 * 4611686018427387904.0) / CAST(h_k AS DOUBLE) END AS est,
+       n_kept, h_k AS kth_hash
+FROM t""",
+)
+def kmv_user_count(spark, sf_dir):
+    """K-minimum-values distinct-user estimate per event type: the k=64
+    smallest distinct 60-bit key hashes per group; the k-th smallest
+    estimates density ((k−1)·R / h_k), and groups under k distinct
+    hashes are exact. All order statistics are exact int64; the per-
+    group top-k rides WindowGroupLimit — never a global sort."""
+    from ..operators import sketches as SK
+    from .multiuser_suite import _events_ns
+
+    ev = _events_ns(spark, sf_dir, cols=("user_id", "event_type")).select(
+        "user_id", "event_type"
+    )
+    return SK.kmv_counts(ev, "event_type", "user_id", k=64)
