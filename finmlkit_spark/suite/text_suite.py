@@ -2090,6 +2090,94 @@ def bigram_logprob_q(spark, sf_dir):
     return CP.bigram_logprob(_docs(spark, sf_dir))
 
 
+@query(
+    "perplexity_buckets",
+    _TOKS
+    + """
+, pr AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+             i -> struct_pack(l := t[CAST(i AS INT)], r := t[CAST(i AS INT) + 1]))) AS p
+  FROM toks
+),
+pairs AS (SELECT doc, p.l AS l, p.r AS r FROM pr),
+uni AS (SELECT token AS l, count(*) AS cl
+        FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+vsz AS (SELECT count(*) AS v FROM uni),
+bi AS (SELECT l, r, count(*) AS cbi FROM pairs GROUP BY l, r),
+lp AS (
+  SELECT pairs.doc,
+         ln(CAST(bi.cbi + 1 AS DOUBLE) / (uni.cl + vsz.v)) AS lp
+  FROM pairs JOIN bi USING (l, r) JOIN uni USING (l), vsz
+),
+mlp AS (SELECT doc AS doc_id, round(avg(lp), 6) AS m FROM lp GROUP BY doc),
+cuts AS (
+  SELECT quantile_cont(m, 0.1) c1, quantile_cont(m, 0.2) c2,
+         quantile_cont(m, 0.3) c3, quantile_cont(m, 0.4) c4,
+         quantile_cont(m, 0.5) c5, quantile_cont(m, 0.6) c6,
+         quantile_cont(m, 0.7) c7, quantile_cont(m, 0.8) c8,
+         quantile_cont(m, 0.9) c9
+  FROM mlp
+),
+b AS (
+  SELECT CAST((CASE WHEN m > c1 THEN 1 ELSE 0 END
+             + CASE WHEN m > c2 THEN 1 ELSE 0 END
+             + CASE WHEN m > c3 THEN 1 ELSE 0 END
+             + CASE WHEN m > c4 THEN 1 ELSE 0 END
+             + CASE WHEN m > c5 THEN 1 ELSE 0 END
+             + CASE WHEN m > c6 THEN 1 ELSE 0 END
+             + CASE WHEN m > c7 THEN 1 ELSE 0 END
+             + CASE WHEN m > c8 THEN 1 ELSE 0 END
+             + CASE WHEN m > c9 THEN 1 ELSE 0 END) AS BIGINT) AS bucket, m
+  FROM mlp CROSS JOIN cuts
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(m) AS lo, max(m) AS hi,
+       (CAST(sum(CAST(floor(m * 1000000.0e0 + 0.5e0) AS BIGINT)) AS DOUBLE)
+        / count(*)) / 1000000.0e0 AS bucket_mean_lp
+FROM b GROUP BY bucket""",
+)
+def perplexity_buckets_q(spark, sf_dir):
+    """CCNet-style LM quality bucketing: decile buckets of the per-doc
+    bigram-LM mean log-prob — the standard curation split (keep the
+    head, down-sample or drop the tail). NO global ntile: nine exact
+    interpolated percentile cutpoints fold to ONE broadcast row (the
+    price_histogram_equidepth discipline), bucket assignment is a
+    narrow projection, the summary a 10-group aggregate. Bucket means
+    fold as 1e-6-quantized exact int64 sums (the kmeans integer-mean
+    discipline) so no float fold order leaks; bucketing keys on the
+    ROUNDED per-doc score both engines already agree on
+    (bigram_logprob's green row)."""
+    lp = CP.bigram_logprob(_docs(spark, sf_dir)).select("doc_id", "mean_logprob")
+    cuts = lp.agg(
+        F.percentile(
+            "mean_logprob", F.array(*[F.lit(q / 10) for q in range(1, 10)])
+        ).alias("_cs")
+    ).select(*[F.get("_cs", q - 1).alias(f"c{q}") for q in range(1, 10)])
+    b = lp.crossJoin(F.broadcast(cuts)).select(
+        sum(
+            [
+                F.when(F.col("mean_logprob") > F.col(f"c{q}"), 1).otherwise(0)
+                for q in range(1, 10)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.col("mean_logprob").alias("m"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("m").alias("lo"),
+        F.max("m").alias("hi"),
+        (
+            F.sum(F.floor(F.col("m") * 1000000.0 + F.lit(0.5)).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("bucket_mean_lp"),
+    )
+
+
 def _km_sim(v: str, c: str) -> str:
     return (
         f"list_dot_product({v}, {c}) / "

@@ -521,3 +521,30 @@ def test_redact_pii_rewrites_and_counts(spark):
     )
     assert out["red"] == "mail me at <EMAIL> or see <URL> id <NUM>"
     assert (out["n_emails"], out["n_urls"], out["n_long_nums"]) == (1, 1, 1)
+
+
+def test_perplexity_buckets_equidepth(spark):
+    """The LM-quality decile split: 10 buckets, near-equal populations
+    (equi-depth), monotone non-overlapping score ranges, and every doc
+    with >= 2 tokens accounted for."""
+    import pyspark.sql.functions as F
+
+    from finmlkit_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["perplexity_buckets"](spark, sf).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(10))
+    total = sum(r["n_docs"] for r in rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scoreable = docs.where(
+        F.size(F.split(F.trim("text"), " +")) >= 2
+    ).count()
+    assert total == scoreable
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= max(3, total // 5)  # near-equal
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"] + 1e-12  # monotone ranges
+        assert a["lo"] <= a["bucket_mean_lp"] <= a["hi"]
