@@ -181,3 +181,81 @@ def kmv_counts(
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("h_k").alias("kth_hash"),
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from their KMV
+    sketches (Beyer et al. 2007): for each group pair (a < b), take the
+    k smallest distinct hashes of the UNION of the two sketches; the
+    fraction of those present in BOTH sketches estimates Jaccard, and
+    Jaccard × the union-size estimate gives the intersection size —
+    distinct-user audience overlap without ever shuffling the raw keys
+    twice.
+
+    Exactness ladder: all set algebra is exact int64 hash membership;
+    when the merged union holds fewer than k hashes the sketch IS the
+    union and every output is exact (est_jaccard = shared/|union|).
+    Terminal float expressions are mirrored token-for-token in the
+    oracle.
+
+    Scale shape: sketches are ≤ k rows per group (WindowGroupLimit),
+    so every join here is bounded by |groups|²·k — group-count scale,
+    never data scale (the cross_source_dup_matrix posture: the |G|²
+    pair fan is the OUTPUT's own size)."""
+    h = (
+        _salted_hash(F.col(key_col), "r|") * F.lit(2147483648)
+        + _salted_hash(F.col(key_col), "s|")
+    )
+    dh = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sk = dh.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    groups = sk.select("g").distinct()
+    gp = (
+        groups.select(F.col("g").alias("ga"))
+        .crossJoin(F.broadcast(groups.select(F.col("g").alias("gb"))))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    ska = sk.select(F.col("g").alias("ga"), "h")
+    skb = sk.select(F.col("g").alias("gb"), "h")
+    ua = gp.join(ska, "ga").select(
+        "ga", "gb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    ub = gp.join(skb, "gb").select(
+        "ga", "gb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    merged = (
+        ua.unionAll(ub)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wm = Window.partitionBy("ga", "gb").orderBy("h")
+    topm = merged.withColumn("rk", F.row_number().over(wm)).where(F.col("rk") <= k)
+    agg = topm.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum((F.col("ia") * F.col("ib")).cast("long")).alias("n_shared"),
+    )
+    r_total = 4611686018427387904.0  # 2^62
+    denom = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(F.lit(k))
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(r_total) / F.col("h_k").cast("double"))
+    est_j = F.col("n_shared").cast("double") / denom.cast("double")
+    return agg.select(
+        F.col("ga").alias(f"{group_col}_a"),
+        F.col("gb").alias(f"{group_col}_b"),
+        est_j.alias("est_jaccard"),
+        (est_j * est_union).alias("est_intersection"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )

@@ -891,3 +891,59 @@ def kmv_user_count(spark, sf_dir):
         "user_id", "event_type"
     )
     return SK.kmv_counts(ev, "event_type", "user_id", k=64)
+
+
+@query(
+    "kmv_overlap",
+    f"""
+WITH h AS (
+  SELECT event_type AS g, {_H1} * 2147483648 + {_H2} AS h FROM events
+),
+d AS (SELECT DISTINCT g, h FROM h),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM d
+  ) WHERE rk <= 64
+),
+gs AS (SELECT DISTINCT g FROM sk),
+gp AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+u AS (
+  SELECT gp.ga, gp.gb, s.h, 1 AS ia, 0 AS ib FROM gp JOIN sk s ON s.g = gp.ga
+  UNION ALL
+  SELECT gp.ga, gp.gb, s.h, 0 AS ia, 1 AS ib FROM gp JOIN sk s ON s.g = gp.gb
+),
+m AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM u GROUP BY ga, gb, h),
+tm AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM m
+  ) WHERE rk <= 64
+),
+ag AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k,
+         CAST(sum(ia * ib) AS BIGINT) AS n_shared
+  FROM tm GROUP BY ga, gb
+)
+SELECT ga AS event_type_a, gb AS event_type_b,
+       CAST(n_shared AS DOUBLE)
+         / CAST(CASE WHEN n_kept < 64 THEN n_kept ELSE 64 END AS DOUBLE) AS est_jaccard,
+       (CAST(n_shared AS DOUBLE)
+         / CAST(CASE WHEN n_kept < 64 THEN n_kept ELSE 64 END AS DOUBLE))
+         * (CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                 ELSE (63.0 * 4611686018427387904.0) / CAST(h_k AS DOUBLE) END)
+         AS est_intersection,
+       n_shared, n_kept
+FROM ag""",
+)
+def kmv_overlap_q(spark, sf_dir):
+    """Pairwise audience overlap between event types from merged KMV
+    sketches: Jaccard = shared fraction of the k smallest union hashes,
+    intersection = Jaccard × union-size estimate — distinct-user
+    overlap without a second shuffle of the raw keys. Every join is
+    bounded by |groups|²·k sketch rows (group-count scale)."""
+    from ..operators import sketches as SK
+    from .multiuser_suite import _events_ns
+
+    ev = _events_ns(spark, sf_dir, cols=("user_id", "event_type")).select(
+        "user_id", "event_type"
+    )
+    return SK.kmv_overlap(ev, "event_type", "user_id", k=64)

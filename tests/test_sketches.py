@@ -105,3 +105,38 @@ def test_sketches_empty_input(spark):
     df = spark.createDataFrame([], "grp int, key long")
     assert SK.hll_counts(df, "grp", "key").count() == 0
     assert SK.kmv_counts(df, "grp", "key").count() == 0
+
+
+def test_kmv_overlap_known_sets(spark):
+    """Crafted groups with known overlap: A = 0..199, B = 100..299
+    (|A∩B| = 100, J = 1/3), C = 400..449 disjoint from both. Estimates
+    must land within sketch error; the disjoint pair must read ~0."""
+    rows = (
+        [("A", i) for i in range(200)]
+        + [("B", i) for i in range(100, 300)]
+        + [("C", i) for i in range(400, 450)]
+    )
+    df = spark.createDataFrame(rows, "grp string, key long")
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in SK.kmv_overlap(df, "grp", "key", k=64).collect()
+    }
+    ab = got[("A", "B")]
+    assert abs(ab["est_jaccard"] - 1 / 3) < 0.2
+    assert abs(ab["est_intersection"] - 100) < 60
+    assert got[("A", "C")]["est_jaccard"] == 0.0
+    assert got[("B", "C")]["est_intersection"] == 0.0
+    # C has < k distinct keys on both sides of its pairs, but the
+    # MERGED union with A (250 distinct) exceeds k — n_kept == 64 there
+    assert got[("A", "C")]["n_kept"] == 64
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """When the merged union fits under k the overlap output is EXACT:
+    two 20-element sets sharing 10 keys → J = 10/30, inter = 10."""
+    rows = [("A", i) for i in range(20)] + [("B", i) for i in range(10, 30)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    r = SK.kmv_overlap(df, "grp", "key", k=64).collect()[0]
+    assert r["n_kept"] == 30 and r["n_shared"] == 10
+    assert r["est_jaccard"] == 10 / 30
+    assert r["est_intersection"] == (10 / 30) * 30.0
