@@ -1,0 +1,96 @@
+"""Streaming cardinality sketches: running distinct-count estimates
+over an unbounded event stream with FIXED per-group state.
+
+The batch tier (``operators/sketches.py``) computes HLL registers as
+pure column expressions; the streaming form reuses the SAME hash/
+register projections (one definition, two execution modes — the
+curation-tier pattern) and folds register maxima in ``GroupState``:
+state per group is exactly m = 2^p small ints regardless of how many
+events ever arrive — the sketch property IS the streaming story (an
+exact streaming distinct would grow state with every new key).
+
+Emission: each micro-batch a group appears in emits its CURRENT
+estimate (update mode); register maxima only ever grow, so the last
+emission per group equals the batch estimate over the same data —
+pinned by the batch-parity test. The raw harmonic estimate is computed
+with the identical constant and division as the batch column (Python
+and JVM doubles are both IEEE-754 — bit-equal); the linear-counting
+correction uses ``math.log`` vs the JVM's ``ln`` (same last-ulp caveat
+as every ln in the repo)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sketches import _salted_hash
+
+HLL_OUT_SCHEMA = "g string, est double, est_raw double, n_empty long"
+HLL_STATE_SCHEMA = "regs array<int>"
+
+
+def with_hll_columns(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """The stateless projection shared with the batch operator: register
+    index from one salted+avalanched hash, Flajolet–Martin rank from an
+    independent second one."""
+    m = 1 << p
+    h1 = _salted_hash(F.col(key_col), "r|")
+    h2 = _salted_hash(F.col(key_col), "s|")
+    rho = F.when(h2 == 0, F.lit(31)).otherwise(
+        F.bit_count((h2.bitwiseAND(-h2) - F.lit(1)).cast("long")) + F.lit(1)
+    )
+    return df.withColumn("ridx", (h1 % m).cast("int")).withColumn(
+        "rho", rho.cast("int")
+    )
+
+
+def streaming_hll_distinct(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Running HLL distinct-key estimate per group over a stream.
+
+    State per group: the m register maxima (ints) — fixed size forever.
+    Each micro-batch folds the batch's (ridx, rho) rows into the state
+    with ``max`` (associative and idempotent, so replays/duplicates are
+    harmless) and emits the group's current estimate."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    num = alpha * float(m) * float(m) * 4294967296.0  # == the batch F.lit
+
+    def fn(key, pdfs, state: GroupState):
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for ridx, rho in zip(pdf["ridx"], pdf["rho"]):
+                ridx = int(ridx)
+                if int(rho) > regs[ridx]:
+                    regs[ridx] = int(rho)
+        state.update((regs,))
+        s_total = sum(1 << (32 - r) for r in regs)  # empty: rho=0 → 2^32
+        v = sum(1 for r in regs if r == 0)
+        est_raw = num / float(s_total)
+        if est_raw <= 2.5 * m and v > 0:
+            est = float(m) * math.log(float(m) / v)
+        else:
+            est = est_raw
+        yield pd.DataFrame(
+            [(key[0], est, est_raw, v)],
+            columns=["g", "est", "est_raw", "n_empty"],
+        )
+
+    proj = with_hll_columns(stream, key_col, p).select(
+        F.col(group_col).cast("string").alias("g"), "ridx", "rho"
+    )
+    return proj.groupBy("g").applyInPandasWithState(
+        fn,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -731,3 +731,61 @@ def test_streaming_funnel_parity(spark, stream_dir, tmp_path):
     assert counts["view"] == sum(1 for v in got_reached.values())
     assert counts["click"] == sum(1 for v in got_reached.values() if v[1] >= 0)
     assert counts["purchase"] == sum(1 for v in got_reached.values() if v[2] >= 0)
+
+
+def test_streaming_hll_distinct_parity(spark, stream_dir, tmp_path):
+    """Multi-batch streaming HLL == the batch hll_counts over the same
+    events: register maxima only grow, so each group's LAST emission
+    (max est over emissions works too since registers are monotone)
+    must bit-match the batch est_raw, with the same n_empty. A 3-file
+    split under maxFilesPerTrigger=1 forces register state to carry
+    across micro-batches."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.operators import sketches as SK
+    from finmlkit_spark.streaming.sketches import streaming_hll_distinct
+
+    src = str(tmp_path / "hll_split")
+    tbl = pq.read_table(f"{stream_dir}/events.parquet")
+    os.makedirs(src)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(
+            tbl.slice(i * n // 3, (n // 3) if i < 2 else n), f"{src}/p{i}.parquet"
+        )
+
+    batch = spark.read.parquet(stream_dir).select("user_id", "event_type")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "event_type")
+    )
+    out = streaming_hll_distinct(stream, "event_type", "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # registers are monotone: the minimal n_empty / maximal est_raw row
+    # per group is the final state
+    got = {
+        r["g"]: r
+        for r in spark.sql(
+            "select g, max(est_raw) est_raw, min(n_empty) n_empty "
+            "from hll_stream group by g"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in SK.hll_counts(batch, "event_type", "user_id").collect()
+    }
+    assert set(got) == set(want)
+    for g, w in want.items():
+        assert got[g]["est_raw"] == w["est_raw"], g  # bit-equal doubles
+        assert got[g]["n_empty"] == w["n_empty"], g
