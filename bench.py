@@ -89,6 +89,11 @@ HEADLINE = [
     "pmi_top_pairs",
     "tfidf_cosine_pairs",
     "lsh_recall_audit",
+    # round-12 additions: the cardinality-sketch tier + LM-quality split
+    "hll_user_count",
+    "kmv_user_count",
+    "kmv_overlap",
+    "perplexity_buckets",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in
