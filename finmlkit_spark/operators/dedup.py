@@ -1181,6 +1181,14 @@ def tfidf_cosine_pairs(
             .alias("wq"),
         )
     )
+    # the weighted-token table feeds THREE consumers (norms + both
+    # sides of the candidate self-join); without a storage boundary
+    # Catalyst re-inlines the whole tokenize→tf→df subtree per
+    # reference — 12 corpus scans and 16 tokenizer passes at sf0.1
+    # (round-12 plan audit). One lineage cut makes it one.
+    from .. import cache
+
+    w = cache.cut(w)
     # decimal(19,0) holds any int64; the product is decimal(38,0) —
     # wq² < 2^126 bits never truncates, and a sum past 1e38 nulls
     # instead of wrapping (see docstring overflow posture)

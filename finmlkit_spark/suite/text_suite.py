@@ -2148,7 +2148,14 @@ def perplexity_buckets_q(spark, sf_dir):
     discipline) so no float fold order leaks; bucketing keys on the
     ROUNDED per-doc score both engines already agree on
     (bigram_logprob's green row)."""
-    lp = CP.bigram_logprob(_docs(spark, sf_dir)).select("doc_id", "mean_logprob")
+    from .. import cache
+
+    # the per-doc score frame feeds the cutpoint aggregate AND the
+    # bucket assignment — one lineage cut keeps the whole bigram-LM
+    # pipeline (pair explode + two count joins) from running twice
+    lp = cache.cut(
+        CP.bigram_logprob(_docs(spark, sf_dir)).select("doc_id", "mean_logprob")
+    )
     cuts = lp.agg(
         F.percentile(
             "mean_logprob", F.array(*[F.lit(q / 10) for q in range(1, 10)])
