@@ -2085,6 +2085,101 @@ def ann_sq8_search(
     )
 
 
+def embedding_outliers(
+    emb_df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ndigits: int = 6,
+    z2_cap: float = 1e6,
+) -> DataFrame:
+    """Embedding QC: top-k outlier vectors by diagonal Mahalanobis
+    distance — Σ_j (x_j − μ_j)²/σ²_j over dims with σ²_j > 0. The
+    standard corpus-hygiene screen (corrupt encoders, wrong-modality
+    rows, zero/saturated vectors) before any ANN/cluster stage.
+
+    Exactness ladder (the :func:`embedding_covariance` discipline, one
+    diagonal down): per-dim stats come from 1e-``ndigits``-quantized
+    int64 sums (Σq, Σq² — order-independent; DECIMAL-safe well past
+    2^63 via Python/HUGEINT folds), μ and σ² derive with ONE fixed
+    float expression each, and the per-element z² terms — identical
+    doubles in both engines — quantize to 1e9 units (HALF_UP, capped
+    at ``z2_cap`` per element so a near-zero variance cannot overflow
+    the int64 sum) before the per-vector SUM, which is therefore an
+    exact integer in ANY aggregation order. The exposed score is
+    score_q/1e9; ranking keys on the integer, ties break on the id.
+
+    Scale shape: one narrow (dim, q) explode + one d-row stats
+    aggregate (d rows collect — bounded scalar state, the kmeans
+    posture); the scoring pass is ONE projection with a sequential HOF
+    fold over broadcast μ/σ² array literals; top-k is
+    ``orderBy().limit()`` = TakeOrderedAndProject + a k-row re-rank."""
+    scale = 10**ndigits
+    d = emb_df.select(F.size(F.col(emb_col)).alias("d")).limit(1).collect()
+    if not d:
+        return emb_df.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double, rank long"
+        )
+    dim = d[0]["d"]
+    q = emb_df.select(
+        F.posexplode(
+            F.transform(
+                as_double(emb_col),
+                lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+            )
+        ).alias("j", "qv")
+    )
+    stats = (
+        q.groupBy("j")
+        .agg(
+            F.sum("qv").cast("decimal(38,0)").alias("sq"),
+            F.sum(F.col("qv").cast("decimal(19,0)") * F.col("qv")).alias("sq2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    mu = [0.0] * dim
+    var = [0.0] * dim
+    for r in stats:
+        n = int(r["n"])
+        sq, sq2 = int(r["sq"]), int(r["sq2"])
+        mu[r["j"]] = float(sq) / (n * float(scale))
+        # population variance of the quantized components, exact
+        # integer numerator (Python bigint == the oracle's HUGEINT)
+        num = n * sq2 - sq * sq
+        var[r["j"]] = float(num) / ((float(n) * float(n)) * float(scale) ** 2)
+    m_arr = F.lit(mu)
+    v_arr = F.lit(var)
+    e = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    cap = float(z2_cap) * 1e9
+
+    def term(acc, i):
+        u = F.element_at(F.col("v"), i + 1) - F.element_at(m_arr, i + 1)
+        vr = F.element_at(v_arr, i + 1)
+        t = F.when(
+            vr > 0.0,
+            F.floor(F.least(u * u / vr * F.lit(1e9), F.lit(cap)) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return acc + t
+
+    scored = e.select(
+        "id", F.aggregate(idx, F.lit(0).cast("long"), term).alias("score_q")
+    )
+    top = scored.orderBy(F.col("score_q").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("score_q").desc(), F.col("id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
+            "rank",
+        )
+    )
+
+
 _FORCE_DIVERSE_MODE: str | None = None  # test hook: "onebatch" | "perpass"
 
 

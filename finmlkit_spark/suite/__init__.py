@@ -17,10 +17,11 @@ from . import developing_suite  # noqa: F401
 # The external driver verifies the FIRST 50 registered queries per round.
 #
 # ROUND-12 WINDOW:
-# 1-4:   NEW in round 12 — hll_user_count / kmv_user_count /
+# 1-5:   NEW in round 12 — hll_user_count / kmv_user_count /
 #        kmv_overlap (the deterministic cross-engine cardinality-sketch
-#        tier) and perplexity_buckets (CCNet-style LM quality deciles);
-# 5-16:  every query whose implementation (or oracle) CHANGED in round
+#        tier), perplexity_buckets (CCNet-style LM quality deciles),
+#        and embedding_outliers (diagonal-Mahalanobis embedding QC);
+# 6-17:  every query whose implementation (or oracle) CHANGED in round
 #        12 — embedding_covariance (the r11 red row: -0.0 canonicalized
 #        on both engine sides), diverse_sample (Arrow argmax passes +
 #        one-batch crossover + id-dtype), tfidf_cosine_pairs
@@ -29,11 +30,11 @@ from . import developing_suite  # noqa: F401
 #        bm25_topk (let-bind-once tokenizer), and the five image/video
 #        queries riding the JPEG decoder that gained progressive + DRI
 #        support;
-# 17-45: the 29-row r6 tail (newest green row 5 rounds stale — the
+# 18-46: the 29-row r6 tail (newest green row 5 rounds stale — the
 #        seq_cusum_* family, vp_* family, asof_*, store/io singles,
 #        corpus singles, imbalance/run bars, sql_shared_dialect);
-# 46-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta,
-#        lang_id). The remaining 26 r7 rows (doc_fingerprint,
+# 47-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta).
+#        The remaining 27 r7 rows (lang_id, doc_fingerprint,
 #        minhash_lsh, simhash_near_pairs, ann_topk first) lead the
 #        round-13 fill, then the r8 cohort as it ages.
 #
@@ -82,6 +83,7 @@ _PRIORITY = [
     "kmv_user_count",
     "kmv_overlap",
     "perplexity_buckets",
+    "embedding_outliers",
     # -- changed in round 12 (re-verify first) --------------------------------
     "embedding_covariance",
     "diverse_sample",
@@ -130,7 +132,6 @@ _PRIORITY = [
     "seq_atr_ema",
     "tbm_labels",
     "tbm_meta",
-    "lang_id",
 ]
 
 

@@ -1131,6 +1131,56 @@ def embedding_covariance_q(spark, sf_dir):
 
 
 @query(
+    "embedding_outliers",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qq AS (SELECT vec_id, v,
+              list_transform(v, x -> CAST(floor(x * 1000000.0e0 + 0.5e0) AS BIGINT)) AS q
+       FROM e),
+x AS (SELECT vec_id,
+             CAST(unnest(range(len(q))) AS INT) AS j,
+             unnest(q) AS qv
+      FROM qq),
+st AS (SELECT j, sum(CAST(qv AS HUGEINT)) AS sq,
+              sum(CAST(qv AS HUGEINT) * qv) AS sq2,
+              CAST(count(*) AS BIGINT) AS n
+       FROM x GROUP BY j),
+ms AS (SELECT j,
+              CAST(sq AS DOUBLE) / (n * 1000000.0e0) AS mu,
+              CAST(n * sq2 - sq * sq AS DOUBLE)
+                / ((CAST(n AS DOUBLE) * n) * 1000000000000.0e0) AS var
+       FROM st),
+t AS (
+  SELECT qq.vec_id,
+         CASE WHEN ms.var > 0.0e0
+              THEN CAST(floor(least(
+                     ((qq.v[ms.j + 1] - ms.mu) * (qq.v[ms.j + 1] - ms.mu))
+                       / ms.var * 1000000000.0e0,
+                     1000000000000000.0e0) + 0.5e0) AS BIGINT)
+              ELSE 0 END AS tq
+  FROM qq CROSS JOIN ms
+),
+sc AS (SELECT vec_id, sum(tq) AS score_q FROM t GROUP BY vec_id),
+top AS (SELECT * FROM sc ORDER BY score_q DESC, vec_id LIMIT 20)
+SELECT vec_id,
+       CAST(score_q AS DOUBLE) / 1000000000.0e0 AS score,
+       CAST(row_number() OVER (ORDER BY score_q DESC, vec_id) AS BIGINT) AS rank
+FROM top""",
+)
+def embedding_outliers_q(spark, sf_dir):
+    """Embedding QC: top-20 outlier vectors by diagonal Mahalanobis
+    distance (Σ (x−μ)²/σ² over positive-variance dims) — the corpus
+    hygiene screen before ANN/cluster stages. Per-dim stats from exact
+    quantized-int sums; per-element z² terms (identical doubles in both
+    engines) quantize to 1e9 units before the per-vector sum, so the
+    score is an exact integer in any aggregation order and the ranking
+    never touches float fold order."""
+    from ..operators import similarity as SIM
+
+    return SIM.embedding_outliers(_embs(spark, sf_dir), k=20)
+
+
+@query(
     "weighted_sample",
     _TOKS
     + """

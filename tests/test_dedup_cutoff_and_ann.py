@@ -778,3 +778,36 @@ def test_diverse_sample_modes_bit_identical(spark):
             SIM._FORCE_DIVERSE_MODE = None
     assert got["onebatch"] == got["perpass"]
     assert len(got["onebatch"]) == 6
+
+
+def test_embedding_outliers_finds_injected_outlier(spark):
+    """A vector displaced 50σ along one dim must rank #1 with a score
+    dominated by that dim's z²; a constant (zero-variance) dim must
+    contribute nothing rather than dividing by zero."""
+    import numpy as np
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0.0, 0.1, (100, 8))
+    base[:, 3] = 0.25  # constant dim: variance 0 -> skipped
+    base[42, 0] += 5.0  # ~50 sigma displacement
+    rows = [(i, [float(x) for x in base[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.embedding_outliers(df, k=5).collect()
+    assert out[0]["vec_id"] == 42 and out[0]["rank"] == 1
+    assert out[0]["score"] > 4 * out[1]["score"]  # the outlier dominates
+    # every score is finite (the zero-variance dim did not blow up)
+    assert all(np.isfinite(r["score"]) for r in out)
+
+
+def test_embedding_outliers_z2_cap(spark):
+    """A near-zero-variance dim with one deviating row must saturate at
+    the per-element cap instead of overflowing the integer sum."""
+    from finmlkit_spark.operators import similarity as SIM
+
+    rows = [(i, [1e-9 * (i % 2), 1.0]) for i in range(50)] + [(99, [5.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.embedding_outliers(df, k=3, z2_cap=1e6).collect()
+    assert out[0]["vec_id"] == 99
+    assert out[0]["score"] <= 2 * 1e6 + 1  # capped per element
