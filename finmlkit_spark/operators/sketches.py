@@ -259,3 +259,81 @@ def kmv_overlap(
         F.col("n_shared").cast("long").alias("n_shared"),
         F.col("n_kept").cast("long").alias("n_kept"),
     )
+
+
+def cm_table(
+    df: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Count-min sketch table (Cormode & Muthukrishnan 2005): d hash
+    rows × w counters of EXACT int64 occurrence sums — the
+    bounded-memory frequency summary. However many rows stream through,
+    the table is d·w rows, and counters are plain sums (associative,
+    mergeable across partitions/streams). Returns (r, bucket, cnt)."""
+    occ = df.select(F.col(key_col).alias("k"))
+    # ONE corpus scan: each occurrence explodes to its d (row, bucket)
+    # pairs instead of a d-way union re-scanning the input
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (_salted_hash(F.col("k"), f"c{r}|") % w).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        occ.select(F.explode(pairs).alias("p"))
+        .select("p.r", "p.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_freq_audit(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+    w: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Honest-measurement harness for the count-min sketch (the
+    lsh_recall_audit posture): the EXACT top-``top`` keys by frequency,
+    each with its CM estimate (min over the d hashed counters) and the
+    collision overestimate. CM never underestimates, and with w
+    counters the expected overestimate is ≤ 2N/w per row — the audit
+    makes that bound measurable instead of asserted.
+
+    Everything is integer: exact counts, exact counter sums, integer
+    min — bit-exact cross-engine with no float anywhere. The exact side
+    is the audit's cost (one key-count aggregate + TakeOrdered); a
+    production consumer keeps ONLY the d·w-row table."""
+    from .. import cache
+
+    exact = df.select(F.col(key_col).alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    topk = exact.orderBy(F.col("exact_n").desc(), F.col("k")).limit(top)
+    # the ≤ d·w-row table feeds d per-row broadcast probes — cut it so
+    # the corpus aggregate runs once, not d times
+    cm = cache.cut(cm_table(df, key_col, w=w, d=d))
+    probes = topk
+    for r in range(d):
+        probes = probes.withColumn(
+            f"_b{r}", _salted_hash(F.col("k"), f"c{r}|") % w
+        )
+    est = probes
+    for r in range(d):
+        cr = cm.where(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
+        )
+        est = est.join(F.broadcast(cr), f"_b{r}")
+    cm_est = F.least(*[F.col(f"_c{r}") for r in range(d)])
+    return est.select(
+        F.col("k").alias(key_col),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        cm_est.cast("long").alias("cm_est"),
+        (cm_est - F.col("exact_n")).cast("long").alias("overestimate"),
+    )

@@ -17,11 +17,11 @@ from . import developing_suite  # noqa: F401
 # The external driver verifies the FIRST 50 registered queries per round.
 #
 # ROUND-12 WINDOW:
-# 1-5:   NEW in round 12 — hll_user_count / kmv_user_count /
-#        kmv_overlap (the deterministic cross-engine cardinality-sketch
-#        tier), perplexity_buckets (CCNet-style LM quality deciles),
-#        and embedding_outliers (diagonal-Mahalanobis embedding QC);
-# 6-17:  every query whose implementation (or oracle) CHANGED in round
+# 1-6:   NEW in round 12 — hll_user_count / kmv_user_count /
+#        kmv_overlap / cm_token_freq (the deterministic cross-engine
+#        sketch tier), perplexity_buckets (CCNet-style LM quality
+#        deciles), and embedding_outliers (diagonal-Mahalanobis QC);
+# 7-18:  every query whose implementation (or oracle) CHANGED in round
 #        12 — embedding_covariance (the r11 red row: -0.0 canonicalized
 #        on both engine sides), diverse_sample (Arrow argmax passes +
 #        one-batch crossover + id-dtype), tfidf_cosine_pairs
@@ -30,11 +30,11 @@ from . import developing_suite  # noqa: F401
 #        bm25_topk (let-bind-once tokenizer), and the five image/video
 #        queries riding the JPEG decoder that gained progressive + DRI
 #        support;
-# 18-46: the 29-row r6 tail (newest green row 5 rounds stale — the
+# 19-47: the 29-row r6 tail (newest green row 5 rounds stale — the
 #        seq_cusum_* family, vp_* family, asof_*, store/io singles,
 #        corpus singles, imbalance/run bars, sql_shared_dialect);
-# 47-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels, tbm_meta).
-#        The remaining 27 r7 rows (lang_id, doc_fingerprint,
+# 48-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels). The
+#        remaining 28 r7 rows (tbm_meta, lang_id, doc_fingerprint,
 #        minhash_lsh, simhash_near_pairs, ann_topk first) lead the
 #        round-13 fill, then the r8 cohort as it ages.
 #
@@ -84,6 +84,7 @@ _PRIORITY = [
     "kmv_overlap",
     "perplexity_buckets",
     "embedding_outliers",
+    "cm_token_freq",
     # -- changed in round 12 (re-verify first) --------------------------------
     "embedding_covariance",
     "diverse_sample",
@@ -131,7 +132,6 @@ _PRIORITY = [
     "dollar_bars",
     "seq_atr_ema",
     "tbm_labels",
-    "tbm_meta",
 ]
 
 

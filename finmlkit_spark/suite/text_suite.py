@@ -1131,6 +1131,41 @@ def embedding_covariance_q(spark, sf_dir):
 
 
 @query(
+    "cm_token_freq",
+    _TOKS
+    + """
+, tok AS (SELECT unnest(t) AS k FROM toks),
+exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY k),
+topk AS (SELECT * FROM exact ORDER BY exact_n DESC, k LIMIT 20),
+cm AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT 0 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket FROM tok
+    UNION ALL SELECT 1 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket FROM tok
+    UNION ALL SELECT 2 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket FROM tok
+  ) GROUP BY r, bucket
+)
+SELECT t.k AS token, t.exact_n,
+       least(c0.cnt, c1.cnt, c2.cnt) AS cm_est,
+       least(c0.cnt, c1.cnt, c2.cnt) - t.exact_n AS overestimate
+FROM topk t
+JOIN cm c0 ON c0.r = 0 AND c0.bucket = xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024
+JOIN cm c1 ON c1.r = 1 AND c1.bucket = xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024
+JOIN cm c2 ON c2.r = 2 AND c2.bucket = xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(t.k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024""",
+)
+def cm_token_freq_q(spark, sf_dir):
+    """Count-min sketch frequency audit over the corpus vocabulary: the
+    exact top-20 tokens, each with its CM estimate (min over 3 hashed
+    1024-counter rows) and the collision overestimate — the
+    bounded-memory heavy-hitter primitive measured honestly (the
+    lsh_recall_audit posture). Pure integers end to end: exact counts,
+    exact counter sums, integer min — no float anywhere."""
+    from ..operators import sketches as SK
+
+    toks = _docs(spark, sf_dir).select(F.explode(TX.tokens("text")).alias("token"))
+    return SK.cm_freq_audit(toks, "token", top=20)
+
+
+@query(
     "embedding_outliers",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -140,3 +140,33 @@ def test_kmv_overlap_exact_below_k(spark):
     assert r["n_kept"] == 30 and r["n_shared"] == 10
     assert r["est_jaccard"] == 10 / 30
     assert r["est_intersection"] == (10 / 30) * 30.0
+
+
+def test_cm_never_underestimates_and_bounds(spark):
+    """CM estimates are >= exact by construction (collisions only add);
+    with w=1024 counters and N occurrences the expected per-row
+    overestimate is ~N/w — assert a generous 8N/w bound over the top
+    keys of a skewed synthetic stream."""
+    rows = [(f"k{i % 50}",) for i in range(5000)] + [("hot",)] * 2000
+    df = spark.createDataFrame(rows, "key string")
+    out = SK.cm_freq_audit(df, "key", top=10).collect()
+    n_total = 7000
+    assert out
+    for r in out:
+        assert r["cm_est"] >= r["exact_n"]
+        assert r["overestimate"] <= 8 * n_total // 1024 + 1
+    top = max(out, key=lambda r: r["exact_n"])
+    assert top["key"] == "hot" and top["exact_n"] == 2000
+
+
+def test_cm_table_is_bounded(spark):
+    """The sketch table never exceeds d*w rows however large the
+    input — the bounded-memory property itself."""
+    rows = [(f"k{i}",) for i in range(20000)]
+    df = spark.createDataFrame(rows, "key string")
+    t = SK.cm_table(df, "key", w=64, d=3)
+    assert t.count() <= 3 * 64
+    import pyspark.sql.functions as F2
+
+    total = t.agg(F2.sum("cnt")).collect()[0][0]
+    assert total == 3 * 20000  # every occurrence lands in every row
