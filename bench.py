@@ -94,6 +94,8 @@ HEADLINE = [
     "kmv_user_count",
     "kmv_overlap",
     "perplexity_buckets",
+    "embedding_outliers",
+    "cm_token_freq",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -1138,10 +1138,10 @@ def embedding_covariance_q(spark, sf_dir):
 exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY k),
 topk AS (SELECT * FROM exact ORDER BY exact_n DESC, k LIMIT 20),
 cm AS (
-  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
-    SELECT 0 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket FROM tok
-    UNION ALL SELECT 1 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket FROM tok
-    UNION ALL SELECT 2 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket FROM tok
+  SELECT r, bucket, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT 0 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c0|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket, exact_n AS n FROM exact
+    UNION ALL SELECT 1 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c1|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket, exact_n AS n FROM exact
+    UNION ALL SELECT 2 AS r, xor((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647), ((((xor((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647), ((((xor(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(concat('c2|', CAST(k AS VARCHAR)), ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) >> 16)) * 2246822519) & 2147483647)) >> 13)) * 3266489917) & 2147483647)) >> 16) % 1024 AS bucket, exact_n AS n FROM exact
   ) GROUP BY r, bucket
 )
 SELECT t.k AS token, t.exact_n,
