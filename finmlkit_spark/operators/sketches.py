@@ -109,13 +109,18 @@ def hll_counts(
     - ``n_empty``: untouched registers (V).
     """
     m = 1 << p
-    h1 = _salted_hash(F.col(key_col), "r|")
-    h2 = _salted_hash(F.col(key_col), "s|")
+    # register max is idempotent, so hashing DISTINCT (group, key) pairs
+    # yields identical registers while the interpreted char-fold hash
+    # runs once per distinct key, not per occurrence (the cm_table
+    # lesson); the distinct's map-side partial eats the repeats early
+    dk = df.select(F.col(group_col).alias("g"), F.col(key_col).alias("_k")).distinct()
+    h1 = _salted_hash(F.col("_k"), "r|")
+    h2 = _salted_hash(F.col("_k"), "s|")
     rho = F.when(h2 == 0, F.lit(31)).otherwise(
         F.bit_count((h2.bitwiseAND(-h2) - F.lit(1)).cast("long")) + F.lit(1)
     )
     regs = (
-        df.select(F.col(group_col).alias("g"), (h1 % m).alias("ridx"), rho.alias("rho"))
+        dk.select("g", (h1 % m).alias("ridx"), rho.alias("rho"))
         .groupBy("g", "ridx")
         .agg(F.max("rho").alias("r"))
     )
@@ -156,16 +161,16 @@ def kmv_counts(
     the single terminal division is bit-identical across engines. The
     per-group top-k rides a WindowGroupLimit (rank ≤ k partial per
     partition — never a global sort)."""
+    # distinct (group, key) BEFORE hashing: identical sketch (the hash
+    # is a pure function of the key), one char-fold per distinct key
+    dk = df.select(F.col(group_col).alias("g"), F.col(key_col).alias("_k")).distinct()
     h = (
-        _salted_hash(F.col(key_col), "r|") * F.lit(2147483648)
-        + _salted_hash(F.col(key_col), "s|")
+        _salted_hash(F.col("_k"), "r|") * F.lit(2147483648)
+        + _salted_hash(F.col("_k"), "s|")
     )
-    dh = (
-        df.select(F.col(group_col).alias("g"), h.alias("h"))
-        .groupBy("g", "h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .drop("_n")
-    )
+    # second distinct on the HASH: two distinct keys colliding to one h
+    # must still count once (the sketch lives in hash space)
+    dh = dk.select("g", h.alias("h")).distinct()
     w = Window.partitionBy("g").orderBy("h")
     topk = dh.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
     r_total = 4611686018427387904.0  # 2^62 — exactly representable
@@ -207,16 +212,14 @@ def kmv_overlap(
     so every join here is bounded by |groups|²·k — group-count scale,
     never data scale (the cross_source_dup_matrix posture: the |G|²
     pair fan is the OUTPUT's own size)."""
+    # distinct keys before the char-fold hash, then distinct hashes
+    # (the kmv_counts discipline — identical sketch, |vocab| folds)
+    dk = df.select(F.col(group_col).alias("g"), F.col(key_col).alias("_k")).distinct()
     h = (
-        _salted_hash(F.col(key_col), "r|") * F.lit(2147483648)
-        + _salted_hash(F.col(key_col), "s|")
+        _salted_hash(F.col("_k"), "r|") * F.lit(2147483648)
+        + _salted_hash(F.col("_k"), "s|")
     )
-    dh = (
-        df.select(F.col(group_col).alias("g"), h.alias("h"))
-        .groupBy("g", "h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .drop("_n")
-    )
+    dh = dk.select("g", h.alias("h")).distinct()
     w = Window.partitionBy("g").orderBy("h")
     sk = dh.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
     groups = sk.select("g").distinct()
