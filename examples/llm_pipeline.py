@@ -153,6 +153,32 @@ def main() -> None:
     reps = RT.central_reps(edges, a_col="doc_a", b_col="doc_b")
     print("cluster representatives:", reps.count())
 
+    # 9. corpus accounting at sketch cost (round 12): per-source
+    #    distinct-doc tallies in 64 registers per source (however many
+    #    rows ever stream through), source-overlap estimates from the
+    #    same sketches, heavy-hitter token frequencies in a d·w-row
+    #    table, and an LM-quality decile split for mixture weighting
+    from finmlkit_spark.operators import corpus as CP
+    from finmlkit_spark.operators import sketches as SK
+
+    hll = SK.hll_counts(curated, "source", "doc_id")
+    print("distinct docs/source (HLL):",
+          [(r["source"], round(r["est"])) for r in hll.collect()])
+    ov = SK.kmv_overlap(docs.select("source", "text"), "source", "text")
+    print("cross-source text overlap (KMV):",
+          [(r["source_a"], r["source_b"], round(r["est_jaccard"], 3))
+           for r in ov.collect()[:5]])
+    toks = curated.select(F.explode(TX.tokens("text")).alias("token"))
+    cm = SK.cm_freq_audit(toks, "token", top=5)
+    print("top tokens (exact vs count-min):",
+          [(r["token"], r["exact_n"], r["cm_est"]) for r in cm.collect()])
+
+    # 10. embedding hygiene before the ANN stages: flag statistical
+    #     outliers (corrupt encoders / wrong-modality rows)
+    out = SIM.embedding_outliers(emb, k=5)
+    print("embedding outliers:",
+          [(r["vec_id"], round(r["score"], 1)) for r in out.collect()])
+
 
 if __name__ == "__main__":
     main()
