@@ -94,3 +94,60 @@ def streaming_hll_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUT_SCHEMA = "g string, est double, n_kept long, kth_hash long"
+KMV_STATE_SCHEMA = "mins array<long>"
+
+
+def with_kmv_hash(df: DataFrame, key_col: str) -> DataFrame:
+    """The stateless 62-bit combined hash shared with the batch KMV."""
+    h = (
+        _salted_hash(F.col(key_col), "r|") * F.lit(2147483648)
+        + _salted_hash(F.col(key_col), "s|")
+    )
+    return df.withColumn("h", h)
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Running KMV distinct-key estimate per group over a stream: state
+    per group is the k smallest distinct hashes seen so far (a bounded
+    sorted list — min-merge is associative and idempotent, duplicates
+    and replays are harmless). Emission math matches the batch
+    operator token for token, so the final streaming estimate
+    bit-matches batch ``kmv_counts`` over the same data (parity test)."""
+
+    def fn(key, pdfs, state: GroupState):
+        mins = list(state.get[0]) if state.exists else []
+        s = set(mins)
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                s.add(int(h))
+        mins = sorted(s)[:k]
+        state.update((mins,))
+        n_kept = len(mins)
+        h_k = mins[-1] if mins else 0
+        if n_kept < k:
+            est = float(n_kept)
+        else:
+            est = float(k - 1) * 4611686018427387904.0 / float(h_k)
+        yield pd.DataFrame(
+            [(key[0], est, n_kept, h_k)],
+            columns=["g", "est", "n_kept", "kth_hash"],
+        )
+
+    proj = with_kmv_hash(stream, key_col).select(
+        F.col(group_col).cast("string").alias("g"), "h"
+    )
+    return proj.groupBy("g").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -789,3 +789,59 @@ def test_streaming_hll_distinct_parity(spark, stream_dir, tmp_path):
     for g, w in want.items():
         assert got[g]["est_raw"] == w["est_raw"], g  # bit-equal doubles
         assert got[g]["n_empty"] == w["n_empty"], g
+
+
+def test_streaming_kmv_distinct_parity(spark, stream_dir, tmp_path):
+    """Multi-batch streaming KMV == batch kmv_counts: the k-min set only
+    shrinks toward smaller hashes, so each group's final emission (min
+    kth_hash / max n_kept) must match the batch sketch exactly —
+    including the bit-identical terminal estimate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.operators import sketches as SK
+    from finmlkit_spark.streaming.sketches import streaming_kmv_distinct
+
+    src = str(tmp_path / "kmv_split")
+    tbl = pq.read_table(f"{stream_dir}/events.parquet")
+    os.makedirs(src)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(
+            tbl.slice(i * n // 3, (n // 3) if i < 2 else n), f"{src}/p{i}.parquet"
+        )
+
+    batch = spark.read.parquet(stream_dir).select("user_id", "event_type")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "event_type")
+    )
+    out = streaming_kmv_distinct(stream, "event_type", "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["g"]: r
+        for r in spark.sql(
+            "select g, max(est) est, max(n_kept) n_kept, min(kth_hash) kth_hash "
+            "from kmv_stream "
+            "where (g, n_kept) in (select g, max(n_kept) from kmv_stream group by g) "
+            "group by g"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in SK.kmv_counts(batch, "event_type", "user_id").collect()
+    }
+    assert set(got) == set(want)
+    for g, w in want.items():
+        assert got[g]["n_kept"] == w["n_kept"], g
+        assert got[g]["kth_hash"] == w["kth_hash"], g
