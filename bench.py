@@ -96,6 +96,7 @@ HEADLINE = [
     "perplexity_buckets",
     "embedding_outliers",
     "cm_token_freq",
+    "hybrid_search",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

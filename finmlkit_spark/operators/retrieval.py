@@ -283,3 +283,121 @@ def central_reps(
         .where(F.col("_rk") == 1)
         .select("cluster_id", F.col("id").alias("rep_id"), "rank_fp")
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = 20,
+    scale: int = 1_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical more-like-this retrieval: TF·IDF cosine of each query
+    DOCUMENT against the corpus, top-k per query — the lexical half of
+    hybrid search (the pairwise ``tfidf_cosine_pairs`` machinery turned
+    into a query-vs-corpus ranker).
+
+    Exactness: the same integer-quantized rational weights and
+    decimal(38,0) dot/norm folds as the pairwise form (order-free exact
+    sums, one terminal sqrt/divide); ranking is (cosine desc, cand
+    asc) over bit-identical doubles. Scale shape: weights build once
+    (lineage-cut — three consumers), the |queries|·avg_doc_len query
+    side broadcasts into a token-keyed join, and the top-k rides
+    WindowGroupLimit."""
+    from .dedup import token_hashes  # noqa: PLC0415 — shared tokenizer
+
+    t = docs.select(
+        F.col(id_col).alias("doc"), F.explode(token_hashes(text_col)).alias("h")
+    )
+    tf = t.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    w = cache.cut(
+        tf.join(df_, "h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "h",
+            F.floor(
+                F.lit(float(scale)) * F.col("tf") * F.col("n_total") / F.col("df")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc").agg(
+        F.sum(F.col("wq").cast("decimal(19,0)") * F.col("wq")).alias("n2")
+    )
+    qw = w.where(F.col("doc").isin(query_ids)).select(
+        F.col("doc").alias("query_id"), "h", F.col("wq").alias("qwq")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "h")
+        .where(F.col("query_id") != F.col("doc"))
+        .groupBy("query_id", "doc")
+        .agg(F.sum(F.col("wq").cast("decimal(19,0)") * F.col("qwq")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("doc", "query_id").withColumnRenamed("n2", "qn2"), "query_id")
+        .join(norms, "doc")
+        .select(
+            "query_id",
+            F.col("doc").alias("cand_id"),
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+            ).alias("cos_sim"),
+        )
+    )
+    wn = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(wn).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    retrievals: rrf(d) = Σ_sides 1/(c + rank_side(d)), candidates
+    missing from a side contribute 0 from it — the standard
+    score-free hybrid-search combiner (lexical + semantic lists fuse
+    without calibrating incomparable scores).
+
+    Determinism: both inputs carry INTEGER ranks; the fused score is
+    one fixed float expression over them (identical doubles in both
+    engines) and ties break on the candidate id. The join is a
+    per-query full outer over two ≤k-row-per-query lists — output-scale
+    at any corpus size."""
+    a = ranked_a.select(
+        F.col(query_col).alias("q"), F.col(cand_col).alias("d"), F.col(rank_col).alias("ra")
+    )
+    b = ranked_b.select(
+        F.col(query_col).alias("q"), F.col(cand_col).alias("d"), F.col(rank_col).alias("rb")
+    )
+    j = a.join(b, ["q", "d"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("ra").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("rb").cast("double")), F.lit(0.0)
+    )
+    scored = j.select("q", "d", score.alias("rrf"))
+    wn = Window.partitionBy("q").orderBy(F.col("rrf").desc(), F.col("d"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wn).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q").alias(query_col),
+            F.col("d").alias(cand_col),
+            "rrf",
+            "rank",
+        )
+    )

@@ -17,11 +17,12 @@ from . import developing_suite  # noqa: F401
 # The external driver verifies the FIRST 50 registered queries per round.
 #
 # ROUND-12 WINDOW:
-# 1-6:   NEW in round 12 — hll_user_count / kmv_user_count /
+# 1-7:   NEW in round 12 — hll_user_count / kmv_user_count /
 #        kmv_overlap / cm_token_freq (the deterministic cross-engine
 #        sketch tier), perplexity_buckets (CCNet-style LM quality
-#        deciles), and embedding_outliers (diagonal-Mahalanobis QC);
-# 7-18:  every query whose implementation (or oracle) CHANGED in round
+#        deciles), embedding_outliers (diagonal-Mahalanobis QC), and
+#        hybrid_search (TF·IDF + embedding RRF fusion);
+# 8-19:  every query whose implementation (or oracle) CHANGED in round
 #        12 — embedding_covariance (the r11 red row: -0.0 canonicalized
 #        on both engine sides), diverse_sample (Arrow argmax passes +
 #        one-batch crossover + id-dtype), tfidf_cosine_pairs
@@ -30,11 +31,11 @@ from . import developing_suite  # noqa: F401
 #        bm25_topk (let-bind-once tokenizer), and the five image/video
 #        queries riding the JPEG decoder that gained progressive + DRI
 #        support;
-# 19-47: the 29-row r6 tail (newest green row 5 rounds stale — the
+# 20-48: the 29-row r6 tail (newest green row 5 rounds stale — the
 #        seq_cusum_* family, vp_* family, asof_*, store/io singles,
 #        corpus singles, imbalance/run bars, sql_shared_dialect);
-# 48-50: the r7 head (dollar_bars, seq_atr_ema, tbm_labels). The
-#        remaining 28 r7 rows (tbm_meta, lang_id, doc_fingerprint,
+# 49-50: the r7 head (dollar_bars, seq_atr_ema). The remaining 29 r7
+#        rows (tbm_labels, tbm_meta, lang_id, doc_fingerprint,
 #        minhash_lsh, simhash_near_pairs, ann_topk first) lead the
 #        round-13 fill, then the r8 cohort as it ages.
 #
@@ -85,6 +86,7 @@ _PRIORITY = [
     "perplexity_buckets",
     "embedding_outliers",
     "cm_token_freq",
+    "hybrid_search",
     # -- changed in round 12 (re-verify first) --------------------------------
     "embedding_covariance",
     "diverse_sample",
@@ -131,7 +133,6 @@ _PRIORITY = [
     # -- the r7 head (the rest of r7 leads the round-13 fill) ------------------
     "dollar_bars",
     "seq_atr_ema",
-    "tbm_labels",
 ]
 
 

@@ -1166,6 +1166,82 @@ def cm_token_freq_q(spark, sf_dir):
 
 
 @query(
+    "hybrid_search",
+    _TOKS
+    + f"""
+, th AS (SELECT doc_id AS doc, unnest({_TH}) AS h FROM toks),
+tf AS (SELECT doc, h, CAST(count(*) AS BIGINT) AS tf FROM th GROUP BY doc, h),
+dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+w AS (
+  SELECT tf.doc, tf.h,
+         CAST(floor(1000.0 * tf.tf * nn.n_total / dfq.df + 0.5) AS BIGINT) AS wq
+  FROM tf JOIN dfq USING (h) CROSS JOIN nn
+),
+nrm AS (SELECT doc, sum(CAST(wq AS HUGEINT) * wq) AS n2 FROM w GROUP BY doc),
+qw AS (SELECT doc AS query_id, h, wq AS qwq FROM w WHERE doc < 5),
+dots AS (
+  SELECT qw.query_id, w.doc AS cand_id, sum(CAST(w.wq AS HUGEINT) * qw.qwq) AS dot
+  FROM w JOIN qw USING (h) WHERE w.doc <> qw.query_id
+  GROUP BY 1, 2
+),
+lex0 AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cs
+  FROM dots d
+  JOIN nrm nq ON nq.doc = d.query_id
+  JOIN nrm nc ON nc.doc = d.cand_id
+),
+lexr AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cand_id) AS r
+  FROM lex0 QUALIFY r <= 20
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+sem0 AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cs
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+semr AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cand_id) AS r
+  FROM sem0 QUALIFY r <= 20
+),
+j AS (
+  SELECT coalesce(l.query_id, s.query_id) AS qq,
+         coalesce(l.cand_id, s.cand_id) AS d,
+         coalesce(1.0 / (60.0 + CAST(l.r AS DOUBLE)), 0.0)
+           + coalesce(1.0 / (60.0 + CAST(s.r AS DOUBLE)), 0.0) AS rrf
+  FROM lexr l
+  FULL OUTER JOIN semr s ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+)
+SELECT qq AS query_id, d AS cand_id, rrf,
+       CAST(row_number() OVER (PARTITION BY qq ORDER BY rrf DESC, d) AS BIGINT) AS rank
+FROM j QUALIFY rank <= 10""",
+)
+def hybrid_search_q(spark, sf_dir):
+    """Hybrid retrieval (the RAG-corpus classic): lexical TF·IDF
+    more-like-this ranks fused with semantic embedding-cosine ranks by
+    reciprocal-rank fusion — score-free combination of incomparable
+    retrievers (Cormack et al. 2009). Both sides rank on bit-identical
+    doubles with integer-rank output; the fusion is one fixed float
+    expression over integer ranks, so the fused ordering is
+    deterministic end to end. Five query ids, 20 candidates per side,
+    top-10 fused."""
+    from ..operators import retrieval as RT
+    from ..operators import similarity as SIM
+
+    qids = [0, 1, 2, 3, 4]
+    lex = RT.tfidf_topk(_docs(spark, sf_dir), qids, k=20)
+    sem = SIM.ann_brute_topk(_embs(spark, sf_dir), qids, k=20)
+    return RT.rrf_fuse(lex, sem, k=10)
+
+
+@query(
     "embedding_outliers",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -221,3 +221,50 @@ def test_cohort_retention_offsets(spark, tmp_path):
         for r in cohort_retention(spark, d).collect()
     }
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF on crafted rank lists: a candidate ranked well by BOTH sides
+    beats single-side leaders; one-sided candidates score exactly
+    1/(60+rank); exact ties break on the candidate id."""
+    from finmlkit_spark.operators import retrieval as RT
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, cand_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 12, 3)], "query_id long, cand_id long, rank long"
+    )
+    out = {r["cand_id"]: r for r in RT.rrf_fuse(a, b, k=10).collect()}
+    # 11: 1/62 + 1/61; 12: 1/63 + 1/63; 10: 1/61; 13: 1/62
+    assert out[11]["rank"] == 1
+    assert out[11]["rrf"] == 1.0 / 62.0 + 1.0 / 61.0
+    assert out[10]["rrf"] == 1.0 / 61.0
+    assert out[13]["rrf"] == 1.0 / 62.0
+    assert out[12]["rrf"] == 1.0 / 63.0 + 1.0 / 63.0
+    # 12's double-mediocre beats both single-siders
+    assert out[12]["rank"] == 2
+    # exact tie: two one-sided candidates at the same rank
+    c = spark.createDataFrame([(0, 20, 1)], "query_id long, cand_id long, rank long")
+    d = spark.createDataFrame([(0, 21, 1)], "query_id long, cand_id long, rank long")
+    tied = RT.rrf_fuse(c, d, k=10).collect()
+    assert [(r["cand_id"], r["rank"]) for r in sorted(tied, key=lambda r: r["rank"])] == [
+        (20, 1),
+        (21, 2),
+    ]
+
+
+def test_tfidf_topk_retrieves_near_duplicate(spark):
+    """A near-verbatim copy of the query document must rank first."""
+    from finmlkit_spark.operators import retrieval as RT
+
+    rows = [
+        (0, "the rare quick zebra jumps over rare fences"),
+        (1, "the rare quick zebra jumps over rare fences indeed"),
+        (2, "completely different words about cooking pasta tonight"),
+        (3, "another unrelated piece mentioning databases and queries"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = RT.tfidf_topk(df, [0], k=3).collect()
+    assert out[0]["cand_id"] == 1 and out[0]["rank"] == 1
+    assert out[0]["cos_sim"] > 0.8
