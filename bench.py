@@ -97,6 +97,7 @@ HEADLINE = [
     "embedding_outliers",
     "cm_token_freq",
     "hybrid_search",
+    "quantile_sketch_audit",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

@@ -347,3 +347,74 @@ def cm_freq_audit(
         cm_est.cast("long").alias("cm_est"),
         (cm_est - F.col("exact_n")).cast("long").alias("overestimate"),
     )
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 256,
+) -> tuple:
+    """Mergeable quantile sketch: a fixed equi-width histogram over the
+    exact [min, max] range — the portable alternative to
+    ``percentile_approx`` (whose GK/KLL internals differ per engine).
+    Two passes: ONE min/max/count aggregate (3 scalars to the driver),
+    then ONE bin-count aggregate (≤ ``bins`` rows). Counts are exact
+    integers and merge by addition across partitions, shards, or days —
+    the sketch property. Returns ((lo, hi, n), [(bin, count), ...]).
+
+    Determinism: bin index = least(floor((v − lo)/width), bins−1) with
+    width = (hi − lo)/bins — identical double expressions in any
+    engine; everything downstream is integer."""
+    r = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n = r["lo"], r["hi"], int(r["n"])
+    if n == 0 or lo is None:
+        return (None, None, 0), []
+    if hi == lo:
+        return (lo, hi, n), [(0, n)]
+    width = (hi - lo) / float(bins)
+    b = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.select(b.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    return (lo, hi, n), sorted((int(x["b"]), int(x["c"])) for x in counts)
+
+
+def quantile_estimates(
+    stats: tuple,
+    counts: list,
+    qs: list,
+    bins: int = 256,
+) -> list:
+    """Quantile estimates from a :func:`quantile_histogram` sketch:
+    within-bin uniform interpolation — est = lo + width·(b + (q·n −
+    cum_before)/c_b) at the first bin whose cumulative count reaches
+    q·n. Plain deterministic double arithmetic (mirrored token for
+    token by the oracle SQL)."""
+    lo, hi, n = stats
+    if n == 0:
+        return [None for _ in qs]
+    if hi == lo:
+        return [float(lo) for _ in qs]
+    width = (hi - lo) / float(bins)
+    out = []
+    for q in qs:
+        target = q * float(n)
+        cum = 0
+        est = float(hi)  # fallback: everything below target
+        for b, c in counts:
+            if cum + c >= target:
+                est = lo + width * (float(b) + (target - float(cum)) / float(c))
+                break
+            cum += c
+        out.append(est)
+    return out

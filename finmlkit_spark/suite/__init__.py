@@ -17,12 +17,13 @@ from . import developing_suite  # noqa: F401
 # The external driver verifies the FIRST 50 registered queries per round.
 #
 # ROUND-12 WINDOW:
-# 1-7:   NEW in round 12 — hll_user_count / kmv_user_count /
-#        kmv_overlap / cm_token_freq (the deterministic cross-engine
-#        sketch tier), perplexity_buckets (CCNet-style LM quality
-#        deciles), embedding_outliers (diagonal-Mahalanobis QC), and
-#        hybrid_search (TF·IDF + embedding RRF fusion);
-# 8-19:  every query whose implementation (or oracle) CHANGED in round
+# 1-8:   NEW in round 12 — hll_user_count / kmv_user_count /
+#        kmv_overlap / cm_token_freq / quantile_sketch_audit (the
+#        deterministic cross-engine sketch tier), perplexity_buckets
+#        (CCNet-style LM quality deciles), embedding_outliers
+#        (diagonal-Mahalanobis QC), and hybrid_search (TF·IDF +
+#        embedding RRF fusion);
+# 9-20:  every query whose implementation (or oracle) CHANGED in round
 #        12 — embedding_covariance (the r11 red row: -0.0 canonicalized
 #        on both engine sides), diverse_sample (Arrow argmax passes +
 #        one-batch crossover + id-dtype), tfidf_cosine_pairs
@@ -31,11 +32,11 @@ from . import developing_suite  # noqa: F401
 #        bm25_topk (let-bind-once tokenizer), and the five image/video
 #        queries riding the JPEG decoder that gained progressive + DRI
 #        support;
-# 20-48: the 29-row r6 tail (newest green row 5 rounds stale — the
+# 21-49: the 29-row r6 tail (newest green row 5 rounds stale — the
 #        seq_cusum_* family, vp_* family, asof_*, store/io singles,
 #        corpus singles, imbalance/run bars, sql_shared_dialect);
-# 49-50: the r7 head (dollar_bars, seq_atr_ema). The remaining 29 r7
-#        rows (tbm_labels, tbm_meta, lang_id, doc_fingerprint,
+# 50:    the r7 head (dollar_bars). The remaining 30 r7 rows
+#        (seq_atr_ema, tbm_labels, tbm_meta, lang_id, doc_fingerprint,
 #        minhash_lsh, simhash_near_pairs, ann_topk first) lead the
 #        round-13 fill, then the r8 cohort as it ages.
 #
@@ -87,6 +88,7 @@ _PRIORITY = [
     "embedding_outliers",
     "cm_token_freq",
     "hybrid_search",
+    "quantile_sketch_audit",
     # -- changed in round 12 (re-verify first) --------------------------------
     "embedding_covariance",
     "diverse_sample",
@@ -132,7 +134,6 @@ _PRIORITY = [
     "sql_shared_dialect",
     # -- the r7 head (the rest of r7 leads the round-13 fill) ------------------
     "dollar_bars",
-    "seq_atr_ema",
 ]
 
 

@@ -947,3 +947,63 @@ def kmv_overlap_q(spark, sf_dir):
         "user_id", "event_type"
     )
     return SK.kmv_overlap(ev, "event_type", "user_id", k=64)
+
+
+@query(
+    "quantile_sketch_audit",
+    """
+WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                  CAST(count(*) AS BIGINT) AS n FROM orders),
+b AS (
+  SELECT CAST(least(floor((o.o_totalprice - s.lo) / ((s.hi - s.lo) / 256.0)), 255) AS INT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders o, s GROUP BY 1
+),
+cum AS (SELECT b, c, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cs FROM b),
+qs AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT) AS decile),
+tgt AS (SELECT decile, (CAST(decile AS DOUBLE) / 10.0) * CAST(s.n AS DOUBLE) AS target
+        FROM qs, s),
+hit AS (
+  SELECT t.decile, t.target, c.b, c.c, c.cs - c.c AS prev,
+         row_number() OVER (PARTITION BY t.decile ORDER BY c.b) AS rk
+  FROM tgt t JOIN cum c ON c.cs >= t.target
+),
+est AS (
+  SELECT h.decile,
+         s.lo + ((s.hi - s.lo) / 256.0)
+           * (CAST(h.b AS DOUBLE) + (h.target - CAST(h.prev AS DOUBLE)) / CAST(h.c AS DOUBLE)) AS est
+  FROM hit h, s WHERE h.rk = 1
+),
+ex AS (
+  SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile,
+         unnest(quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS exact
+  FROM orders
+)
+SELECT e.decile, e.est, x.exact, abs(e.est - x.exact) AS abs_err
+FROM est e JOIN ex x USING (decile)""",
+)
+def quantile_sketch_audit(spark, sf_dir):
+    """Mergeable-quantile-sketch audit (completes the sketch family:
+    distinct=HLL/KMV, frequency=count-min, quantiles=this): a 256-bin
+    equi-width histogram over the exact [min, max] range estimates the
+    order-price deciles by within-bin uniform interpolation, compared
+    against the exact interpolated percentiles — the honest-measurement
+    posture. The sketch is two aggregates (3 scalars + ≤256 int rows)
+    however many orders exist, and bin counts merge by addition across
+    shards/days — the portable alternative to engine-specific
+    percentile_approx internals. All estimate arithmetic is mirrored
+    token for token in both engines."""
+    from ..operators import sketches as SK
+
+    o = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    stats, counts = SK.quantile_histogram(o, "o_totalprice", bins=256)
+    qs = [i / 10.0 for i in range(1, 10)]
+    ests = SK.quantile_estimates(stats, counts, qs, bins=256)
+    exact = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("p")
+    ).collect()[0]["p"]
+    rows = [
+        (i, ests[i - 1], float(exact[i - 1]), abs(ests[i - 1] - float(exact[i - 1])))
+        for i in range(1, 10)
+    ]
+    return spark.createDataFrame(rows, "decile long, est double, exact double, abs_err double")

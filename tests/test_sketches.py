@@ -170,3 +170,59 @@ def test_cm_table_is_bounded(spark):
 
     total = t.agg(F2.sum("cnt")).collect()[0][0]
     assert total == 3 * 20000  # every occurrence lands in every row
+
+
+def test_quantile_histogram_accuracy_and_merge(spark):
+    """Histogram-sketch deciles within one bin width of exact; sharded
+    sketches merged by adding bin counts equal the whole-data sketch —
+    the mergeability property."""
+    import pyspark.sql.functions as F2
+
+    df = spark.range(10000).select(
+        ((F2.col("id") * 37) % 9973).cast("double").alias("v")
+    )
+    stats, counts = SK.quantile_histogram(df, "v", bins=128)
+    lo, hi, n = stats
+    assert n == 10000
+    width = (hi - lo) / 128.0
+    qs = [0.1, 0.5, 0.9]
+    ests = SK.quantile_estimates(stats, counts, qs, bins=128)
+    exact = df.agg(
+        F2.percentile("v", F2.array(*[F2.lit(q) for q in qs])).alias("p")
+    ).collect()[0]["p"]
+    for e, x in zip(ests, exact):
+        assert abs(e - x) <= width + 1e-9, (e, x, width)
+    # merge: two shards' counts added == whole-data counts
+    a = df.where(F2.col("id") % 2 == 0)
+    b = df.where(F2.col("id") % 2 == 1)
+    # shards must share the SAME bin grid: reuse the global stats
+    def shard_counts(sdf):
+        w = (hi - lo) / 128.0
+        bcol = F2.least(
+            F2.floor((F2.col("v") - F2.lit(lo)) / F2.lit(w)).cast("int"), F2.lit(127)
+        )
+        return {
+            r["b"]: r["c"]
+            for r in sdf.select(bcol.alias("b")).groupBy("b").agg(
+                F2.count(F2.lit(1)).alias("c")
+            ).collect()
+        }
+    ca, cb = shard_counts(a), shard_counts(b)
+    merged = sorted(
+        (k, ca.get(k, 0) + cb.get(k, 0)) for k in set(ca) | set(cb)
+    )
+    assert merged == counts
+
+
+def test_quantile_histogram_edge_cases(spark):
+    """Empty input and constant columns degrade cleanly."""
+    import pyspark.sql.functions as F2
+
+    empty = spark.createDataFrame([], "v double")
+    stats, counts = SK.quantile_histogram(empty, "v")
+    assert stats[2] == 0 and counts == []
+    assert SK.quantile_estimates(stats, counts, [0.5]) == [None]
+    const = spark.range(7).select(F2.lit(3.5).alias("v"))
+    stats, counts = SK.quantile_histogram(const, "v")
+    assert counts == [(0, 7)]
+    assert SK.quantile_estimates(stats, counts, [0.1, 0.9]) == [3.5, 3.5]
