@@ -226,3 +226,64 @@ def test_quantile_histogram_edge_cases(spark):
     stats, counts = SK.quantile_histogram(const, "v")
     assert counts == [(0, 7)]
     assert SK.quantile_estimates(stats, counts, [0.1, 0.9]) == [3.5, 3.5]
+
+
+# --- property tier: estimator invariants over random universes -------------
+
+import os as _os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EX = int(_os.environ.get("FMK_HYP_EXAMPLES", "0"))
+
+
+@settings(max_examples=_EX or 10, deadline=None)
+@given(
+    st.integers(50, 400),   # distinct keys
+    st.integers(0, 2**31),  # key-space offset (exercises different hash regions)
+)
+def test_hll_error_bound_property(spark, n_distinct, offset):
+    """For ANY contiguous key universe, the HLL estimate lands within
+    5 standard errors of truth (sigma ~ 1.04/sqrt(64) ~ 13%; the wide
+    bound keeps the test hash-seed-robust while still catching the
+    broken-uniformity failure mode the avalanche fix addressed, which
+    erred by -68%)."""
+    df = spark.createDataFrame(
+        [(0, offset + i) for i in range(n_distinct)], "grp int, key long"
+    )
+    r = SK.hll_counts(df, "grp", "key").collect()[0]
+    rel = abs(r["est"] - n_distinct) / n_distinct
+    assert rel < 0.65, (n_distinct, offset, r["est"])
+
+
+@settings(max_examples=_EX or 10, deadline=None)
+@given(st.integers(70, 500), st.integers(0, 2**31))
+def test_kmv_error_bound_property(spark, n_distinct, offset):
+    """KMV (k=64) within ~5/sqrt(k-2) of truth for any key universe
+    above k; exact below k (covered separately)."""
+    df = spark.createDataFrame(
+        [(0, offset + i) for i in range(n_distinct)], "grp int, key long"
+    )
+    r = SK.kmv_counts(df, "grp", "key").collect()[0]
+    rel = abs(r["est"] - n_distinct) / n_distinct
+    assert rel < 0.64, (n_distinct, offset, r["est"])
+
+
+@settings(max_examples=_EX or 8, deadline=None)
+@given(
+    st.lists(st.integers(1, 200), min_size=3, max_size=30),
+    st.integers(0, 10**6),
+)
+def test_cm_exact_on_sparse_universes_property(spark, freqs, offset):
+    """With far fewer keys than counters, count-min is EXACT unless two
+    keys collide in all d rows (probability ~ (n/w)^d per pair); and it
+    NEVER underestimates regardless."""
+    rows = [
+        (f"k{offset + i}",) for i, n in enumerate(freqs) for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "key string")
+    out = SK.cm_freq_audit(df, "key", top=len(freqs)).collect()
+    for r in out:
+        assert r["cm_est"] >= r["exact_n"]
+        assert r["overestimate"] >= 0
