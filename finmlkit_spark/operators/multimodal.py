@@ -587,19 +587,23 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _prog_dc_scan(bits, scomps, coefs, huff, stabs, Ah, Al, ri, geom):
+def _prog_dc_scan(bits, scomps, coefs, huff, stabs, Ah, Al, ri, geom, true_dims):
     """One progressive DC scan (T.81 G.2): first pass (Ah=0) decodes
     Huffman DC diffs into bit-plane-shifted coefficients; refinement
     passes (Ah>0) append one bit per block at position Al (two's-
     complement OR — the libjpeg convention the spec's successive
     approximation reduces to). Interleaved over the full MCU grid when
     the scan carries several components, raster over the component's
-    own block grid when it carries one."""
+    TRUE block grid — ceil(comp_h/8) x ceil(comp_w/8), T.81 A.2.2 —
+    when it carries one: the storage array is MCU-padded, but a
+    non-interleaved scan encodes only the true blocks, so iterating
+    the padded shape would over-read and desync the Huffman stream on
+    subsampled components whose dims aren't a multiple of the MCU."""
     mcux, mcuy = geom
     preds = {ci: 0 for ci, _c in scomps}
     if len(scomps) == 1:
         ci, comp = scomps[0]
-        BH, BW, _ = coefs[ci].shape
+        BH, BW = true_dims[ci]
         units = [(ci, by, bx) for by in range(BH) for bx in range(BW)]
     else:
         units = []
@@ -850,7 +854,8 @@ def _jpeg_progressive_pixels(b: bytes) -> np.ndarray:
                     )
                 scomps = [(ci, comps[ci]) for ci in order]
                 _prog_dc_scan(
-                    bits, scomps, coefs, huff, stabs, Ah, Al, ri, (mcux, mcuy)
+                    bits, scomps, coefs, huff, stabs, Ah, Al, ri,
+                    (mcux, mcuy), true_dims,
                 )
             else:
                 if ns != 1:

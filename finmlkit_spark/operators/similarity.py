@@ -2132,7 +2132,7 @@ def embedding_outliers(
     stats = (
         q.groupBy("j")
         .agg(
-            F.sum("qv").cast("decimal(38,0)").alias("sq"),
+            F.sum(F.col("qv").cast("decimal(38,0)")).alias("sq"),
             F.sum(F.col("qv").cast("decimal(19,0)") * F.col("qv")).alias("sq2"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -2226,9 +2226,23 @@ def diverse_sample(
     the selected set folds in selection order (``np.minimum`` — exact,
     associative), and the argmax breaks exact ties toward the LOWER id
     (lexsort; across-partition partials by tuple compare) — mirroring
-    the oracle's ``row_number() ORDER BY md DESC, vec_id``."""
+    the oracle's ``row_number() ORDER BY md DESC, vec_id``.
+
+    Id dtype: any orderable id column works (long ids and string ids
+    are tested) — every tie-break is expressed as "md descending, then
+    id ascending" via explicit two-stage comparison (never arithmetic
+    negation of the id), and numpy scalars are converted with a plain
+    Python coercion that handles object dtypes."""
     import numpy as np
     import pandas as pd
+
+    def _py(x):
+        # numpy scalar -> python; str / python scalars pass through
+        return x.item() if isinstance(x, np.generic) else x
+
+    def _beats(md_a, id_a, md_b, id_b):
+        # "a beats b": larger min-dist wins, ties to the LOWER id
+        return md_a > md_b or (md_a == md_b and id_a < id_b)
 
     id_type = dict(emb_df.dtypes)[id_col]
     proj = emb_df.select(F.col(id_col).alias("id"), as_double(emb_col).alias("v"))
@@ -2256,7 +2270,7 @@ def diverse_sample(
         cur = int(np.argmin(ids))
         taken = np.zeros(len(ids), dtype=bool)
         taken[cur] = True
-        out_rows = [(1, ids[cur].item(), 0.0)]
+        out_rows = [(1, _py(ids[cur]), 0.0)]
         md = None
         for step in range(2, k + 1):
             s = V[cur]
@@ -2268,7 +2282,7 @@ def diverse_sample(
             if taken[cur]:
                 break  # fewer than k vectors
             taken[cur] = True
-            out_rows.append((step, ids[cur].item(), float(md[cur])))
+            out_rows.append((step, _py(ids[cur]), float(md[cur])))
         return spark.createDataFrame(out_rows, out_schema)
 
     e = cache.cut(proj)
@@ -2297,8 +2311,8 @@ def diverse_sample(
                     d = 1.0 - dots / (vn * nrms[j])
                     md = d if md is None else np.minimum(md, d)
                 i0 = np.lexsort((ids, -md))[0]
-                cand = (float(md[i0]), ids[i0], V[i0])
-                if best is None or (cand[0], -cand[1]) > (best[0], -best[1]):
+                cand = (float(md[i0]), _py(ids[i0]), V[i0])
+                if best is None or _beats(cand[0], cand[1], best[0], best[1]):
                     best = cand
             if best is not None:
                 yield pd.DataFrame(
@@ -2308,7 +2322,10 @@ def diverse_sample(
         parts = e.mapInPandas(_argmax, part_schema).collect()
         if not parts:
             break
-        win = max(parts, key=lambda r: (r["md"], -r["id"]))
+        win = parts[0]
+        for r in parts[1:]:
+            if _beats(r["md"], r["id"], win["md"], win["id"]):
+                win = r
         sel_ids.append(win["id"])
         sel_vecs.append(np.asarray(win["v"], dtype=np.float64))
         out_rows.append((len(sel_ids), win["id"], float(win["md"])))

@@ -811,3 +811,35 @@ def test_embedding_outliers_z2_cap(spark):
     out = SIM.embedding_outliers(df, k=3, z2_cap=1e6).collect()
     assert out[0]["vec_id"] == 99
     assert out[0]["score"] <= 2 * 1e6 + 1  # capped per element
+
+
+def test_diverse_sample_string_ids_both_modes(spark):
+    """Round 13 (r12 advisory): the output schema is parameterized on
+    the id column's dtype, so non-numeric ids must actually work — the
+    r12 form crashed on str ids (.item() on object dtype; unary minus
+    in the tie-breaks). String ids must select the same VECTORS as the
+    long-id run (ids map 1:1, zero-padded so lexicographic == numeric
+    order) in both execution modes, byte-identical distances."""
+    import struct
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sembs = embs.select(
+        F.format_string("doc-%06d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    base = sorted(
+        (r["sel_order"], "doc-%06d" % r["vec_id"], struct.pack("<d", r["min_dist"]))
+        for r in SIM.diverse_sample(embs, k=5).collect()
+    )
+    for mode in ("onebatch", "perpass"):
+        SIM._FORCE_DIVERSE_MODE = mode
+        try:
+            got = sorted(
+                (r["sel_order"], r["vec_id"], struct.pack("<d", r["min_dist"]))
+                for r in SIM.diverse_sample(sembs, k=5).collect()
+            )
+        finally:
+            SIM._FORCE_DIVERSE_MODE = None
+        assert got == base, mode

@@ -843,3 +843,35 @@ def test_avi_video_as_second_stream():
     avi2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
     with pytest.raises(ValueError, match="video stream"):
         list(MM.avi_mjpeg_frames(avi2))
+
+
+FIXTURE_PROG420_DCSPLIT_JPG = os.path.join(
+    os.path.dirname(__file__), "fixtures",
+    "gradient_prog_420_dcsplit_32x24.jpg",
+)
+
+
+def test_native_progressive_420_dcsplit_dc_scans_golden():
+    """Round 13 (r12 advisory): per-component (non-interleaved) DC
+    scans on a SUBSAMPLED component whose dims are not a multiple of
+    the MCU. At 32x24 with 2x2 luma sampling the luma's true block
+    grid is 3x4 but its MCU-padded storage is 4x4 — T.81 A.2.2 says a
+    non-interleaved scan codes only the true grid, so a decoder that
+    rasters the padded shape reads 4 extra blocks per DC scan, desyncs
+    the Huffman stream, and dies (verified: the pre-fix decoder raises
+    mid-image on this fixture). The stream encodes the SAME quantized
+    coefficients as the sequential 4:2:0 fixture, so the decode must
+    match it bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    b = open(FIXTURE_PROG420_DCSPLIT_JPG, "rb").read()
+    assert hashlib.md5(b).hexdigest() == "9bb9bcce4ea5705a422b66a43eecacab"
+    assert MM.decode_payload(b) == (32, 24, 3)
+    px = MM.jpeg_pixels(b)
+    assert px.shape == (24, 32, 3)
+    base = MM.jpeg_pixels(open(FIXTURE_420, "rb").read())
+    assert np.array_equal(px, base)

@@ -297,6 +297,7 @@ if __name__ == "__main__":
 OUTPROG = os.path.join(os.path.dirname(OUT), "gradient_prog_32x24.jpg")
 OUTPROG420 = os.path.join(os.path.dirname(OUT), "gradient_prog_420_32x24.jpg")
 OUTDRI = os.path.join(os.path.dirname(OUT), "gradient_dri_32x24.jpg")
+OUTPROGDCS = os.path.join(os.path.dirname(OUT), "gradient_prog_420_dcsplit_32x24.jpg")
 
 
 def _prog_tables():
@@ -352,13 +353,19 @@ class _ScanWriter:
         return b"".join(self.chunks)
 
 
-def _emit_dc_first(sw, coefs_list, scomps, Al, dc_codes, ri) -> None:
+def _emit_dc_first(sw, coefs_list, scomps, Al, dc_codes, ri, tdims=None) -> None:
     """DC first scan: diffs of (coef0 >> Al), interleaved over the MCU
-    grid when several components, raster when one."""
+    grid when several components, raster over the component's TRUE
+    block grid (T.81 A.2.2 — NOT the MCU-padded storage shape) when
+    one. ``tdims`` maps ci -> (true_bh, true_bw); without it the
+    padded shape is used (only valid when they coincide)."""
     preds = {ci: 0 for ci, _c in scomps}
     if len(scomps) == 1:
         ci = scomps[0][0]
-        BH, BW, _ = coefs_list[ci].shape
+        if tdims is not None:
+            BH, BW = tdims[ci]
+        else:
+            BH, BW, _ = coefs_list[ci].shape
         mcus = [[(ci, by, bx)] for by in range(BH) for bx in range(BW)]
     else:
         BHs = {ci: coefs_list[ci].shape for ci, _c in scomps}
@@ -390,11 +397,16 @@ def _emit_dc_first(sw, coefs_list, scomps, Al, dc_codes, ri) -> None:
                 sw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
 
-def _emit_dc_refine(sw, coefs_list, scomps, Al, ri) -> None:
-    """DC refinement scan: one raw bit per data unit — (coef0 >> Al) & 1."""
+def _emit_dc_refine(sw, coefs_list, scomps, Al, ri, tdims=None) -> None:
+    """DC refinement scan: one raw bit per data unit — (coef0 >> Al) & 1.
+    Single-component scans raster the TRUE block grid (see
+    :func:`_emit_dc_first`)."""
     if len(scomps) == 1:
         ci = scomps[0][0]
-        BH, BW, _ = coefs_list[ci].shape
+        if tdims is not None:
+            BH, BW = tdims[ci]
+        else:
+            BH, BW, _ = coefs_list[ci].shape
         mcus = [[(ci, by, bx)] for by in range(BH) for bx in range(BW)]
     else:
         mcuy = coefs_list[scomps[0][0]].shape[0] // scomps[0][1][2]
@@ -617,11 +629,19 @@ def encode_progressive_gray(ri: int = 3) -> bytes:
     return encode_progressive_gray_from_coefs(coefs, H, W, ri=ri, quant=QUANT)
 
 
-def encode_progressive_color_420() -> bytes:
+def encode_progressive_color_420(dc_split: bool = False) -> bytes:
     """Progressive 4:2:0 color stream over the SAME coefficients as the
     sequential 4:2:0 fixture: interleaved 3-component DC first scan,
     per-component split AC first scans, DC + per-component AC
-    refinement — the canonical libjpeg color scan script shape."""
+    refinement — the canonical libjpeg color scan script shape.
+
+    ``dc_split=True`` emits PER-COMPONENT (non-interleaved) DC scans
+    instead — the jpegtran custom-scan-script shape. Spec-critical at
+    these dims: the 2x2-sampled luma's true block grid is 3x4 while its
+    MCU-padded storage is 4x4 (H=24 is not a multiple of 16), so a
+    decoder that rasters the padded grid over-reads 4 blocks and
+    desyncs the Huffman stream (T.81 A.2.2: a non-interleaved scan
+    codes only ceil(comp_dim/8) blocks per axis)."""
     rgb = pattern_rgb()
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     yy = 0.299 * r + 0.587 * g + 0.114 * b
@@ -676,10 +696,18 @@ def encode_progressive_color_420() -> bytes:
     out += seg(0xC4, bytes([0x01]) + dc_counts + dc_symbols)
     out += seg(0xC4, bytes([0x11]) + ac_counts + ac_symbols)
 
-    # scan 1: interleaved DC first, Al=1 (tables 0/0/…)
-    sw = _ScanWriter()
-    _emit_dc_first(sw, coefs, scomps, 1, dc_codes, 0)
-    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1) + sw.done()
+    if dc_split:
+        # scans 1a-1c: per-component DC first, Al=1 — each rasters the
+        # component's TRUE block grid (luma: 3x4, not the padded 4x4)
+        for cid, ci in ((1, 0), (2, 1), (3, 2)):
+            sw = _ScanWriter()
+            _emit_dc_first(sw, coefs, [(ci, comps[ci])], 1, dc_codes, 0, tdims)
+            out += sos([(cid, 0, 0)], 0, 0, 0, 1) + sw.done()
+    else:
+        # scan 1: interleaved DC first, Al=1 (tables 0/0/…)
+        sw = _ScanWriter()
+        _emit_dc_first(sw, coefs, scomps, 1, dc_codes, 0)
+        out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1) + sw.done()
     # scans 2-4: AC first per component (luma split band, chroma full)
     sw = _ScanWriter()
     _emit_ac_first(sw, cy, 1, 5, 1, ac_codes, 0, *tdims[0])
@@ -693,10 +721,17 @@ def encode_progressive_color_420() -> bytes:
     sw = _ScanWriter()
     _emit_ac_first(sw, cy, 6, 63, 1, ac_codes, 0, *tdims[0])
     out += sos([(1, 0, 0)], 6, 63, 0, 1) + sw.done()
-    # scan 6: DC refine (interleaved)
-    sw = _ScanWriter()
-    _emit_dc_refine(sw, coefs, scomps, 0, 0)
-    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0) + sw.done()
+    if dc_split:
+        # scans 6a-6c: per-component DC refine over the true grids
+        for cid, ci in ((1, 0), (2, 1), (3, 2)):
+            sw = _ScanWriter()
+            _emit_dc_refine(sw, coefs, [(ci, comps[ci])], 0, 0, tdims)
+            out += sos([(cid, 0, 0)], 0, 0, 1, 0) + sw.done()
+    else:
+        # scan 6: DC refine (interleaved)
+        sw = _ScanWriter()
+        _emit_dc_refine(sw, coefs, scomps, 0, 0)
+        out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0) + sw.done()
     # scans 7-9: AC refine per component
     for cid, arr, td in ((1, cy, tdims[0]), (2, ccb, tdims[1]), (3, ccr, tdims[2])):
         sw = _ScanWriter()
@@ -760,6 +795,8 @@ def main_progressive() -> None:
         (OUTPROG, encode_progressive_gray, base_gray),
         (OUTPROG420, encode_progressive_color_420, base_color),
         (OUTDRI, encode_gray_dri, base_gray),
+        (OUTPROGDCS, lambda: encode_progressive_color_420(dc_split=True),
+         base_color),
     ):
         b = enc()
         with open(path, "wb") as f:
