@@ -12,21 +12,34 @@ every aggregate an exact integer (register sums as scaled int64, KMV
 order statistics as int64 keys), so the one terminal float expression
 is bit-identical across engines.
 
-Scale shape (both): ONE narrow (group, hashed-key) projection, one
-group-keyed aggregate with map-side partials, and a k-row-per-group
-reduction — the sketch property itself is the 100 TB story: a distinct
-count over any number of rows folds to m=2^p registers (HLL) or k
-order statistics (KMV) per group, mergeable across partitions (max /
-min are associative), no distinct-shuffle of the raw keys at any
-scale. (The implementations below DO shuffle the distinct (group,
-hash) pairs — the honest bench-scale form; the register/top-k folds
-are what a partial-aggregate rewrite would push map-side.)
+TWO PATHS per sketch (round 13 closes the r12 scale caveat):
+
+- **Oracle path** (:func:`hll_counts`, :func:`kmv_counts`,
+  :func:`cm_table`): the portable polynomial hash is an interpreted
+  char fold, so these hash each DISTINCT (group, key) pair once —
+  which reintroduces a data-scale ``.distinct()`` shuffle of exactly
+  the keys the sketch exists to summarize. Correct, cross-engine
+  bit-exact, and the right form for the differential oracle — but
+  NOT the 100 TB form.
+- **Production path** (:func:`hll_counts_fast`,
+  :func:`kmv_counts_fast`, :func:`cm_table_fast`): hashes EVERY
+  occurrence with the JVM-native ``F.xxhash64`` (whole-stage-codegen,
+  no char fold) and reduces map-side, so nothing data-scale ever
+  crosses an exchange: HLL shuffles ≤ m·|groups| register partials
+  per map partition (partial ``max``), KMV shuffles ≤ k·|groups|
+  bounded top-k rows per map partition (an Arrow ``mapInPandas``
+  partial — the only non-builtin step, because Spark has no bounded
+  top-k aggregate), and CM shuffles ≤ d·w counter partials per map
+  partition (partial ``sum``). Estimator algebra is identical; the
+  two paths are differential-tested for estimator error on the same
+  corpus (``test_sketches.py``), and KMV's below-k exactness regime —
+  which is hash-independent — is oracle-gated in the registry
+  (``kmv_fast_user_count``).
 
 Accuracy: the polynomial hash is weaker than xxhash/murmur (it is a
 base-31 digit fold mod a prime); the unit tests pin observed error
 against exact counts on the test corpus (HLL ±~1.04/√m asymptotic,
-KMV ±~1/√(k−2)). For production-grade uniformity swap ``_salted_hash``
-for a stronger portable mix — the estimator algebra is unchanged.
+KMV ±~1/√(k−2)) for BOTH hash families.
 
 No reference-repo counterpart: this tier extends the engine for
 LLM-pipeline bookkeeping (per-source distinct doc/user tallies at
@@ -418,3 +431,211 @@ def quantile_estimates(
             cum += c
         out.append(est)
     return out
+
+
+# --- production path (round 13): per-occurrence native hash, map-side ---------
+# partial reduction — nothing data-scale crosses an exchange. See the
+# module docstring's two-path contract; the portable forms above stay
+# as the oracle-gated registry queries.
+
+
+def hll_counts_fast(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Production HyperLogLog distinct-count estimate per group: one
+    ``F.xxhash64`` per OCCURRENCE (JVM-native, whole-stage codegen —
+    no interpreted char fold, no ``.distinct()`` of raw keys), register
+    index = low ``p`` hash bits, rank = trailing zeros of the remaining
+    64−p bits + 1. The ``groupBy(g, ridx).max(rho)`` reduction is
+    where the scale story lives: partial aggregation folds every
+    occurrence map-side, so the exchange carries at most m·|groups|
+    register rows PER MAP PARTITION regardless of data volume — the
+    plan-audit test pins that the only exchanges hash-partition on
+    (g, ridx) / (g), never on the key.
+
+    Determinism: registers are exact integers; the harmonic
+    denominator folds as Σ 2^(maxrho−rho) in DECIMAL(38,0) (maxrho =
+    64−p+1, so the largest term is 2^(64−p) and no width overflows),
+    empty registers contribute 2^maxrho; ``est_raw`` is one terminal
+    float expression and the linear-counting branch CONDITION is
+    integer-exact — same run-to-run bits in any partitioning.
+
+    Output schema matches :func:`hll_counts` (est, est_raw, n_empty);
+    estimates differ only through the hash family (differential-tested
+    for estimator error, not bit equality)."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll_counts_fast: p must be in [4, 16]")
+    m = 1 << p
+    maxrho = 64 - p + 1
+    h = F.xxhash64(F.col(key_col))
+    ridx = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftrightunsigned(h, p)
+    rho = F.when(rest == 0, F.lit(maxrho)).otherwise(
+        F.bit_count(rest.bitwiseAND(-rest) - F.lit(1)) + F.lit(1)
+    )
+    regs = (
+        df.select(F.col(group_col).alias("g"), ridx.alias("ridx"), rho.alias("rho"))
+        .groupBy("g", "ridx")
+        .agg(F.max("rho").alias("r"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    two_maxrho = float(1 << maxrho)
+    num = alpha * float(m) * float(m) * two_maxrho
+    per_g = regs.groupBy("g").agg(
+        F.sum(
+            F.expr(f"cast(shiftleft(1L, {maxrho} - r) as decimal(38,0))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s_total = F.col("s_present") + (
+        (F.lit(m) - F.col("n_present")).cast("decimal(38,0)")
+        * F.lit(1 << maxrho).cast("decimal(38,0)")
+    )
+    v = (F.lit(m) - F.col("n_present")).cast("long")
+    est_raw = F.lit(num) / s_total.cast("double")
+    est_linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((est_raw <= F.lit(2.5 * m)) & (v > 0), est_linear).otherwise(est_raw)
+    return per_g.select(
+        F.col("g").alias(group_col),
+        est.alias("est"),
+        est_raw.alias("est_raw"),
+        v.alias("n_empty"),
+    )
+
+
+def _xx63(col: Column) -> Column:
+    """``F.xxhash64`` mapped onto [0, 2^63): unsigned-shift the sign
+    bit away so every order statistic is a plain nonnegative int64
+    comparison. One avalanche-quality native hash, no char folds."""
+    return F.shiftrightunsigned(F.xxhash64(col), 1)
+
+
+def kmv_counts_fast(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Production K-minimum-values distinct-count estimate per group:
+    per-occurrence ``F.xxhash64`` (→ uniform on [0, 2^63)), then a
+    STRICTLY BOUNDED per-partition partial top-k — an Arrow
+    ``mapInPandas`` pass that keeps, per group, only the k smallest
+    distinct hashes seen in that partition (numpy unique-merge capped
+    at k per batch) and emits ≤ k rows per (group, partition). Spark
+    has no bounded top-k aggregate, so this is the one non-builtin
+    step; unlike ``collect_set`` the partial STATE and the exchange
+    rows are both k-capped, which is the whole point at 100 TB. The
+    tiny merge layer (≤ k·|groups|·|partitions| rows) dedupes with one
+    hash aggregate and re-ranks with a WindowGroupLimit top-k.
+
+    est = (k−1)·2^63 / h_(k); groups with fewer than k distinct hashes
+    are EXACT (n_kept = the distinct count — hash-independent, which
+    is the regime the registry oracle-checks). Output schema matches
+    :func:`kmv_counts` (est, n_kept, kth_hash)."""
+    import numpy as np
+    import pandas as pd
+
+    gtype = dict(df.dtypes)[group_col]
+    proj = df.select(F.col(group_col).alias("g"), _xx63(F.col(key_col)).alias("h"))
+
+    def _partial(it):
+        acc: dict = {}
+        for pdf in it:
+            for g, sub in pdf.groupby("g", sort=False):
+                vals = np.unique(sub["h"].to_numpy())[:k]
+                cur = acc.get(g)
+                acc[g] = (
+                    vals
+                    if cur is None
+                    else np.unique(np.concatenate([cur, vals]))[:k]
+                )
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "g": np.repeat(
+                        np.asarray(list(acc), dtype=object),
+                        [len(v) for v in acc.values()],
+                    ),
+                    "h": np.concatenate(list(acc.values()))
+                    if acc
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    partials = proj.mapInPandas(_partial, f"g {gtype}, h long")
+    dh = partials.groupBy("g", "h").agg(F.lit(1))
+    w = Window.partitionBy("g").orderBy("h")
+    topk = dh.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    agg = topk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    r_total = 9223372036854775808.0  # 2^63 — exactly representable
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(r_total) / F.col("h_k").cast("double"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        est.alias("est"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("h_k").alias("kth_hash"),
+    )
+
+
+def cm_table_fast(
+    df: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Production count-min sketch table: d native ``F.xxhash64``
+    probes per OCCURRENCE (salt literal per row — independent hash
+    families), reduced by ``groupBy(r, bucket).sum`` whose partial
+    aggregation folds every occurrence map-side: the exchange carries
+    at most d·w counter rows per map partition however many rows
+    stream through — no ``.distinct()``, no key-scale shuffle, and the
+    d·w-row table merges across shards by addition exactly like the
+    portable form. Returns (r, bucket, cnt)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    F.xxhash64(F.lit(f"c{r}|"), F.col(key_col)), F.lit(w)
+                ).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.r", "p.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate_fast(
+    cm: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cm_table_fast` table:
+    min over the d hashed counters for each probe key (CM never
+    underestimates). ``cm`` is ≤ d·w rows, so every join side is
+    broadcast — the probe set never shuffles the corpus."""
+    est = keys_df
+    for r in range(d):
+        cr = cm.where(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
+        )
+        est = est.withColumn(
+            f"_b{r}",
+            F.pmod(F.xxhash64(F.lit(f"c{r}|"), F.col(key_col)), F.lit(w)),
+        ).join(F.broadcast(cr), f"_b{r}")
+    cm_est = F.least(*[F.col(f"_c{r}") for r in range(d)])
+    return est.select(key_col, cm_est.cast("long").alias("cm_est"))

@@ -287,3 +287,121 @@ def test_cm_exact_on_sparse_universes_property(spark, freqs, offset):
     for r in out:
         assert r["cm_est"] >= r["exact_n"]
         assert r["overestimate"] >= 0
+
+
+# --- production path (round 13): per-occurrence native hash ------------------
+
+
+def test_fast_sketch_estimator_error_differential(spark):
+    """The production (xxhash64 per-occurrence) and portable (poly-hash
+    per-distinct) paths are different hash families over the SAME
+    estimator algebra — both must land within the same error bound of
+    the exact distinct counts on the same corpus (the lsh_recall_audit
+    posture: measured error, not asserted equivalence)."""
+    ev = _events(spark)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for fn, kw, bound in (
+        (SK.hll_counts, dict(p=6), 0.45),
+        (SK.hll_counts_fast, dict(p=6), 0.45),
+        (SK.kmv_counts, dict(k=64), 0.45),
+        (SK.kmv_counts_fast, dict(k=64), 0.45),
+    ):
+        for r in fn(ev, "event_type", "user_id", **kw).collect():
+            rel = abs(r["est"] - exact[r["event_type"]]) / exact[r["event_type"]]
+            assert rel < bound, (fn.__name__, r["event_type"], r["est"], rel)
+
+
+def test_hll_fast_plan_no_raw_key_exchange(spark):
+    """THE r12 verdict item: the production HLL build must never
+    exchange raw keys — the only exchanges hash-partition on the
+    (group, register) / (group) aggregate keys, the register max is a
+    partial (map-side) aggregate, and there is no Distinct/Expand of
+    the key column anywhere in the physical plan."""
+    ev = _events(spark)
+    df = SK.hll_counts_fast(ev, "event_type", "user_id", p=12)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan
+    assert "partial_max" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" not in line, line
+            assert "ridx" in line or "event_type" in line or "g#" in line, line
+    # no distinct-of-keys stage: HashAggregate on user_id would name it
+    # in its grouping keys
+    for line in plan.splitlines():
+        if "HashAggregate(keys=" in line:
+            assert "user_id" not in line.split("functions=")[0], line
+
+
+def test_cm_fast_plan_partial_sums_no_distinct(spark):
+    """cm_table_fast: per-occurrence probes fold map-side — partial
+    count before the exchange, exchange keyed on (r, bucket), no
+    distinct of the key."""
+    ev = _events(spark)
+    df = SK.cm_table_fast(ev.select(F.col("user_id").alias("k")), "k", w=64, d=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "bucket" in line, line
+            assert " k#" not in line, line
+
+
+def test_kmv_fast_exact_below_k_and_partition_invariant(spark):
+    """kmv_counts_fast: groups under k distinct hashes are EXACT
+    (hash-independent), and the bounded mapInPandas partial + merge
+    must be partitioning-invariant — 1-partition and 13-partition runs
+    of a high-multiplicity corpus (each key repeated 50x, the shape
+    that breaks unbounded WindowGroupLimit pre-filters) give identical
+    rows."""
+    rows = [(i % 3, i % 120) for i in range(120 * 50)]
+    df = spark.createDataFrame(rows, "grp int, key long")
+    a = sorted(
+        tuple(r)
+        for r in SK.kmv_counts_fast(df.coalesce(1), "grp", "key", k=256).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in SK.kmv_counts_fast(df.repartition(13), "grp", "key", k=256).collect()
+    )
+    assert a == b
+    for grp, est, n_kept, _kth in a:
+        assert n_kept == 40  # 120 keys striped over 3 groups
+        assert est == 40.0  # exact below k
+    # above-k regime still bounded and within error
+    c = {r["grp"]: r["est"] for r in SK.kmv_counts_fast(df, "grp", "key", k=16).collect()}
+    for grp, est in c.items():
+        assert abs(est - 40) / 40 < 0.9, (grp, est)
+
+
+def test_cm_fast_never_underestimates(spark):
+    """Production CM: per-row counter totals equal the occurrence
+    count (mass conservation — every occurrence hashed d times), and
+    point estimates never underestimate."""
+    ev = _events(spark).select(F.col("event_type").alias("k"))
+    cm = SK.cm_table_fast(ev, "k", w=64, d=3)
+    n = ev.count()
+    for r in cm.groupBy("r").agg(F.sum("cnt").alias("t")).collect():
+        assert r["t"] == n, (r["r"], r["t"], n)
+    exact = {r["k"]: r["n"] for r in ev.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    probes = ev.distinct()
+    for r in SK.cm_estimate_fast(cm, probes, "k", w=64, d=3).collect():
+        assert r["cm_est"] >= exact[r["k"]], (r["k"], r["cm_est"], exact[r["k"]])
+
+
+def test_fast_sketches_empty_and_string_groups(spark):
+    """Empty input → empty output with intact schema; string group and
+    key columns work through the Arrow partial (object-dtype path)."""
+    empty = spark.createDataFrame([], "grp int, key long")
+    assert SK.hll_counts_fast(empty, "grp", "key").count() == 0
+    assert SK.kmv_counts_fast(empty, "grp", "key").count() == 0
+    s = spark.createDataFrame(
+        [(f"g{i % 2}", f"key-{i % 7}") for i in range(100)], "grp string, key string"
+    )
+    got = {r["grp"]: r["n_kept"] for r in SK.kmv_counts_fast(s, "grp", "key", k=64).collect()}
+    assert got == {"g0": 7, "g1": 7}
