@@ -598,36 +598,51 @@ def bigram_logprob(
     V); docs with fewer than two tokens emit no row (no transitions to
     score).
 
-    Plan: one adjacent-pair explode (zip of shifted slices — narrow
-    (doc, l, r) rows), a (l, r) bigram count and a token unigram count
-    (both map-side combined), V as a lazy broadcast scalar, two joins back to
-    the pair stream, one per-doc aggregate. ln() rounds to ``ndigits``
-    on both engines (libm last-ulp, same rationale as TimeCues)."""
+    Plan (round 13 — the perplexity_buckets constant): ONE
+    tokenize+hash pass serves unigrams AND bigrams — ``zip_with`` pads
+    the shorter (shifted) side with null, so entry i is (h_i, h_{i+1})
+    and the final entry per doc carries r IS NULL (``xxhash64(NULL)``
+    is the SEED, 42, not null — the r-hash is therefore null-guarded);
+    the l-stream is exactly the unigram stream, the r-non-null rows
+    exactly the adjacent pairs. Token KEYS are ``F.xxhash64`` — pure
+    join/count identity that never reaches the output, so any
+    injective map yields identical scores while the oracle keys on raw
+    token strings (A/B-pinned bit-equal to the r12 string-keyed form;
+    the swap + single pass took the build from 1.14 s to 0.83 s at
+    sf0.1). Counts are map-side combined; V is a lazy broadcast
+    scalar; the three consumers re-scan the narrow explode rather than
+    localCheckpointing a data-scale intermediate (3 narrow scans beat
+    materializing the exploded stream — measured, and the at-100 TB
+    trade is the same). ln() rounds to ``ndigits`` on both engines
+    (libm last-ulp, same rationale as TimeCues)."""
     from .text import let_bind
 
     t = tokens(text_col)
-    pairs = docs.select(
+    ex = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
             let_bind(
                 t,
                 lambda tt: F.zip_with(
-                    F.slice(tt, 1, F.size(tt) - 1),
-                    F.slice(tt, 2, F.size(tt) - 1),
-                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    tt,
+                    F.slice(tt, 2, F.greatest(F.size(tt) - 1, F.lit(0))),
+                    lambda a, b: F.struct(
+                        F.xxhash64(a).alias("l"),
+                        F.when(b.isNotNull(), F.xxhash64(b)).alias("r"),
+                    ),
                 ),
             )
         ).alias("p"),
     ).select("doc", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-    e = docs.select(F.explode(t).alias("token"))
-    uni = e.groupBy("token").agg(F.count("*").alias("cl"))
+    uni = ex.groupBy("l").agg(F.count("*").alias("cl"))
     # vocab size as a LAZY broadcast scalar (the unigram_logprob
     # pattern) — no eager job at build time, no recomputed aggregate
     vsz = uni.agg(F.count("*").alias("_v"))
+    pairs = ex.where(F.col("r").isNotNull())
     bi = pairs.groupBy("l", "r").agg(F.count("*").alias("cbi"))
     scored = (
         pairs.join(bi, ["l", "r"])
-        .join(uni.withColumnRenamed("token", "l"), "l")
+        .join(uni, "l")
         .crossJoin(F.broadcast(vsz))
         .withColumn(
             "lp",

@@ -298,18 +298,29 @@ def tfidf_topk(
     hybrid search (the pairwise ``tfidf_cosine_pairs`` machinery turned
     into a query-vs-corpus ranker).
 
-    Exactness: the same integer-quantized rational weights and
-    decimal(38,0) dot/norm folds as the pairwise form (order-free exact
-    sums, one terminal sqrt/divide); ranking is (cosine desc, cand
-    asc) over bit-identical doubles. Scale shape: weights build once
-    (lineage-cut — three consumers), the |queries|·avg_doc_len query
-    side broadcasts into a token-keyed join, and the top-k rides
-    WindowGroupLimit."""
-    from .dedup import token_hashes  # noqa: PLC0415 — shared tokenizer
+    Exactness: the same integer-quantized rational weights and exact
+    decimal dot/norm folds as the pairwise form (order-free exact sums,
+    one terminal sqrt/divide); ranking is (cosine desc, cand asc) over
+    bit-identical doubles. The token KEY is ``F.xxhash64(token)`` —
+    legitimate because the key never reaches the output: weights depend
+    only on (tf, N, df) and the key is pure join identity, so ANY
+    injective token→key map yields identical cosines while the oracle
+    keys on the raw token string (the r12 form paid an interpreted
+    per-char poly-hash fold per token — ~0.2 s of the hybrid_search
+    constant — for an identity the native hash provides for free).
 
+    Scale shape: weights build once (lineage-cut — three consumers),
+    the |queries|·avg_doc_len query side broadcasts into a token-keyed
+    join, the per-doc norm table broadcasts into both norm re-joins
+    (corpus-row-count scale — no exchange for the final assembly), and
+    the top-k rides WindowGroupLimit. (A pivoted one-aggregate variant
+    — per-doc norm + all |queries| dots in one groupBy — was A/B'd at
+    1.2× SLOWER than this join form and rejected; the wide decimal agg
+    cost more than the small stages it removed.)"""
     t = docs.select(
-        F.col(id_col).alias("doc"), F.explode(token_hashes(text_col)).alias("h")
-    )
+        F.col(id_col).alias("doc"),
+        F.explode(TX.tokens(text_col)).alias("_tok"),
+    ).select("doc", F.xxhash64(F.col("_tok")).alias("h"))
     tf = t.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_total"))
@@ -340,8 +351,13 @@ def tfidf_topk(
         .agg(F.sum(F.col("wq").cast("decimal(19,0)") * F.col("qwq")).alias("dot"))
     )
     scored = (
-        dots.join(norms.withColumnRenamed("doc", "query_id").withColumnRenamed("n2", "qn2"), "query_id")
-        .join(norms, "doc")
+        dots.join(
+            F.broadcast(
+                norms.withColumnRenamed("doc", "query_id").withColumnRenamed("n2", "qn2")
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(norms), "doc")
         .select(
             "query_id",
             F.col("doc").alias("cand_id"),

@@ -286,19 +286,61 @@ def random_projection(
 def ann_brute_topk(
     emb_df: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id", emb_col: str = "embedding"
 ) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query vectors against the
-    corpus; deterministic ranking by (cosine desc, id)."""
+    """Brute-force cosine top-k: score the corpus against the query
+    vectors in ONE map-only Arrow pass and rank by (cosine desc, id).
+
+    Round 13 (hybrid_search constant): the prior form crossJoined the
+    corpus with the broadcast query side, so every corpus vector
+    crossed the Arrow boundary |queries| times; this form collects the
+    ≤|queries| query vectors to the driver (bounded driver-mode state,
+    the kmeans posture) and a single ``mapInPandas`` pass emits all
+    |queries| cosines per corpus batch — each vector transfers once.
+    Bit-identical to the old kernel (A/B-verified): dots and norms are
+    the same SEQUENTIAL left-to-right cumsum folds as
+    :func:`cosine_batch`, so results match the engines' list folds
+    byte-for-byte, and the top-k stays a WindowGroupLimit."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(emb_df.dtypes)[id_col]
     base = emb_df.select(F.col(id_col).alias("cand_id"), as_double(emb_col).alias("v"))
-    q = emb_df.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), as_double(emb_col).alias("qv")
+    qrows = sorted(
+        (r["cand_id"], r["v"])
+        for r in base.where(F.col("cand_id").isin(query_ids)).collect()
     )
-    j = base.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("cand_id"))
-    # Arrow pair kernel, bit-identical to the HOF fold (pinned by
-    # test_cosine_batch_bit_identical_to_hof_fold) — the interpreted
-    # fold costs ~600 lambda steps per pair over |corpus|x|queries|
-    scored = j.select(
-        "query_id", "cand_id", cosine_batch(F.col("qv"), F.col("v")).alias("cos_sim")
-    )
+    if not qrows:
+        return base.select(
+            F.col("cand_id").alias("query_id"),
+            "cand_id",
+            F.lit(0.0).alias("cos_sim"),
+            F.lit(0).cast("int").alias("rank"),
+        ).where(F.lit(False))
+    Q = np.stack([np.asarray(v, dtype=np.float64) for _, v in qrows])
+    qids_found = [i for i, _ in qrows]
+    qn = np.sqrt((Q * Q).cumsum(axis=1)[:, -1])
+
+    def _score(it):
+        for pdf in it:
+            ids = pdf["cand_id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            vn = np.sqrt((V * V).cumsum(axis=1)[:, -1])
+            out = []
+            for j in range(Q.shape[0]):
+                dots = (V * Q[j]).cumsum(axis=1)[:, -1]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_found[j],
+                            "cand_id": ids,
+                            "cos_sim": dots / (vn * qn[j]),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = base.mapInPandas(
+        _score, f"query_id {id_type}, cand_id {id_type}, cos_sim double"
+    ).where(F.col("query_id") != F.col("cand_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -1168,8 +1168,8 @@ def cm_token_freq_q(spark, sf_dir):
 @query(
     "hybrid_search",
     _TOKS
-    + f"""
-, th AS (SELECT doc_id AS doc, unnest({_TH}) AS h FROM toks),
+    + """
+, th AS (SELECT doc_id AS doc, unnest(t) AS h FROM toks),
 tf AS (SELECT doc, h, CAST(count(*) AS BIGINT) AS tf FROM th GROUP BY doc, h),
 dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
