@@ -1148,16 +1148,41 @@ IMAGE_FEAT_SCHEMA = (
 )
 
 
-def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def image_features(
+    df: DataFrame, id_col: str = "doc_id", on_error: str = "raise"
+) -> DataFrame:
     """Feature-extract stage over image payloads (PNG/BMP/PPM): per-image
     luminance mean/std + horizontal-gradient edge energy, Arrow-batched.
-    Decode runs where the bytes live — no blob shuffle, no driver pull."""
+    Decode runs where the bytes live — no blob shuffle, no driver pull.
+
+    ``on_error`` (round 13 — the poisoned-corpus contract): ``"raise"``
+    keeps the strict behavior (one undecodable payload fails the task —
+    right for curated fixtures); ``"null"`` adds an ``error`` column
+    and emits a null-stats row carrying the decoder's exact message for
+    payloads that hit a documented codec seam (NotImplementedError —
+    e.g. arithmetic-coded/12-bit/CMYK JPEG awaiting the PIL plug) or
+    are malformed (ValueError), so one bad row in a billion-row corpus
+    degrades to a filterable row instead of killing the batch. The
+    seam-path tests pin the exact messages end-to-end."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("image_features: on_error must be 'raise' or 'null'")
+    safe = on_error == "null"
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for i, b in zip(pdf[id_col], pdf["payload"]):
-                px = image_pixels(bytes(b)).astype(np.float64)
+                if safe:
+                    try:
+                        px = image_pixels(bytes(b)).astype(np.float64)
+                    except (NotImplementedError, ValueError) as e:
+                        rows.append(
+                            (int(i), None, None, None, None, None, None,
+                             f"{type(e).__name__}: {e}")
+                        )
+                        continue
+                else:
+                    px = image_pixels(bytes(b)).astype(np.float64)
                 h, w, ch = px.shape
                 lum = px.mean(axis=2)  # channel-mean luminance proxy
                 grad = np.abs(np.diff(lum, axis=1))
@@ -1171,16 +1196,16 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         float(lum.std()),
                         float(grad.mean()) if grad.size else 0.0,
                     )
+                    + ((None,) if safe else ())
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "width", "height", "channels",
-                    "mean_lum", "std_lum", "edge_energy",
-                ],
-            )
+            cols = [
+                "doc_id", "width", "height", "channels",
+                "mean_lum", "std_lum", "edge_energy",
+            ] + (["error"] if safe else [])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, "payload").mapInPandas(_batch, schema=IMAGE_FEAT_SCHEMA)
+    schema = IMAGE_FEAT_SCHEMA + (", error string" if safe else "")
+    return df.select(id_col, "payload").mapInPandas(_batch, schema=schema)
 
 
 RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
@@ -1636,13 +1661,23 @@ def _video_frames(b: bytes, every: int):
 
 
 def video_frame_stats(
-    df: DataFrame, every: int = 2, id_col: str = "doc_id"
+    df: DataFrame, every: int = 2, id_col: str = "doc_id", on_error: str = "raise"
 ) -> DataFrame:
     """Frame-sampled luminance stats over video payloads (Y4M or
     MJPEG-AVI, sniffed per row): one row per sampled frame (doc_id,
     frame_idx, mean_lum, std_lum) — decode runs where the bytes live
     (Arrow-batched mapInPandas), the video modality analog of
-    ``image_features``."""
+    ``image_features``.
+
+    ``on_error="null"`` (round 13 — the poisoned-corpus contract):
+    adds an ``error`` column; a payload hitting a documented codec
+    seam (NotImplementedError — e.g. MP4/H.264 frame decode awaiting
+    the ffmpeg plug) or malformed bytes (ValueError) emits ONE
+    null-stats row carrying the decoder's exact message instead of
+    killing the batch. Default ``"raise"`` keeps strict behavior."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("video_frame_stats: on_error must be 'raise' or 'null'")
+    safe = on_error == "null"
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1651,18 +1686,27 @@ def video_frame_stats(
             # schema carries the input id dtype, so string/decimal doc
             # ids survive instead of crashing an int() in the executor
             for i, b in zip(pdf[id_col], pdf["payload"]):
-                for idx, luma in _video_frames(bytes(b), every):
-                    lf = luma.astype(np.float64)
-                    rows.append((i, idx, float(lf.mean()), float(lf.std())))
-            yield pd.DataFrame(
-                rows, columns=[id_col, "frame_idx", "mean_lum", "std_lum"]
+                try:
+                    for idx, luma in _video_frames(bytes(b), every):
+                        lf = luma.astype(np.float64)
+                        rows.append(
+                            (i, idx, float(lf.mean()), float(lf.std()))
+                            + ((None,) if safe else ())
+                        )
+                except (NotImplementedError, ValueError) as e:
+                    if not safe:
+                        raise
+                    rows.append((i, None, None, None, f"{type(e).__name__}: {e}"))
+            cols = [id_col, "frame_idx", "mean_lum", "std_lum"] + (
+                ["error"] if safe else []
             )
+            yield pd.DataFrame(rows, columns=cols)
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, "payload").mapInPandas(
-        _batch,
-        schema=f"{id_col} {id_type}, frame_idx int, mean_lum double, std_lum double",
+    schema = f"{id_col} {id_type}, frame_idx int, mean_lum double, std_lum double" + (
+        ", error string" if safe else ""
     )
+    return df.select(id_col, "payload").mapInPandas(_batch, schema=schema)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

@@ -366,6 +366,8 @@ def quantile_histogram(
     df: DataFrame,
     value_col: str,
     bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
 ) -> tuple:
     """Mergeable quantile sketch: a fixed equi-width histogram over the
     exact [min, max] range — the portable alternative to
@@ -377,21 +379,34 @@ def quantile_histogram(
 
     Determinism: bin index = least(floor((v − lo)/width), bins−1) with
     width = (hi − lo)/bins — identical double expressions in any
-    engine; everything downstream is integer."""
-    r = df.agg(
-        F.min(value_col).alias("lo"),
-        F.max(value_col).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    lo, hi, n = r["lo"], r["hi"], int(r["n"])
-    if n == 0 or lo is None:
-        return (None, None, 0), []
-    if hi == lo:
-        return (lo, hi, n), [(0, n)]
+    engine; everything downstream is integer.
+
+    Fixed-range mode (pass BOTH ``lo`` and ``hi``): skips the min/max
+    pass — ONE aggregate total (the streaming-parity form: the
+    GroupState twin bins on a declared range because a stream's final
+    range is unknowable upfront). Out-of-range values clamp to the
+    edge bins (greatest/least), n derives from the bin-count sum."""
+    if lo is None or hi is None:
+        r = df.agg(
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        lo, hi, n = r["lo"], r["hi"], r["n"] and int(r["n"])
+        if n == 0 or lo is None:
+            return (None, None, 0), []
+        if hi == lo:
+            return (lo, hi, n), [(0, n)]
+    elif hi == lo:
+        n = df.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        return (lo, hi, int(n)), ([(0, int(n))] if n else [])
     width = (hi - lo) / float(bins)
-    b = F.least(
-        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
-        F.lit(bins - 1),
+    b = F.greatest(
+        F.least(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(bins - 1),
+        ),
+        F.lit(0),
     )
     counts = (
         df.select(b.alias("b"))
@@ -399,7 +414,9 @@ def quantile_histogram(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    return (lo, hi, n), sorted((int(x["b"]), int(x["c"])) for x in counts)
+    out = sorted((int(x["b"]), int(x["c"])) for x in counts)
+    n = sum(c for _, c in out)
+    return (lo, hi, n), out
 
 
 def quantile_estimates(

@@ -151,3 +151,74 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quantile_out_schema(qs: tuple) -> str:
+    cols = ", ".join(f"q{int(round(q * 1000)):03d} double" for q in qs)
+    return f"g string, n long, {cols}"
+
+
+QHIST_STATE_SCHEMA = "counts array<long>"
+
+
+def streaming_quantile_histogram(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    qs: tuple = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Running quantile estimates per group over a stream — the
+    GroupState twin of ``operators.sketches.quantile_histogram``
+    (round 13: completes the streaming sketch tier's symmetry —
+    distinct=HLL/KMV, quantiles=this).
+
+    State per group: the ``bins`` int64 bin counts — fixed size
+    forever; counts merge by addition (associative), so micro-batch
+    boundaries cannot move a bit. The range is DECLARED (a stream's
+    final min/max is unknowable upfront); the batch operator's
+    fixed-range mode bins on the same declared range with the same
+    clamped floor expression, and the estimates go through the SAME
+    ``quantile_estimates`` Python code path — so the last streaming
+    emission per group bit-matches the batch sketch over the same rows
+    (the batch-parity test). Out-of-range values clamp to the edge
+    bins on both sides."""
+    from ..operators.sketches import quantile_estimates
+
+    width = (hi - lo) / float(bins)
+    b = F.greatest(
+        F.least(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(bins - 1),
+        ),
+        F.lit(0),
+    )
+    out_schema = quantile_out_schema(qs)
+    qlist = list(qs)
+
+    def fn(key, pdfs, state: GroupState):
+        counts = list(state.get[0]) if state.exists else [0] * bins
+        for pdf in pdfs:
+            for bb in pdf["b"]:
+                counts[int(bb)] += 1
+        state.update((counts,))
+        n = sum(counts)
+        pairs = [(i, c) for i, c in enumerate(counts) if c > 0]
+        ests = quantile_estimates((lo, hi, n), pairs, qlist, bins=bins)
+        yield pd.DataFrame(
+            [(key[0], n, *ests)],
+            columns=["g", "n"] + [f"q{int(round(q * 1000)):03d}" for q in qlist],
+        )
+
+    proj = stream.select(
+        F.col(group_col).cast("string").alias("g"), b.alias("b")
+    ).where(F.col("b").isNotNull())
+    return proj.groupBy("g").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=QHIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -875,3 +875,89 @@ def test_native_progressive_420_dcsplit_dc_scans_golden():
     assert px.shape == (24, 32, 3)
     base = MM.jpeg_pixels(open(FIXTURE_420, "rb").read())
     assert np.array_equal(px, base)
+
+
+def _fixture(name: str) -> bytes:
+    return open(os.path.join(os.path.dirname(__file__), "fixtures", name), "rb").read()
+
+
+def test_codec_seam_fixtures_raise_exact_messages():
+    """Round 13 (r12 verdict item 5): each committed seam fixture —
+    spec-shaped streams whose one gating field (SOF marker / precision
+    / component count) routes to a documented PIL/ffmpeg plug seam —
+    must raise the EXACT NotImplementedError message, never a raw
+    IndexError or garbage pixels. The MP4's METADATA parse must
+    succeed (box walk is native); only its frame decode is the seam."""
+    import pytest
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    cases = {
+        "seam_arith_32x24.jpg": "arithmetic-coded, lossless and hierarchical",
+        "seam_12bit_32x24.jpg": "12-bit JPEG precision needs PIL",
+        "seam_cmyk_32x24.jpg": "CMYK/4-component needs PIL",
+    }
+    for name, msg in cases.items():
+        b = _fixture(name)
+        with pytest.raises(NotImplementedError, match=msg):
+            MM.jpeg_pixels(b)
+    mp4 = _fixture("seam_h264.mp4")
+    assert MM.decode_payload(mp4) == (64, 48, 3)  # metadata parses natively
+    with pytest.raises(NotImplementedError, match="MP4/H.264 frame decode requires ffmpeg"):
+        list(MM._video_frames(mp4, 1))
+
+
+def test_poisoned_corpus_survives_with_error_column(spark):
+    """The poisoned-corpus contract end-to-end: a batch mixing decodable
+    payloads with every seam fixture runs to completion under
+    on_error='null' — good rows keep their exact stats, poisoned rows
+    surface one null-stats row each carrying the decoder's message.
+    Under the default on_error='raise' the same batch fails (strict
+    mode is the curated-fixture contract, pinned so neither behavior
+    silently changes)."""
+    import numpy as np
+    import pytest
+
+    from finmlkit_spark.operators import multimodal as MM
+
+    good_img = _fixture("gradient_32x24.jpg")
+    rows = [
+        (0, bytearray(good_img)),
+        (1, bytearray(_fixture("seam_arith_32x24.jpg"))),
+        (2, bytearray(_fixture("seam_12bit_32x24.jpg"))),
+        (3, bytearray(_fixture("seam_cmyk_32x24.jpg"))),
+        (4, bytearray(b"\xff\xd8truncated-garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in MM.image_features(df, on_error="null").collect()}
+    assert len(got) == 5
+    px = MM.jpeg_pixels(good_img).astype(np.float64)
+    lum = px.mean(axis=2)
+    assert got[0]["error"] is None
+    assert abs(got[0]["mean_lum"] - lum.mean()) < 1e-12
+    assert "arithmetic-coded" in got[1]["error"]
+    assert "12-bit JPEG precision" in got[2]["error"]
+    assert "CMYK/4-component" in got[3]["error"]
+    assert got[4]["error"] is not None
+    for d in (1, 2, 3, 4):
+        assert got[d]["mean_lum"] is None and got[d]["width"] is None
+    # strict mode still raises through the task (documented contract);
+    # which poisoned row trips first depends on partitioning
+    with pytest.raises(Exception, match="NotImplementedError|ValueError"):
+        MM.image_features(df).collect()
+
+    # video side: one good Y4M + the H.264 seam
+    frames = ((np.arange(2 * 8 * 8).reshape(2, 8, 8) * 7) % 256).astype(np.uint8)
+    vrows = [
+        (0, bytearray(MM.encode_y4m(frames, "Cmono"))),
+        (1, bytearray(_fixture("seam_h264.mp4"))),
+    ]
+    vdf = spark.createDataFrame(vrows, "doc_id long, payload binary")
+    vout = MM.video_frame_stats(vdf, every=1, on_error="null").collect()
+    good = sorted(r["frame_idx"] for r in vout if r["doc_id"] == 0)
+    assert good == [0, 1]
+    bad = [r for r in vout if r["doc_id"] == 1]
+    assert len(bad) == 1 and "MP4/H.264 frame decode requires ffmpeg" in bad[0]["error"]
+    assert bad[0]["frame_idx"] is None and bad[0]["mean_lum"] is None
+    with pytest.raises(Exception, match="ffmpeg"):
+        MM.video_frame_stats(vdf, every=1).collect()

@@ -5,6 +5,7 @@ streaming analog of the dual-backend oracle strategy)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from finmlkit_spark.streaming.bars import streaming_cusum_filter, streaming_time_bars
 
@@ -845,3 +846,93 @@ def test_streaming_kmv_distinct_parity(spark, stream_dir, tmp_path):
     for g, w in want.items():
         assert got[g]["n_kept"] == w["n_kept"], g
         assert got[g]["kth_hash"] == w["kth_hash"], g
+
+
+def test_streaming_quantile_histogram_parity(spark, stream_dir, tmp_path):
+    """Round 13 (completes the streaming sketch tier's symmetry):
+    multi-batch streaming quantile histogram == the batch fixed-range
+    sketch over the same rows. Bin counts only grow (addition is
+    associative), so each group's final emission (max n) must carry
+    BIT-IDENTICAL interpolated quantiles to
+    quantile_histogram(lo=,hi=) + quantile_estimates on the per-group
+    batch data — both sides share the clamped floor binning expression
+    and the same Python interpolation code path."""
+    import os
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.operators import sketches as SK
+    from finmlkit_spark.streaming.sketches import streaming_quantile_histogram
+
+    src = str(tmp_path / "qh_split")
+    tbl = pq.read_table(f"{stream_dir}/events.parquet")
+    os.makedirs(src)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(
+            tbl.slice(i * n // 3, (n // 3) if i < 2 else n), f"{src}/p{i}.parquet"
+        )
+
+    batch = spark.read.parquet(stream_dir).select("event_type", "value")
+    r = batch.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(r["lo"]), float(r["hi"])
+    qs = (0.1, 0.5, 0.9)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("event_type", "value")
+    )
+    out = streaming_quantile_histogram(
+        stream, "event_type", "value", lo=lo, hi=hi, bins=64, qs=qs
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qh_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["g"]: r
+        for r in spark.sql(
+            "select * from qh_stream "
+            "where (g, n) in (select g, max(n) from qh_stream group by g)"
+        ).collect()
+    }
+    groups = [r["event_type"] for r in batch.select("event_type").distinct().collect()]
+    assert set(got) == set(groups)
+    for g in groups:
+        stats, counts = SK.quantile_histogram(
+            batch.where(F.col("event_type") == g).select("value"),
+            "value",
+            bins=64,
+            lo=lo,
+            hi=hi,
+        )
+        ests = SK.quantile_estimates(stats, counts, list(qs), bins=64)
+        assert got[g]["n"] == stats[2], g
+        for q_, e in zip(qs, ests):
+            col = f"q{int(round(q_ * 1000)):03d}"
+            assert struct.pack("<d", got[g][col]) == struct.pack("<d", e), (g, col)
+
+
+def test_streaming_quantile_histogram_clamps_out_of_range(spark, tmp_path):
+    """Values outside the declared [lo, hi) clamp to the edge bins on
+    BOTH the streaming and batch fixed-range sides — a declared-range
+    sketch must never drop or crash on range violations."""
+    import struct
+
+    from finmlkit_spark.operators import sketches as SK
+
+    rows = [("a", float(v)) for v in (-5, 0, 1, 2, 9, 10, 15)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    stats, counts = SK.quantile_histogram(df, "value", bins=4, lo=0.0, hi=10.0)
+    assert stats == (0.0, 10.0, 7)
+    assert sum(c for _, c in counts) == 7
+    assert counts[0][0] == 0 and counts[-1][0] == 3  # edge bins hold the clamps
+    ests = SK.quantile_estimates(stats, counts, [0.5], bins=4)
+    assert ests[0] == ests[0]  # finite, not nan

@@ -807,3 +807,57 @@ def main_progressive() -> None:
         print("  decoded md5:", hashlib.md5(px.tobytes()).hexdigest(),
               "matches sequential:", bool(np.array_equal(px, want)))
         assert np.array_equal(px, want), f"{path} decode != sequential sibling"
+
+
+def main_seams() -> None:
+    """Write the round-13 codec-SEAM fixtures: spec-shaped streams that
+    hit each documented NotImplementedError gate in the native decoder
+    (arithmetic-coded / 12-bit / CMYK JPEG, H.264-in-MP4). Each is the
+    committed baseline with the single spec field that triggers the
+    gate patched (marker / precision / component count), plus a minimal
+    ISO-BMFF box tree for the MP4 — enough structure that the metadata
+    parsers succeed while the PIXEL decode must raise the documented
+    seam error (never a raw IndexError / garbage pixels)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from finmlkit_spark.operators.multimodal import decode_payload
+
+    base = bytearray(open(OUT, "rb").read())
+    sof = base.find(bytes([0xFF, 0xC0]))
+    assert sof > 0
+
+    arith = bytearray(base)
+    arith[sof + 1] = 0xC9  # SOF9: extended sequential, arithmetic coding
+    twelve = bytearray(base)
+    twelve[sof + 4] = 12  # SOF precision byte: 8 -> 12
+    cmyk = bytearray(base)
+    cmyk[sof + 9] = 4  # SOF component count: 1 -> 4
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    def tkhd(w: int, h: int) -> bytes:
+        body = bytes(4) + bytes(16) + bytes(4) + bytes(8) + bytes(8) + bytes(36)
+        return body + struct.pack(">II", w << 16, h << 16)
+
+    mp4 = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomavc1")
+        + box(b"moov", box(b"trak", box(b"tkhd", tkhd(64, 48))))
+        + box(b"mdat", b"\x00\x00\x00\x01\x67" + bytes(32))  # H.264 SPS NAL shape
+    )
+
+    outdir = os.path.dirname(OUT)
+    for name, payload in (
+        ("seam_arith_32x24.jpg", bytes(arith)),
+        ("seam_12bit_32x24.jpg", bytes(twelve)),
+        ("seam_cmyk_32x24.jpg", bytes(cmyk)),
+        ("seam_h264.mp4", mp4),
+    ):
+        path = os.path.join(outdir, name)
+        with open(path, "wb") as f:
+            f.write(payload)
+        print(f"wrote {path}: {len(payload)} bytes, md5 {hashlib.md5(payload).hexdigest()}")
+    # the MP4 metadata parse must SUCCEED (dims from tkhd) — only the
+    # frame decode is the seam
+    print("mp4 dims:", decode_payload(mp4))
