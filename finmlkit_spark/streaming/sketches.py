@@ -222,3 +222,57 @@ def streaming_quantile_histogram(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CM_OUT_SCHEMA = "g string, r int, bucket int, cnt long"
+CM_STATE_SCHEMA = "counts array<long>"
+
+
+def streaming_cm_table(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    w: int = 256,
+    d: int = 3,
+) -> DataFrame:
+    """Running count-min sketch per group over a stream — the GroupState
+    twin of ``operators.sketches.cm_table`` (completes the streaming
+    tier: distinct=HLL/KMV, quantiles=histogram, frequency=this).
+
+    State per group: the d·w int64 counter table, flattened — fixed
+    size forever; counters are plain sums (associative), so micro-batch
+    boundaries cannot move a bit and the final emission bit-matches the
+    batch table over the same rows (parity test). Uses the SAME portable
+    salted-hash projection as the batch operator (one definition, two
+    execution modes); each micro-batch emits the group's current
+    non-zero counters."""
+    from ..operators.sketches import _salted_hash
+
+    cols = [
+        (_salted_hash(F.col(key_col), f"c{r}|") % w).alias(f"_b{r}")
+        for r in range(d)
+    ]
+    proj = stream.select(F.col(group_col).cast("string").alias("g"), *cols)
+
+    def fn(key, pdfs, state: GroupState):
+        counts = list(state.get[0]) if state.exists else [0] * (d * w)
+        for pdf in pdfs:
+            for r in range(d):
+                for b in pdf[f"_b{r}"]:
+                    counts[r * w + int(b)] += 1
+        state.update((counts,))
+        rows = [
+            (key[0], r, b, counts[r * w + b])
+            for r in range(d)
+            for b in range(w)
+            if counts[r * w + b]
+        ]
+        yield pd.DataFrame(rows, columns=["g", "r", "bucket", "cnt"])
+
+    return proj.groupBy("g").applyInPandasWithState(
+        fn,
+        outputStructType=CM_OUT_SCHEMA,
+        stateStructType=CM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -16,6 +16,29 @@ from . import developing_suite  # noqa: F401
 # --- registration order = driver check order -------------------------------
 # The external driver verifies the FIRST 50 registered queries per round.
 #
+# ROUND-13 WINDOW:
+# 1:     NEW in round 13 — kmv_fast_user_count (the production sketch
+#        path oracle-gated through KMV's hash-independent below-k
+#        exactness regime);
+# 2-15:  every query whose implementation CHANGED in round 13 —
+#        hybrid_search (xxhash64 token keys + broadcast norm joins),
+#        ann_topk + lsh_recall_audit (ann_brute_topk's one-pass Arrow
+#        scorer), bigram_logprob + perplexity_buckets (single-pass
+#        null-sentinel tokenize + xxhash64 keys), embedding_outliers
+#        (decimal fold cast before sum — the r12 advisory),
+#        diverse_sample (order-generic id tie-breaks — advisory),
+#        quantile_sketch_audit (fixed-range mode added to the sketch),
+#        and the five image/video queries riding the JPEG decoder whose
+#        progressive DC scans now raster the true block grid (advisory)
+#        and whose feature extractors gained on_error='null';
+# 16-44: the 29 remaining r7 rows (5 rounds stale — the user_* family,
+#        tbm pair, sampling/corpus singles, hurst/approx-entropy,
+#        featurekit_build, minhash/simhash, time_bars_filled,
+#        seq_cusum_bars, dedup_clusters_star, store_meta_sidecar);
+# 45-50: the head of the 37-row r8 cohort (trades_side, tick_bars,
+#        volume_bars_approx, bar_directional_1m, feat_return_log,
+#        feat_roc) — the rest of r8 leads the round-14 fill.
+#
 # ROUND-12 WINDOW:
 # 1-8:   NEW in round 12 — hll_user_count / kmv_user_count /
 #        kmv_overlap / cm_token_freq / quantile_sketch_audit (the
@@ -80,60 +103,59 @@ from . import developing_suite  # noqa: F401
 # the remaining r7 cohort (corpus report/sampling tier, user_* multiuser
 # tier, featurekit_build, hurst/approx-entropy singles) leads round 13.
 _PRIORITY = [
-    # -- NEW in round 12 (no driver row yet) -----------------------------------
-    "hll_user_count",
-    "kmv_user_count",
-    "kmv_overlap",
+    # -- NEW in round 13 (no driver row yet) -----------------------------------
+    "kmv_fast_user_count",
+    # -- changed in round 13 (re-verify first) ---------------------------------
+    "hybrid_search",
+    "ann_topk",
+    "lsh_recall_audit",
+    "bigram_logprob",
     "perplexity_buckets",
     "embedding_outliers",
-    "cm_token_freq",
-    "hybrid_search",
-    "quantile_sketch_audit",
-    # -- changed in round 12 (re-verify first) --------------------------------
-    "embedding_covariance",
     "diverse_sample",
-    "tfidf_cosine_pairs",
-    "revenue_rollup",
-    "pmi_top_pairs",
-    "session_path_topk",
-    "bm25_topk",
+    "quantile_sketch_audit",
     "image_decode_stats",
     "image_resize_stats",
     "image_phash_pairs",
     "video_frame_stats",
     "video_mjpeg_stats",
-    # -- the r6 tail: newest driver row five rounds old ------------------------
-    "seq_cusum_filter",
-    "seq_cusum_filter_chunked",
-    "seq_volume_bars_exact",
-    "seq_cusum_test",
-    "seq_cusum_test_chunked",
-    "seq_cusum_bars_chunked",
-    "vp_profile",
-    "vp_poc",
-    "vp_hva_lva",
-    "vp_developing",
-    "text_stats",
-    "exact_dedup",
-    "simhash_fp",
-    "multimodal_meta",
-    "sequence_packing",
-    "decontamination",
-    "mixture_sample",
-    "dedup_keep_best",
-    "c4_filter",
-    "unigram_logprob",
-    "store_inspector",
-    "asof_sigma",
-    "asof_tolerance",
-    "zscore_peak_events",
-    "pricing_summary",
-    "regional_revenue",
-    "imbalance_bars",
-    "run_bars",
-    "sql_shared_dialect",
-    # -- the r7 head (the rest of r7 leads the round-13 fill) ------------------
-    "dollar_bars",
+    # -- the r7 tail: newest driver row five rounds old ------------------------
+    "seq_atr_ema",
+    "tbm_labels",
+    "tbm_meta",
+    "minhash_lsh",
+    "time_bars_filled",
+    "seq_cusum_bars",
+    "seq_bar_duration_ewma",
+    "hurst_exponent",
+    "approx_entropy",
+    "featurekit_build",
+    "user_sessions",
+    "simhash_near_pairs",
+    "lang_id",
+    "frame_offsets",
+    "corpus_report",
+    "stratified_sample",
+    "hash_split",
+    "doc_quality_signals",
+    "vocab_topk",
+    "tfidf_keywords",
+    "doc_chunks",
+    "user_trade_side",
+    "user_ewma",
+    "user_tbm_labels",
+    "priority_fill_rate",
+    "doc_fingerprint",
+    "decontamination_bloom",
+    "dedup_clusters_star",
+    "store_meta_sidecar",
+    # -- the r8 head (the rest of r8 leads the round-14 fill) ------------------
+    "trades_side",
+    "tick_bars",
+    "volume_bars_approx",
+    "bar_directional_1m",
+    "feat_return_log",
+    "feat_roc",
 ]
 
 

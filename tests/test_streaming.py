@@ -936,3 +936,66 @@ def test_streaming_quantile_histogram_clamps_out_of_range(spark, tmp_path):
     assert counts[0][0] == 0 and counts[-1][0] == 3  # edge bins hold the clamps
     ests = SK.quantile_estimates(stats, counts, [0.5], bins=4)
     assert ests[0] == ests[0]  # finite, not nan
+
+
+def test_streaming_cm_table_parity(spark, stream_dir, tmp_path):
+    """Round 13 (completes the streaming sketch tier: frequency):
+    multi-batch streaming count-min == the batch cm_table per group over
+    the same rows. Counters are exact integer sums (associative), so
+    the final emission per group (max total mass) must equal the batch
+    table cell-for-cell — including that batch hashing per DISTINCT key
+    weighted by occurrence count and streaming hashing per occurrence
+    land on identical counters."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.operators import sketches as SK
+    from finmlkit_spark.streaming.sketches import streaming_cm_table
+
+    src = str(tmp_path / "cm_split")
+    tbl = pq.read_table(f"{stream_dir}/events.parquet")
+    os.makedirs(src)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(
+            tbl.slice(i * n // 3, (n // 3) if i < 2 else n), f"{src}/p{i}.parquet"
+        )
+
+    batch = spark.read.parquet(stream_dir).select("user_id", "event_type")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "event_type")
+    )
+    out = streaming_cm_table(stream, "event_type", "user_id", w=64, d=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # per (g, r, bucket) the counter only grows — final = max
+    got = {
+        (r["g"], r["r"], r["bucket"]): r["cnt"]
+        for r in spark.sql(
+            "select g, r, bucket, max(cnt) cnt from cm_stream group by g, r, bucket"
+        ).collect()
+    }
+    groups = [r["event_type"] for r in batch.select("event_type").distinct().collect()]
+    want = {}
+    for g in groups:
+        cm = SK.cm_table(
+            batch.where(F.col("event_type") == g).select(
+                F.col("user_id").alias("k")
+            ),
+            "k",
+            w=64,
+            d=2,
+        )
+        for r in cm.collect():
+            want[(g, r["r"], r["bucket"])] = r["cnt"]
+    assert got == want
