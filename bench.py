@@ -98,6 +98,10 @@ HEADLINE = [
     "cm_token_freq",
     "hybrid_search",
     "quantile_sketch_audit",
+    # round-13 addition: the production sketch path (per-occurrence
+    # xxhash64 + map-side partial reduction), oracle-gated through
+    # KMV's below-k exactness
+    "kmv_fast_user_count",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in
