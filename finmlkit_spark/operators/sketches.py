@@ -235,31 +235,28 @@ def kmv_overlap(
     dh = dk.select("g", h.alias("h")).distinct()
     w = Window.partitionBy("g").orderBy("h")
     sk = dh.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
-    groups = sk.select("g").distinct()
-    gp = (
-        groups.select(F.col("g").alias("ga"))
-        .crossJoin(F.broadcast(groups.select(F.col("g").alias("gb"))))
-        .where(F.col("ga") < F.col("gb"))
+    # pair algebra on packed sketch ARRAYS: each sketch is <= k sorted
+    # hashes, so the union-top-k / membership algebra is exact integer
+    # set arithmetic over <= 2k-element arrays — one groupBy (reusing
+    # the window's hash partitioning on g, no new exchange) + a
+    # broadcast self-join + ONE projection, instead of the r12 form's
+    # pair-fan joins + union + re-group + second window (4 exchanges
+    # on sketch rows collapsed into 0). Values are bit-identical: kept
+    # = first k of the sorted distinct union, h_k its max, n_shared
+    # the kept hashes present in both sketches.
+    arr = sk.groupBy("g").agg(F.array_sort(F.collect_list("h")).alias("hs"))
+    pairs = arr.select(F.col("g").alias("ga"), F.col("hs").alias("hsa")).join(
+        F.broadcast(arr.select(F.col("g").alias("gb"), F.col("hs").alias("hsb"))),
+        F.col("ga") < F.col("gb"),
     )
-    ska = sk.select(F.col("g").alias("ga"), "h")
-    skb = sk.select(F.col("g").alias("gb"), "h")
-    ua = gp.join(ska, "ga").select(
-        "ga", "gb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
-    )
-    ub = gp.join(skb, "gb").select(
-        "ga", "gb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
-    )
-    merged = (
-        ua.unionAll(ub)
-        .groupBy("ga", "gb", "h")
-        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
-    )
-    wm = Window.partitionBy("ga", "gb").orderBy("h")
-    topm = merged.withColumn("rk", F.row_number().over(wm)).where(F.col("rk") <= k)
-    agg = topm.groupBy("ga", "gb").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.max("h").alias("h_k"),
-        F.sum((F.col("ia") * F.col("ib")).cast("long")).alias("n_shared"),
+    kept = F.slice(F.array_sort(F.array_union(F.col("hsa"), F.col("hsb"))), 1, k)
+    both = F.array_intersect(F.col("hsa"), F.col("hsb"))
+    agg = pairs.select(
+        "ga",
+        "gb",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.element_at(kept, F.size(kept)).alias("h_k"),
+        F.size(F.array_intersect(kept, both)).cast("long").alias("n_shared"),
     )
     r_total = 4611686018427387904.0  # 2^62
     denom = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(F.lit(k))
