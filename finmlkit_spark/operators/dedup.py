@@ -1164,10 +1164,12 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("doc"), F.explode(token_hashes(text_col)).alias("h")
     )
     tf = t.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # df via a count window over h (the tfidf_topk discipline): one
+    # exchange of the token table, no groupBy(h)+join second side —
+    # identical integer counts, A/B bit-equal.
     n = docs.agg(F.count(F.lit(1)).alias("n_total"))
     w = (
-        tf.join(df_, "h")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc",

@@ -322,10 +322,13 @@ def tfidf_topk(
         F.explode(TX.tokens(text_col)).alias("_tok"),
     ).select("doc", F.xxhash64(F.col("_tok")).alias("h"))
     tf = t.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # df via a count window over h instead of groupBy(h)+join: one
+    # exchange of the token table and NO second join side (the join
+    # form re-exchanges tf by h AND sorts both SMJ sides at scale);
+    # identical integer counts, A/B bit-equal.
     n = docs.agg(F.count(F.lit(1)).alias("n_total"))
     w = cache.cut(
-        tf.join(df_, "h")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc",
