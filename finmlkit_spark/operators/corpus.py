@@ -935,11 +935,20 @@ def wordpiece_vocab(
     any word segments without an UNK. Returns a sorted python list —
     bounded driver state (the kmeans-seeds posture); the oracle derives
     the identical set in SQL (exact integer counts, same tie-break)."""
-    w = docs.select(F.explode(tokens(text_col)).alias("w"))
+    # count distinct WORDS first, then explode substrings once per
+    # distinct word weighted by its occurrence count — sum(wn) is the
+    # identical multiplicity count with a Zipf-factor smaller explode
+    # (the dictionary-encode trick; occurrence-scale substring fan-out
+    # never materializes)
+    wc = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
     # NB: F.sequence(1, stop) with stop < 1 generates a DESCENDING
     # [1, 0] (not an empty array like the oracle's range()), so words
     # shorter than l must short-circuit to an empty list explicitly
-    subs = w.select(
+    subs = wc.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -953,13 +962,14 @@ def wordpiece_vocab(
                     ).otherwise(F.array().cast("array<string>")),
                 )
             )
-        ).alias("sub")
+        ).alias("sub"),
+        "wn",
     )
-    cnt = subs.groupBy("sub").agg(F.count(F.lit(1)).alias("c"))
-    win = Window.orderBy(F.col("c").desc(), F.col("sub"))
+    cnt = subs.groupBy("sub").agg(F.sum("wn").alias("c"))
+    # top-k = TakeOrderedAndProject (no single-partition window ranker)
     top = (
-        cnt.withColumn("_rk", F.row_number().over(win))
-        .where(F.col("_rk") <= vocab_size)
+        cnt.orderBy(F.col("c").desc(), F.col("sub"))
+        .limit(vocab_size)
         .select("sub")
         .collect()
     )
@@ -998,6 +1008,11 @@ def wordpiece_stats(
     wdf = docs.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w")
     )
+    # the greedy fold is deterministic per WORD, so run it once per
+    # distinct word and join the piece count back onto occurrences —
+    # fold work scales with the (Heaps-law-bounded) vocabulary, not
+    # the corpus; AQE broadcasts the small segmented-word side
+    dw = wdf.select("w").distinct()
     ln = F.length("w")
 
     def step(acc, i):
@@ -1027,7 +1042,8 @@ def wordpiece_stats(
         )
         % WP_ENC
     )
-    per_word = wdf.select("doc", pieces.alias("p"))
+    seg = dw.select("w", pieces.alias("p"))
+    per_word = wdf.join(seg, "w").select("doc", "p")
     return per_word.groupBy("doc").agg(
         F.sum("p").cast("long").alias("n_pieces"),
         F.count(F.lit(1)).cast("long").alias("n_words"),
