@@ -450,3 +450,65 @@ def test_fast_sketch_shard_merge_equals_whole(spark):
     # UNION of shard rows (associativity of the bounded partial)
     su = {tuple(r) for r in SK.kmv_counts_fast(a.unionAll(b), "event_type", "user_id", k=64).collect()}
     assert su == sw
+
+
+def test_kmv_overlap_array_algebra_matches_python_pairs(spark):
+    """Property pin for the late-r13 packed-array pair algebra: on a
+    random multi-group corpus, (n_kept, h_k, n_shared) and the derived
+    estimates must equal an independent pure-Python replay of the KMV
+    pair definition (per-group k smallest distinct hashes -> union ->
+    k smallest -> membership counts), using the operator's own salted
+    hash values so only the PAIR algebra is under test."""
+    import random
+
+    rng = random.Random(20260816)
+    rows = [
+        (g, rng.randrange(0, 500))
+        for g in ("A", "B", "C", "D")
+        for _ in range(rng.randrange(30, 400))
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    k = 32
+    # the operator's hash values, computed by the same expression
+    from finmlkit_spark.operators.sketches import _salted_hash
+
+    h = _salted_hash(F.col("key"), "r|") * F.lit(2147483648) + _salted_hash(
+        F.col("key"), "s|"
+    )
+    hv = {
+        (r["grp"], r["h"])
+        for r in df.select("grp", h.alias("h")).distinct().collect()
+    }
+    sketches = {}
+    for g in "ABCD":
+        hs = sorted(x for gg, x in hv if gg == g)
+        sketches[g] = hs[:k]
+    expect = {}
+    for a in "ABCD":
+        for b in "ABCD":
+            if a >= b:
+                continue
+            union = sorted(set(sketches[a]) | set(sketches[b]))
+            kept = union[:k]
+            n_kept = len(kept)
+            h_k = kept[-1]
+            shared = set(kept) & set(sketches[a]) & set(sketches[b])
+            denom = n_kept if n_kept < k else k
+            est_u = (
+                float(n_kept)
+                if n_kept < k
+                else (k - 1) * 4611686018427387904.0 / float(h_k)
+            )
+            ej = len(shared) / denom
+            expect[(a, b)] = (n_kept, h_k, len(shared), ej, ej * est_u)
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in SK.kmv_overlap(df, "grp", "key", k=k).collect()
+    }
+    assert set(got) == set(expect)
+    for pair, (nk, hk, ns, ej, ei) in expect.items():
+        r = got[pair]
+        # h_k is not an output column; it is pinned through
+        # est_intersection's (k-1)*R/h_k factor
+        assert (r["n_kept"], r["n_shared"]) == (nk, ns), pair
+        assert r["est_jaccard"] == ej and r["est_intersection"] == ei, pair
