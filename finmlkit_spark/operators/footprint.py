@@ -66,6 +66,17 @@ def footprint_features(
       NULL when no ``bar_vwap`` is supplied, like vp_skew; vp_gini =
       1−Σ(vol/Σvol)² (``base.py:845-848``).
 
+    Late-r13 determinism rework: every moment term is HALF_UP-quantized
+    to 1e6 integer units BEFORE summing (``floor(term·1e6 + 0.5)``, the
+    ``embedding_outliers`` discipline), so the sums are exact integers
+    in ANY fold order and the final ratios are one identical double
+    expression in both engines — the float form's last-ulp fold-order
+    drift (which could flip a value sitting exactly on a round(·,6)
+    boundary: the one documented sf0.1 miss) is gone by construction.
+    Exactness bound: |term|·1e6 < 2^63 per level (per-level vol ≤ ~3e6
+    and |p−vwap|²·vol ≤ ~9e12); the SQL engine folds decimal(38,0) and
+    the Arrow kernel int64 — identical through the shared regime.
+
     Two engines, bit-identical outputs (pinned by test):
 
     - ``engine="arrow"`` (default): ONE hash aggregation per bar —
@@ -73,9 +84,9 @@ def footprint_features(
       vectorized Arrow kernel that replays the window chain per bar
       (lead/lag imbalance flags, gaps-and-islands signed run,
       first-max argmax ≡ the SQL ``min_by(.., struct(-x, level))``
-      tie-break, sequential ``cumsum`` moment folds — the same
-      accumulation order the hash agg sees from level-sorted window
-      output). Replaces the window exchange+sort stage and its 2-3
+      tie-break, exact quantized-int64 moment sums — associative, so
+      no fold-order replay is needed). Replaces the window
+      exchange+sort stage and its 2-3
       downstream AQE jobs with a single agg + one Arrow projection
       (round-8: exec 0.46 → ~0.2 s at sf0.1 on the cached-input A/B);
       per-bar array length is bounded by the price range per bar, so
@@ -88,8 +99,9 @@ def footprint_features(
       SQL-only deployment surfaces.
 
     The final vp_skew/vp_var/vp_gini ratios are computed by the SAME
-    Catalyst expressions in both engines (the kernel emits the raw
-    moment sums), so engine choice never moves an output bit.
+    Catalyst expressions in both engines (the kernel emits the
+    quantized integer moment sums), so engine choice never moves an
+    output bit.
     """
     if engine == "arrow":
         return _footprint_features_arrow(fp, imb_mult, key, tick, bar_vwap)
@@ -107,6 +119,8 @@ def footprint_features(
     sql = f"""
 WITH im AS (
   SELECT *, buy_vol + sell_vol AS vol,
+         CAST(floor(buy_vol * 1000000.0d + 0.5d) AS BIGINT)
+           + CAST(floor(sell_vol * 1000000.0d + 0.5d) AS BIGINT) AS volq,
          CAST(sell_vol > {m} * lead(buy_vol) OVER wl AS INT) AS sell_imb,
          CAST(buy_vol > {m} * lag(sell_vol) OVER wl AS INT) AS buy_imb
   FROM {{fp}}
@@ -142,16 +156,17 @@ a AS (
          CAST(sum(coalesce(sell_imb, 0)) AS BIGINT) AS sell_imb_sum,
          CAST(min_by(run_len * imb_sgn, struct(-run_len AS nr, level)) AS BIGINT) AS max_imb_run,
          min_by(level, struct(-vol AS nv, level)) AS cot_level,
-         sum(vol * vol) AS _v2,
-         sum(vol) AS _v1,
-         sum(({price} - bar_vwap) * ({price} - bar_vwap) * vol) AS _var_num,
-         sum(({price} - bar_vwap) * vol) AS _skew_num
+         sum(CAST(floor((CAST(volq AS DOUBLE) / 1000000.0d) * (CAST(volq AS DOUBLE) / 1000000.0d) * 1000000.0d + 0.5d) AS DECIMAL(38,0))) AS _v2q,
+         sum(CAST(volq AS DECIMAL(38,0))) AS _v1q,
+         sum(CAST(floor(({price} - bar_vwap) * ({price} - bar_vwap) * (CAST(volq AS DOUBLE) / 1000000.0d) * 1000000.0d + 0.5d) AS DECIMAL(38,0))) AS _var_q,
+         sum(CAST(floor(({price} - bar_vwap) * (CAST(volq AS DOUBLE) / 1000000.0d) * 1000000.0d + 0.5d) AS DECIMAL(38,0))) AS _skew_q
   FROM bvj GROUP BY {key}
 )
 SELECT {key}, n_levels, buy_imb_sum, sell_imb_sum, max_imb_run, cot_level,
-       _skew_num / nullif(_v1, 0.0d) AS vp_skew,
-       _var_num / nullif(_v1, 0.0d) AS vp_var,
-       CAST('1.0' AS DOUBLE) - _v2 / nullif(_v1 * _v1, 0.0d) AS vp_gini
+       CAST(_skew_q AS DOUBLE) / nullif(CAST(_v1q AS DOUBLE), 0.0d) AS vp_skew,
+       CAST(_var_q AS DOUBLE) / nullif(CAST(_v1q AS DOUBLE), 0.0d) AS vp_var,
+       CAST('1.0' AS DOUBLE) - CAST(_v2q AS DOUBLE) * 1000000.0d
+         / nullif(CAST(_v1q AS DOUBLE) * CAST(_v1q AS DOUBLE), 0.0d) AS vp_gini
 FROM a
 """
     return sql_stage(sql, **frames)
@@ -181,8 +196,8 @@ def _footprint_features_arrow(
 
     @F.pandas_udf(
         "struct<n_levels:bigint,buy_imb_sum:bigint,sell_imb_sum:bigint,"
-        "max_imb_run:bigint,cot_level:bigint,_v1:double,_v2:double,"
-        "_var_num:double,_skew_num:double>"
+        "max_imb_run:bigint,cot_level:bigint,_v1q:bigint,_v2q:bigint,"
+        "_var_q:bigint,_skew_q:bigint>"
     )
     def _fold(levels, bvols, svols, vwaps):
         nseg = len(levels)
@@ -192,12 +207,12 @@ def _footprint_features_arrow(
                     c: pd.Series([], dtype="int64")
                     for c in (
                         "n_levels", "buy_imb_sum", "sell_imb_sum",
-                        "max_imb_run", "cot_level",
+                        "max_imb_run", "cot_level", "_v1q", "_v2q",
                     )
                 }
                 | {
-                    c: pd.Series([], dtype="float64")
-                    for c in ("_v1", "_v2", "_var_num", "_skew_num")
+                    c: pd.Series([], dtype="Int64")
+                    for c in ("_var_q", "_skew_q")
                 }
             )
         # flatten the batch: one set of vectorized segment ops instead of
@@ -243,36 +258,34 @@ def _footprint_features_arrow(
         c = np.minimum.reduceat(np.where(vol == volmax[seg], idx, big), starts)
         price = lv * tk
         vw = np.asarray(vwaps.values, dtype=np.float64)
-        # bit-exact per-bar SEQUENTIAL folds, vectorized: scatter each
-        # term row into a NEGATIVE-zero-padded (bars × max_len) matrix
-        # and cumsum along axis 1 — x + (-0.0) preserves the accumulator
-        # bits for EVERY x, including a -0.0 accumulator (IEEE
-        # -0.0 + -0.0 = -0.0, while +0.0 padding would flip it to +0.0
-        # when all of a bar's terms are -0.0, e.g. zero-volume levels
-        # below vwap), so the padded fold equals the SQL hash agg's
-        # level-ordered fold unconditionally.
-        # np.add.reduceat would NOT qualify: ufunc.reduce unrolls/pairs
-        # float additions, drifting in the last ulp. Padding memory is
-        # bars_in_slice × max_len, NOT Σlens — slice the batch so one
-        # wide bar (a flash-crash price range) can't amplify across
-        # every other bar's row: ≤8M cells ≈ 64 MB per term matrix,
-        # degrading to one-bar slices (a plain per-bar sequential fold)
-        # when a single bar alone exceeds the budget.
-        L = int(lens.max())
-        col = idx - starts[seg]
+        # moment sums as HALF_UP-1e6-quantized EXACT int64 folds
+        # (late-r13: the float form needed a -0.0-padded sequential
+        # cumsum to bit-match the SQL hash agg's fold ORDER, and even
+        # then a cross-engine last-ulp could flip a value sitting on a
+        # round(·,6) boundary — footprint_features' one documented
+        # sf0.1 miss. Integer sums are associative: np.add.reduceat is
+        # exact in any order and both engines floor the SAME doubles,
+        # so the final ratios are identical by construction at every
+        # scale. Exactness bound: |term|·1e6 < 2^63, i.e. per-level
+        # vol ≤ ~3e6 — document-scale safe; the SQL engine folds
+        # decimal(38,0) and agrees through the shared < 2^63 regime.)
         # d computed ONCE then squared term-wise — same value and op
         # order as the SQL `(p - bar_vwap) * (p - bar_vwap) * vol`
         d = price - vw[seg]
-        terms = np.stack([vol, vol * vol, d * d * vol, d * vol])
-        sums = np.empty((4, nseg))
-        step = max(1, 8_000_000 // L)
-        for lo in range(0, nseg, step):
-            hi = min(lo + step, nseg)
-            rlo, rhi = starts[lo], starts[hi - 1] + lens[hi - 1]
-            Ls = int(lens[lo:hi].max())
-            pad = np.full((4, hi - lo, Ls), -0.0)
-            pad[:, seg[rlo:rhi] - lo, col[rlo:rhi]] = terms[:, rlo:rhi]
-            sums[:, lo:hi] = pad.cumsum(axis=2)[:, :, -1]
+        nanv = np.isnan(d)
+        d0 = np.where(nanv, 0.0, d)
+        # per-level volumes quantized FIRST (buy/sell separately — the
+        # same ints the SQL engine's volq computes), then ONE identical
+        # vold double feeds every moment term: the raw buy_vol/sell_vol
+        # floats are cross-engine sums whose last ulp differs, and a
+        # term's floor would flip on that ulp near a boundary
+        vq = np.floor(b * 1e6 + 0.5).astype(np.int64) + np.floor(
+            s * 1e6 + 0.5
+        ).astype(np.int64)
+        vold = vq / 1e6
+        v2q = np.floor(vold * vold * 1e6 + 0.5).astype(np.int64)
+        varq = np.floor(d0 * d0 * vold * 1e6 + 0.5).astype(np.int64)
+        skewq = np.floor(d0 * vold * 1e6 + 0.5).astype(np.int64)
         out = pd.DataFrame(
             {
                 "n_levels": lens,
@@ -280,13 +293,22 @@ def _footprint_features_arrow(
                 "sell_imb_sum": np.add.reduceat(sell.astype(np.int64), starts),
                 "max_imb_run": run[j] * sgn[j],
                 "cot_level": lv[c],
-                "_v1": sums[0],
-                "_v2": sums[1],
+                "_v1q": np.add.reduceat(vq, starts),
+                "_v2q": np.add.reduceat(v2q, starts),
             }
         )
-        # NULL bar_vwap must surface as NULL (not NaN) like the SQL sums
-        out["_var_num"] = pd.Series(sums[2]).mask(np.isnan(vw))
-        out["_skew_num"] = pd.Series(sums[3]).mask(np.isnan(vw))
+        # NULL bar_vwap must surface as NULL (not a garbage fold) like
+        # the SQL sums — nullable Int64 so Arrow emits bigint NULLs
+        out["_var_q"] = (
+            pd.Series(np.add.reduceat(varq, starts))
+            .mask(np.isnan(vw))
+            .astype("Int64")
+        )
+        out["_skew_q"] = (
+            pd.Series(np.add.reduceat(skewq, starts))
+            .mask(np.isnan(vw))
+            .astype("Int64")
+        )
         return out
 
     packed = fp.groupBy(key).agg(
@@ -311,9 +333,10 @@ def _footprint_features_arrow(
 SELECT {key}, _f.n_levels AS n_levels, _f.buy_imb_sum AS buy_imb_sum,
        _f.sell_imb_sum AS sell_imb_sum, _f.max_imb_run AS max_imb_run,
        _f.cot_level AS cot_level,
-       _f._skew_num / nullif(_f._v1, 0.0d) AS vp_skew,
-       _f._var_num / nullif(_f._v1, 0.0d) AS vp_var,
-       CAST('1.0' AS DOUBLE) - _f._v2 / nullif(_f._v1 * _f._v1, 0.0d) AS vp_gini
+       CAST(_f._skew_q AS DOUBLE) / nullif(CAST(_f._v1q AS DOUBLE), 0.0d) AS vp_skew,
+       CAST(_f._var_q AS DOUBLE) / nullif(CAST(_f._v1q AS DOUBLE), 0.0d) AS vp_var,
+       CAST('1.0' AS DOUBLE) - CAST(_f._v2q AS DOUBLE) * 1000000.0d
+         / nullif(CAST(_f._v1q AS DOUBLE) * CAST(_f._v1q AS DOUBLE), 0.0d) AS vp_gini
 FROM {{folded}}
 """
     return sql_stage(tail, folded=folded)

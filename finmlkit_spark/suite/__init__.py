@@ -20,11 +20,14 @@ from . import developing_suite  # noqa: F401
 # 1:     NEW in round 13 — kmv_fast_user_count (the production sketch
 #        path oracle-gated through KMV's hash-independent below-k
 #        exactness regime);
-# 2-17:  every query whose implementation CHANGED in round 13 —
+# 2-18:  every query whose implementation CHANGED in round 13 —
 #        hybrid_search (xxhash64 token keys + broadcast norm joins,
 #        then the df-count-window weight build), kmv_overlap (pair
 #        algebra collapsed to packed sketch arrays — late r13),
 #        tfidf_cosine_pairs (df via count window — late r13),
+#        footprint_features (late r13: quantized-int moment folds +
+#        the oracle's DECIMAL-literal price fixed — now raw-BIT-exact
+#        at sf0.1, the old round-boundary hazard closed),
 #        ann_topk + lsh_recall_audit (ann_brute_topk's one-pass Arrow
 #        scorer), bigram_logprob + perplexity_buckets (single-pass
 #        null-sentinel tokenize + xxhash64 keys), embedding_outliers
@@ -34,13 +37,13 @@ from . import developing_suite  # noqa: F401
 #        and the five image/video queries riding the JPEG decoder whose
 #        progressive DC scans now raster the true block grid (advisory)
 #        and whose feature extractors gained on_error='null';
-# 18-46: the 29 remaining r7 rows (5 rounds stale — the user_* family,
+# 19-47: the 29 remaining r7 rows (5 rounds stale — the user_* family,
 #        tbm pair, sampling/corpus singles, hurst/approx-entropy,
 #        featurekit_build, minhash/simhash, time_bars_filled,
 #        seq_cusum_bars, dedup_clusters_star, store_meta_sidecar);
-# 47-50: the head of the 37-row r8 cohort (trades_side, tick_bars,
-#        volume_bars_approx, bar_directional_1m) — the rest of r8
-#        (feat_return_log and feat_roc first) leads the round-14 fill.
+# 48-50: the head of the 37-row r8 cohort (trades_side, tick_bars,
+#        volume_bars_approx) — the rest of r8 (bar_directional_1m,
+#        feat_return_log, feat_roc first) leads the round-14 fill.
 #
 # ROUND-12 WINDOW:
 # 1-8:   NEW in round 12 — hll_user_count / kmv_user_count /
@@ -112,6 +115,7 @@ _PRIORITY = [
     "hybrid_search",
     "kmv_overlap",
     "tfidf_cosine_pairs",
+    "footprint_features",
     "ann_topk",
     "lsh_recall_audit",
     "bigram_logprob",
@@ -158,7 +162,6 @@ _PRIORITY = [
     "trades_side",
     "tick_bars",
     "volume_bars_approx",
-    "bar_directional_1m",
 ]
 
 

@@ -61,6 +61,8 @@ def footprint_long_q(spark, sf_dir):
     + f""",
 im AS (
   SELECT *, buy_vol + sell_vol AS vol,
+         CAST(floor(buy_vol * 1000000.0e0 + 0.5e0) AS BIGINT)
+           + CAST(floor(sell_vol * 1000000.0e0 + 0.5e0) AS BIGINT) AS volq,
          CAST(sell_vol > {IMB_MULT} * lead(buy_vol) OVER wl AS INT) AS sell_imb,
          CAST(buy_vol > {IMB_MULT} * lag(sell_vol) OVER wl AS INT) AS buy_imb
   FROM fp
@@ -97,7 +99,9 @@ cot AS (
   FROM rl
 ),
 bv AS (
-  SELECT bar_close_ns, sum(price * qty) / sum(qty) AS bar_vwap
+  SELECT bar_close_ns,
+         CAST(sum(CAST(floor(price * qty * 1000000.0e0 + 0.5e0) AS HUGEINT)) AS DOUBLE)
+           / CAST(sum(CAST(floor(qty * 1000000.0e0 + 0.5e0) AS HUGEINT)) AS DOUBLE) AS bar_vwap
   FROM lv GROUP BY bar_close_ns
 )
 SELECT r.bar_close_ns,
@@ -106,10 +110,13 @@ SELECT r.bar_close_ns,
        CAST(sum(coalesce(sell_imb, 0)) AS BIGINT) AS sell_imb_sum,
        CAST(arg_min(run_len * imb_sgn, (0 - run_len) * 1000000 + level) AS BIGINT) AS max_imb_run,
        any_value(c.cot_level) AS cot_level,
-       round(sum((r.level * 0.01 - b.bar_vwap) * vol) / sum(vol), 6) + 0.0 AS vp_skew,
-       round(sum((r.level * 0.01 - b.bar_vwap) * (r.level * 0.01 - b.bar_vwap) * vol)
-         / sum(vol), 6) + 0.0 AS vp_var,
-       1.0 - sum(vol * vol) / (sum(vol) * sum(vol)) AS vp_gini
+       CAST(sum(CAST(floor((r.level * 0.01e0 - b.bar_vwap) * (CAST(volq AS DOUBLE) / 1000000.0e0) * 1000000.0e0 + 0.5e0) AS HUGEINT)) AS DOUBLE)
+         / nullif(CAST(sum(CAST(volq AS HUGEINT)) AS DOUBLE), 0.0e0) AS vp_skew,
+       CAST(sum(CAST(floor((r.level * 0.01e0 - b.bar_vwap) * (r.level * 0.01e0 - b.bar_vwap) * (CAST(volq AS DOUBLE) / 1000000.0e0) * 1000000.0e0 + 0.5e0) AS HUGEINT)) AS DOUBLE)
+         / nullif(CAST(sum(CAST(volq AS HUGEINT)) AS DOUBLE), 0.0e0) AS vp_var,
+       1.0 - CAST(sum(CAST(floor((CAST(volq AS DOUBLE) / 1000000.0e0) * (CAST(volq AS DOUBLE) / 1000000.0e0) * 1000000.0e0 + 0.5e0) AS HUGEINT)) AS DOUBLE) * 1000000.0e0
+         / nullif(CAST(sum(CAST(volq AS HUGEINT)) AS DOUBLE)
+             * CAST(sum(CAST(volq AS HUGEINT)) AS DOUBLE), 0.0e0) AS vp_gini
 FROM rl r
 JOIN (SELECT bar_close_ns, cot_level FROM cot WHERE rk = 1) c USING (bar_close_ns)
 JOIN bv b USING (bar_close_ns)
@@ -123,10 +130,19 @@ def footprint_features_q(spark, sf_dir):
     difference by mean²/var ~1e12; the shifted form is a sum of
     non-negative terms, cancellation-free) — and gini (base.py:755-850).
 
-    vp_skew / vp_var are rounded to 6 decimals on BOTH engines (and
-    negative zero normalized via + 0.0): skew is a signed cancellation
-    whose residual can exceed the true value on single-level bars, and
-    both reassociate at the 1e-16 floor across engines."""
+    Late-r13 determinism rework: bar_vwap and every moment sum derive
+    from HALF_UP-1e6-quantized exact integer folds on both engine
+    sides, so the output doubles are IDENTICAL by construction at any
+    scale — the float form's fold-order last-ulp could flip a value
+    sitting exactly on the round(·,6) boundary (the one documented
+    sf0.1 miss, vp_var 611.168338 vs .168337). Two non-obvious pieces
+    of that hunt: DuckDB parses ``0.01`` as DECIMAL, so the oracle's
+    ``level * 0.01`` was an exact-decimal price cast to double —
+    1 ulp OFF Spark's double product (use ``0.01e0``); and the
+    query-side round(·,6) itself had to GO, because the 1e-6-grid
+    integer ratio lands exactly on the 6-digit halfway point whenever
+    2·Σq ≡ Σvq (mod 2Σvq), where the engines' round rules disagree
+    (observed on 6 bars). Raw identical doubles need no round."""
     tr = events_to_trades(spark, sf_dir)
     # side pass on the MEMOIZED trades frame (not a derived one) so the
     # auto-mode crossover count caches on it across builds; the bar key
@@ -136,13 +152,31 @@ def footprint_features_q(spark, sf_dir):
     )
     # bar_vwap needs no side — branch off BEFORE the side pass so the
     # chunked-carry subtree evaluates once, not once per branch
+    # bar_vwap from exact HALF_UP-1e6-quantized integer folds (the
+    # late-r13 determinism rework): both engines derive the SAME double
+    # from the same integer sums, so the downstream (p - vwap) terms are
+    # bit-identical inputs to the quantized moment sums
     bv = B.with_time_bar(tr, BAR5_NS).groupBy("bar_close_ns").agg(
-        (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("bar_vwap")
+        (
+            F.sum(
+                F.floor(F.col("price") * F.col("qty") * 1000000.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.sum(
+                F.floor(F.col("qty") * 1000000.0 + 0.5).cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("bar_vwap")
     )
     out = FP.footprint_features(fp, imb_mult=IMB_MULT, tick=0.01, bar_vwap=bv)
-    return out.withColumn("vp_skew", F.round("vp_skew", 6) + 0.0).withColumn(
-        "vp_var", F.round("vp_var", 6) + 0.0
-    )
+    # no query-side round: the quantized-int derivation makes the raw
+    # ratios identical doubles on both engines, and rounding would
+    # REINTRODUCE a hazard — the 1e-6-grid ratio lands EXACTLY on the
+    # 6-digit halfway point whenever 2·Σvarq ≡ Σvq (mod 2Σvq), where
+    # Spark's HALF_UP round and DuckDB's disagree (observed: 6 bars at
+    # sf0.1, 1045.2253015 → .225302 vs .225301). −0.0 cannot arise:
+    # integer numerators over positive denominators.
+    return out
 
 
 @query(

@@ -110,14 +110,18 @@ def _footprint_ref_per_bar(lv, b, s, m):
     j = max(range(n), key=lambda i: (run[i], -i))  # first max
     vol = [b[i] + s[i] for i in range(n)]
     c = max(range(n), key=lambda i: (vol[i], -i))  # first max
-    acc = [0.0] * 4
+    # late-r13: moments are HALF_UP-1e6-quantized exact integer folds
+    # over vold = (quantized buy + quantized sell) / 1e6
+    acc = [0] * 4
     for i in range(n):
         price = lv[i] * 0.01
         d = price - 1.0  # the test passes bar_vwap = 1.0
-        acc[0] += vol[i]
-        acc[1] += vol[i] * vol[i]
-        acc[2] += d * d * vol[i]
-        acc[3] += d * vol[i]
+        volq = int(np.floor(b[i] * 1e6 + 0.5)) + int(np.floor(s[i] * 1e6 + 0.5))
+        vold = volq / 1e6
+        acc[0] += volq
+        acc[1] += int(np.floor(vold * vold * 1e6 + 0.5))
+        acc[2] += int(np.floor(d * d * vold * 1e6 + 0.5))
+        acc[3] += int(np.floor(d * vold * 1e6 + 0.5))
     return (
         n, sum(buy), sum(sell), run[j] * sgn[j], lv[c],
         acc[0], acc[1], acc[2], acc[3],
@@ -177,17 +181,19 @@ def test_footprint_arrow_kernel_matches_per_bar_reference(spark, bars):
         # (v1*v1 can underflow to 0 on subnormal volumes even when
         # v1 != 0 — the engine nullifs the PRODUCT, mirror that)
         if v1:
-            assert r["vp_skew"] == skew / v1
-            # round 10: vp_var is the shifted one-pass 2nd moment
-            # Σv·(p−vwap)²/Σv — sequential fold + one IEEE division in
-            # both, so equality is EXACT (no pow(), no cancellation)
-            assert r["vp_var"] == var_num / v1, (r["vp_var"], var_num / v1)
+            # late-r13: quantized integer sums; the engine's ratio is
+            # CAST(int AS DOUBLE) / CAST(int AS DOUBLE) — mirror the
+            # double conversions explicitly
+            assert r["vp_skew"] == float(skew) / float(v1)
+            assert r["vp_var"] == float(var_num) / float(v1), (
+                r["vp_var"], float(var_num) / float(v1),
+            )
         else:
             assert r["vp_skew"] is None
             assert r["vp_var"] is None
-        den = v1 * v1
+        den = float(v1) * float(v1)
         if den:
-            assert r["vp_gini"] == 1.0 - v2 / den
+            assert r["vp_gini"] == 1.0 - float(v2) * 1000000.0 / den
         else:
             assert r["vp_gini"] is None
 
