@@ -285,6 +285,68 @@ def central_reps(
     )
 
 
+def _lexical_weights(
+    docs: DataFrame,
+    scale: int = 1_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (doc, h, wq) integer TF·IDF weight table every lexical
+    consumer folds over — UNcut; callers decide the storage boundary
+    (``tfidf_topk`` lineage-cuts it per session,
+    :func:`materialize_lexical_weights` persists it)."""
+    t = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(TX.tokens(text_col)).alias("_tok"),
+    ).select("doc", F.xxhash64(F.col("_tok")).alias("h"))
+    tf = t.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "h",
+            F.floor(
+                F.lit(float(scale)) * F.col("tf") * F.col("n_total") / F.col("df")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+
+
+def materialize_lexical_weights(
+    docs: DataFrame,
+    path: str,
+    scale: int = 1_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 32,
+) -> None:
+    """Persist the TF·IDF weight table once so every subsequent query
+    skips the corpus tokenize+count build entirely — the
+    ``bars_io.materialize_time_bars`` pattern applied to retrieval
+    (build the index at ingest, query it many times). Weights are
+    hash-repartitioned by token key before the write so each file
+    holds a token range; at real scale write with ``bucketBy("h")``
+    into a table so the token-keyed probe join co-locates without an
+    exchange. The stored rows are the EXACT integer weights the inline
+    build derives — any consumer fed :func:`read_lexical_weights`
+    returns bit-identical results to the inline form (pinned by
+    test)."""
+    _lexical_weights(docs, scale, text_col, id_col).repartition(
+        n_partitions, "h"
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_lexical_weights(spark, path: str) -> DataFrame:
+    """Read a :func:`materialize_lexical_weights` table for the
+    ``weights=`` parameter of :func:`tfidf_topk`."""
+    return spark.read.parquet(path)
+
+
 def tfidf_topk(
     docs: DataFrame,
     query_ids: list[int],
@@ -292,6 +354,7 @@ def tfidf_topk(
     scale: int = 1_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Lexical more-like-this retrieval: TF·IDF cosine of each query
     DOCUMENT against the corpus, top-k per query — the lexical half of
@@ -317,29 +380,16 @@ def tfidf_topk(
     — per-doc norm + all |queries| dots in one groupBy — was A/B'd at
     1.2× SLOWER than this join form and rejected; the wide decimal agg
     cost more than the small stages it removed.)"""
-    t = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(TX.tokens(text_col)).alias("_tok"),
-    ).select("doc", F.xxhash64(F.col("_tok")).alias("h"))
-    tf = t.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("tf"))
     # df via a count window over h instead of groupBy(h)+join: one
     # exchange of the token table and NO second join side (the join
     # form re-exchanges tf by h AND sorts both SMJ sides at scale);
-    # identical integer counts, A/B bit-equal.
-    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
-    w = cache.cut(
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc",
-            "h",
-            F.floor(
-                F.lit(float(scale)) * F.col("tf") * F.col("n_total") / F.col("df")
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("wq"),
-        )
+    # identical integer counts, A/B bit-equal. With a pre-materialized
+    # ``weights`` table (the production path) the whole corpus build —
+    # and its lineage cut — disappears from the query.
+    w = (
+        weights
+        if weights is not None
+        else cache.cut(_lexical_weights(docs, scale, text_col, id_col))
     )
     norms = w.groupBy("doc").agg(
         F.sum(F.col("wq").cast("decimal(19,0)") * F.col("wq")).alias("n2")

@@ -268,3 +268,23 @@ def test_tfidf_topk_retrieves_near_duplicate(spark):
     out = RT.tfidf_topk(df, [0], k=3).collect()
     assert out[0]["cand_id"] == 1 and out[0]["rank"] == 1
     assert out[0]["cos_sim"] > 0.8
+
+
+def test_tfidf_topk_materialized_weights_bit_identical(spark, tmp_path):
+    """The production index path: materialize the TF·IDF weight table
+    once, feed it back via weights= — results must equal the inline
+    corpus build bit-for-bit (same integer weights, same ratios)."""
+    from finmlkit_spark.operators import retrieval as RT
+    from finmlkit_spark.suite.text_suite import _docs
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    qids = [0, 1, 2]
+    path = str(tmp_path / "lexw")
+    RT.materialize_lexical_weights(docs, path)
+    w = RT.read_lexical_weights(spark, path)
+    inline = RT.tfidf_topk(docs, qids, k=10).collect()
+    stored = RT.tfidf_topk(docs, qids, k=10, weights=w).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    a = sorted(((r["query_id"], r["rank"], r["cand_id"], r["cos_sim"]) for r in inline))
+    b = sorted(((r["query_id"], r["rank"], r["cand_id"], r["cos_sim"]) for r in stored))
+    assert a == b and len(a) == 30
