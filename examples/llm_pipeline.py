@@ -179,6 +179,22 @@ def main() -> None:
     print("embedding outliers:",
           [(r["vec_id"], round(r["score"], 1)) for r in out.collect()])
 
+    # 11. production retrieval index (late round 13): materialize the
+    #     TF·IDF weight table ONCE at ingest, then every hybrid query
+    #     skips the corpus tokenize+count build — bit-identical results
+    #     (at real scale, write with bucketBy(h) so the token-keyed
+    #     probe join co-locates without an exchange)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as wd:
+        RT.materialize_lexical_weights(curated, f"{wd}/lexweights")
+        w = RT.read_lexical_weights(spark, f"{wd}/lexweights")
+        qids = [r["doc_id"] for r in curated.select("doc_id").limit(3).collect()]
+        lex = RT.tfidf_topk(curated, qids, k=10, weights=w)
+        sem = SIM.ann_brute_topk(emb, qids, k=10)
+        fused = RT.rrf_fuse(lex, sem, k=5)
+        print("hybrid search over the materialized index:", fused.count(), "rows")
+
 
 if __name__ == "__main__":
     main()
