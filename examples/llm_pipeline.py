@@ -195,6 +195,18 @@ def main() -> None:
         fused = RT.rrf_fuse(lex, sem, k=5)
         print("hybrid search over the materialized index:", fused.count(), "rows")
 
+        # 12. production dup graph (late round 13): materialize the
+        #     SimHash near-dup edge list ONCE at ingest — the edge
+        #     table is output-scale (pairs a human would review), so
+        #     every centrality / clustering query over it skips the
+        #     corpus shingle+fingerprint+band-join build entirely
+        D.materialize_simhash_edges(docs, f"{wd}/shedges")
+        se = D.read_simhash_edges(spark, f"{wd}/shedges").select("doc_a", "doc_b")
+        pr = RT.pagerank(se, a_col="doc_a", b_col="doc_b")
+        reps2 = RT.central_reps(se, a_col="doc_a", b_col="doc_b")
+        print("pagerank nodes over the materialized dup graph:", pr.count())
+        assert reps2.count() == reps.count()  # bit-identical election
+
 
 if __name__ == "__main__":
     main()

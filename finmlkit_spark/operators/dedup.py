@@ -575,6 +575,47 @@ def hamming_near_pairs(
     )
 
 
+def materialize_simhash_edges(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    n_partitions: int = 32,
+) -> None:
+    """Persist the SimHash near-dup edge list once so every consumer of
+    the dup graph — :func:`~finmlkit_spark.operators.retrieval.pagerank`,
+    ``central_reps``, :func:`dedup_clusters` — skips the corpus
+    shingle + fingerprint + band-join build at query time. The
+    ``retrieval.materialize_lexical_weights`` pattern applied to the
+    dedup graph: at 100 TB the edge build crosses the corpus once at
+    ingest; centrality/clustering queries then run over an edge table
+    that is output-scale (pairs a human would review), orders of
+    magnitude below corpus scale. Edges are hash-repartitioned by
+    ``doc_a`` so the downstream src-keyed joins start co-located; at
+    real scale write with ``bucketBy(doc_a)`` into a table. Stored rows
+    are the EXACT (doc_a, doc_b, hamming) rows the inline build
+    derives — any consumer fed :func:`read_simhash_edges` returns
+    bit-identical results to the inline form (pinned by test)."""
+    simhash_near_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+    ).repartition(n_partitions, "doc_a").write.mode("overwrite").parquet(path)
+
+
+def read_simhash_edges(spark, path: str) -> DataFrame:
+    """Read a :func:`materialize_simhash_edges` table for the ``pairs``
+    parameter of ``retrieval.pagerank`` / ``retrieval.central_reps`` or
+    the :func:`dedup_clusters` edge input."""
+    return spark.read.parquet(path)
+
+
 #: dedup_clusters' edge-count crossover: at or below this many near-dup
 #: pairs the edge list is collected once (LIMIT-probed — one execution
 #: of the pair chain) and union-find runs on the driver, replanting the

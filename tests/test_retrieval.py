@@ -288,3 +288,31 @@ def test_tfidf_topk_materialized_weights_bit_identical(spark, tmp_path):
     a = sorted(((r["query_id"], r["rank"], r["cand_id"], r["cos_sim"]) for r in inline))
     b = sorted(((r["query_id"], r["rank"], r["cand_id"], r["cos_sim"]) for r in stored))
     assert a == b and len(a) == 30
+
+
+def test_pagerank_materialized_edges_bit_identical(spark, tmp_path):
+    """The dup-graph production path: materialize the SimHash near-dup
+    edge list once, feed it to pagerank / central_reps — results must
+    equal the inline edge build bit-for-bit (integer fixed-point ranks
+    cannot hide a ulp)."""
+    from finmlkit_spark.operators import dedup as D
+    from finmlkit_spark.operators import retrieval as RT
+    from finmlkit_spark.suite.text_suite import _docs
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "shedges")
+    D.materialize_simhash_edges(docs, path)
+    stored_edges = D.read_simhash_edges(spark, path).select("doc_a", "doc_b")
+    inline_edges = D.simhash_near_pairs(docs).select("doc_a", "doc_b")
+
+    pr_i = RT.pagerank(inline_edges, iters=5, a_col="doc_a", b_col="doc_b").collect()
+    pr_s = RT.pagerank(stored_edges, iters=5, a_col="doc_a", b_col="doc_b").collect()
+    a = sorted((r["id"], r["rank_fp"]) for r in pr_i)
+    b = sorted((r["id"], r["rank_fp"]) for r in pr_s)
+    assert a == b and len(a) > 0
+
+    cr_i = RT.central_reps(inline_edges, iters=5, a_col="doc_a", b_col="doc_b").collect()
+    cr_s = RT.central_reps(stored_edges, iters=5, a_col="doc_a", b_col="doc_b").collect()
+    ca = sorted(tuple(r) for r in cr_i)
+    cb = sorted(tuple(r) for r in cr_s)
+    assert ca == cb and len(ca) > 0
