@@ -106,3 +106,110 @@ def streaming_normalized_dedup(
     return ann.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["norm_md5"]
     )
+
+
+NEAR_DUP_OUT_SCHEMA = "doc_a long, doc_b long, hamming long"
+NEAR_DUP_STATE_SCHEMA = "docs array<long>, fps array<long>"
+
+
+def streaming_simhash_pairs(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Streaming SimHash near-dup pair detection — the near-identical
+    counterpart of ``streaming_exact_dedup``, completing the dedup
+    family's batch/streaming symmetry (exact, normalized, near-dup).
+
+    Stateless stage (shared with the batch operator, one definition two
+    modes): shingle-hash → SimHash fingerprint → pigeonhole band keys,
+    exactly ``operators.dedup.simhash_near_pairs``'s projection. The
+    stateful stage groups by (band, segment-value) bucket; state per
+    bucket is two parallel long arrays (doc ids, fingerprints), capped
+    at ``bucket_cap`` EARLIEST arrivals — canonical-first semantics: a
+    late near-duplicate of a retained doc is always caught, while docs
+    past the cap are compared-but-not-retained (documented recall
+    bound; buckets this hot are near-dup pathologies by construction).
+    Every incoming doc is verified by exact ``popcount(xor)`` against
+    the retained bucket members and emits ``(doc_a, doc_b, hamming)``
+    rows with ``doc_a < doc_b`` for hits within ``max_hamming``.
+
+    A pair agreeing on several band segments emits once per agreeing
+    band (the batch form's candidate ``.distinct()`` has no streaming
+    analog inside one state bucket) — consumers dedup with a trivial
+    ``dropDuplicates``; rows are identical so the collapse is exact.
+    State is bounded by ``bands · 2^(bits/bands)`` buckets ×
+    ``bucket_cap`` entries regardless of stream length. Ids must be
+    integral (same contract as the batch graph consumers)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import shingle_hashes, simhash
+
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
+    seg = bits // bands
+    mask = (1 << seg) - 1
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("fp", b * seg).bitwiseAND(F.lit(mask)).alias("segv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    proj = (
+        stream.select(
+            F.col(id_col).cast("long").alias("doc"),
+            simhash(shingle_hashes(text_col), bits).alias("fp"),
+        )
+        .select("doc", "fp", F.explode(keys).alias("k"))
+        .select(
+            "doc", "fp", F.col("k.band").alias("band"), F.col("k.segv").alias("segv")
+        )
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            docs, fps = list(state.get[0]), list(state.get[1])
+        else:
+            docs, fps = [], []
+        out_a, out_b, out_h = [], [], []
+        for pdf in pdfs:
+            order = np.argsort(pdf["doc"].to_numpy(), kind="stable")
+            for i in order:
+                d = int(pdf["doc"].iloc[i])
+                f = int(pdf["fp"].iloc[i])
+                for dj, fj in zip(docs, fps):
+                    if dj == d:
+                        continue
+                    h = bin((fj ^ f) & ((1 << bits) - 1)).count("1")
+                    if h <= max_hamming:
+                        a, b = (dj, d) if dj < d else (d, dj)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
+                if len(docs) < bucket_cap and d not in docs:
+                    docs.append(d)
+                    fps.append(f)
+        state.update((docs, fps))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    return proj.groupBy("band", "segv").applyInPandasWithState(
+        fn,
+        outputStructType=NEAR_DUP_OUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -152,3 +152,73 @@ def test_streaming_normalized_dedup_parity(spark, docs_stream_dir):
     # the upper-cased injection normalizes onto an existing digest:
     # survivors = the 500 distinct normal forms, not 501
     assert len(rows) == 500
+
+
+def test_streaming_simhash_pairs_parity(spark, tmp_path):
+    """Multi-batch streaming near-dup detection == the batch
+    simhash_near_pairs set exactly: every (doc_a, doc_b, hamming) the
+    batch banded join derives must be emitted by the bucket state
+    machine — including pairs whose members arrive in DIFFERENT
+    micro-batches (a 3-file split under maxFilesPerTrigger=1 forces
+    the band-bucket state to carry across batches)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.operators import dedup as D
+
+    src = str(tmp_path / "nd_split")
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    os.makedirs(src)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(
+            tbl.slice(i * n // 3, (n // 3) if i < 2 else n), f"{src}/p{i}.parquet"
+        )
+
+    batch = spark.read.parquet(src)
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_near_pairs(batch).collect()
+    }
+    assert len(want) > 0  # sf0.001 documents do contain near-dup chains
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got_df = _run_stream(spark, C.streaming_simhash_pairs(stream), "nd_stream")
+    rows = got_df.collect()
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows}
+    assert got == want
+    # multi-band emissions are exact duplicates (collapse is lossless)
+    assert len(rows) >= len(got)
+
+
+def test_streaming_simhash_pairs_bucket_cap_bounds_state(spark, tmp_path):
+    """With bucket_cap=1 state stays one entry per bucket; the stream
+    still runs and every emitted pair is a true near-dup (subset of the
+    batch set) — the documented bounded-recall contract."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.operators import dedup as D
+
+    src = str(tmp_path / "nd_cap")
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    os.makedirs(src)
+    pq.write_table(tbl, f"{src}/p0.parquet")
+
+    batch = spark.read.parquet(src)
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_near_pairs(batch).collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    got_df = _run_stream(
+        spark, C.streaming_simhash_pairs(stream, bucket_cap=1), "nd_cap_stream"
+    )
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in got_df.collect()}
+    assert got <= want
