@@ -218,3 +218,68 @@ def test_corpus_meta_sidecar_dynamic_overwrite(spark, tmp_path):
     meta = {r["split"]: r for r in read_corpus_meta(spark, dst).collect()}
     assert meta["train"]["n_rows"] == 18
     assert meta["test"]["n_rows"] == 1 and meta["test"]["max_doc_id"] == 0
+
+
+def test_upsert_time_bars_incremental_equals_full_rebuild(spark, tmp_path):
+    """Incremental monthly upsert == one-shot materialize of the union:
+    (a) a second batch overlapping month 2 and adding month 3 merges
+    with batch-wins semantics and leaves month-1 files untouched;
+    (b) the spliced _meta sidecar equals the full-store inspector;
+    (c) replaying the same batch is a no-op (idempotent ingest)."""
+    day_ns = 86_400_000_000_000
+    schema = (
+        "bar_close_ns long, open double, high double, low double, "
+        "close double, volume double, trades long, vwap double"
+    )
+
+    def mk(days, vol):
+        return spark.createDataFrame(
+            [(d * day_ns, 1.0, 2.0, 0.5, 1.5, vol, 5, 1.2) for d in days], schema
+        )
+
+    path = str(tmp_path / "bars")
+    # months 1-2 (days 1..57), volume 10
+    IO.materialize_time_bars(mk(range(1, 58), 10.0), path)
+    import os
+
+    m1_files = sorted(os.listdir(f"{path}/year_month=1970-01"))
+    m1_mtimes = [
+        os.path.getmtime(f"{path}/year_month=1970-01/{f}") for f in m1_files
+    ]
+
+    # batch: corrects days 50..57 (volume 99) and adds month 3 (days 60..80)
+    batch = mk(list(range(50, 58)) + list(range(60, 81)), 99.0)
+    IO.upsert_time_bars(batch, path)
+
+    back = IO.read_time_bars(spark, path)
+    assert back.count() == 57 + 21  # 57 original, 8 corrected in place, 21 new
+    got_vol = {
+        r["bar_close_ns"]: r["volume"]
+        for r in back.select("bar_close_ns", "volume").collect()
+    }
+    for d in range(1, 50):
+        assert got_vol[d * day_ns] == 10.0
+    for d in list(range(50, 58)) + list(range(60, 81)):
+        assert got_vol[d * day_ns] == 99.0
+    # month-1 partition untouched: same files, same mtimes
+    assert sorted(os.listdir(f"{path}/year_month=1970-01")) == m1_files
+    assert [
+        os.path.getmtime(f"{path}/year_month=1970-01/{f}") for f in m1_files
+    ] == m1_mtimes
+
+    # spliced sidecar == full-store inspector, bit-for-bit
+    full = back.drop("year_month")
+    meta = {r["year_month"]: r for r in IO.read_store_meta(spark, path).collect()}
+    live = {
+        r["year_month"]: r for r in IO.store_inspector(full, "bar_close_ns").collect()
+    }
+    assert set(meta) == set(live) == {"1970-01", "1970-02", "1970-03"}
+    for ym, r in live.items():
+        for c in ("n_rows", "first_ts_ns", "last_ts_ns", "max_gap_ns", "n_gaps"):
+            assert meta[ym][c] == r[c], (ym, c)
+
+    # replay: row-identical store
+    before = sorted(tuple(r) for r in back.collect())
+    IO.upsert_time_bars(batch, path)
+    after = sorted(tuple(r) for r in IO.read_time_bars(spark, path).collect())
+    assert after == before
