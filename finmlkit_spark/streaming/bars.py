@@ -468,3 +468,45 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bars_store_sink(
+    bars: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "win",
+):
+    """Wire a streaming bar frame (``streaming_time_bars`` output) into
+    the incremental bar store: every micro-batch upserts into the
+    monthly-partitioned parquet via ``bars_io.upsert_time_bars``.
+
+    Run the stream in UPDATE output mode: each micro-batch emits the
+    windows it changed, and the upsert's batch-wins-per-bar-key merge
+    means the store always converges to the final aggregate — a window
+    updated across five micro-batches is rewritten five times in its
+    monthly partition and ends bit-equal to the batch build. Because
+    the upsert is idempotent, a replayed micro-batch after a restart
+    (or a re-run with a fresh checkpoint over the same source) cannot
+    duplicate or corrupt bars — end-to-end effectively-once without a
+    transactional table format. Work per micro-batch scales with the
+    months the batch touches (for live ingest: one).
+
+    Returns the started ``StreamingQuery``; callers await it. The
+    ``win`` struct column is flattened to the store's canonical
+    ``bar_close_ns`` long key."""
+    from ..sources.bars_io import upsert_time_bars
+
+    flat = bars.withColumn(
+        "bar_close_ns", F.unix_micros(F.col(ts_col)["end"]) * F.lit(1000)
+    ).drop(ts_col)
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        upsert_time_bars(df, path)
+
+    return (
+        flat.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -999,3 +999,93 @@ def test_streaming_cm_table_parity(spark, stream_dir, tmp_path):
         for r in cm.collect():
             want[(g, r["r"], r["bucket"])] = r["cnt"]
     assert got == want
+
+
+def test_bars_store_sink_converges_to_batch_build(spark, stream_dir, tmp_path):
+    """Streaming bars -> foreachBatch upsert -> monthly bar store: the
+    final store equals the batch windowed aggregate on every column
+    (update-mode re-emissions converge through the batch-wins upsert),
+    the _meta sidecar describes the stored rows, and re-running the
+    whole stream with a fresh checkpoint over the same source leaves
+    the store row-identical (effectively-once without a transactional
+    table)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from finmlkit_spark.sources import bars_io as IO
+    from finmlkit_spark.streaming.bars import bars_store_sink
+
+    # 3-file split so windows update across micro-batches
+    src = str(tmp_path / "ev_split")
+    tbl = pq.read_table(f"{stream_dir}/events.parquet")
+    os.makedirs(src)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(
+            tbl.slice(i * n // 3, (n // 3) if i < 2 else n), f"{src}/p{i}.parquet"
+        )
+
+    batch = spark.read.parquet(src)
+    sel = (
+        "timestamp_micros(cast(ts / 1000 as long)) as ts",
+        "value as price",
+        "cast(1.0 as double) as qty",
+    )
+    store = str(tmp_path / "store")
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .selectExpr(*sel)
+        )
+        bars = streaming_time_bars(stream, "1 minute", "5 minutes")
+        q = bars_store_sink(bars, store, checkpoint)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    got = {
+        r["bar_close_ns"]: r
+        for r in spark.read.parquet(store).drop("year_month").collect()
+    }
+
+    exp_rows = (
+        batch.selectExpr(*sel)
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.min_by("price", "ts").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "ts").alias("close"),
+            F.sum("qty").alias("volume"),
+            (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("vwap"),
+            F.count("*").alias("trades"),
+        )
+        .withColumn("bar_close_ns", F.unix_micros(F.col("win")["end"]) * F.lit(1000))
+        .drop("win")
+        .collect()
+    )
+    exp = {r["bar_close_ns"]: r for r in exp_rows}
+    assert set(got) == set(exp) and len(exp) > 1
+    for k, e in exp.items():
+        for c in ("open", "high", "low", "close", "volume", "vwap", "trades"):
+            assert got[k][c] == e[c], (k, c)
+
+    # sidecar equals an inspector over the stored rows
+    stored = spark.read.parquet(store).drop("year_month")
+    meta = {r["year_month"]: r for r in IO.read_store_meta(spark, store).collect()}
+    live = {
+        r["year_month"]: r
+        for r in IO.store_inspector(stored, "bar_close_ns").collect()
+    }
+    assert set(meta) == set(live)
+    for ym, r in live.items():
+        assert meta[ym]["n_rows"] == r["n_rows"], ym
+
+    # full replay with a fresh checkpoint: row-identical store
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    run(str(tmp_path / "ckpt2"))
+    after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert after == before
