@@ -17,9 +17,11 @@ from . import developing_suite  # noqa: F401
 # The external driver verifies the FIRST 50 registered queries per round.
 #
 # ROUND-13 WINDOW:
-# 1:     NEW in round 13 — kmv_fast_user_count (the production sketch
-#        path oracle-gated through KMV's hash-independent below-k
-#        exactness regime);
+# 1-2:   NEW in round 13 — store_upsert (the incremental-ingest
+#        round-trip: materialize + batch-wins upsert + store read-back
+#        gated against the one-shot aggregate) and kmv_fast_user_count
+#        (the production sketch path oracle-gated through KMV's
+#        hash-independent below-k exactness regime);
 # 2-18:  every query whose implementation CHANGED in round 13 —
 #        hybrid_search (xxhash64 token keys + broadcast norm joins,
 #        then the df-count-window weight build), kmv_overlap (pair
@@ -110,6 +112,7 @@ from . import developing_suite  # noqa: F401
 # tier, featurekit_build, hurst/approx-entropy singles) leads round 13.
 _PRIORITY = [
     # -- NEW in round 13 (no driver row yet) -----------------------------------
+    "store_upsert",
     "kmv_fast_user_count",
     # -- changed in round 13 (re-verify first) ---------------------------------
     "hybrid_search",

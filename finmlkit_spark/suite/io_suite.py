@@ -114,6 +114,61 @@ def store_meta_sidecar(spark, sf_dir):
     return IO.read_store_meta(spark, path)
 
 
+@query(
+    "store_upsert",
+    "WITH "
+    + EVENTS_TRADES_CTE.strip()
+    + f""",
+t AS (
+  SELECT *, (CAST(floor(ts_ns / {60_000_000_000}) AS BIGINT) + 1) * {60_000_000_000} AS bar_close_ns
+  FROM trades
+)
+SELECT bar_close_ns,
+       arg_min(price, trade_id) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, trade_id) AS close,
+       sum(qty) AS volume,
+       sum(price * qty) / sum(qty) AS vwap,
+       count(*) AS trades,
+       median(qty) AS median_trade_size,
+       min(ts_ns) AS first_ts_ns,
+       max(ts_ns) AS last_ts_ns
+FROM t GROUP BY bar_close_ns""",
+)
+def store_upsert_q(spark, sf_dir):
+    """Incremental-ingest round-trip (``bars_io.upsert_time_bars``, the
+    daily-ingest form of the materialized store): build the 1m bars,
+    materialize the store from every bar but the final week, upsert a
+    batch holding that week PLUS a 3-day replay of already-stored bars
+    (batch-wins merge — replays and corrections are safe), and answer
+    from the store read back. The oracle is the plain 1m OHLCV
+    aggregate over all trades, so the gate proves the incremental path
+    converges to the one-shot build value-for-value. Work per upsert
+    scales with the touched monthly partitions, never the store
+    (untouched months' files stay byte-identical — pinned by mtime in
+    the unit test)."""
+    import os
+    import tempfile
+
+    from ..operators import bars as B
+    from .bars_suite import _ohlcv_cols, _trades
+
+    df = B.with_time_bar(_trades(spark, sf_dir), MIN_NS)
+    bars = _ohlcv_cols(B.bar_ohlcv(df, key="bar_close_ns"), "bar_close_ns")
+    mx = bars.agg(F.max("bar_close_ns")).collect()[0][0]  # one scalar
+    day_ns = 86_400_000_000_000
+    cut_ns = mx - 7 * day_ns  # base = all but the last week
+    overlap_ns = 3 * day_ns  # batch replays 3 stored days (no-op merge)
+    base = bars.where(F.col("bar_close_ns") < cut_ns)
+    batch = bars.where(F.col("bar_close_ns") >= cut_ns - overlap_ns)
+    # deterministic per-process path (see store_meta_sidecar note)
+    path = os.path.join(tempfile.gettempdir(), f"fmk_store_upsert_{os.getpid()}")
+    IO.materialize_time_bars(base, path, write_meta=False)
+    IO.upsert_time_bars(batch, path, write_meta=False)
+    return spark.read.parquet(path).drop("year_month")
+
+
 _CB_HL_NS = 30 * 60_000_000_000
 _CB_LAM = __import__("math").log(2.0) / _CB_HL_NS
 _CB_MULT = 5.0
