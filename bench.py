@@ -102,6 +102,9 @@ HEADLINE = [
     # xxhash64 + map-side partial reduction), oracle-gated through
     # KMV's below-k exactness
     "kmv_fast_user_count",
+    # r13 late: incremental-ingest round-trip — IO-bound by design (two
+    # store writes + read-back; see BENCH_NOTES), not a scan constant
+    "store_upsert",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in
