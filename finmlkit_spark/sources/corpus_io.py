@@ -99,3 +99,56 @@ def read_corpus(spark: SparkSession, path: str, **filters) -> DataFrame:
     for col, val in filters.items():
         df = df.where(F.col(col) == val)
     return df
+
+
+def upsert_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("split",),
+    id_col: str = "doc_id",
+    max_records_per_file: int = 1_000_000,
+    write_meta: bool = True,
+) -> None:
+    """Idempotent incremental corpus ingest — the ``bars_io.
+    upsert_time_bars`` pattern for documents: merge a batch into ONLY
+    the partitions it touches, batch-wins on ``id_col`` (re-crawled /
+    re-scored docs replace their prior rows; replays are no-ops), and
+    leave every other partition's files untouched.
+
+    Per touched partition the existing rows are read back (pruned
+    scan), rows whose ``id_col`` also appears in the batch are dropped,
+    and the union is rewritten through :func:`write_corpus`'s dynamic
+    partition overwrite — which also refreshes exactly the touched
+    partitions' ``_meta`` rows, because the sidecar is partitioned and
+    dynamically overwritten the same way. Work scales with the touched
+    partitions: with an ingest axis in ``partition_by`` (e.g.
+    ``("split", "ingest_date")``) a daily batch rewrites one day, never
+    the corpus."""
+    import functools
+
+    spark = df.sparkSession
+    parts = df.select(*partition_by).distinct().collect()  # k touched partitions
+    cond = functools.reduce(
+        lambda a, b: a | b,
+        [
+            functools.reduce(
+                lambda x, y: x & y,
+                [F.col(c) == r[c] for c in partition_by],
+            )
+            for r in parts
+        ],
+    )
+    try:
+        existing = spark.read.parquet(path).where(cond)
+        keep = existing.join(
+            df.select(F.col(id_col).alias("_bk")).distinct(),
+            on=existing[id_col] == F.col("_bk"),
+            how="left_anti",
+        )
+        merged = keep.unionByName(df)
+    except Exception:  # first write — no corpus yet
+        merged = df
+    # the merged plan reads the files the overwrite replaces: cut the
+    # lineage first (localCheckpoint — no second read of the store)
+    merged = merged.localCheckpoint()
+    write_corpus(merged, path, partition_by, max_records_per_file, write_meta)

@@ -283,3 +283,49 @@ def test_upsert_time_bars_incremental_equals_full_rebuild(spark, tmp_path):
     IO.upsert_time_bars(batch, path)
     after = sorted(tuple(r) for r in IO.read_time_bars(spark, path).collect())
     assert after == before
+
+
+def test_upsert_corpus_incremental_and_idempotent(spark, tmp_path):
+    """Corpus upsert: a batch touching only split=train replaces its
+    re-ingested doc_ids and appends new ones, leaves split=test files
+    untouched on disk, refreshes exactly the touched _meta rows, and a
+    replay is a no-op."""
+    import os
+
+    from finmlkit_spark.sources import corpus_io as CIO
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+    path = str(tmp_path / "corpus")
+    CIO.write_corpus(
+        mk([(i, f"doc {i}", "train") for i in range(10)]
+           + [(i, f"doc {i}", "test") for i in range(100, 105)]),
+        path,
+    )
+    test_dir = f"{path}/split=test"
+    t_files = sorted(os.listdir(test_dir))
+    t_mtimes = [os.path.getmtime(f"{test_dir}/{f}") for f in t_files]
+
+    # batch: re-crawl docs 7-9 (new text) + new docs 10-14, train only
+    batch = mk(
+        [(i, f"docv2 {i}", "train") for i in range(7, 10)]
+        + [(i, f"doc {i}", "train") for i in range(10, 15)]
+    )
+    CIO.upsert_corpus(batch, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 15 + 5
+    texts = {r["doc_id"]: r["text"] for r in back.where("split = 'train'").collect()}
+    assert texts[7] == "docv2 7" and texts[3] == "doc 3" and texts[14] == "doc 14"
+    assert sorted(os.listdir(test_dir)) == t_files
+    assert [os.path.getmtime(f"{test_dir}/{f}") for f in t_files] == t_mtimes
+
+    meta = {r["split"]: r for r in CIO.read_corpus_meta(spark, path).collect()}
+    assert meta["train"]["n_rows"] == 15 and meta["test"]["n_rows"] == 5
+    assert meta["train"]["max_doc_id"] == 14
+
+    before = sorted(tuple(r) for r in back.collect())
+    CIO.upsert_corpus(batch, path)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
