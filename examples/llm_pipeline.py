@@ -131,7 +131,7 @@ def main() -> None:
     #    downstream) — the round-5 corpus sink
     import tempfile
 
-    from finmlkit_spark.sources.corpus_io import read_corpus, write_corpus
+    from finmlkit_spark.sources.corpus_io import read_corpus, upsert_corpus, write_corpus
 
     with tempfile.TemporaryDirectory() as td:
         out = curated.withColumn(
@@ -139,6 +139,13 @@ def main() -> None:
         )
         write_corpus(out, td, partition_by=("split",))
         print("train partition rows:", read_corpus(spark, td, split="train").count())
+        # next day's ingest (late round 13): re-scored docs replace
+        # their rows in-place, only the touched partition rewrites
+        rescored = out.where("split = 'train'").limit(5).withColumn(
+            "quality", F.lit(1.0)
+        )
+        upsert_corpus(rescored.select(*out.columns), td)
+        print("rows after upsert:", read_corpus(spark, td).count())
 
     # 8. retrieval tier (late round 11): index + BM25 over the CURATED
     #    corpus; the centrality election runs on the RAW corpus, where
