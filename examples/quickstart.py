@@ -70,6 +70,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     uniq = L.average_uniqueness(spans, conc, bucket_ns=HOUR_NS)
     uniq.orderBy("event_ts_ns").show(5)
 
+    # 6. the bar store lifecycle (reference AddTimeBarH5 / TimeBarReader /
+    #    H5Inspector): materialize once, upsert the next day's bars
+    #    idempotently (late round 13), read back re-aggregated to 15m,
+    #    inspect from the k-row _meta sidecar — never a rescan
+    import tempfile
+
+    from finmlkit_spark.sources import bars_io as IO
+
+    with tempfile.TemporaryDirectory() as td:
+        store = f"{td}/bars_1m"
+        full = B.bar_ohlcv(B.with_time_bar(trades, MIN_NS))
+        day_ns = 86_400_000_000_000
+        mx = full.agg(F.max("bar_close_ns")).collect()[0][0]
+        IO.materialize_time_bars(full.where(F.col("bar_close_ns") < mx - day_ns), store)
+        IO.upsert_time_bars(full.where(F.col("bar_close_ns") >= mx - day_ns), store)
+        m15 = IO.resample_bars(IO.read_time_bars(spark, store), 15 * MIN_NS)
+        print("15m bars from the upserted store:", m15.count())
+        IO.read_store_meta(spark, store).show()
+
     print("quickstart OK")
 
 
