@@ -105,6 +105,9 @@ HEADLINE = [
     # r13 late: incremental-ingest round-trip — IO-bound by design (two
     # store writes + read-back; see BENCH_NOTES), not a scan constant
     "store_upsert",
+    # r13 late: the materialized retrieval index served + gated (same
+    # IO-bound class: index write + read-back inside the query)
+    "tfidf_index_topk",
     # NOT here: the seq_*_parallel closed-combine scans — their fixed
     # chunk/carry machinery (~3 s) swamps 90k-bar inputs; the honest
     # scale measurement is the 16M-row single-symbol probe recorded in

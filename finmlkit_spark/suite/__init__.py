@@ -17,12 +17,15 @@ from . import developing_suite  # noqa: F401
 # The external driver verifies the FIRST 50 registered queries per round.
 #
 # ROUND-13 WINDOW:
-# 1-2:   NEW in round 13 — store_upsert (the incremental-ingest
+# 1-3:   NEW in round 13 — store_upsert (the incremental-ingest
 #        round-trip: materialize + batch-wins upsert + store read-back
-#        gated against the one-shot aggregate) and kmv_fast_user_count
-#        (the production sketch path oracle-gated through KMV's
-#        hash-independent below-k exactness regime);
-# 2-18:  every query whose implementation CHANGED in round 13 —
+#        gated against the one-shot aggregate), tfidf_index_topk (the
+#        materialized retrieval index served back and gated against
+#        the inline corpus build), and kmv_fast_user_count (the
+#        production sketch path oracle-gated through KMV's
+#        hash-independent below-k exactness regime); the last r8-head
+#        fill (volume_bars_approx) moves to the r14 window.
+# 4-20:  every query whose implementation CHANGED in round 13 —
 #        hybrid_search (xxhash64 token keys + broadcast norm joins,
 #        then the df-count-window weight build), kmv_overlap (pair
 #        algebra collapsed to packed sketch arrays — late r13),
@@ -39,12 +42,12 @@ from . import developing_suite  # noqa: F401
 #        and the five image/video queries riding the JPEG decoder whose
 #        progressive DC scans now raster the true block grid (advisory)
 #        and whose feature extractors gained on_error='null';
-# 19-47: the 29 remaining r7 rows (5 rounds stale — the user_* family,
+# 21-48: the 29 remaining r7 rows (5 rounds stale — the user_* family,
 #        tbm pair, sampling/corpus singles, hurst/approx-entropy,
 #        featurekit_build, minhash/simhash, time_bars_filled,
 #        seq_cusum_bars, dedup_clusters_star, store_meta_sidecar);
-# 48-50: the head of the 37-row r8 cohort (trades_side, tick_bars,
-#        volume_bars_approx) — the rest of r8 (bar_directional_1m,
+# 49-50: the head of the 37-row r8 cohort (trades_side, tick_bars) —
+#        the rest of r8 (volume_bars_approx, bar_directional_1m,
 #        feat_return_log, feat_roc first) leads the round-14 fill.
 #
 # ROUND-12 WINDOW:
@@ -113,6 +116,7 @@ from . import developing_suite  # noqa: F401
 _PRIORITY = [
     # -- NEW in round 13 (no driver row yet) -----------------------------------
     "store_upsert",
+    "tfidf_index_topk",
     "kmv_fast_user_count",
     # -- changed in round 13 (re-verify first) ---------------------------------
     "hybrid_search",

@@ -1241,6 +1241,63 @@ def hybrid_search_q(spark, sf_dir):
     return RT.rrf_fuse(lex, sem, k=10)
 
 
+
+@query(
+    "tfidf_index_topk",
+    _TOKS
+    + """
+, th AS (SELECT doc_id AS doc, unnest(t) AS h FROM toks),
+tf AS (SELECT doc, h, CAST(count(*) AS BIGINT) AS tf FROM th GROUP BY doc, h),
+dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+w AS (
+  SELECT tf.doc, tf.h,
+         CAST(floor(1000.0 * tf.tf * nn.n_total / dfq.df + 0.5) AS BIGINT) AS wq
+  FROM tf JOIN dfq USING (h) CROSS JOIN nn
+),
+nrm AS (SELECT doc, sum(CAST(wq AS HUGEINT) * wq) AS n2 FROM w GROUP BY doc),
+qw AS (SELECT doc AS query_id, h, wq AS qwq FROM w WHERE doc < 5),
+dots AS (
+  SELECT qw.query_id, w.doc AS cand_id, sum(CAST(w.wq AS HUGEINT) * qw.qwq) AS dot
+  FROM w JOIN qw USING (h) WHERE w.doc <> qw.query_id
+  GROUP BY 1, 2
+),
+lex0 AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos_sim
+  FROM dots d
+  JOIN nrm nq ON nq.doc = d.query_id
+  JOIN nrm nc ON nc.doc = d.cand_id
+)
+SELECT query_id, cand_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rank
+FROM lex0 QUALIFY rank <= 10""",
+)
+def tfidf_index_topk_q(spark, sf_dir):
+    """The materialized retrieval index, oracle-gated end-to-end (the
+    ``store_upsert`` posture applied to retrieval): persist the integer
+    TF-IDF weight table once (``materialize_lexical_weights``), read it
+    back, and rank query-vs-corpus cosine top-k from the STORED
+    weights. The oracle replays the inline corpus build, so the driver
+    gate proves index-served == inline-built value-for-value — the
+    production query path (skip the corpus tokenize at query time) is
+    what gets verified, not a replica of it. IO-bound like
+    store_upsert: the cost is the one-off index write + read-back the
+    SQL oracle does not perform."""
+    import os
+    import tempfile
+
+    from ..operators import retrieval as RT
+
+    docs = _docs(spark, sf_dir)
+    # deterministic per-process path (see store_meta_sidecar note)
+    path = os.path.join(tempfile.gettempdir(), f"fmk_lexw_{os.getpid()}")
+    RT.materialize_lexical_weights(docs, path)
+    w = RT.read_lexical_weights(spark, path)
+    return RT.tfidf_topk(docs, [0, 1, 2, 3, 4], k=10, weights=w)
+
+
 @query(
     "embedding_outliers",
     """
