@@ -846,6 +846,10 @@ def dedup_clusters_star(
     e = cache.cut(e.where(F.col("u") != F.col("v")))
 
     def large_star(ed: DataFrame) -> DataFrame:
+        # no trailing .distinct(): small_star's single final distinct
+        # dedups the combined round-pair output, so the extra exchange
+        # here bought nothing (r13 optimization — duplicate (v, _m)
+        # rows are edge-bounded and min-aggregation-invisible)
         both = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = both.groupBy("u").agg(F.min("v").alias("_mn"))
         mins = mins.select("u", F.least("u", "_mn").alias("_m"))
@@ -854,17 +858,28 @@ def dedup_clusters_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("_m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(ed: DataFrame) -> DataFrame:
+        # single reference to the mins aggregate: the joined frame
+        # carries (u, v, _m), and exploding both halves under ONE
+        # final distinct replaces the old union(mins) second branch —
+        # one groupBy exchange per round instead of two (each logical
+        # reference to `mins` was a separate AQE shuffle stage)
         o = ed.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         mins = o.groupBy("u").agg(F.min("v").alias("_mn"))
         mins = mins.select("u", F.least("u", "_mn").alias("_m"))
         out = (
             o.join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
-            .union(mins.select(F.col("u"), F.col("_m").alias("v")))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("_m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("_m").alias("v")),
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         )
         return out.where(F.col("u") != F.col("v")).distinct()
 
@@ -887,8 +902,10 @@ def dedup_clusters_star(
         prev = cur
     # fixpoint: stars — every non-root points straight at its component
     # min; roots appear only on the v side
+    # no .distinct() on the roots branch: the min-aggregation below is
+    # duplicate-invisible, so the extra exchange bought nothing
     comp = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id")).union(
-        e.select(F.col("v").alias(id_col), F.col("v").alias("cluster_id")).distinct()
+        e.select(F.col("v").alias(id_col), F.col("v").alias("cluster_id"))
     ).groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
     if docs is None:
         return comp

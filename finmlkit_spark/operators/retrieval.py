@@ -206,23 +206,39 @@ def pagerank(
 
     Scale shape: the symmetric edge list is pinned once via the
     tracked-cache registry (``cache.keep`` — callers/batch runners
-    release via ``cache.release_all``), so the upstream candidate
-    build (LSH join) is not re-run per iteration; each round is one
-    edge-scale hash join (rank table keyed by node — AQE picks
-    broadcast when it fits) plus one integer-sum groupBy. Isolated
-    nodes are not ranked (every node in a pair has degree ≥ 1, so
-    every node receives messages each round — no dangling-mass term).
+    release via ``cache.release_all``) with the DESTINATION node's
+    degree attached by one window pass, so the upstream candidate
+    build (LSH join) is not re-run per iteration and each round is
+    exactly one broadcast-able hash join (rank table keyed by node)
+    plus one integer-sum groupBy — the old per-round deg re-join is
+    gone (r13 optimization: 3 plan nodes/round → 2, ~10 fewer AQE
+    stage jobs per 5-iter run). The window also leaves the cached
+    edge list hash-partitioned by ``dst``, the very key the per-round
+    groupBy aggregates on. (A per-round ``cache.cut`` of the rank
+    table was measured and REJECTED: ``localCheckpoint`` on an AQE
+    plan materializes its shuffle stages eagerly, serializing every
+    round into the driver-side build — 5.5 s vs 3.0 s at sf0.1.)
+    Isolated nodes are not ranked
+    (every node in a pair has degree ≥ 1, so every node receives
+    messages each round — no dangling-mass term).
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # one exchange by dst attaches the receiving node's degree to every
+    # edge AND leaves the cached relation partitioned by dst for the
+    # per-round message aggregation
     und = cache.keep(
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        und.withColumn(
+            "dst_deg", F.count(F.lit(1)).over(Window.partitionBy("dst"))
+        )
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # a node's own out-degree = its count on the dst side (undirected)
+    deg = und.groupBy("dst").agg(F.first("dst_deg").alias("deg"))
     n1 = deg.agg(F.count(F.lit(1)).alias("_n"))
     # r0 = unit DIV N for every node; carry deg alongside the rank so
     # each round's contribution needs no extra join
     ranks = deg.crossJoin(F.broadcast(n1)).select(
-        F.col("src").alias("id"),
+        F.col("dst").alias("id"),
         F.expr(f"CAST({unit} AS BIGINT) DIV _n").alias("r"),
         "deg",
         "_n",
@@ -232,9 +248,12 @@ def pagerank(
             F.col("dst").alias("_to"),
             F.expr("r DIV deg").alias("_c"),
             F.col("_n"),
+            F.col("dst_deg"),
         )
         nxt = msgs.groupBy("_to").agg(
-            F.sum("_c").alias("_s"), F.first("_n").alias("_n")
+            F.sum("_c").alias("_s"),
+            F.first("_n").alias("_n"),
+            F.first("dst_deg").alias("deg"),
         )
         ranks = nxt.select(
             F.col("_to").alias("id"),
@@ -242,8 +261,9 @@ def pagerank(
                 F.expr(f"(CAST({unit} AS BIGINT) * 15) DIV (100 * _n)")
                 + F.expr("(85 * _s) DIV 100")
             ).alias("r"),
+            "deg",
             "_n",
-        ).join(deg, F.col("id") == F.col("src")).select("id", "r", "deg", "_n")
+        )
     return ranks.select("id", F.col("r").alias("rank_fp"))
 
 

@@ -1033,12 +1033,23 @@ def quantile_sketch_audit(spark, sf_dir):
     from ..operators import sketches as SK
 
     o = read_table(spark, sf_dir, "orders").select("o_totalprice")
-    stats, counts = SK.quantile_histogram(o, "o_totalprice", bins=256)
     qs = [i / 10.0 for i in range(1, 10)]
+    # ONE pass serves the sketch's range stats AND the exact audit
+    # percentiles (r13 optimization: was three sequential driver
+    # aggregates — min/max/count, bin counts, exact percentiles; the
+    # range and the percentiles fold in the same job, then the sketch
+    # runs in fixed-range mode, which skips its own min/max pass —
+    # identical lo/hi/n/bins by construction)
+    r = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("p"),
+    ).collect()[0]
+    exact = r["p"]
+    stats, counts = SK.quantile_histogram(
+        o, "o_totalprice", bins=256, lo=r["lo"], hi=r["hi"]
+    )
     ests = SK.quantile_estimates(stats, counts, qs, bins=256)
-    exact = o.agg(
-        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("p")
-    ).collect()[0]["p"]
     rows = [
         (i, ests[i - 1], float(exact[i - 1]), abs(ests[i - 1] - float(exact[i - 1])))
         for i in range(1, 10)
