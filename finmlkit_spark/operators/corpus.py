@@ -447,21 +447,10 @@ def gopher_repetition(
     )
 
 
-def c4_filter_signals(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """C4-style quality-filter signals + keep decision, one row per doc.
-
-    Rules (each an independent flag so downstream can re-weigh them):
-    ≥ ``C4_MIN_TOKENS`` tokens, longest token ≤ ``C4_MAX_TOKEN_LEN``
-    chars, no bad substring (lorem ipsum / javascript / code braces),
-    at least one stopword hit, and the most frequent token's share of
-    the doc ≤ ``C4_MAX_TOP_SHARE`` (the one-word-spam rule). Pure
-    per-row projection — no shuffle, scale-free; exact rational
-    arithmetic only, so both engines agree bit-for-bit.
-    """
+def _c4_signal_exprs(text_col: str = "text") -> dict:
+    """The five C4 signal expressions as raw Columns (shared by the
+    signals table and :func:`c4_keep_expr` — one definition, two
+    consumers)."""
     t = tokens(text_col)
     low = F.lower(F.col(text_col))
     bad = None
@@ -487,27 +476,63 @@ def c4_filter_signals(
         ),
         lambda acc: acc["best"],
     )
-    d = docs.select(
-        F.col(id_col),
-        F.size(t).cast("long").alias("n_tokens"),
-        F.array_max(F.transform(t, F.length)).cast("long").alias("max_token_len"),
-        bad.alias("has_bad_substring"),
-        F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
-        .cast("long")
-        .alias("stop_hits"),
-        run.cast("long").alias("top_token_freq"),
-    )
-    keep = (
-        (F.col("n_tokens") >= C4_MIN_TOKENS)
-        & (F.col("max_token_len") <= C4_MAX_TOKEN_LEN)
-        & ~F.col("has_bad_substring")
-        & (F.col("stop_hits") > 0)
+    return {
+        "n_tokens": F.size(t).cast("long"),
+        "max_token_len": F.array_max(F.transform(t, F.length)).cast("long"),
+        "has_bad_substring": bad,
+        "stop_hits": F.size(
+            F.filter(t, lambda x: F.array_contains(arr, x))
+        ).cast("long"),
+        "top_token_freq": run.cast("long"),
+    }
+
+
+def _c4_keep_from(s: dict):
+    """The C4 keep predicate over the signal columns/exprs in ``s``."""
+    return (
+        (s["n_tokens"] >= C4_MIN_TOKENS)
+        & (s["max_token_len"] <= C4_MAX_TOKEN_LEN)
+        & ~s["has_bad_substring"]
+        & (s["stop_hits"] > 0)
         & (
-            F.col("top_token_freq").cast("double") / F.col("n_tokens")
+            s["top_token_freq"].cast("double") / s["n_tokens"]
             <= F.lit(C4_MAX_TOP_SHARE)
         )
     )
-    return d.withColumn("keep", keep)
+
+
+def c4_keep_expr(text_col: str = "text"):
+    """The C4 keep decision as ONE inline boolean Column — lets a
+    curation stage FILTER the doc stream directly instead of computing
+    a doc_id keep-set and joining it back (r13 optimization: the join
+    form is a data-scale self-join — SMJ at 100 TB — for what is a
+    pure per-row predicate; identical keep decisions by construction,
+    both built from :func:`_c4_signal_exprs`)."""
+    return _c4_keep_from(_c4_signal_exprs(text_col))
+
+
+def c4_filter_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style quality-filter signals + keep decision, one row per doc.
+
+    Rules (each an independent flag so downstream can re-weigh them):
+    ≥ ``C4_MIN_TOKENS`` tokens, longest token ≤ ``C4_MAX_TOKEN_LEN``
+    chars, no bad substring (lorem ipsum / javascript / code braces),
+    at least one stopword hit, and the most frequent token's share of
+    the doc ≤ ``C4_MAX_TOP_SHARE`` (the one-word-spam rule). Pure
+    per-row projection — no shuffle, scale-free; exact rational
+    arithmetic only, so both engines agree bit-for-bit.
+    """
+    s = _c4_signal_exprs(text_col)
+    d = docs.select(
+        F.col(id_col), *[c.alias(name) for name, c in s.items()]
+    )
+    return d.withColumn(
+        "keep", _c4_keep_from({name: F.col(name) for name in s})
+    )
 
 
 def unigram_logprob(

@@ -583,7 +583,7 @@ def materialize_simhash_edges(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
 ) -> None:
     """Persist the SimHash near-dup edge list once so every consumer of
     the dup graph — :func:`~finmlkit_spark.operators.retrieval.pagerank`,
@@ -598,15 +598,24 @@ def materialize_simhash_edges(
     real scale write with ``bucketBy(doc_a)`` into a table. Stored rows
     are the EXACT (doc_a, doc_b, hamming) rows the inline build
     derives — any consumer fed :func:`read_simhash_edges` returns
-    bit-identical results to the inline form (pinned by test)."""
-    simhash_near_pairs(
+    bit-identical results to the inline form (pinned by test).
+    ``n_partitions=None`` (default, r13): repartition by ``doc_a``
+    without a fixed count so AQE sizes the output files by bytes
+    (the materialize_lexical_weights discipline)."""
+    e = simhash_near_pairs(
         docs,
         text_col=text_col,
         id_col=id_col,
         bits=bits,
         bands=bands,
         max_hamming=max_hamming,
-    ).repartition(n_partitions, "doc_a").write.mode("overwrite").parquet(path)
+    )
+    e = (
+        e.repartition("doc_a")
+        if n_partitions is None
+        else e.repartition(n_partitions, "doc_a")
+    )
+    e.write.mode("overwrite").parquet(path)
 
 
 def read_simhash_edges(spark, path: str) -> DataFrame:

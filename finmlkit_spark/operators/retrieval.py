@@ -343,7 +343,7 @@ def materialize_lexical_weights(
     scale: int = 1_000,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
 ) -> None:
     """Persist the TF·IDF weight table once so every subsequent query
     skips the corpus tokenize+count build entirely — the
@@ -355,10 +355,17 @@ def materialize_lexical_weights(
     exchange. The stored rows are the EXACT integer weights the inline
     build derives — any consumer fed :func:`read_lexical_weights`
     returns bit-identical results to the inline form (pinned by
-    test)."""
-    _lexical_weights(docs, scale, text_col, id_col).repartition(
-        n_partitions, "h"
-    ).write.mode("overwrite").parquet(path)
+    test).
+
+    ``n_partitions=None`` (default, r13): repartition by the token key
+    WITHOUT a fixed count so AQE sizes the output files by bytes
+    (guide: coalesce on write, aim for fewer well-sized files) — the
+    fixed 32 wrote 32 tiny files at bench scale and is the wrong
+    constant at any other scale; pass an explicit count only when the
+    downstream layout demands it."""
+    w = _lexical_weights(docs, scale, text_col, id_col)
+    w = w.repartition("h") if n_partitions is None else w.repartition(n_partitions, "h")
+    w.write.mode("overwrite").parquet(path)
 
 
 def read_lexical_weights(spark, path: str) -> DataFrame:
@@ -463,22 +470,24 @@ def rrf_fuse(
 
     Determinism: both inputs carry INTEGER ranks; the fused score is
     one fixed float expression over them (identical doubles in both
-    engines) and ties break on the candidate id. The join is a
-    per-query full outer over two ≤k-row-per-query lists — output-scale
-    at any corpus size."""
-    a = ranked_a.select(
-        F.col(query_col).alias("q"), F.col(cand_col).alias("d"), F.col(rank_col).alias("ra")
+    engines) and ties break on the candidate id. The fuse is a union +
+    per-(query, candidate) sum over two ≤k-row-per-query lists —
+    output-scale at any corpus size (r13 optimization: the full-outer
+    join form exchanged BOTH sides by (q, d) and then re-exchanged by
+    q for the rank window — 3 exchanges; union+groupBy is 2, and
+    two-term double addition is commutative so the fused scores are
+    bit-identical)."""
+    per_side = F.lit(1.0) / (
+        F.lit(float(c)) + F.col(rank_col).cast("double")
     )
-    b = ranked_b.select(
-        F.col(query_col).alias("q"), F.col(cand_col).alias("d"), F.col(rank_col).alias("rb")
+    u = ranked_a.select(
+        F.col(query_col).alias("q"), F.col(cand_col).alias("d"), per_side.alias("s")
+    ).unionByName(
+        ranked_b.select(
+            F.col(query_col).alias("q"), F.col(cand_col).alias("d"), per_side.alias("s")
+        )
     )
-    j = a.join(b, ["q", "d"], "full_outer")
-    score = F.coalesce(
-        F.lit(1.0) / (F.lit(float(c)) + F.col("ra").cast("double")), F.lit(0.0)
-    ) + F.coalesce(
-        F.lit(1.0) / (F.lit(float(c)) + F.col("rb").cast("double")), F.lit(0.0)
-    )
-    scored = j.select("q", "d", score.alias("rrf"))
+    scored = u.groupBy("q", "d").agg(F.sum("s").alias("rrf"))
     wn = Window.partitionBy("q").orderBy(F.col("rrf").desc(), F.col("d"))
     return (
         scored.withColumn("rank", F.row_number().over(wn).cast("long"))

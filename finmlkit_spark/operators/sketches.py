@@ -279,12 +279,17 @@ def cm_table(
     key_col: str,
     w: int = 1024,
     d: int = 3,
+    _counts: DataFrame | None = None,
 ) -> DataFrame:
     """Count-min sketch table (Cormode & Muthukrishnan 2005): d hash
     rows × w counters of EXACT int64 occurrence sums — the
     bounded-memory frequency summary. However many rows stream through,
     the table is d·w rows, and counters are plain sums (associative,
-    mergeable across partitions/streams). Returns (r, bucket, cnt)."""
+    mergeable across partitions/streams). Returns (r, bucket, cnt).
+
+    ``_counts``: a precomputed (k, n) distinct-key count table — lets a
+    caller that already aggregated the keys (the audit) feed both
+    consumers from one corpus pass."""
     # hash each DISTINCT key once and weight by its occurrence count —
     # identical counters (the sketch adds n for a key appearing n
     # times), but the interpreted char-fold hash runs |vocab| times
@@ -294,6 +299,8 @@ def cm_table(
         df.select(F.col(key_col).alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
+        if _counts is None
+        else _counts
     )
     pairs = F.array(
         *[
@@ -332,30 +339,47 @@ def cm_freq_audit(
     production consumer keeps ONLY the d·w-row table."""
     from .. import cache
 
-    exact = df.select(F.col(key_col).alias("k")).groupBy("k").agg(
-        F.count(F.lit(1)).alias("exact_n")
+    # ONE corpus key-count aggregate feeds BOTH the exact audit side
+    # and the CM table build (r13 optimization: the exact side and
+    # cm_table each ran their own data-scale tokenize+aggregate before
+    # — two corpus passes for one audit); the cut table is vocab-scale
+    counts = cache.cut(
+        df.select(F.col(key_col).alias("k")).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
-    topk = exact.orderBy(F.col("exact_n").desc(), F.col("k")).limit(top)
-    # the ≤ d·w-row table feeds d per-row broadcast probes — cut it so
-    # the corpus aggregate runs once, not d times
-    cm = cache.cut(cm_table(df, key_col, w=w, d=d))
-    probes = topk
-    for r in range(d):
-        probes = probes.withColumn(
-            f"_b{r}", _salted_hash(F.col("k"), f"c{r}|") % w
-        )
-    est = probes
-    for r in range(d):
-        cr = cm.where(F.col("r") == r).select(
-            F.col("bucket").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
-        )
-        est = est.join(F.broadcast(cr), f"_b{r}")
-    cm_est = F.least(*[F.col(f"_c{r}") for r in range(d)])
+    topk = (
+        counts.select("k", F.col("n").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("k"))
+        .limit(top)
+    )
+    cm = cm_table(df, key_col, w=w, d=d, _counts=counts)
+    # one probe join instead of d: explode the top keys' (r, bucket)
+    # probes and min over the d matched counters — a key's own counter
+    # row always exists (it contributes its own count), so the inner
+    # join never drops a probe
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (_salted_hash(F.col("k"), f"c{r}|") % w).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    pb = topk.select("k", "exact_n", F.explode(pairs).alias("p")).select(
+        "k", "exact_n", F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket")
+    )
+    est = (
+        cm.join(F.broadcast(pb), ["r", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("cnt").alias("_cm"))
+    )
     return est.select(
         F.col("k").alias(key_col),
         F.col("exact_n").cast("long").alias("exact_n"),
-        cm_est.cast("long").alias("cm_est"),
-        (cm_est - F.col("exact_n")).cast("long").alias("overestimate"),
+        F.col("_cm").cast("long").alias("cm_est"),
+        (F.col("_cm") - F.col("exact_n")).cast("long").alias("overestimate"),
     )
 
 

@@ -108,8 +108,11 @@ class C4Filter(Stage):
     kind = "c4_filter"
 
     def apply(self, docs: DataFrame) -> DataFrame:
-        keep = CP.c4_filter_signals(docs).where("keep").select("doc_id")
-        return docs.join(keep, "doc_id")
+        # direct filter, not keep-set + join-back: the predicate is a
+        # pure per-row expression, so the old data-scale self-join
+        # (SMJ at 100 TB) bought nothing — identical keep decisions
+        # (both forms build from corpus._c4_signal_exprs)
+        return docs.where(CP.c4_keep_expr())
 
 
 @register_stage
