@@ -1254,10 +1254,13 @@ def tfidf_cosine_pairs(
     # sides of the candidate self-join); without a storage boundary
     # Catalyst re-inlines the whole tokenize→tf→df subtree per
     # reference — 12 corpus scans and 16 tokenizer passes at sf0.1
-    # (round-12 plan audit). One lineage cut makes it one.
+    # (round-12 plan audit). One storage boundary makes it one —
+    # cache.keep, not cut (r13: the eager-at-build AQE localCheckpoint
+    # cost more than the lazy persist + CacheManager match; scalar
+    # columns only, columnar-cache-safe).
     from .. import cache
 
-    w = cache.cut(w)
+    w = cache.keep(w)
     # decimal(19,0) holds any int64; the product is decimal(38,0) —
     # wq² < 2^126 bits never truncates, and a sum past 1e38 nulls
     # instead of wrapping (see docstring overflow posture)

@@ -342,8 +342,10 @@ def cm_freq_audit(
     # ONE corpus key-count aggregate feeds BOTH the exact audit side
     # and the CM table build (r13 optimization: the exact side and
     # cm_table each ran their own data-scale tokenize+aggregate before
-    # — two corpus passes for one audit); the cut table is vocab-scale
-    counts = cache.cut(
+    # — two corpus passes for one audit); the pinned table is
+    # vocab-scale, scalar columns (cache.keep: lazy persist +
+    # CacheManager match beats the eager-at-build localCheckpoint)
+    counts = cache.keep(
         df.select(F.col(key_col).alias("k")).groupBy("k").agg(
             F.count(F.lit(1)).alias("n")
         )

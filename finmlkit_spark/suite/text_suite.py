@@ -2369,9 +2369,14 @@ def perplexity_buckets_q(spark, sf_dir):
     from .. import cache
 
     # the per-doc score frame feeds the cutpoint aggregate AND the
-    # bucket assignment — one lineage cut keeps the whole bigram-LM
-    # pipeline (pair explode + two count joins) from running twice
-    lp = cache.cut(
+    # bucket assignment — one storage boundary keeps the whole
+    # bigram-LM pipeline (pair explode + two count joins) from running
+    # twice. cache.keep, not cut (r13 optimization): localCheckpoint
+    # on an AQE plan materializes eagerly at build, while the lazy
+    # persist materializes inside the first action and CacheManager-
+    # matches the second consumer — measured 1.7 -> 0.8-0.96 s; the
+    # frame is two scalar columns, columnar-cache-safe.
+    lp = cache.keep(
         CP.bigram_logprob(_docs(spark, sf_dir)).select("doc_id", "mean_logprob")
     )
     cuts = lp.agg(
