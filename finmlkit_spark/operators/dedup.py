@@ -840,18 +840,30 @@ def dedup_clusters_star(
 
     Both are one groupBy + one join over the edge list — the same
     shuffle shape as a propagation round — but the edge list contracts
-    toward stars doubly-exponentially. Convergence = edge multiset
-    fixpoint, checked with a count+hash aggregate (k-row action) per
-    round pair; each round's output is ``localCheckpoint``-ed to cut
-    lineage. Output contract matches ``dedup_clusters``:
+    toward stars doubly-exponentially. Convergence is detected
+    STRUCTURALLY (r13 optimization): a round-pair's output with every
+    node having at most one outgoing edge and no node both child and
+    parent is a star forest, and a star forest is a FIXPOINT of the
+    round-pair — large-star maps each child's reversed edge back to
+    (child, root) and drops the forward edge on the ``v > u`` filter,
+    small-star re-emits exactly (child, root) — so the loop stops the
+    round it converges instead of running one more round-pair to watch
+    an edge-multiset signature stop changing. Every edge after
+    small-star has u > v, hence each star's root is its component min
+    and the fixpoint labels equal the ones more rounds would produce.
+    The check is one node-scale groupBy (sum/max partial-aggregated
+    map-side) per round — the same shuffle scale as the round itself —
+    and its action is also what materializes the round's lineage cut;
+    each round's output is ``localCheckpoint``-ed. Output contract
+    matches ``dedup_clusters``:
     (id, cluster_id = min id in component), singletons included when
     ``docs`` is given. Differential-tested against a union-find ground
     truth and against ``dedup_clusters`` on shallow graphs.
     """
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    # eager=False everywhere in the loop: the per-round signature collect
-    # is the materializing action, so each round runs ONE job instead of
-    # two (checkpoint job + collect job) — same lineage cut
+    # eager=False everywhere in the loop: the per-round star-forest
+    # check is the materializing action, so each round runs ONE job
+    # instead of two (checkpoint job + check job) — same lineage cut
     e = cache.cut(e.where(F.col("u") != F.col("v")))
 
     def large_star(ed: DataFrame) -> DataFrame:
@@ -892,23 +904,41 @@ def dedup_clusters_star(
         )
         return out.where(F.col("u") != F.col("v")).distinct()
 
-    def sig(ed: DataFrame):
-        r = ed.agg(
-            F.count(F.lit(1)).alias("n"),
-            # xor-fold of per-edge hashes: order-independent and cannot
-            # overflow (the edge set is distinct, so xor is a sound
-            # multiset fingerprint here)
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return (r["n"], r["h"])
+    def is_star_forest(ed: DataFrame) -> bool:
+        # exact structural convergence check: no node with two outgoing
+        # edges, no node both child (u side) and parent (v side). The
+        # check must be EXACT — a false positive would stop on a
+        # non-star edge set and mislabel — so it is a real node-scale
+        # groupBy, not a probabilistic fold; sum/max partial-aggregate
+        # map-side and its isEmpty is the one action that also
+        # materializes the round's lineage cut.
+        nodes = ed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("nd"),
+                        F.lit(1).alias("cu"),
+                        F.lit(0).alias("cv"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("nd"),
+                        F.lit(0).alias("cu"),
+                        F.lit(1).alias("cv"),
+                    ),
+                )
+            ).alias("x")
+        ).select("x.*")
+        deg = nodes.groupBy("nd").agg(
+            F.sum("cu").alias("cu"), F.max("cv").alias("cv")
+        )
+        return deg.where(
+            (F.col("cu") >= 2) | ((F.col("cu") >= 1) & (F.col("cv") >= 1))
+        ).isEmpty()
 
-    prev = None
     for _ in range(max_iter):
         e = cache.cut(small_star(large_star(e)))
-        cur = sig(e)
-        if cur == prev:
+        if is_star_forest(e):
             break
-        prev = cur
     # fixpoint: stars — every non-root points straight at its component
     # min; roots appear only on the v side
     # no .distinct() on the roots branch: the min-aggregation below is

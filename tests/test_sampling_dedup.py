@@ -295,6 +295,35 @@ def test_dedup_clusters_star_matches_union_find(spark):
         assert got == exp, (len(ids), len(pairs))
 
 
+def test_dedup_clusters_star_stops_at_star_forest(spark, monkeypatch):
+    """The structural convergence check stops the loop the round the
+    edge set becomes a star forest — no extra signature-comparison
+    round-pair. An input that is already a star forest must finish
+    after exactly ONE round-pair (one initial edge cut + one round
+    cut), with correct labels."""
+    from finmlkit_spark import cache
+    from finmlkit_spark.operators import dedup as D
+
+    calls = []
+    orig = cache.cut
+
+    def counting_cut(df):
+        calls.append(1)
+        return orig(df)
+
+    monkeypatch.setattr(cache, "cut", counting_cut)
+    pairs = spark.createDataFrame(
+        [(5, 1), (6, 1), (7, 2)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 5, 6, 7)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters_star(pairs, docs).collect()
+    }
+    assert got == {1: 1, 2: 2, 5: 1, 6: 1, 7: 2}
+    assert len(calls) == 2  # initial edge cut + one round-pair cut
+
+
 def test_dedup_clusters_star_matches_propagation_on_shallow(spark):
     import numpy as np
 
