@@ -204,20 +204,26 @@ def pagerank(
     form would differ in ulps per engine/partitioning and is exactly
     what this avoids (same discipline as ``sampling.weighted_sample``).
 
-    Scale shape: the symmetric edge list is pinned once via the
-    tracked-cache registry (``cache.keep`` — callers/batch runners
-    release via ``cache.release_all``) with the DESTINATION node's
-    degree attached by one window pass, so the upstream candidate
-    build (LSH join) is not re-run per iteration and each round is
-    exactly one broadcast-able hash join (rank table keyed by node)
-    plus one integer-sum groupBy — the old per-round deg re-join is
-    gone (r13 optimization: 3 plan nodes/round → 2, ~10 fewer AQE
-    stage jobs per 5-iter run). The window also leaves the cached
-    edge list hash-partitioned by ``dst``, the very key the per-round
-    groupBy aggregates on. (A per-round ``cache.cut`` of the rank
-    table was measured and REJECTED: ``localCheckpoint`` on an AQE
-    plan materializes its shuffle stages eagerly, serializing every
-    round into the driver-side build — 5.5 s vs 3.0 s at sf0.1.)
+    Scale shape: the symmetric edge list is pinned once with the
+    DESTINATION node's degree attached by one window pass, so the
+    upstream candidate build (LSH join) is not re-run per iteration
+    and each round is exactly one broadcast-able hash join (rank
+    table keyed by node) plus one integer-sum groupBy — the old
+    per-round deg re-join is gone (r13 optimization: 3 plan
+    nodes/round → 2, ~10 fewer AQE stage jobs per 5-iter run). The
+    boundary is ``cache.cut`` (localCheckpoint), NOT ``cache.keep``
+    (persist), deliberately: the checkpoint's LogicalRDD carries the
+    window's ``hashpartitioning(dst)`` through to every consumer,
+    while an InMemoryRelation under AQE reports unknown partitioning
+    — so with the cut every round's message groupBy (keyed ``dst``)
+    and the ``deg`` aggregate need NO exchange at all: messages are
+    generated already co-partitioned with their destination and
+    aggregate locally (r13 second pass: 5 round exchanges + the deg
+    exchange gone; 21 → 14 exec jobs, warm exec −40 %, checksum
+    bit-identical). (A per-ROUND cut of the rank table was measured
+    and REJECTED: ``localCheckpoint`` on an AQE plan materializes
+    its shuffle stages eagerly, serializing every round into the
+    driver-side build — 5.5 s vs 3.0 s at sf0.1.)
     Isolated nodes are not ranked
     (every node in a pair has degree ≥ 1, so every node receives
     messages each round — no dangling-mass term).
@@ -225,9 +231,11 @@ def pagerank(
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # one exchange by dst attaches the receiving node's degree to every
-    # edge AND leaves the cached relation partitioned by dst for the
-    # per-round message aggregation
-    und = cache.keep(
+    # edge AND leaves the checkpointed relation partitioned by dst —
+    # the LogicalRDD boundary preserves that partitioning (persist
+    # would not, see docstring), so every round's dst-keyed groupBy
+    # aggregates locally with no exchange
+    und = cache.cut(
         und.withColumn(
             "dst_deg", F.count(F.lit(1)).over(Window.partitionBy("dst"))
         )

@@ -1908,27 +1908,84 @@ def knn_graph(
     (src_id, dst_id, cos_sim, rank); vectors alone in their cell have
     no neighbors (raise k_neighbors' reach by lowering k).
 
-    Plan: one within-cluster Arrow pair scan (every vector crosses the
-    UDF boundary once; pair products exist only inside numpy,
-    row-blocked) produces each unordered pair ONCE; both directions
-    then fan out as narrow (id, id, cos) rows and the per-node top-k
-    compiles to WindowGroupLimit partial/final."""
-    pairs = semantic_dup_pairs(
-        emb_df, k=k, iters=iters, threshold=-2.0, id_col=id_col,
-        emb_col=emb_col, dim=dim,
+    Plan (r13 optimization): one within-cluster Arrow scan emits each
+    node's top-``k_neighbors`` DIRECTLY — a node's entire candidate set
+    lives inside its cell's task, so the per-node selection is exact
+    in-kernel and only n·k ranked rows ever leave Python, instead of
+    the former Σ|cluster|² pair fan-out + union + row_number window
+    (two more exchanges of pair-scale rows). Bit-identical to the
+    window form by construction: cosines reproduce the pair kernel's
+    elementwise-product + sequential-cumsum fold (commutative per
+    element, so direction cannot move a bit), candidates are ranked by
+    (cos desc, dst asc) via a stable argsort over id-ascending columns,
+    and NaN cosines (zero-norm vectors) rank FIRST exactly like
+    Spark's descending sort treats NaN as largest."""
+    import numpy as np
+    import pandas as pd
+
+    cents = kmeans_centroids(
+        emb_df, k=k, iters=iters, id_col=id_col, emb_col=emb_col, dim=dim
     )
-    und = pairs.select(
-        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "cos_sim"
-    ).union(
-        pairs.select(
-            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "cos_sim"
+    a = kmeans_assign(
+        emb_df, k=k, iters=0, id_col=id_col, emb_col=emb_col, dim=dim,
+        keep_vector=True, seeds=cents,
+    )
+    m = a.select(F.col(id_col).alias("id"), "cluster_id", "v")
+    id_type = dict(emb_df.dtypes)[id_col]
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return pd.DataFrame(
+                {
+                    "src_id": pdf["id"].iloc[:0],
+                    "dst_id": pdf["id"].iloc[:0],
+                    "cos_sim": pd.Series([], dtype="float64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((X * X).cumsum(axis=1)[:, -1])
+        kk = min(k_neighbors, n_rows - 1)
+        cols = np.arange(n_rows)
+        os_, od_, oc_, or_ = [], [], [], []
+        # anchor-blocked like the pair kernel: each round materializes
+        # ~200k (anchor, candidate) products, peak memory block×dim
+        # regardless of cluster size
+        blk = max(1, 200_000 // n_rows)
+        rk_row = np.arange(1, kk + 1, dtype=np.int64)
+        for s in range(0, n_rows, blk):
+            e = min(s + blk, n_rows)
+            anchors = np.arange(s, e)
+            ia = np.repeat(anchors, n_rows)
+            ib = np.tile(cols, e - s)
+            cos = (X[ia] * X[ib]).cumsum(axis=1)[:, -1] / (nrm[ia] * nrm[ib])
+            C = cos.reshape(e - s, n_rows)
+            # sort key: cos desc with NaN first (Spark's desc order),
+            # ties broken by ascending id = ascending column (stable);
+            # self sorts last and kk <= n_rows-1 never reaches it
+            key = np.where(np.isnan(C), -np.inf, -C)
+            key[np.arange(e - s), anchors] = np.inf
+            idx = np.argsort(key, axis=1, kind="stable")[:, :kk]
+            flat = idx.ravel()
+            os_.append(np.repeat(ids[anchors], kk))
+            od_.append(ids[flat])
+            oc_.append(C[np.repeat(np.arange(e - s), kk), flat])
+            or_.append(np.tile(rk_row, e - s))
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(os_),
+                "dst_id": np.concatenate(od_),
+                "cos_sim": np.concatenate(oc_),
+                "rank": np.concatenate(or_),
+            }
         )
-    )
-    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
-    return (
-        und.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k_neighbors)
-        .select("src_id", "dst_id", "cos_sim", "rank")
+
+    return m.groupBy("cluster_id").applyInPandas(
+        _topk, f"src_id {id_type}, dst_id {id_type}, cos_sim double, rank long"
     )
 
 
