@@ -212,29 +212,35 @@ def pagerank(
     per-round deg re-join is gone (r13 optimization: 3 plan
     nodes/round → 2, ~10 fewer AQE stage jobs per 5-iter run). The
     boundary is ``cache.cut`` (localCheckpoint), NOT ``cache.keep``
-    (persist), deliberately: the checkpoint's LogicalRDD carries the
-    window's ``hashpartitioning(dst)`` through to every consumer,
-    while an InMemoryRelation under AQE reports unknown partitioning
-    — so with the cut every round's message groupBy (keyed ``dst``)
-    and the ``deg`` aggregate need NO exchange at all: messages are
-    generated already co-partitioned with their destination and
-    aggregate locally (r13 second pass: 5 round exchanges + the deg
-    exchange gone; 21 → 14 exec jobs, warm exec −40 %, checksum
-    bit-identical). (A per-ROUND cut of the rank table was measured
-    and REJECTED: ``localCheckpoint`` on an AQE plan materializes
-    its shuffle stages eagerly, serializing every round into the
-    driver-side build — 5.5 s vs 3.0 s at sf0.1.)
+    (persist), deliberately — measured 21 → 14 exec jobs / warm exec
+    −40 % over keep, checksum bit-identical. The mechanism is plan
+    truncation, not partitioning: a checkpoint's ExistingRDD reports
+    UnknownPartitioning (verified in-plan; neither eager nor lazy
+    localCheckpoint preserves the window's dst-partitioning in
+    Spark 4.x), but each round's subtree becomes one opaque
+    LogicalRDD scan instead of re-referencing the persisted plan's
+    whole defining tree, collapsing per-round Catalyst analysis and
+    the per-consumer AQE stage-job cascade a TableCacheQueryStage
+    pays. At runtime AQE broadcasts the node-scale rank table into
+    every round's join (final executed plan at sf0.1: 5 of 5 rounds
+    BroadcastHashJoin), so the checkpointed edge bytes are NEVER
+    shuffled per round — the only per-round exchange carries
+    map-side-partial integer sums at node scale, the minimum the
+    message aggregation fundamentally requires. (A per-ROUND cut of
+    the rank table was measured and REJECTED: ``localCheckpoint`` on
+    an AQE plan materializes its shuffle stages eagerly, serializing
+    every round into the driver-side build — 5.5 s vs 3.0 s at
+    sf0.1.)
     Isolated nodes are not ranked
     (every node in a pair has degree ≥ 1, so every node receives
     messages each round — no dangling-mass term).
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # one exchange by dst attaches the receiving node's degree to every
-    # edge AND leaves the checkpointed relation partitioned by dst —
-    # the LogicalRDD boundary preserves that partitioning (persist
-    # would not, see docstring), so every round's dst-keyed groupBy
-    # aggregates locally with no exchange
+    # one exchange by dst attaches the receiving node's degree to
+    # every edge; the cut truncates the plan so each round re-analyzes
+    # one opaque scan, not the whole defining tree (see docstring for
+    # the measured cut-vs-keep A/B and the runtime plan shape)
     und = cache.cut(
         und.withColumn(
             "dst_deg", F.count(F.lit(1)).over(Window.partitionBy("dst"))
