@@ -188,6 +188,29 @@ def test_event_funnel_strict_ordering(spark, tmp_path):
     assert got == {"view": 3, "click": 1, "purchase": 1}
 
 
+def test_funnel_stage_frames_shared(spark):
+    """r13 optimization guard: the funnel stage frames s1/s2 are
+    cache.keep-pinned so the count/latency branches share ONE stage
+    chain instead of re-deriving the event-scale aggregates per
+    consumer (event_funnel's c3 branch used to recompute s1 AND s2).
+    Pins the boundary structurally: both queries' optimized plans
+    reference the persisted stage frames, and the registry releases
+    them afterwards."""
+    from finmlkit_spark import cache
+    from finmlkit_spark.suite.multiuser_suite import event_funnel, funnel_latency
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        for q in (event_funnel, funnel_latency):
+            plan = q(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+            assert plan.count("InMemoryRelation") >= 2, (
+                "funnel stage frames are no longer cache-shared:\n" + plan[:2000]
+            )
+    finally:
+        released = cache.release_all()
+    assert released >= 2  # s1 + s2 were registered for cleanup
+
+
 def test_cohort_retention_offsets(spark, tmp_path):
     """Two users: one active on days 0 and 2 (same cohort, offsets 0
     and 2), one active on day 1 only."""
