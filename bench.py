@@ -304,11 +304,18 @@ def main():
                 continue
             best = float("inf")
             try:
-                # run 0 warms codegen and the tracked caches
+                # run 0 warms codegen and the Python workers
                 suite.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 for _ in range(2):
+                    # r14 measurement fix (r13 verdict item 1): drop the
+                    # tracked keep-persists BEFORE each timed run so the
+                    # timed region pays cache materialization — run 0 used
+                    # to leave InMemoryRelations populated and the timed
+                    # runs CacheManager-matched them for free, exempting
+                    # every cache.keep subtree from the timed work.
+                    cache.release_all()
                     t0 = time.time()
                     df = suite.QUERIES[name](spark, sf_dir)
                     t1 = time.time()

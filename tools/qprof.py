@@ -17,11 +17,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     runs = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=")[1])
+            # accept both --runs=N and --runs N (ADVICE r13: the space
+            # form used to IndexError and leak N into the query names)
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                runs = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     sf_dir, names = args[0], args[1:]
 
     from finmlkit_spark import cache, suite
@@ -33,6 +45,10 @@ def main():
     for name in names:
         fn = suite.QUERIES[name]
         for r in range(runs):
+            # mirror the bench's r14 honest-timing methodology: every
+            # run re-materializes the tracked keep-persists (bench.py
+            # releases between timed runs since the r13-verdict fix)
+            cache.release_all()
             j0 = len(tracker.getJobIdsForGroup(None) or [])
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -46,8 +62,6 @@ def main():
                 f"  exec {t2 - t1:6.3f}s ({j2 - j1:3d} jobs)  total {t2 - t0:6.3f}s",
                 flush=True,
             )
-        # bench releases between QUERIES, not runs — warm runs keep the
-        # tracked caches, mirroring the bench's best-of-N methodology
         cache.release_all()
 
 
