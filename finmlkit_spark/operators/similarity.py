@@ -1919,7 +1919,16 @@ def knn_graph(
     element, so direction cannot move a bit), candidates are ranked by
     (cos desc, dst asc) via a stable argsort over id-ascending columns,
     and NaN cosines (zero-norm vectors) rank FIRST exactly like
-    Spark's descending sort treats NaN as largest."""
+    Spark's descending sort treats NaN as largest.
+
+    NaN contract (pinned by ``test_knn_graph_zero_norm_nan_ranks_first``):
+    a zero-norm vector's cosine is NaN and such candidates rank FIRST —
+    the semantics of the DECLARED oracle (``row_number() OVER (ORDER BY
+    cos_sim DESC)``; DuckDB, like Spark, sorts NaN above every number
+    under DESC). This intentionally diverges from threshold-guarded
+    consumers (``semantic_dup_pairs``'s ``cos >= guard`` drops NaN):
+    a corpus with zero-norm embeddings surfaces them as rank-1 NaN
+    edges here rather than silently losing the node's neighbor slots."""
     import numpy as np
     import pandas as pd
 

@@ -24,11 +24,19 @@ def get_spark(app_name: str = "finmlkit_spark") -> SparkSession:
         # instead of always preferring sort-merge — skips the per-
         # partition sorts on the many node-/sketch-scale joins.
         # Measured −10-15 % on the join-heavy bench subset, interleaved
-        # A/B ×3. NOT a local-mode constant: the flag is a planner
-        # preference at any scale; the planner still falls back to SMJ
-        # when the per-partition build side could not fit (and AQE skew
-        # splitting stays on). Override per-deployment via spark-submit.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # A/B ×3 (r13); reconfirmed suite-subset-wide in r14 (wash to
+        # slightly positive; keep_central notably prefers SHJ). NOT a
+        # local-mode constant: the flag is a planner preference at any
+        # scale; the planner still falls back to SMJ when the
+        # per-partition build side could not fit (and AQE skew
+        # splitting stays on). SHJ has no sort fallback at runtime, so
+        # deployments with unreliable size stats can revert without
+        # spark-submit conf surgery via SPARK_GRAFT_PREFER_SMJ=true
+        # (r13 ADVICE).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

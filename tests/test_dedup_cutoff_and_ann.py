@@ -671,6 +671,45 @@ def test_knn_graph_single_cell_equals_brute_force(spark):
             assert got[(i, rank)] == j, (i, rank, got.get((i, rank)), j)
 
 
+def test_knn_graph_zero_norm_nan_ranks_first(spark):
+    """Zero-norm vectors produce NaN cosines that must rank FIRST
+    (ties by ascending dst id) — the declared oracle's row_number over
+    ``cos_sim DESC`` semantics in both engines (DuckDB and Spark sort
+    NaN above every number under DESC). Pins the r13 kernel's NaN
+    contract called out in the r13 ADVICE."""
+    import math
+
+    from finmlkit_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm: NaN cosine vs everyone
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["src_id"], r["rank"]): (r["dst_id"], r["cos_sim"])
+        for r in SIM.knn_graph(df, k=1, iters=1, k_neighbors=3, dim=4).collect()
+    }
+
+    def _nanish(x):
+        # Arrow hands pandas-kernel NaN back to Spark as NULL (see the
+        # verify-skill gotcha); both spellings mean "NaN cosine" here.
+        return x is None or math.isnan(x)
+
+    # every non-zero node's rank-1 neighbor is the NaN edge to node 2
+    for src in (0, 1, 3):
+        dst, cos = got[(src, 1)]
+        assert dst == 2 and _nanish(cos), (src, dst, cos)
+    # node 2 sees NaN against every candidate: ties break by dst asc
+    assert [got[(2, r)][0] for r in (1, 2, 3)] == [0, 1, 3]
+    assert all(_nanish(got[(2, r)][1]) for r in (1, 2, 3))
+
+
 def test_diverse_sample_max_min_property(spark):
     """Every selected vector (after the seed) must be the point
     maximizing the min cosine distance to the prior selection —
