@@ -148,7 +148,11 @@ def minhash_lsh_pairs(
     # band join + pair-dedup on bare ids (cheap shuffle), THEN join the
     # shingle arrays back only for surviving candidates — the arrays never
     # ride through the band join or the distinct
-    e = cache.keep(d_bk.select("doc", F.explode("bk").alias("key")))
+    # storage boundary: cache.cut, not keep (r14 honest-timing A/B —
+    # the timed region now pays materialization, and the columnar
+    # persist write costs ~0.4 s more than the checkpoint block write
+    # here: 1.56 -> 1.15 s)
+    e = cache.cut(d_bk.select("doc", F.explode("bk").alias("key")))
     l = e.select(F.col("doc").alias("doc_a"), "key")
     r = e.select(F.col("doc").alias("doc_b"), "key")
     cand = (
@@ -232,12 +236,11 @@ def ngram_jaccard_pairs(
     # does not reuse the exchange across consumers (the projections
     # above it differ) — without the boundary the explode + exchange +
     # sort + window evaluates three times per action (measured 40% of
-    # the query for two consumers). Four SCALAR columns, so the
-    # columnar cache is safe (SCALE.md lesson 2 bans it for array
-    # columns only) and cheaper than localCheckpoint, whose physical
-    # planning costs ~0.5 s of driver time per build; tracked for
-    # release via finmlkit_spark.cache.
-    em = cache.keep(em)
+    # the query for two consumers). cache.cut, not keep (r14: under
+    # honest timing — materialization inside the timed region — the
+    # columnar persist write of the exploded table costs ~0.45 s more
+    # than the checkpoint block write: 2.04 -> 1.59 s).
+    em = cache.cut(em)
     er = em.where(F.col("_df") <= max_doc_freq)
     # size-ratio prefilter (prefix-filtering lemma): the arrays are
     # distinct sets, so J <= min(na,nb)/max(na,nb) — pairs below the
@@ -515,11 +518,12 @@ def simhash_near_pairs(
         raise ValueError(
             f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands})"
         )
-    # fingerprints feed BOTH sides of the band self-join; cache the
-    # (doc, fp) projection — two longs per row, scalar-only so the
-    # columnar cache is safe — so the shingle fold + SimHash UDF run
-    # once over the corpus, not once per join side
-    d = cache.keep(
+    # fingerprints feed BOTH sides of the band self-join; materialize
+    # the (doc, fp) projection — two longs per row — so the shingle
+    # fold + SimHash UDF run once over the corpus, not once per join
+    # side. cache.cut, not keep (r14 honest-timing A/B: 0.76 -> 0.66 s;
+    # recomputing per side was 1.75 s)
+    d = cache.cut(
         docs.select(
             F.col(id_col).alias("doc"),
             simhash(shingle_hashes(text_col), bits).alias("fp"),
@@ -1285,12 +1289,14 @@ def tfidf_cosine_pairs(
     # Catalyst re-inlines the whole tokenize→tf→df subtree per
     # reference — 12 corpus scans and 16 tokenizer passes at sf0.1
     # (round-12 plan audit). One storage boundary makes it one —
-    # cache.keep, not cut (r13: the eager-at-build AQE localCheckpoint
-    # cost more than the lazy persist + CacheManager match; scalar
-    # columns only, columnar-cache-safe).
+    # cache.cut, not keep (r14 honest-timing A/B, materialization paid
+    # inside the timed region: keep 1.44 s, cut 0.79 s, no boundary
+    # 0.77 s at sf0.1 — cut kept for the 100 TB posture, where three
+    # recomputes of the data-scale tokenize subtree dwarf one
+    # checkpoint write).
     from .. import cache
 
-    w = cache.keep(w)
+    w = cache.cut(w)
     # decimal(19,0) holds any int64; the product is decimal(38,0) —
     # wq² < 2^126 bits never truncates, and a sum past 1e38 nulls
     # instead of wrapping (see docstring overflow posture)

@@ -427,13 +427,14 @@ def tfidf_topk(
     # identical integer counts, A/B bit-equal. With a pre-materialized
     # ``weights`` table (the production path) the whole corpus build —
     # and its lineage cut — disappears from the query.
-    # cache.keep, not cut (r13): the lazy persist + CacheManager match
-    # beat the eager-at-build AQE localCheckpoint by ~0.15 s/query on
-    # the lexical consumers; scalar columns only, columnar-cache-safe
+    # cache.cut, not keep (r14 honest-timing A/B — with materialization
+    # paid inside the timed region the checkpoint write beats the
+    # columnar persist on hybrid_search 0.92 vs 1.38 s; the r13 keep
+    # preference was an artifact of the warm-run cache exemption)
     w = (
         weights
         if weights is not None
-        else cache.keep(_lexical_weights(docs, scale, text_col, id_col))
+        else cache.cut(_lexical_weights(docs, scale, text_col, id_col))
     )
     norms = w.groupBy("doc").agg(
         F.sum(F.col("wq").cast("decimal(19,0)") * F.col("wq")).alias("n2")

@@ -198,7 +198,7 @@ class CurationKit:
     """Ordered stage list -> one lazy curated-corpus plan.
 
     ``persist_after`` names stage kinds whose output should be
-    persisted (MEMORY_AND_DISK). Stages that branch their input —
+    materialized (``cache.cut`` lineage checkpoint). Stages that branch their input —
     ``decontaminate`` reads it for the bench slice, the train slice,
     and the anti-join — otherwise recompute the whole upstream chain
     per branch; persisting the boundary before such a stage is the
@@ -216,7 +216,12 @@ class CurationKit:
         for s in self.stages:
             out = s.apply(out)
             if s.kind in self.persist_after:
-                out = cache.keep(out)
+                # cache.cut, not keep (r14 honest-timing A/B:
+                # curation_pipeline 2.42 -> 1.72 s — the columnar
+                # persist write of the doc rows costs more than the
+                # checkpoint block write now that the timed region
+                # pays materialization)
+                out = cache.cut(out)
         return out
 
     def report(self, docs: DataFrame) -> dict[str, int]:

@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .. import cache
 from ..operators import bars as B
 from ..operators import preprocess as P
 from ..sources.trades import events_to_trades
@@ -421,27 +420,26 @@ def _funnel_stage_times(spark, sf_dir):
     event_funnel and funnel_latency: s1 = first view, s2 = first click
     strictly after it, s3 = first purchase strictly after that.
 
-    s1/s2 are ``cache.keep``-pinned (r13 optimization): the funnel
-    consumers reference the stage chain as strict supersets (c3's
-    count subtree contains s1 AND s2; funnel_latency uses s2 on both
-    hops), and Spark plans are trees — without the boundary the
-    event-scale stage aggregates run up to 3× per query. The pinned
-    frames are narrow user-scale scalar columns (the array-cache ban
-    does not apply); s3 has a single consumer per query and stays
-    lazy. Interleaved A/B at sf0.1: funnel_latency 0.63 → 0.49 s warm
-    (9 → 7 exec jobs), event_funnel a wash at bench scale (idle cores
-    hid the duplicated work; 11 → 10 jobs) — the shared form does
-    strictly less work at any scale. The same boundary was A/B'd on
-    cohort_retention's user-day distinct and REJECTED (0.36 → 0.68 s:
-    columnar cache round-trip costs more than the parallel
-    recompute there)."""
+    The r13 ``cache.keep`` pinning of s1/s2 is DROPPED (r14): under
+    the honest bench harness (materialization paid inside the timed
+    region) the persist round-trip loses to the parallel recompute on
+    BOTH consumers — event_funnel keep 0.45 s vs unpinned 0.39 s, cut
+    0.40 s; funnel_latency keep 0.45 s vs unpinned 0.37 s, cut 0.43 s
+    (the r13 "win" was the warm-run cache exemption the r14 bench fix
+    removed; the driver's own r13 bench already showed event_funnel
+    regressing 0.41 → 0.56 s under the boundary). Same conclusion as
+    the cohort_retention A/B r13 recorded: a user-scale materialization
+    round-trip costs more than re-running the event-scale stage
+    aggregates on idle cores. §5 memory note for 100 TB deployments:
+    if the event table no longer fits the cluster's parallel-recompute
+    budget, pin s2 (the twice-referenced frame) with ``cache.cut``."""
     ev = _events_ns(spark, sf_dir)
-    s1 = cache.keep(
+    s1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("t1"))
     )
-    s2 = cache.keep(
+    s2 = (
         ev.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("ts_ns") > F.col("t1"))

@@ -2371,12 +2371,12 @@ def perplexity_buckets_q(spark, sf_dir):
     # the per-doc score frame feeds the cutpoint aggregate AND the
     # bucket assignment — one storage boundary keeps the whole
     # bigram-LM pipeline (pair explode + two count joins) from running
-    # twice. cache.keep, not cut (r13 optimization): localCheckpoint
-    # on an AQE plan materializes eagerly at build, while the lazy
-    # persist materializes inside the first action and CacheManager-
-    # matches the second consumer — measured 1.7 -> 0.8-0.96 s; the
-    # frame is two scalar columns, columnar-cache-safe.
-    lp = cache.keep(
+    # twice. cache.cut, not keep (r14 honest-timing A/B with
+    # materialization inside the timed region: cut 0.87 s, keep 1.15 s,
+    # no boundary 0.86 s — cut kept over none for the 100 TB posture,
+    # where two runs of the data-scale bigram pipeline dwarf one
+    # doc-scale checkpoint write).
+    lp = cache.cut(
         CP.bigram_logprob(_docs(spark, sf_dir)).select("doc_id", "mean_logprob")
     )
     cuts = lp.agg(

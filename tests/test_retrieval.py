@@ -188,27 +188,30 @@ def test_event_funnel_strict_ordering(spark, tmp_path):
     assert got == {"view": 3, "click": 1, "purchase": 1}
 
 
-def test_funnel_stage_frames_shared(spark):
-    """r13 optimization guard: the funnel stage frames s1/s2 are
-    cache.keep-pinned so the count/latency branches share ONE stage
-    chain instead of re-deriving the event-scale aggregates per
-    consumer (event_funnel's c3 branch used to recompute s1 AND s2).
-    Pins the boundary structurally: both queries' optimized plans
-    reference the persisted stage frames, and the registry releases
-    them afterwards."""
+def test_funnel_stage_frames_not_pinned(spark):
+    """r14 optimization guard (reverses the r13 pin): the funnel stage
+    frames s1/s2 must NOT carry a persist boundary — under the honest
+    bench harness the user-scale materialization round-trip loses to
+    re-running the event-scale stage aggregates on idle cores
+    (event_funnel keep 0.45 s vs unpinned 0.39 s; the driver's r13
+    bench showed the same regression 0.41 -> 0.56 s). Pins the
+    decision structurally: neither query's optimized plan references a
+    persisted relation, and nothing was registered with the cache
+    registry."""
     from finmlkit_spark import cache
     from finmlkit_spark.suite.multiuser_suite import event_funnel, funnel_latency
 
     sf = "/root/testdata/sf0.001"
+    cache.release_all()  # drain frames registered by earlier tests
     try:
         for q in (event_funnel, funnel_latency):
             plan = q(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
-            assert plan.count("InMemoryRelation") >= 2, (
-                "funnel stage frames are no longer cache-shared:\n" + plan[:2000]
+            assert "InMemoryRelation" not in plan, (
+                "funnel stage frames grew a persist boundary again:\n" + plan[:2000]
             )
     finally:
         released = cache.release_all()
-    assert released >= 2  # s1 + s2 were registered for cleanup
+    assert released == 0  # nothing registered by the funnel queries
 
 
 def test_cohort_retention_offsets(spark, tmp_path):
