@@ -1807,22 +1807,44 @@ def _sq8_quantized_consts(vmin, d255, scale: int):
     return vminq, deltaq
 
 
-def _sq8_dist_fold(vminq, deltaq):
-    """The shared SQ8 asymmetric distance expression: Σ_d (qs_d −
-    (vminq_d + code_d·deltaq_d))² folded in int64 over the row's
-    ``codes`` array against its ``qs`` query array. The diff expression
-    appears twice (d·d) — cheap attribute/literal arithmetic, not a
-    let-bind case. Used by both the full-scan and the IVF-restricted
-    search, so the two are bit-identical by construction."""
+def _sq8_recon_cols(vminq, deltaq):
+    """Candidate-side factor of the SQ8 asymmetric distance (r14, guide
+    §1.2 per-task work): reconstruct each candidate ONCE —
+    ``recon_d = vminq_d + code_d·deltaq_d`` and ``r2 = Σ_d recon_d²`` —
+    instead of re-deriving it inside every query's fold (the full scan
+    scores each candidate against n_queries broadcast rows; the old
+    fold recomputed the reconstruction n_queries times per row).
+    Returns (_recon, _r2) expressions over the row's ``codes``."""
+    recon = F.transform(
+        "codes", lambda c, i: F.get(vminq, i) + c.cast("long") * F.get(deltaq, i)
+    )
+    r2 = F.aggregate(recon, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return recon, r2
 
-    def term(c, i):
-        diff = F.get(F.col("qs"), i) - (
-            F.get(vminq, i) + c.cast("long") * F.get(deltaq, i)
-        )
-        return diff * diff
 
-    return F.aggregate(
-        F.transform("codes", term), F.lit(0).cast("long"), lambda acc, x: acc + x
+def _sq8_dist_fold():
+    """The shared SQ8 asymmetric distance: Σ_d (qs_d − recon_d)²
+    expanded to ``q2 + r2 − 2·Σ_d qs_d·recon_d`` — the identity holds
+    EXACTLY over the integers (all terms int64: |qs|,|recon| ≲ 2²¹ at
+    the 1e-6 scale, so Σ over 64 dims ≲ 2⁴⁸ — no overflow, no rounding),
+    and ``q2``/``r2`` are per-query/per-candidate constants computed
+    once outside the (candidate × query) inner loop. Used by both the
+    full-scan and the IVF-restricted search, so the two stay
+    bit-identical by construction."""
+    dot = F.aggregate(
+        F.zip_with("qs", "_recon", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.col("_q2") + F.col("_r2") - F.lit(2).cast("long") * dot
+
+
+def _sq8_query_cols(qq):
+    """Query-side factor: the 1e-6-quantized query array ``qs`` plus its
+    squared norm ``_q2`` (computed once per broadcast query row)."""
+    return qq.withColumn(
+        "_q2",
+        F.aggregate(F.col("qs"), F.lit(0).cast("long"), lambda acc, x: acc + x * x),
     )
 
 
@@ -1865,18 +1887,24 @@ def ann_sq8_topk(
     vmin, vmax = b
     d255 = (vmax - vmin) / 255.0
     vminq, deltaq = _sq8_quantized_consts(vmin, d255, scale)
-    enc = sq8_encode(emb_df, id_col, emb_col, bounds=b)
-    qq = q.select(
-        "query_id",
-        F.transform(
-            "qv", lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long")
-        ).alias("qs"),
+    recon, r2 = _sq8_recon_cols(vminq, deltaq)
+    enc = sq8_encode(emb_df, id_col, emb_col, bounds=b).select(
+        id_col, recon.alias("_recon"), r2.alias("_r2")
+    )
+    qq = _sq8_query_cols(
+        q.select(
+            "query_id",
+            F.transform(
+                "qv",
+                lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+            ).alias("qs"),
+        )
     )
     j = enc.crossJoin(F.broadcast(qq)).where(F.col("query_id") != F.col(id_col))
     scored = j.select(
         "query_id",
         F.col(id_col).alias("cand_id"),
-        _sq8_dist_fold(vminq, deltaq).alias("_dq"),
+        _sq8_dist_fold().alias("_dq"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_dq").asc(), F.col("cand_id").asc())
     return (
@@ -2098,16 +2126,22 @@ def ann_ivf_sq8(
     vmin, vmax = b
     d255 = (vmax - vmin) / 255.0
     vminq, deltaq = _sq8_quantized_consts(vmin, d255, scale)
-    enc = ivf_sq8_encode(emb_df, k_coarse, id_col, emb_col, seeds=seeds, bounds=b)
+    recon, r2 = _sq8_recon_cols(vminq, deltaq)
+    enc = ivf_sq8_encode(
+        emb_df, k_coarse, id_col, emb_col, seeds=seeds, bounds=b
+    ).select(id_col, "cell_id", recon.alias("_recon"), r2.alias("_r2"))
     qid_type = dict(q.dtypes)["query_id"]
     probe = q.mapInPandas(
         _ivf_probe_fn(seeds, nprobe), f"query_id {qid_type}, cell_id bigint"
     )
-    qq = q.select(
-        "query_id",
-        F.transform(
-            "qv", lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long")
-        ).alias("qs"),
+    qq = _sq8_query_cols(
+        q.select(
+            "query_id",
+            F.transform(
+                "qv",
+                lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+            ).alias("qs"),
+        )
     )
     cand = enc.join(F.broadcast(probe), "cell_id").join(
         F.broadcast(qq), "query_id"
@@ -2115,7 +2149,7 @@ def ann_ivf_sq8(
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("cand_id"),
-        _sq8_dist_fold(vminq, deltaq).alias("_dq"),
+        _sq8_dist_fold().alias("_dq"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_dq").asc(), F.col("cand_id").asc())
     return (
