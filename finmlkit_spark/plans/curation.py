@@ -122,8 +122,21 @@ class ExactDedup(Stage):
     kind = "exact_dedup"
 
     def apply(self, docs: DataFrame) -> DataFrame:
-        keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-        return docs.join(keep, "doc_id")
+        # window form, not keep-set join-back (r14, guide §2.4): the
+        # same keep decision — doc_id == min(doc_id) per md5(text) —
+        # computed with ONE exchange of the doc rows (by the digest)
+        # instead of the digest aggregate + a second full-payload
+        # join-back exchange of docs by doc_id (SMJ sorted both sides
+        # on top). Interleaved sf0.1 A/B inside curation_pipeline:
+        # wins every rep, −13% combined with the 3-column input prune.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col("text")))
+        return (
+            docs.withColumn("_keep_min", F.min("doc_id").over(w))
+            .where(F.col("doc_id") == F.col("_keep_min"))
+            .drop("_keep_min")
+        )
 
 
 @register_stage

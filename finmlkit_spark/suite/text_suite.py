@@ -2516,7 +2516,11 @@ def curation_pipeline_q(spark, sf_dir):
         # filter+dedup chain computes once
         persist_after=["exact_dedup"],
     )
-    out = kit.run(_docs(spark, sf_dir))
+    # prune the kit input to the columns the stages + output touch
+    # (guide §2.3): the persist boundary materializes its full schema
+    # — lang/n_chars would be checkpoint-written and re-read 3x by the
+    # decontaminate branches for nothing
+    out = kit.run(_docs(spark, sf_dir).select("doc_id", "text", "source"))
     return out.select("doc_id", "source", TX.token_count().alias("n_tokens"))
 
 
