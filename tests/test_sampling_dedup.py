@@ -850,3 +850,44 @@ def test_tfidf_cosine_pairs_norm_no_int64_wrap(spark):
     for pair in [(0, 1), (0, 2), (1, 2)]:
         assert got[pair] == _pt.approx(want, rel=1e-12)
         assert 0.0 < got[pair] < 1.0  # a wrapped sum goes negative/huge
+
+
+def test_distinct_shingle_rows_matches_hof(spark):
+    """The r14 set-shingle Arrow kernel (ngram_jaccard's exploded input)
+    must be row-multiset-identical to explode(shingle_hashes(text)) with
+    n_sh = size(shingle_hashes(text)) — same g hash VALUES, same per-doc
+    distinct sets, same n_sh — on adversarial inputs and the real
+    documents table, for k=1 (empty-text token edge case) and k=3."""
+    from pyspark.sql import functions as F
+
+    from finmlkit_spark.operators import dedup as D
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x y z x y z x y z"),  # repeated shingles: distinct matters
+        (2, "  leading and   multi  spaces a b c "),
+        (3, ""),  # k=1: the HOF tokenizer yields one empty token
+        (4, "one two"),  # < k tokens at k=3: no rows
+        (5, None),  # NULL text: no rows either engine
+        (6, "a b c d e f"),  # duplicate doc text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (df, docs_real):
+        for k in (1, 3):
+            sh = D.shingle_hashes("text", k=k)
+            hof = (
+                frame.select(
+                    F.col("doc_id").alias("doc"), sh.alias("sh")
+                )
+                .withColumn("n_sh", F.size("sh"))
+                .select("doc", "n_sh", F.explode("sh").alias("g"))
+            )
+            a = sorted(
+                (r["doc"], r["n_sh"], r["g"])
+                for r in D._distinct_shingle_rows(frame, k, "text", "doc_id").collect()
+            )
+            h = sorted((r["doc"], r["n_sh"], r["g"]) for r in hof.collect())
+            assert a == h, (k, len(a), len(h))
+            if frame is docs_real and k == 3:
+                assert len(a) > 0
