@@ -1081,12 +1081,15 @@ def decontaminate(
     Returns (doc_id, n_shared) for contaminated docs; anti-join against
     it to get the clean set.
     """
-    d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
     b = (
         benchmark.select(F.explode(shingle_hashes(text_col)).alias("g"))
         .distinct()
     )
-    e = d.select("doc", F.explode("sh").alias("g"))
+    # corpus-side explode via the Arrow kernel (row-multiset-identical
+    # to explode(shingle_hashes), see _distinct_shingle_rows); the
+    # benchmark side stays the HOF form — eval-set-sized, and the
+    # operator does not require an id column there
+    e = _distinct_shingle_rows(docs, 3, text_col, id_col).select("doc", "g")
     hits = (
         e.join(F.broadcast(b), "g")
         .groupBy("doc")
@@ -1128,7 +1131,6 @@ def decontaminate_bloom(
     Size ``num_bits`` ≈ 10·|benchmark shingles| for ~1% fpp at j=2.
     """
     j = 2
-    d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
     bsh = benchmark.select(F.explode(shingle_hashes(text_col)).alias("g"))
 
     def probe(i: int):
@@ -1138,7 +1140,8 @@ def decontaminate_bloom(
         bsh.select(F.explode(F.array(*[probe(i) for i in range(j)])).alias("pos"))
         .distinct()
     )
-    e = d.select("doc", F.explode("sh").alias("g"))
+    # corpus-side explode via the Arrow kernel (see decontaminate)
+    e = _distinct_shingle_rows(docs, 3, text_col, id_col).select("doc", "g")
     probes = e.select(
         "doc", "g", F.explode(F.array(*[probe(i) for i in range(j)])).alias("pos")
     )
@@ -1180,8 +1183,8 @@ def dup_span_fraction(
     corpus shingle count, not pairs. Docs too short for a trigram get
     fraction 0.0.
     """
-    d = docs.select(F.col(id_col).alias("doc"), shingle_hashes(text_col).alias("sh"))
-    e = d.select("doc", F.explode("sh").alias("g"))
+    # Arrow-kernel explode (row-multiset-identical, _distinct_shingle_rows)
+    e = _distinct_shingle_rows(docs, 3, text_col, id_col).select("doc", "g")
     # shingle arrays are distinct per doc, so count(*) per g = number of
     # docs carrying the shingle. A count-only WINDOW over g marks every
     # exploded row in ONE exchange — the former groupBy(g) + join-back

@@ -320,7 +320,12 @@ def _shingle_combine(th, tok_doc, cnt, k: int, mod: int = MOD):
     valid = tpos <= cnt[tok_doc] - k
     g = th.copy()
     for j in range(1, k):
-        nxt = np.concatenate((th[j:], np.zeros(j, dtype=np.int64)))
+        # pad to exactly n_tok: when the whole batch has fewer tokens
+        # than j (e.g. one single-token doc), th[j:] is empty and a
+        # j-sized pad used to broadcast g to the wrong shape — every
+        # such position is invalid (tpos > cnt - k) so the pad VALUE
+        # never reaches the output, only the shape matters
+        nxt = np.concatenate((th[j:], np.zeros(min(j, n_tok), dtype=np.int64)))
         g = (g * 31 + nxt) % mod
     return g, tpos, valid
 
