@@ -2234,6 +2234,7 @@ def embedding_outliers(
     emb_col: str = "embedding",
     ndigits: int = 6,
     z2_cap: float = 1e6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding QC: top-k outlier vectors by diagonal Mahalanobis
     distance — Σ_j (x_j − μ_j)²/σ²_j over dims with σ²_j > 0. The
@@ -2257,12 +2258,16 @@ def embedding_outliers(
     fold over broadcast μ/σ² array literals; top-k is
     ``orderBy().limit()`` = TakeOrderedAndProject + a k-row re-rank."""
     scale = 10**ndigits
-    d = emb_df.select(F.size(F.col(emb_col)).alias("d")).limit(1).collect()
-    if not d:
-        return emb_df.sparkSession.createDataFrame(
-            [], f"{id_col} long, score double, rank long"
-        )
-    dim = d[0]["d"]
+    if dim is None:
+        # one-row dim probe; callers with a fixed-width embeddings
+        # table pass ``dim`` and skip this driver job at plan-build
+        # (the kmeans_assign posture — r14)
+        d = emb_df.select(F.size(F.col(emb_col)).alias("d")).limit(1).collect()
+        if not d:
+            return emb_df.sparkSession.createDataFrame(
+                [], f"{id_col} long, score double, rank long"
+            )
+        dim = d[0]["d"]
     q = emb_df.select(
         F.posexplode(
             F.transform(

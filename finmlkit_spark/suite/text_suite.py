@@ -1345,7 +1345,9 @@ def embedding_outliers_q(spark, sf_dir):
     never touches float fold order."""
     from ..operators import similarity as SIM
 
-    return SIM.embedding_outliers(_embs(spark, sf_dir), k=20)
+    # dim=64 (fixed-width embeddings table) skips the one-row probe
+    # job at plan-build time (the kmeans_clusters posture)
+    return SIM.embedding_outliers(_embs(spark, sf_dir), k=20, dim=64)
 
 
 @query(
