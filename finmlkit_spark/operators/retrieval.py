@@ -183,12 +183,81 @@ def bm25_topk(
     )
 
 
+#: pagerank's edge-count crossover, the ``dedup_clusters`` driver gate
+#: (``dedup.CC_DRIVER_MAX_EDGES``) applied to the rank fixpoint: at or
+#: below this many near-dup pairs the edge list is collected once
+#: (LIMIT-probed — one execution of the pair chain) and the 5-round
+#: integer recurrence runs vectorized on the driver (bit-identical by
+#: construction — every step is int64 floor-div on non-negative values,
+#: so partial-sum order never mattered to begin with), replanting as a
+#: LocalTableScan. Above the gate the distributed loop runs unchanged —
+#: the 100 TB path never touches the driver. 2M edges ≈ 32 MB collected.
+PR_DRIVER_MAX_EDGES = 2_000_000
+_FORCE_PR_STATE: str | None = None  # test hook: "driver"/"distributed"
+
+_INT_DTS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _pagerank_driver(spark, tbl, iters: int, unit: int, out_dt: str) -> DataFrame:
+    """Driver replica of :func:`pagerank`'s integer fixpoint for the
+    small-edge path. ``tbl``: a pyarrow table of (a, b) pairs; ``out_dt``
+    the Spark int dtype of the id column (the distributed path's
+    union-widened type, so the crossover is schema-invisible).
+
+    Exactness: the distributed rounds are int64 ``DIV`` on non-negative
+    operands throughout (contribution ``r DIV deg``, update
+    ``(unit*15) DIV (100*n) + (85*s) DIV 100``), so numpy ``//`` over
+    the same edge multiset reproduces every bit; message sums use
+    ``np.add.reduceat`` segments (int64, no float accumulator)."""
+    import numpy as np
+    import pyarrow as pa
+
+    _pa_int = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+    }
+    out_type = _pa_int[out_dt]
+    a = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if len(a) == 0:
+        empty = pa.table(
+            {"id": pa.array([], type=out_type), "rank_fp": pa.array([], type=pa.int64())}
+        )
+        return spark.createDataFrame(empty)
+    # und = e ∪ reversed(e); node universe and dst-side degree exactly as
+    # the distributed window pass derives them (duplicates/self-loops
+    # count identically)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    ids, dst_inv, deg = np.unique(dst, return_inverse=True, return_counts=True)
+    n = int(len(ids))
+    src_inv = np.searchsorted(ids, src)
+    order = np.argsort(dst_inv, kind="stable")
+    src_by_dst = src_inv[order]
+    deg_src = deg[src_by_dst].astype(np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(deg)[:-1]
+    r = np.full(n, unit // n, dtype=np.int64)
+    base = (unit * 15) // (100 * n)
+    for _ in range(iters):
+        contrib = r[src_by_dst] // deg_src
+        s = np.add.reduceat(contrib, starts)
+        r = base + (85 * s) // 100
+    out = pa.table(
+        {"id": pa.array(ids, type=out_type), "rank_fp": pa.array(r, type=pa.int64())}
+    )
+    return spark.createDataFrame(out)
+
+
 def pagerank(
     pairs: DataFrame,
     iters: int = 5,
     a_col: str = "id_a",
     b_col: str = "id_b",
     unit: int = PR_UNIT,
+    state: str = "auto",
 ) -> DataFrame:
     """Fixed-point PageRank (damping 0.85, ``iters`` synchronous
     rounds) over an undirected pair graph — centrality for picking the
@@ -234,7 +303,52 @@ def pagerank(
     Isolated nodes are not ranked
     (every node in a pair has degree ≥ 1, so every node receives
     messages each round — no dangling-mass term).
+
+    ``state="auto"`` (default, r14): probe the pair chain ONCE with a
+    ``LIMIT PR_DRIVER_MAX_EDGES+1`` Arrow collect — if every edge fits,
+    the whole fixpoint runs vectorized on the driver (bit-identical —
+    see :func:`_pagerank_driver`) and replants as a LocalTableScan,
+    skipping all ``iters`` join+agg rounds; otherwise fall through to
+    the distributed loop below (the probe's cost is one execution of
+    the pair chain, the ``dedup_clusters`` crossover discipline).
     """
+    st = _FORCE_PR_STATE or state
+    if st not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"pagerank: unknown state {st!r} "
+            "(expected 'auto', 'driver' or 'distributed')"
+        )
+    dts = dict(pairs.dtypes)
+    int_ids = dts[a_col] in _INT_DTS and dts[b_col] in _INT_DTS
+    if st == "driver" and not int_ids:
+        raise ValueError(
+            "pagerank: the driver fixpoint supports integer ids only — "
+            "use state='distributed' for other id types"
+        )
+    if st in ("auto", "driver") and int_ids:
+        tbl = (
+            pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+            .limit(PR_DRIVER_MAX_EDGES + 1)
+            .toArrow()
+        )
+        no_nulls = (
+            tbl.column("a").null_count == 0 and tbl.column("b").null_count == 0
+        )
+        if tbl.num_rows <= PR_DRIVER_MAX_EDGES and no_nulls:
+            # the distributed union widens src/dst to the wider input
+            # int type; emit the same so the crossover never flips schema
+            common_dt = max(dts[a_col], dts[b_col], key=_INT_DTS.index)
+            return _pagerank_driver(
+                pairs.sparkSession, tbl, iters, unit, common_dt
+            )
+        if st == "driver":
+            raise ValueError(
+                "pagerank: state='driver' but the edge list exceeds "
+                f"PR_DRIVER_MAX_EDGES={PR_DRIVER_MAX_EDGES} or contains "
+                "NULL ids"
+            )
+        # fall through: the pair chain re-executes in the loop below —
+        # the price of a wrong probe, paid only above the gate
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # one exchange by dst attaches the receiving node's degree to

@@ -126,6 +126,53 @@ def test_pagerank_disjoint_pairs_uniform(spark):
     assert len(set(got.values())) == 1  # symmetric graph -> equal ranks
 
 
+def test_pagerank_driver_distributed_parity(spark):
+    # the r14 driver gate must be bit-identical to the distributed
+    # fixpoint on a messy graph: duplicate edges (weight by repetition),
+    # a self-loop, skewed degrees, int ids far apart
+    import random
+
+    rng = random.Random(14)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(300)]
+    edges += [(7, 7), (0, 59), (0, 59), (1_000_003, 2)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {}
+    for st in ("driver", "distributed"):
+        RT._FORCE_PR_STATE = st
+        try:
+            out[st] = {r["id"]: r["rank_fp"] for r in RT.pagerank(df).collect()}
+        finally:
+            RT._FORCE_PR_STATE = None
+    assert out["driver"] == out["distributed"]
+    assert out["driver"] == _pagerank_reference(edges)
+
+
+def test_pagerank_driver_gate_schema_and_empty(spark):
+    # crossover is schema-invisible: int inputs widen to the wider type
+    # on both paths; an empty edge list returns an empty, well-typed frame
+    df = spark.createDataFrame([(1, 2)], "id_a int, id_b bigint")
+    out = {}
+    for st in ("driver", "distributed"):
+        RT._FORCE_PR_STATE = st
+        try:
+            got = RT.pagerank(df)
+            out[st] = (got.schema.simpleString(), sorted(map(tuple, got.collect())))
+        finally:
+            RT._FORCE_PR_STATE = None
+    assert out["driver"] == out["distributed"]
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    RT._FORCE_PR_STATE = "driver"
+    try:
+        got = RT.pagerank(empty)
+        assert got.collect() == []
+        assert [f.dataType.simpleString() for f in got.schema.fields] == [
+            "bigint",
+            "bigint",
+        ]
+    finally:
+        RT._FORCE_PR_STATE = None
+
+
 def test_bm25_plan_is_take_ordered(spark):
     from finmlkit_spark.suite import QUERIES
 
